@@ -1,0 +1,367 @@
+"""Deduplication operators over the ``documents``/``embeddings`` tables.
+
+Driver-mandated extension surface (SURVEY.md §2.11): exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design (the point of each variant at 100 TB):
+- exact: shuffle on a 128-bit content hash, never on the full text —
+  the hash is computed map-side so the shuffle payload is 16 bytes/row.
+- n-gram Jaccard: explode shingles and self-join on the shingle key
+  (inverted index). Exact but the shingle join is quadratic in bucket
+  size — usable as the *verifier* for candidate pairs, not the candidate
+  generator, at scale.
+- MinHash+LSH: constant-size signature per doc (k hashes), banded so
+  only same-band-hash docs meet in the shuffle. This is the candidate
+  generator at 100 TB: cost is O(docs × k) map-side + a shuffle keyed
+  on (band, band_hash); candidates are then verified with exact Jaccard.
+- SimHash: one 64-bit fingerprint per doc; near-dup = small Hamming
+  distance; banded on 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at
+  least one of 4 chunks equal).
+- embedding cosine: exact pairwise is O(n²) — correct baseline and the
+  verifier; the scale path is LSH bucketing (see ``similarity.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..plans.catalog import Query
+
+JACCARD_THRESHOLD = 0.4
+COSINE_THRESHOLD = 0.45
+
+MINHASH_K = 128  # hash functions
+LSH_BANDS = 64  # k/bands rows per band = 2 -> high recall at 0.4
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the lowest doc_id per distinct text; report copy counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+        .orderBy("keep_doc_id")
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text ORDER BY keep_doc_id
+"""
+
+
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on md5(text) — the 100 TB shape: the shuffle key
+    is a 16-byte digest computed map-side, not the document body."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+DEDUP_EXACT_HASH_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY content_hash ORDER BY keep_doc_id
+"""
+
+
+# --- shingling -------------------------------------------------------------
+
+
+def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles array<string>, n_shingles) — distinct word n-grams.
+
+    Pure column expressions: split → sliding window via transform over an
+    index sequence → array_distinct. No Python in the loop.
+    """
+    w = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)]),
+    )
+    return (
+        docs.filter(F.size(w) >= n)
+        .select("doc_id", F.array_distinct(grams).alias("shingles"))
+        .withColumn("n_shingles", F.size("shingles"))
+    )
+
+
+# --- exact n-gram Jaccard near-dup ------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with trigram-shingle Jaccard ≥ threshold (exact).
+
+    Inverted-index join: explode shingles, self-join on the shingle,
+    count shared shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    sh = shingles_df(load_table(spark, sf_dir, "documents")).cache()
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) s
+  FROM docs WHERE len(w) >= 3
+),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT doc_a, doc_b,
+       ROUND(n_common::DOUBLE / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k-permutation MinHash signature as an array<long> column.
+
+    Hash family: xxhash64 seeded by the permutation index (seed mixed in
+    as a leading literal column — xxhash64 is a keyed multi-arg hash).
+    All map-side; signature is the only thing that ever shuffles.
+    """
+    # NB: the transform lambda must take exactly ONE arg — a two-arg
+    # lambda is interpreted by Spark as (element, array_index) and the
+    # second parameter would shadow the seed.
+    def _seeded(i: int):
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sig = F.array(*[F.array_min(F.transform("shingles", _seeded(i))) for i in range(k)])
+    return sh.select("doc_id", "shingles", "n_shingles", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Banded LSH: docs collide if any band of the signature matches.
+
+    rows-per-band r = k/bands; P(collide | jaccard=j) = 1-(1-j^r)^bands.
+    With k=128, bands=64 (r=2): j=0.4 → ~99.999% recall.
+    """
+    k = MINHASH_K
+    r = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    ex = signed.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates, verified with exact Jaccard ≥ threshold.
+
+    Same output contract as ``dedup_ngram_jaccard`` — LSH only prunes the
+    pair space; the verify step makes precision exact (recall is the
+    banded probability, ≈1 at this threshold).
+    """
+    sh = shingles_df(load_table(spark, sf_dir, "documents")).cache()
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- SimHash -------------------------------------------------------------------
+
+
+def simhash_df(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc from distinct-token xxhash64 bit votes.
+
+    Explode tokens → per-bit ±1 votes → sign of the vote sum per bit →
+    packed bigint. One shuffle on doc_id (the vote aggregation).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    packed = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ 3 (candidate near-dups).
+
+    Banded on 4 × 16-bit chunks: distance ≤ 3 guarantees ≥ 1 equal chunk
+    (pigeonhole), so the join is keyed, never all-pairs. No SQL oracle —
+    xxhash64 isn't reproducible in DuckDB; verified in tests against the
+    Jaccard ground truth instead.
+    """
+    sh = simhash_df(load_table(spark, sf_dir, "documents")).cache()
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cv"),
+            )
+            for c in range(4)
+        ]
+    )
+    ex = sh.select("doc_id", "simhash", F.explode(chunks).alias("cc")).select(
+        "doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact O(n²) baseline/verifier.
+
+    Norms are precomputed per row (map-side); the pair join is a
+    nested-loop with a broadcast side. At 100 TB use the LSH bucketing
+    in ``similarity.py`` to generate candidates and this as verifier.
+    """
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+EMBEDDING_COSINE_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = [
+    Query("dedup_exact", "exact dedup: min doc_id per distinct text", dedup_exact,
+          DEDUP_EXACT_ORACLE),
+    Query("dedup_exact_hash", "exact dedup on md5 digest (16-byte shuffle key)",
+          dedup_exact_hash, DEDUP_EXACT_HASH_ORACLE),
+    Query("dedup_ngram_jaccard", "exact trigram-shingle Jaccard near-dup pairs",
+          dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
+    Query("dedup_minhash_lsh", "MinHash+LSH candidates verified with exact Jaccard",
+          dedup_minhash_lsh, NGRAM_JACCARD_ORACLE),
+    Query("dedup_simhash", "SimHash Hamming-distance near-dup candidates (no SQL twin)",
+          dedup_simhash, None),
+    Query("dedup_embedding_cosine", "exact pairwise embedding-cosine near-dup",
+          dedup_embedding_cosine, EMBEDDING_COSINE_ORACLE),
+]

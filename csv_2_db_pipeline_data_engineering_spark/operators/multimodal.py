@@ -1,0 +1,156 @@
+"""Multimodal column pattern: opaque binary payloads + typed metadata.
+
+Driver-mandated extension (SURVEY.md §2.11). The contract at 100 TB:
+media lives as a ``binary`` column (or object-store URI) beside a typed
+metadata struct; decode/feature-extraction runs as Arrow-batched Pandas
+UDFs over ``mapInPandas`` so each executor processes whole record
+batches without ever concentrating bytes on the driver.
+
+The container has no image/audio libraries, so the decode kernel is a
+clearly marked deterministic fake (`_fake_decode`) behind the real
+Spark plumbing — schema, partitioning, UDF signature, and batch shape
+are all production-real and tested; swapping in PIL/ffmpeg is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.catalog import Query
+from ..sources.tables import load_table
+
+# Metadata struct carried beside every payload.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the multimodal frame: text bytes stand in for media payloads."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level stats per source — pure built-ins, fully oracle-checkable.
+
+    Demonstrates that binary columns flow through scans/groupBys like any
+    other type (Tungsten treats them as byte arrays; no Python involved).
+    """
+    m = media_table(spark, sf_dir)
+    return (
+        m.groupBy(F.col("meta.source").alias("source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            F.round(F.avg("meta.n_bytes"), 2).alias("avg_bytes"),
+            F.max("meta.n_bytes").alias("max_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+MM_PAYLOAD_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       ROUND(AVG(octet_length(encode(text))), 2) AS avg_bytes,
+       MAX(octet_length(encode(text))) AS max_bytes
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def _fake_decode(payload: bytes) -> tuple[int, float]:
+    """STUB decode kernel — deterministic fake.
+
+    Real deployments replace this with PIL/torchaudio/ffmpeg. Returns
+    (n_frames, mean_byte): frame count faked as len//256, mean over the
+    raw bytes as the stand-in "feature".
+    """
+    if payload is None:
+        raise NotImplementedError("real media decode requires PIL/ffmpeg — not in container")
+    n_frames = max(1, len(payload) // 256)
+    mean_byte = float(sum(payload)) / max(1, len(payload))
+    return n_frames, mean_byte
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over ``mapInPandas``.
+
+    The UDF receives an iterator of pandas batches (bounded memory per
+    executor core); each batch is decoded row-wise *inside* the batch —
+    the Python crossing is per-batch, not per-row.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames, means = [], []
+            for payload in pdf["payload"]:
+                n_frames, mean_byte = _fake_decode(bytes(payload))
+                frames.append(n_frames)
+                means.append(round(mean_byte, 4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "n_frames": pd.array(frames, dtype="int32"),
+                    "mean_byte": means,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(decode_batches, FEATURES_SCHEMA)
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-and-featurize over the media table (Pandas-UDF path).
+
+    No SQL oracle — the decode kernel is engine-side Python; the
+    deterministic fake is instead verified by unit tests (byte mean is
+    recomputable) and the rows-only driver check.
+    """
+    return extract_features(media_table(spark, sf_dir)).orderBy("doc_id")
+
+
+QUERIES = [
+    Query("mm_payload_stats", "binary payload byte stats per source", mm_payload_stats,
+          MM_PAYLOAD_ORACLE),
+    Query("mm_decode_features", "Arrow-batched decode/feature-extract (stub kernel)",
+          mm_decode_features, None),
+]

@@ -1,0 +1,153 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Driver-mandated extension (SURVEY.md §2.11): token counting (whitespace
+and regex/BPE-ish), quality scoring, language-ID heuristic, document
+fingerprinting. All pure column expressions — at 100 TB these run
+map-side inside whole-stage codegen with zero shuffles (the group-bys
+below exist only to produce compact, oracle-checkable outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import Query
+from ..sources.tables import load_table
+
+# Tiny English function-word list for the heuristics (deterministic,
+# shared verbatim with the oracles).
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+TOKEN_REGEX = "[a-z]+|[0-9]+"  # BPE-ish: alpha runs and digit runs
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex token counts and char length per document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0)).alias("n_regex_tokens"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_regex_tokens,
+       LENGTH(text) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: stopword ratio, type-token ratio, length band.
+
+    The standard pre-training quality gates (Gopher-style rules) as
+    column expressions; thresholds are demo values.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))
+    ) / n
+    ttr = F.size(F.array_distinct(toks)) / n
+    band = (
+        F.when(n < 20, "short").when(n <= 60, "medium").otherwise("long")
+    )
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        band.alias("length_band"),
+        (stop_ratio >= 0.01).alias("passes_stopword_gate"),
+    ).orderBy("doc_id")
+
+
+_STOPWORD_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+QUALITY_ORACLE = f"""
+SELECT doc_id,
+       ROUND(len(list_filter(w, t -> list_contains({_STOPWORD_LIST_SQL}, t)))::DOUBLE
+             / len(w), 4) AS stopword_ratio,
+       ROUND(len(list_distinct(w))::DOUBLE / len(w), 4) AS type_token_ratio,
+       CASE WHEN len(w) < 20 THEN 'short'
+            WHEN len(w) <= 60 THEN 'medium'
+            ELSE 'long' END AS length_band,
+       len(list_filter(w, t -> list_contains({_STOPWORD_LIST_SQL}, t)))::DOUBLE
+         / len(w) >= 0.01 AS passes_stopword_gate
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language-ID heuristic vs the labeled ``lang``.
+
+    Returns the confusion summary (label × prediction counts). The
+    corpus is synthetic token soup, so the value verified is the
+    *operator* (deterministic scoring), not model accuracy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    ratio = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / F.size(toks)
+    pred = F.when(ratio >= 0.02, "en").otherwise("unknown")
+    return (
+        d.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+LANG_ID_ORACLE = f"""
+SELECT lang, predicted, COUNT(*) AS n
+FROM (
+  SELECT lang,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                    t -> list_contains({_STOPWORD_LIST_SQL}, t)))::DOUBLE
+                   / len(string_split(text, ' ')) >= 0.02
+              THEN 'en' ELSE 'unknown' END AS predicted
+  FROM documents
+)
+GROUP BY lang, predicted ORDER BY lang, predicted
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 content fingerprint (lower, collapse whitespace).
+
+    The canonical doc-level dedup key for pipelines: compute map-side,
+    shuffle only the digest.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fingerprint")).orderBy("doc_id")
+
+
+FINGERPRINT_ORACLE = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = [
+    Query("text_token_stats", "whitespace + regex token counting", text_token_stats,
+          TOKEN_STATS_ORACLE),
+    Query("text_quality_score", "quality gates: stopword/TTR/length-band",
+          text_quality_score, QUALITY_ORACLE),
+    Query("text_lang_id", "stopword-density language-ID heuristic", text_lang_id,
+          LANG_ID_ORACLE),
+    Query("text_fingerprint", "normalized md5 document fingerprint", text_fingerprint,
+          FINGERPRINT_ORACLE),
+]

@@ -27,7 +27,28 @@ TABLE_NAMES: tuple[str, ...] = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    # events.ts is TIMESTAMP(NANOS) — illegal for Spark 4's vectorized
+    # reader. Read it as a raw nanos long (legacy flag, runtime-settable),
+    # then expose BOTH a micros timestamp `ts` (truncated exactly like
+    # DuckDB's parquet reader does) and the exact micros long `ts_us`
+    # for precision-sensitive arithmetic (matches DuckDB epoch_us()).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 - conf may be locked; fall through to read
+        pass
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        us = F.floor(F.col("ts") / 1000).cast("long")
+        df = df.withColumn("ts_us", us).withColumn("ts", F.timestamp_micros(us))
+    else:
+        df = df.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
