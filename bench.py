@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is materialized through the
+``noop`` sink so the whole physical plan executes (scan→shuffle→agg) without
+driver-side collection skewing the timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from csv_2_db_pipeline_data_engineering_spark.plans.catalog import get_catalog
+from csv_2_db_pipeline_data_engineering_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative headline set: scan/agg, multi-way broadcast joins, windows,
+# grouping sets, set-ops, dedup (hash + LSH), ANN, text quality, multimodal.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "top_customers",
+    "last_event_per_user",
+    "running_revenue",
+    "rollup_status_year",
+    "user_sessions",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_quality_score",
+    "mm_payload_stats",
+]
+
+
+def main() -> None:
+    catalog = get_catalog()
+    spark = get_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial action so q1 isn't charged startup cost.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = catalog[name]
+        t0 = time.monotonic()
+        q.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

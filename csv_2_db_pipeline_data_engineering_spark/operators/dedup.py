@@ -156,18 +156,24 @@ ORDER BY doc_a, doc_b
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """k-permutation MinHash signature as an array<long> column.
 
-    Hash family: xxhash64 seeded by the permutation index (seed mixed in
-    as a leading literal column — xxhash64 is a keyed multi-arg hash).
-    All map-side; signature is the only thing that ever shuffles.
+    The expensive part — hashing the shingle *string* — happens exactly
+    once per shingle; the k permutations then re-hash that 64-bit value
+    with xxhash64 seeded by the permutation index (long-input hashing is
+    ~an order of magnitude cheaper than string hashing, and overflow-free
+    so it stays correct under ANSI-on sessions). All map-side; the
+    signature is the only thing that ever shuffles.
     """
-    # NB: the transform lambda must take exactly ONE arg — a two-arg
-    # lambda is interpreted by Spark as (element, array_index) and the
-    # second parameter would shadow the seed.
+    # NB: every transform lambda takes exactly ONE arg — a two-arg
+    # lambda is interpreted by Spark as (element, array_index).
     def _seeded(i: int):
-        return lambda s: F.xxhash64(F.lit(i), s)
+        return lambda h: F.xxhash64(F.lit(i), h)
 
-    sig = F.array(*[F.array_min(F.transform("shingles", _seeded(i))) for i in range(k)])
-    return sh.select("doc_id", "shingles", "n_shingles", sig.alias("sig"))
+    base = F.transform("shingles", lambda s: F.xxhash64(s))
+    sig = F.array(*[F.array_min(F.transform("hs", _seeded(i))) for i in range(k)])
+    return (
+        sh.withColumn("hs", base)
+        .select("doc_id", "shingles", "n_shingles", sig.alias("sig"))
+    )
 
 
 def lsh_candidate_pairs(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
