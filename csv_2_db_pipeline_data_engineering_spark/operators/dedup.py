@@ -151,36 +151,68 @@ ORDER BY doc_a, doc_b
 
 
 # --- MinHash + LSH ------------------------------------------------------------
+#
+# Hash-first pipeline, every operator whole-stage-codegen-able (the session
+# raises spark.sql.codegen.maxFields so the 128-column stages stay compiled):
+#
+#   words --posexplode--> (doc_id, pos, tok)          map-side
+#   gram hash = xxhash64(h, lead(h,1), lead(h,2))     ONE shuffle (by doc_id)
+#   signature = 128 x min(xxhash64(seed_i, gh))       no shuffle (co-partitioned)
+#   shingle set = collect_set(gh)                     no shuffle (co-partitioned)
+#   band explode + self-join on (band, band_hash)     broadcast (small sig table)
+#   verify: exact Jaccard on hash sets, dedupe last   broadcast
+#
+# Interpreted higher-order functions (F.transform lambdas) are deliberately
+# absent: they run per-element outside codegen and measured ~4x slower than
+# the window+agg shape at sf0.1. Hashed shingles give identical Jaccard to
+# string shingles with collision probability ~(n_shingles)^2 / 2^64 ≈ 0.
 
 
-def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """k-permutation MinHash signature as an array<long> column.
+def gram_hash_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, gh): 64-bit hash per word n-gram (with duplicates).
 
-    The expensive part — hashing the shingle *string* — happens exactly
-    once per shingle; the k permutations then re-hash that 64-bit value
-    with xxhash64 seeded by the permutation index (long-input hashing is
-    ~an order of magnitude cheaper than string hashing, and overflow-free
-    so it stays correct under ANSI-on sessions). All map-side; the
-    signature is the only thing that ever shuffles.
+    Words are hashed once; the n-gram hash combines n consecutive word
+    hashes via ``lead`` over a per-document window — the only shuffle in
+    the shingling phase, and it's keyed on doc_id so the downstream
+    per-document aggregations are co-partitioned (no further shuffles).
     """
-    # NB: every transform lambda takes exactly ONE arg — a two-arg
-    # lambda is interpreted by Spark as (element, array_index).
-    def _seeded(i: int):
-        return lambda h: F.xxhash64(F.lit(i), h)
+    from pyspark.sql import Window
 
-    base = F.transform("shingles", lambda s: F.xxhash64(s))
-    sig = F.array(*[F.array_min(F.transform("hs", _seeded(i))) for i in range(k)])
+    words = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    h = F.xxhash64("tok")
+    leads = [F.lead("h", i).over(win).alias(f"h{i}") for i in range(1, n)]
     return (
-        sh.withColumn("hs", base)
-        .select("doc_id", "shingles", "n_shingles", sig.alias("sig"))
+        words.withColumn("h", h)
+        .select("doc_id", "h", *leads)
+        .filter(F.col(f"h{n-1}").isNotNull())
+        .select(
+            "doc_id",
+            F.xxhash64("h", *[f"h{i}" for i in range(1, n)]).alias("gh"),
+        )
     )
+
+
+def minhash_signatures(gh_rows: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k-permutation MinHash as k codegen'd min-aggregates (m0..m{k-1}).
+
+    MinHash is duplicate-insensitive (min over a multiset == min over its
+    set), so the raw gram stream needs no pre-distinct. xxhash64 with the
+    permutation index as a leading literal is the seeded hash family —
+    overflow-free, so correct under ANSI-on sessions too.
+    """
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("gh"))).alias(f"m{i}") for i in range(k)]
+    return gh_rows.groupBy("doc_id").agg(*mins)
 
 
 def lsh_candidate_pairs(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     """Banded LSH: docs collide if any band of the signature matches.
 
     rows-per-band r = k/bands; P(collide | jaccard=j) = 1-(1-j^r)^bands.
-    With k=128, bands=64 (r=2): j=0.4 → ~99.999% recall.
+    With k=128, bands=64 (r=2): j=0.4 → ~99.999% recall. Pairs are NOT
+    deduplicated here — a pair surfaces once per matching band and the
+    caller dedupes after the (cheap, broadcast) verify step, which saves
+    a full shuffle on the candidate stream.
     """
     k = MINHASH_K
     r = k // bands
@@ -188,7 +220,7 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
+                F.xxhash64(*[F.col(f"m{b * r + i}") for i in range(r)]).alias("bh"),
             )
             for b in range(bands)
         ]
@@ -197,16 +229,12 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
     a, b = ex.alias("a"), ex.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,19 +242,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same output contract as ``dedup_ngram_jaccard`` — LSH only prunes the
     pair space; the verify step makes precision exact (recall is the
-    banded probability, ≈1 at this threshold).
+    banded probability, ≈1 at this threshold). Candidate multiplicity
+    (one hit per matching band) is collapsed AFTER verification with a
+    groupBy on the surviving ~0.1% of pairs instead of a distinct() on
+    the full candidate stream.
     """
-    sh = shingles_df(load_table(spark, sf_dir, "documents")).cache()
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    gh = gram_hash_rows(load_table(spark, sf_dir, "documents")).cache()
+    cands = lsh_candidate_pairs(minhash_signatures(gh))
+    sh = (
+        gh.groupBy("doc_id")
+        .agg(F.collect_set("gh").alias("sh"))
+        .withColumn("ns", F.size("sh"))
+        .cache()
+    )
     sa = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n_shingles").alias("n_a"),
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("ns").alias("n_a")
     )
     sb = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n_shingles").alias("n_b"),
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("ns").alias("n_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
@@ -235,6 +268,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("jaccard").alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 

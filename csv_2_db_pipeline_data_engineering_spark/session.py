@@ -46,6 +46,9 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
+        # Wide operators (the 128-column MinHash signature agg) must stay
+        # inside whole-stage codegen; the default cutoff is 100 fields.
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
