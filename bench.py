@@ -27,6 +27,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_supplier_volume",
     "top_customers",
+    "asof_last_order_per_event",
+    "range_join_followup_orders",
     "last_event_per_user",
     "running_revenue",
     "rollup_status_year",

@@ -1,0 +1,36 @@
+"""Advanced-operator tests not covered by the DuckDB oracle gate."""
+
+from __future__ import annotations
+
+from csv_2_db_pipeline_data_engineering_spark.plans.advanced import (
+    approx_aggregates,
+    asof_last_order_per_event,
+)
+from tests.conftest import SF_DIR
+
+
+def test_approx_aggregates_error_bounds(spark):
+    rows = approx_aggregates(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # HLL++ default rsd is 5%; allow 3 sigma.
+        assert abs(r.approx_parts - r.exact_parts) <= max(3, 0.15 * r.exact_parts)
+        # t-digest with accuracy 10k on ~these group sizes: near-exact median.
+        assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * abs(r.exact_p50)
+
+
+def test_asof_join_is_at_or_before_and_total(spark):
+    out = asof_last_order_per_event(spark, SF_DIR)
+    n_events = out.count()
+    # one output row per event, and every matched order-date <= event date
+    from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    assert n_events == load_table(spark, SF_DIR, "events").count()
+    bad = out.join(
+        load_table(spark, SF_DIR, "events").select(
+            "event_id", F.to_date("ts").alias("ed")
+        ),
+        "event_id",
+    ).filter(F.col("asof_order_date") > F.col("ed"))
+    assert bad.isEmpty()
