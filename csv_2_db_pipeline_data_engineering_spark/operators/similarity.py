@@ -15,15 +15,19 @@ Driver-mandated extension (SURVEY.md §2.11). Two tiers:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..plans.catalog import Query
 from ..sources.tables import load_table
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the demo query vectors
-N_PLANES = 8
+N_TABLES = 16  # LSH hash tables (recall knob: union of candidates)
+N_PLANES = 5  # hyperplanes per table (precision knob: bucket selectivity)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -82,47 +86,146 @@ ORDER BY query_id, rank
 """
 
 
-def hyperplanes(dim: int = 64, n_planes: int = N_PLANES, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (seeded, reproducible)."""
+def hyperplanes(
+    dim: int = 64, n_tables: int = N_TABLES, n_planes: int = N_PLANES, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes, one set per hash table."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    return rng.randn(n_planes, dim).tolist()
+    return rng.randn(n_tables, n_planes, dim).tolist()
 
 
-def _bucket_expr(v: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit b = (v · plane_b) > 0, packed to an int."""
-    bucket = F.lit(0)
-    for b, plane in enumerate(planes):
-        dot = _dot(v, F.array(*[F.lit(float(x)) for x in plane]))
-        bucket = bucket + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return bucket
+def _table_buckets(df: DataFrame, tables: list[list[list[float]]]) -> DataFrame:
+    """Explode each vector into one (table, bucket) row per hash table.
+
+    All L x m sign-dots happen in ONE Arrow-vectorized matmul per batch
+    (a column-expression version — L x m literal-array dot products via
+    interpreted higher-order functions — measured ~10x slower). The UDF
+    is the sanctioned Pandas path: numpy does (batch x dim) @ (dim x
+    L*m), signs are packed into per-table bucket ids, Spark explodes
+    the resulting array JVM-side.
+    """
+    planes = np.asarray(tables, dtype=np.float64)  # (L, m, dim)
+    n_tables, n_planes, _ = planes.shape
+    flat = planes.reshape(n_tables * n_planes, -1).T  # (dim, L*m)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))  # pack bits per table
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.values)  # (batch, dim)
+        bits = (mat @ flat) > 0  # (batch, L*m)
+        packed = (
+            bits.reshape(len(mat), n_tables, n_planes).astype(np.int64) * weights
+        ).sum(axis=2)
+        return pd.Series(list(packed.astype(np.int32)))
+
+    return df.select(*df.columns, F.posexplode(buckets("v")).alias("t", "bucket"))
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: query meets only same-bucket corpus vectors.
+    """Multi-table sign-LSH ANN: a query meets a corpus vector if they
+    share a bucket in ANY of the L hash tables (classic LSH union).
 
-    Returns the same contract as brute force minus the misses — tests
-    assert recall against ``ann_topk_bruteforce``. Multi-probe (flip one
-    bit) would raise recall further; single-probe keeps the demo tight.
+    The L/planes pair is the recall/cost dial: this data's true top-5
+    neighbors sit at cosine 0.26-0.49 (weakly clustered), where a
+    single 8-plane table measured 0.02 recall; L=16 x 5 planes has
+    estimated recall ~0.75 at the cost of touching ~half the corpus
+    per query. That is the honest LSH tradeoff on non-clustered
+    embeddings — for data like this the learned-quantizer ``ann_ivf``
+    is the better scale path. Cost model: the corpus is exploded x L
+    on the bucket key — the shuffle/join stays keyed, never all-pairs;
+    candidates are deduped per (query, neighbor) BEFORE the top-k so
+    each pair is scored once. Recall is asserted against the
+    brute-force baseline in tests.
     """
-    planes = hyperplanes()
-    e = _normalized(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("v"), planes))
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+    tables = hyperplanes()
+    e = _table_buckets(_normalized(spark, sf_dir), tables)
+    qn = _normalized(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES)
+    q = _table_buckets(qn, tables).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
-        F.col("bucket").alias("qbucket"),
+        "t",
+        "bucket",
     )
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
     scored = (
         e.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+            (e.t == q.t) & (e.bucket == q.bucket) & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 F.round(cos, 6).alias("cosine"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+IVF_K = 16  # coarse centroids
+IVF_NPROBE = 4  # clusters probed per query
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search.
+
+    The FAISS-style scale path on Spark primitives:
+    1. KMeans (pyspark.ml, seeded) learns IVF_K centroids — the coarse
+       quantizer. At 100 TB you fit on a sample; assignment stays a
+       map-side transform.
+    2. Every corpus vector is assigned to its nearest centroid — this
+       is the inverted file, naturally expressed as a cluster-id column
+       (at rest: a partition/bucket key for the corpus table).
+    3. A query probes only its IVF_NPROBE nearest centroids, so the
+       scored join touches nprobe/k of the corpus instead of all of it,
+       keyed on cluster id — never all-pairs.
+
+    Same output contract as brute force minus misses; recall vs
+    ``ann_topk_bruteforce`` is asserted in tests. No SQL twin (centroid
+    fit is iterative/engine-side).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = _normalized(spark, sf_dir).withColumn("feat", array_to_vector("v"))
+    model = KMeans(k=IVF_K, seed=42, maxIter=10, featuresCol="feat").fit(e)
+    assigned = model.transform(e).select(
+        "vec_id", "v", "norm", F.col("prediction").alias("cluster")
+    )
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, cv array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    # nprobe nearest centroids per query (tiny cross join: queries x k)
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cluster")
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "qnorm", "cluster", d2.alias("d2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "qv", "qnorm", "cluster")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = assigned.join(
+        F.broadcast(probes),
+        (assigned.cluster == probes.cluster) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -137,4 +240,6 @@ QUERIES = [
           ann_topk_bruteforce, ANN_TOPK_ORACLE),
     Query("ann_lsh_bucketed", "sign-LSH bucketed ANN (scale path; recall tested)",
           ann_lsh_bucketed, None),
+    Query("ann_ivf", "IVF: k-means coarse quantizer + nprobe bucketed search",
+          ann_ivf, None),
 ]

@@ -293,6 +293,58 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- scalar-subquery decorrelation --------------------------------------------
+
+
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts priced above their brand's average retail price.
+
+    The correlated-scalar-subquery pattern (``price > (SELECT AVG ...
+    WHERE brand = outer.brand)``) decorrelated into window aggregates —
+    ONE shuffle on the correlation key instead of a per-row subquery,
+    which is exactly what Catalyst's decorrelation would produce.
+
+    Determinism note: the comparison is done in exact decimals
+    (``price * n > sum``, no division), and the reported average is a
+    single float division of two exact values — so Spark and the SQL
+    oracle agree bit-for-bit (a double ``AVG`` would accumulate in
+    engine-specific order and can flip a ROUND boundary).
+    """
+    w = Window.partitionBy("p_brand")
+    p = _t(spark, sf_dir, "part").withColumn(
+        "price_dec", F.col("p_retailprice").cast("decimal(18,2)")
+    )
+    return (
+        p.withColumn("brand_sum", F.sum("price_dec").over(w))
+        .withColumn("brand_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("price_dec") * F.col("brand_n") > F.col("brand_sum"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("retail_price"),
+            F.round(
+                F.col("brand_sum").cast("double") / F.col("brand_n"), 2
+            ).alias("brand_avg"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+SCALAR_SUBQ_ORACLE = """
+SELECT p_partkey, p_brand, ROUND(p_retailprice, 2) AS retail_price,
+       ROUND(brand_sum::DOUBLE / brand_n, 2) AS brand_avg
+FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         p_retailprice::DECIMAL(18,2) AS price_dec,
+         SUM(p_retailprice::DECIMAL(18,2)) OVER (PARTITION BY p_brand) AS brand_sum,
+         COUNT(*) OVER (PARTITION BY p_brand) AS brand_n
+  FROM part
+)
+WHERE price_dec * brand_n > brand_sum
+ORDER BY p_partkey
+"""
+
+
 # --- approximate aggregates ---------------------------------------------------
 
 
@@ -329,6 +381,8 @@ QUERIES = [
           top3_orders_per_priority, TOPK_ORACLE),
     Query("salted_event_type_counts", "skew-salted two-stage aggregation",
           salted_event_type_counts, SALTED_ORACLE),
+    Query("parts_above_brand_avg", "correlated scalar subquery decorrelated to a window",
+          parts_above_brand_avg, SCALAR_SUBQ_ORACLE),
     Query("approx_aggregates", "HLL++ / t-digest sketches beside exact values",
           approx_aggregates, None),
 ]
