@@ -597,6 +597,62 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+# --- JSON column functions ----------------------------------------------------
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON ``props`` column, aggregated.
+
+    ``from_json`` with an explicit schema is the 100 TB shape: the parse
+    happens once, map-side, into a typed struct (columnar after that) —
+    vs repeated ``get_json_object`` string scans per field.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    e = _t(spark, sf_dir, "events").withColumn(
+        "k", F.from_json("props", schema).getField("k")
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(props->>'$.k' AS INTEGER)) AS sum_k,
+       MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+       MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- UNION (distinct) ----------------------------------------------------------
+
+
+def nations_with_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation keys present among suppliers OR customers — UNION distinct
+    (completes the set-op family beside UNION ALL / INTERSECT / EXCEPT)."""
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    return s.union(c).distinct().orderBy("nationkey")
+
+
+NATIONS_PRESENCE_ORACLE = """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+UNION
+SELECT CAST(c_nationkey AS BIGINT) FROM customer
+ORDER BY nationkey
+"""
+
+
 QUERIES = [
     Query("q1_pricing_summary", "TPC-H Q1-style pricing summary: filter→groupBy→agg→sort",
           q1_pricing_summary, Q1_ORACLE),
@@ -625,4 +681,8 @@ QUERIES = [
           events_hourly_window, HOURLY_WINDOW_ORACLE),
     Query("user_sessions", "sessionization via lag + conditional cumsum", user_sessions,
           SESSIONS_ORACLE),
+    Query("events_json_stats", "typed from_json extraction + agg", events_json_stats,
+          EVENTS_JSON_ORACLE),
+    Query("nations_with_presence", "UNION distinct across two sources",
+          nations_with_presence, NATIONS_PRESENCE_ORACLE),
 ]

@@ -1,0 +1,91 @@
+"""Bucketed-table co-located join: the shuffle-elimination story.
+
+At 100 TB the single biggest join cost is shuffling the fact table.
+Writing both sides bucketed on the join key means every join on that key
+is map-side: Spark reads bucket i of A and bucket i of B in the same
+task — zero Exchange in the plan. This test proves the engine's tables
+support that layout and that the plan really has no shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def bucketed_tables(spark, tmp_path):
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdemo LOCATION '{tmp_path}'")
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    (
+        orders.write.bucketBy(N_BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable("buckdemo.orders_b")
+    )
+    (
+        customer.write.bucketBy(N_BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable("buckdemo.customer_b")
+    )
+    yield "buckdemo.orders_b", "buckdemo.customer_b"
+    spark.sql("DROP TABLE IF EXISTS buckdemo.orders_b")
+    spark.sql("DROP TABLE IF EXISTS buckdemo.customer_b")
+    spark.sql("DROP DATABASE IF EXISTS buckdemo")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    orders_b, customer_b = bucketed_tables
+    # Force a sort-merge join (no broadcast) and a static plan so the
+    # Exchange check is unambiguous.
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j = (
+            spark.table(orders_b)
+            .join(
+                spark.table(customer_b),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # join itself must be co-located: the only allowed Exchange is the
+        # one for the final tiny groupBy on c_mktsegment
+        join_part = plan.split("HashAggregate")[-1]  # below the agg = join subtree
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part, f"bucketed join still shuffles:\n{plan}"
+
+        # same join WITHOUT bucketing must shuffle both sides
+        raw = (
+            load_table(spark, SF_DIR, "orders")
+            .join(
+                load_table(spark, SF_DIR, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        raw_join = raw_plan.split("HashAggregate")[-1]
+        assert "Exchange" in raw_join
+
+        # and the result is identical either way
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, raw.collect()))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
