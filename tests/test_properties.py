@@ -1,0 +1,165 @@
+"""Property-based differential tests (Hypothesis) for transform/validate.
+
+Random dirty rows flow through the Spark transform + dead-letter split
+and are compared against a pure-Python model of the pinned reference
+semantics (SURVEY.md §2.8 F1-F7, §2.2 P1-P2). Invariants:
+
+- clean + rejected == input (no silent drops, reference src/validate.py:53)
+- per-row clean/rejected decision matches the model exactly
+- normalization (trim/case/status-fill) matches the model on clean rows
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from csv_2_db_pipeline_data_engineering_spark.operators.transform import transform
+from csv_2_db_pipeline_data_engineering_spark.operators.validate import validate_rows
+from csv_2_db_pipeline_data_engineering_spark.schema import RAW_SCHEMA
+
+# --- generators ----------------------------------------------------------------
+
+_pad = st.sampled_from(["", " ", "  "])
+
+
+def _padded(inner: st.SearchStrategy[str]) -> st.SearchStrategy[str]:
+    return st.tuples(_pad, inner, _pad).map(lambda t: t[0] + t[1] + t[2])
+
+
+tid_st = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("   "),
+    _padded(st.from_regex(r"[Tt][0-9]{1,4}", fullmatch=True)),
+)
+int_st = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("abc"),
+    st.integers(min_value=-5, max_value=5000).map(str),
+)
+price_st = st.one_of(
+    st.none(),
+    st.just("oops"),
+    st.integers(min_value=-300, max_value=30000).map(lambda n: f"{n/100:.2f}"),
+)
+_date_values = st.dates(
+    min_value=datetime(1990, 1, 1).date(), max_value=datetime(2030, 12, 28).date()
+)
+date_st = st.one_of(
+    st.none(),
+    st.just("not a date"),
+    st.just("2024-02-31"),  # well-formed but invalid calendar date
+    _date_values.map(lambda d: d.strftime("%Y-%m-%d")),
+    _date_values.map(lambda d: d.strftime("%d/%m/%Y")),
+    _date_values.map(lambda d: f"{d.strftime('%b')} {d.day} {d.year}"),
+)
+region_st = st.one_of(st.none(), _padded(st.sampled_from(["North", "SOUTH", "east"])))
+status_st = st.one_of(
+    st.none(),
+    st.just(""),
+    _padded(st.sampled_from(["Completed", "PENDING", "cancelled", "shipped", "unknown"])),
+)
+row_st = st.tuples(tid_st, int_st, st.just("Widget"), int_st, price_st, date_st, region_st, status_st)
+
+
+# --- pure-Python model of the pinned semantics ---------------------------------
+
+VALID = {"completed", "pending", "cancelled", "unknown"}
+
+
+def _model_date(s: str | None):
+    if s is None:
+        return None
+    s = s.strip()
+    for fmt in ("%Y-%m-%d", "%d/%m/%Y", "%b %d %Y"):
+        try:
+            return datetime.strptime(s, fmt).date()
+        except ValueError:
+            continue
+    return None
+
+
+def _model_int(s: str | None):
+    if s is None:
+        return None
+    try:
+        return int(s.strip() or "x")
+    except ValueError:
+        return None
+
+
+def _model_price(s: str | None):
+    if s is None:
+        return None
+    try:
+        return round(float(s), 2)
+    except ValueError:
+        return None
+
+
+def model_row(r: tuple) -> dict:
+    tid, cust, name, qty, price, date, region, status = r
+    tid_n = (tid or "").strip().upper() or None
+    qty_n = _model_int(qty)
+    price_n = _model_price(price)
+    date_n = _model_date(date)
+    status_n = "unknown" if status is None else status.strip().lower()
+    total = (
+        round(qty_n * price_n, 2) if qty_n is not None and price_n is not None else None
+    )
+    reasons = []
+    if tid_n is None:
+        reasons.append("missing")
+    if date_n is None:
+        reasons.append("date")
+    if price_n is None or price_n <= 0:
+        reasons.append("price")
+    if total is None:
+        reasons.append("total")
+    if status_n not in VALID:
+        reasons.append("status")
+    return {
+        "tid": tid_n,
+        "status": status_n,
+        "region": None if region is None else region.strip().lower(),
+        "clean": not reasons,
+    }
+
+
+# --- the differential property -------------------------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=st.lists(row_st, min_size=1, max_size=25))
+def test_split_matches_python_model(spark, rows):
+    df = spark.createDataFrame(
+        [tuple(r) for r in rows], schema=RAW_SCHEMA
+    )
+    clean, rejected = validate_rows(transform(df))
+    clean_rows = clean.collect()
+    rejected_rows = rejected.collect()
+
+    # invariant: nothing dropped, nothing duplicated
+    assert len(clean_rows) + len(rejected_rows) == len(rows)
+
+    model = [model_row(r) for r in rows]
+    assert len(clean_rows) == sum(m["clean"] for m in model)
+
+    # normalization on clean rows matches the model (keyed comparison is
+    # impossible with duplicate/blank ids, so compare as multisets)
+    got = sorted((r.transaction_id, r.status, r.region) for r in clean_rows)
+    want = sorted((m["tid"], m["status"], m["region"]) for m in model if m["clean"])
+    assert got == want
+
+    # every rejected row carries at least one reason
+    assert all(r.rejection_reason for r in rejected_rows)
