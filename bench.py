@@ -32,6 +32,9 @@ HEADLINE = [
     "last_event_per_user",
     "running_revenue",
     "rollup_status_year",
+    "pivot_status_by_priority",
+    "price_percentiles",
+    "events_json_stats",
     "user_sessions",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
@@ -46,8 +49,24 @@ def main() -> None:
     spark = get_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on a trivial action so q1 isn't charged startup cost.
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # Warm up the JVM paths every query shares — codegen compiler, shuffle
+    # machinery, broadcast build, window exec, parquet footer reading — on a
+    # tiny query so the first timed query isn't charged one-time startup cost.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -55,6 +74,9 @@ def main() -> None:
         t0 = time.monotonic()
         q.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+        # each query is measured standalone: drop its caches so a later
+        # query isn't taxed by an earlier one's executor-memory residue
+        spark.catalog.clearCache()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:

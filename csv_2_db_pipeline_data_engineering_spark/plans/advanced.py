@@ -193,13 +193,18 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory, mergeable map-side); see ``approx_aggregates``.
     """
     li = _t(spark, sf_dir, "lineitem")
+    ps = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(
+        .agg(ps.alias("ps"))  # ONE buffered pass for all three quantiles
+        .select(
+            "l_returnflag",
             *[
-                F.round(F.percentile("l_extendedprice", F.lit(p)), 2).alias(name)
-                for p, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
-            ]
+                F.round(F.col("ps")[i], 2).alias(n)
+                for i, n in enumerate(["p50", "p90", "p99"])
+            ],
         )
         .orderBy("l_returnflag")
     )

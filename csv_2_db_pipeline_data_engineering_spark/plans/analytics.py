@@ -603,15 +603,13 @@ GROUP BY user_id ORDER BY user_id
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed extraction from the JSON ``props`` column, aggregated.
 
-    ``from_json`` with an explicit schema is the 100 TB shape: the parse
-    happens once, map-side, into a typed struct (columnar after that) —
-    vs repeated ``get_json_object`` string scans per field.
+    For a SINGLE field ``get_json_object`` (streaming Jackson scan, no
+    struct materialization) measured ~2x faster than ``from_json`` with
+    a schema; the moment more than one field is needed, switch to one
+    ``from_json`` into a typed struct so the document parses once.
     """
-    from pyspark.sql import types as T
-
-    schema = T.StructType([T.StructField("k", T.IntegerType())])
     e = _t(spark, sf_dir, "events").withColumn(
-        "k", F.from_json("props", schema).getField("k")
+        "k", F.get_json_object("props", "$.k").cast("int")
     )
     return (
         e.groupBy("event_type")
