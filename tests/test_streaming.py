@@ -14,6 +14,9 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+from csv_2_db_pipeline_data_engineering_spark.streaming.dedup_stream import (
+    dedup_stream_exact,
+)
 from csv_2_db_pipeline_data_engineering_spark.streaming.etl_stream import run_stream_pipeline
 from csv_2_db_pipeline_data_engineering_spark.streaming.windows import (
     sessionize,
@@ -155,3 +158,35 @@ def test_sessionize_stream_event_time_timeout_closes_sessions(
     n_users = sessions.select("user_id").distinct().count()
     assert got.exceptAll(sessions.select(*got.columns)).isEmpty()
     assert got.count() >= sessions.count() - n_users  # >= all mid-stream closed
+
+
+def test_dedup_stream_exactly_once(spark, tmp_path):
+    # Redelivered events (two files sharing half their event_ids) must
+    # reduce to exactly-once within the watermark horizon.
+    events = load_table(spark, SF_DIR, "events").select("event_id", "ts", "event_type")
+    in_dir = tmp_path / "dedup_in"
+    events.filter(F.col("event_id") < 200).write.parquet(str(in_dir / "f1"))
+    events.filter((F.col("event_id") >= 100) & (F.col("event_id") < 300)).write.parquet(
+        str(in_dir / "f2")
+    )
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(str(in_dir))
+    assert batch.count() == 400  # 100..199 delivered twice
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    q = (
+        dedup_stream_exact(stream, watermark_delay="3650 days")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.table("dedup_out")
+    assert got.count() == 300
+    assert got.select("event_id").distinct().count() == 300
