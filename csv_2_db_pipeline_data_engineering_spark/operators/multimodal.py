@@ -138,6 +138,102 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(decode_batches, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """STUB resize kernel over ``mapInPandas`` (real: PIL ``Image.resize``).
+
+    The fake "resize" deterministically resamples the byte stream to
+    width*height bytes (stride sampling — the moral equivalent of
+    nearest-neighbor). Plumbing is production-real: binary in, binary
+    out, bounded Arrow batches, no driver involvement.
+    """
+    target = width * height
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if not b:
+                    out.append(b"\x00" * target)
+                    continue
+                stride = max(1, len(b) // target)
+                out.append((b[::stride] * (target // max(1, len(b[::stride])) + 1))[:target])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": pd.array([width] * len(pdf), dtype="int32"),
+                    "height": pd.array([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+FRAME_BYTES = 256
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """STUB frame sampler over ``mapInPandas`` (real: ffmpeg keyframes).
+
+    Treats each FRAME_BYTES-sized slice of the payload as a "frame" and
+    emits every ``every_n``-th one — a row-multiplying (table-function
+    style) Pandas UDF: one input row fans out to many output rows, still
+    batch-at-a-time through Arrow.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = max(1, (len(b) + FRAME_BYTES - 1) // FRAME_BYTES)
+                for i in range(0, n, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * FRAME_BYTES:(i + 1) * FRAME_BYTES])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(frame_batches, FRAMES_SCHEMA)
+
+
+def mm_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-frame counts per doc — exercises the fan-out UDF path."""
+    frames = sample_frames(media_table(spark, sf_dir))
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.length("frame")).alias("sampled_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-and-featurize over the media table (Pandas-UDF path).
 
@@ -148,9 +244,21 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_table(spark, sf_dir)).orderBy("doc_id")
 
 
+MM_FRAMES_ORACLE = f"""
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+n AS (SELECT doc_id, L, GREATEST(1, CAST(ceil(L / {FRAME_BYTES}.0) AS INT)) AS nf FROM d),
+fr AS (SELECT doc_id, L, unnest(range(0, nf, 4)) AS i FROM n)
+SELECT doc_id, COUNT(*) AS n_sampled,
+       SUM(LEAST({FRAME_BYTES}, L - i * {FRAME_BYTES})) AS sampled_bytes
+FROM fr GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("mm_payload_stats", "binary payload byte stats per source", mm_payload_stats,
           MM_PAYLOAD_ORACLE),
     Query("mm_decode_features", "Arrow-batched decode/feature-extract (stub kernel)",
           mm_decode_features, None),
+    Query("mm_frame_sample_stats", "fan-out frame sampling via mapInPandas",
+          mm_frame_sample_stats, MM_FRAMES_ORACLE),
 ]

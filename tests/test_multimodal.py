@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: the Spark-side contract around stub kernels.
+
+The decode/resize/frame kernels are deterministic fakes (no media libs in
+the container) but the schemas, Arrow batch flow, fan-out shape, and
+byte-math are real — that is what these tests pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_2_db_pipeline_data_engineering_spark.operators.multimodal import (
+    FRAME_BYTES,
+    extract_features,
+    media_table,
+    resize_media,
+    sample_frames,
+)
+from tests.conftest import SF_DIR
+
+
+def test_decode_features_byte_math(spark):
+    media = media_table(spark, SF_DIR).limit(50).cache()
+    feats = extract_features(media)
+    joined = media.join(feats, "doc_id").collect()
+    assert len(joined) == 50
+    for r in joined:
+        payload = bytes(r.payload)
+        assert r.n_bytes == len(payload)
+        assert r.n_frames == max(1, len(payload) // FRAME_BYTES)
+        assert abs(r.mean_byte - sum(payload) / len(payload)) < 1e-3
+
+
+def test_resize_produces_fixed_size_payloads(spark):
+    media = media_table(spark, SF_DIR).limit(20)
+    out = resize_media(media, width=8, height=8).collect()
+    assert len(out) == 20
+    assert all(len(bytes(r.payload)) == 64 for r in out)
+    assert all(r.width == 8 and r.height == 8 for r in out)
+
+
+def test_frame_sampling_fan_out(spark):
+    media = media_table(spark, SF_DIR).limit(20).cache()
+    frames = sample_frames(media, every_n=4)
+    got = {
+        r.doc_id: (r.n, r.b)
+        for r in frames.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("frame")).alias("b"))
+        .collect()
+    }
+    for r in media.collect():
+        payload = bytes(r.payload)
+        n_frames = max(1, (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES)
+        want_n = len(range(0, n_frames, 4))
+        want_b = sum(
+            min(FRAME_BYTES, len(payload) - i * FRAME_BYTES)
+            for i in range(0, n_frames, 4)
+        )
+        assert got[r.doc_id] == (want_n, want_b)
