@@ -169,12 +169,14 @@ ORDER BY doc_a, doc_b
 
 
 def gram_hash_rows(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, gh): 64-bit hash per word n-gram (with duplicates).
+    """(doc_id, pos, gh): 64-bit hash per word n-gram (with duplicates).
 
     Words are hashed once; the n-gram hash combines n consecutive word
     hashes via ``lead`` over a per-document window — the only shuffle in
     the shingling phase, and it's keyed on doc_id so the downstream
     per-document aggregations are co-partitioned (no further shuffles).
+    ``pos`` (the gram's start offset) is carried for order-sensitive
+    consumers (winnowing); Catalyst prunes it when unused.
     """
     from pyspark.sql import Window
 
@@ -184,10 +186,11 @@ def gram_hash_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     leads = [F.lead("h", i).over(win).alias(f"h{i}") for i in range(1, n)]
     return (
         words.withColumn("h", h)
-        .select("doc_id", "h", *leads)
+        .select("doc_id", "pos", "h", *leads)
         .filter(F.col(f"h{n-1}").isNotNull())
         .select(
             "doc_id",
+            "pos",
             F.xxhash64("h", *[f"h{i}" for i in range(1, n)]).alias("gh"),
         )
     )

@@ -141,9 +141,53 @@ FROM documents ORDER BY doc_id
 """
 
 
+WINNOW_WINDOW = 4  # consecutive gram hashes per winnowing window
+
+
+def winnow_fingerprints(docs: DataFrame, n: int = 3, w: int = WINNOW_WINDOW) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: (doc_id, fp) rows.
+
+    The MOSS scheme: hash every word n-gram (a rolling hash over the
+    token stream — computed via the shared window-lead gram hasher),
+    then keep the MINIMUM hash of every w-consecutive-gram window and
+    dedupe. Guarantee: any shared run of w+n-1 tokens between two
+    documents yields at least one shared fingerprint, while storage is
+    ~2/(w+1) of all gram hashes. All window math rides ONE doc_id
+    shuffle; min-per-sliding-window is a frame-bounded window agg.
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import gram_hash_rows
+
+    gh = gram_hash_rows(docs, n=n)
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    has_full = W.partitionBy("doc_id").orderBy("pos").rowsBetween(w - 1, w - 1)
+    return (
+        gh.withColumn("wmin", F.min("gh").over(win))
+        .withColumn("full", F.count(F.lit(1)).over(has_full))
+        .filter(F.col("full") == 1)  # only complete windows
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+
+
+def text_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-set size and fold per document (rows-only check —
+    xxhash64 has no DuckDB twin; the winnowing guarantee is unit-tested)."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d)
+    return (
+        fps.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = [
     Query("text_token_stats", "whitespace + regex token counting", text_token_stats,
           TOKEN_STATS_ORACLE),
+    Query("text_winnow_stats", "winnowing rolling-hash fingerprints (MOSS scheme)",
+          text_winnow_stats, None),
     Query("text_quality_score", "quality gates: stopword/TTR/length-band",
           text_quality_score, QUALITY_ORACLE),
     Query("text_lang_id", "stopword-density language-ID heuristic", text_lang_id,

@@ -1,0 +1,44 @@
+"""Winnowing fingerprint property tests (the rolling-hash guarantee)."""
+
+from __future__ import annotations
+
+from csv_2_db_pipeline_data_engineering_spark.operators.text import (
+    WINNOW_WINDOW,
+    winnow_fingerprints,
+)
+
+
+def _fps(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.doc_id, set()).add(r.fp)
+    return out
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, "zero prefix words then " + base),  # shares the full run
+            (2, "completely different tokens entirely unrelated content here okay"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = _fps(winnow_fingerprints(docs))
+    # identical long run -> must share at least one fingerprint (MOSS guarantee)
+    assert fps[0] & fps[1]
+    # unrelated docs share nothing
+    assert not (fps[0] & fps[2])
+    # determinism: same input, same fingerprints
+    assert _fps(winnow_fingerprints(docs))[0] == fps[0]
+
+
+def test_winnowing_compression(spark):
+    text = " ".join(f"tok{i}" for i in range(200))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    fps = _fps(winnow_fingerprints(docs))[0]
+    n_grams = 200 - 3 + 1
+    # winnowing keeps roughly 2/(w+1) of gram hashes, never more than all
+    assert len(fps) < n_grams
+    assert len(fps) >= n_grams // (WINNOW_WINDOW * 3)
