@@ -31,10 +31,12 @@ class Query:
 def get_catalog() -> dict[str, Query]:
     """All registered queries, keyed by name (import-light, lazy)."""
     from ..operators import dedup, multimodal, similarity, text
-    from . import advanced, analytics, etl_queries
+    from . import advanced, analytics, etl_queries, quality
 
     out: dict[str, Query] = {}
-    for module in (analytics, advanced, etl_queries, dedup, similarity, text, multimodal):
+    for module in (
+        analytics, advanced, quality, etl_queries, dedup, similarity, text, multimodal
+    ):
         for q in module.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name: {q.name}")
