@@ -277,6 +277,77 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- near-dup clustering (connected components) --------------------------------
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected pair graph.
+
+    Returns (doc_id, cluster_id) where cluster_id is the smallest doc_id
+    in the connected component. The driver loop runs O(graph diameter)
+    rounds (near-dup graphs are shallow — duplicate clusters are near-
+    cliques, so 2-4 rounds in practice); each round is one shuffle-join
+    + min-agg, and ``localCheckpoint`` truncates the lineage so the plan
+    doesn't grow unboundedly — the standard Spark iterative-algorithm
+    pattern. Convergence is detected by counting changed labels (a
+    cheap count on the already-computed frame). No SQL oracle —
+    iteration isn't single-statement SQL; a differential union-find
+    test pins correctness.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.a, "left")
+            .select(
+                "doc_id",
+                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias(
+                    "new_cluster_id"
+                ),
+                "cluster_id",
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
+        labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups: LSH pairs -> connected components -> cluster sizes.
+
+    The full LLM-pipeline dedup story: candidate pairs (MinHash-LSH,
+    Jaccard-verified) collapse into clusters; the canonical survivor per
+    cluster is the minimum doc_id. Output is one row per multi-member
+    cluster with its size — the delete-list is everything whose doc_id
+    != cluster_id.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
 # --- SimHash -------------------------------------------------------------------
 
 
@@ -406,6 +477,8 @@ QUERIES = [
           dedup_minhash_lsh, NGRAM_JACCARD_ORACLE),
     Query("dedup_simhash", "SimHash Hamming-distance near-dup candidates (no SQL twin)",
           dedup_simhash, None),
+    Query("dedup_clusters", "near-dup connected components via min-label propagation",
+          dedup_clusters, None),
     Query("dedup_embedding_cosine", "exact pairwise embedding-cosine near-dup",
           dedup_embedding_cosine, EMBEDDING_COSINE_ORACLE),
 ]
