@@ -632,6 +632,66 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- array functions -----------------------------------------------------------
+
+
+def customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array pipeline per customer: collect_set -> sort -> join to string.
+
+    Array values are serialized to a CSV string on BOTH engines so the
+    comparison is representation-independent (pandas ndarray vs python
+    list would stringify differently).
+    """
+    o = _t(spark, sf_dir, "orders")
+    years = F.array_sort(F.collect_set(F.year("o_orderdate")))
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.concat_ws(",", F.transform(years, lambda y: y.cast("string"))).alias(
+                "order_years"
+            ),
+            F.size(years).alias("n_years"),
+        )
+        .orderBy("custkey")
+    )
+
+
+ORDER_YEARS_ORACLE = """
+SELECT o_custkey AS custkey,
+       array_to_string(list_sort(list(DISTINCT EXTRACT(year FROM o_orderdate))), ',')
+         AS order_years,
+       COUNT(DISTINCT EXTRACT(year FROM o_orderdate)) AS n_years
+FROM orders GROUP BY o_custkey ORDER BY custkey
+"""
+
+
+# --- regex extraction ----------------------------------------------------------
+
+
+def part_brand_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field extraction + tokenized first word, aggregated."""
+    p = _t(spark, sf_dir, "part")
+    brand_num = F.regexp_extract("p_brand", "[0-9]+", 0)
+    first_type_word = F.element_at(F.split("p_type", " "), 1)
+    return (
+        p.select(brand_num.alias("brand_num"), first_type_word.alias("type_head"))
+        .groupBy("brand_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("type_head").alias("n_type_heads"),
+        )
+        .orderBy("brand_num")
+    )
+
+
+BRAND_REGEX_ORACLE = """
+SELECT regexp_extract(p_brand, '[0-9]+') AS brand_num,
+       COUNT(*) AS n_parts,
+       COUNT(DISTINCT string_split(p_type, ' ')[1]) AS n_type_heads
+FROM part GROUP BY brand_num ORDER BY brand_num
+"""
+
+
 # --- UNION (distinct) ----------------------------------------------------------
 
 
@@ -683,4 +743,8 @@ QUERIES = [
           EVENTS_JSON_ORACLE),
     Query("nations_with_presence", "UNION distinct across two sources",
           nations_with_presence, NATIONS_PRESENCE_ORACLE),
+    Query("customer_order_years", "array collect/sort/serialize pipeline",
+          customer_order_years, ORDER_YEARS_ORACLE),
+    Query("part_brand_regex", "regexp_extract + tokenize + distinct agg",
+          part_brand_regex, BRAND_REGEX_ORACLE),
 ]
