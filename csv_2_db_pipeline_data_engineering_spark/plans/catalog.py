@@ -31,11 +31,12 @@ class Query:
 def get_catalog() -> dict[str, Query]:
     """All registered queries, keyed by name (import-light, lazy)."""
     from ..operators import dedup, multimodal, similarity, text
-    from . import advanced, analytics, etl_queries, quality
+    from . import advanced, analytics, etl_queries, quality, stats_windows
 
     out: dict[str, Query] = {}
     for module in (
-        analytics, advanced, quality, etl_queries, dedup, similarity, text, multimodal
+        analytics, advanced, stats_windows, quality, etl_queries,
+        dedup, similarity, text, multimodal,
     ):
         for q in module.QUERIES:
             if q.name in out:

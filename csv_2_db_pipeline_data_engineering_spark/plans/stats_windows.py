@@ -1,0 +1,283 @@
+"""Statistical aggregates, window frames, calendar spines, sampling.
+
+Widens the SQL surface beyond plans/analytics.py: correlation/regression
+aggregates, explicit window frames (moving averages), distribution
+functions (ntile/cume_dist/percent_rank), date-spine generation via
+sequence+explode, deterministic hash sampling, and a TPC-H Q18-style
+HAVING-subquery join.
+
+Scale notes (100 TB):
+- Statistical aggregates (corr/covar/regr_*) are single-pass partial
+  aggregates in Spark — map-side combine, one shuffle on the group key,
+  no second pass over the fact.
+- Window frames shuffle once on the partition key; frames are bounded
+  (ROWS BETWEEN k PRECEDING) so state per key is O(k), not O(rows).
+- The date spine is generated driver-free with ``sequence()`` on an
+  aggregated 1-row bound, then exploded — no collect, no Python loop;
+  joining spine←orders broadcasts the spine only if small, else it's a
+  shuffle join on a well-distributed date key.
+- Deterministic sampling filters by md5 prefix at the scan — pushes the
+  projection down and needs no global state, unlike reservoir sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import Query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- statistical aggregates (corr / covar / regr) ------------------------------
+
+
+def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag correlation / covariance / regression of price on qty.
+
+    Single-pass partial aggregates (Spark computes all four moments
+    map-side); rounded to 6 dp on both engines because accumulation
+    order differs.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(y, x), 6).alias("corr_price_qty"),
+            F.round(F.covar_samp(y, x), 6).alias("covar_price_qty"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.stddev_samp(y), 6).alias("stddev_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PRICE_STATS_ORACLE = """
+SELECT l_returnflag,
+       ROUND(corr(l_extendedprice, l_quantity), 6)        AS corr_price_qty,
+       ROUND(covar_samp(l_extendedprice, l_quantity), 6)  AS covar_price_qty,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6)  AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(stddev_samp(l_extendedprice), 6)             AS stddev_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- window frames: bounded moving average -------------------------------------
+
+
+def customer_order_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-order moving average of totalprice per customer.
+
+    Bounded frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW): per-key
+    window state is O(3) regardless of history length. Ordered by the
+    unique o_orderkey as tie-break so the frame is deterministic.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg_3"),
+    ).orderBy("custkey", "orderkey")
+
+
+MOVING_AVG_ORACLE = """
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       ROUND(AVG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+FROM orders ORDER BY custkey, orderkey
+"""
+
+
+# --- distribution window functions: ntile / cume_dist / percent_rank -----------
+
+
+def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile + distribution position of each order within its priority.
+
+    One shuffle on o_orderpriority; ntile/cume_dist/percent_rank all ride
+    the same sort, so Catalyst plans a single Window exchange.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+QUARTILES_ORACLE = """
+SELECT o_orderkey AS orderkey,
+       o_orderpriority AS priority,
+       NTILE(4) OVER w AS quartile,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY orderkey
+"""
+
+
+# --- calendar spine: sequence + explode, zero-filled daily counts --------------
+
+
+def daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per calendar day over the full date range, zero-days included.
+
+    The spine is built distributively: min/max fold to one row, then
+    ``sequence()`` + ``explode()`` expand it back out — no driver-side
+    date loop, no collect. The per-day counts aggregate the fact once;
+    the spine side is tiny and broadcast.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    bounds = o.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    per_day = o.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        spine.join(per_day, "day", "left")
+        .select("day", F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+        .orderBy("day")
+    )
+
+
+DAILY_SPINE_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+         MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders
+),
+spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+),
+per_day AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT s.day, COALESCE(p.n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN per_day p USING (day) ORDER BY s.day
+"""
+
+
+# --- deterministic hash sampling ------------------------------------------------
+
+
+def deterministic_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~1/16 deterministic sample of orders via md5 prefix, then aggregate.
+
+    Hash-prefix sampling is reproducible across engines and runs (unlike
+    TABLESAMPLE / rand()): both engines agree on md5 of the decimal key
+    string. Filter evaluates at the scan — no global coordination, no
+    reservoir state, same sample at any scale.
+    """
+    o = _t(spark, sf_dir, "orders")
+    sampled = o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    )
+    return (
+        sampled.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("status")
+    )
+
+
+DET_SAMPLE_ORACLE = """
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_sampled,
+       ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+GROUP BY status ORDER BY status
+"""
+
+
+# --- TPC-H Q18 style: HAVING subquery over a fact-fact join --------------------
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose single orders exceed a quantity threshold (Q18 shape).
+
+    The inner aggregate (sum qty per order) reduces lineitem before the
+    join — the heavy fact is aggregated first, so the join input is one
+    row per qualifying order, not per lineitem. Spark plans this as
+    partial-agg → shuffle on l_orderkey → semi-join-like inner join;
+    customer is dimension-sized and broadcast.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_name").alias("cust_name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+    )
+
+
+LARGE_VOLUME_ORACLE = """
+SELECT c_name AS cust_name,
+       o_orderkey AS orderkey,
+       o_orderdate AS orderdate,
+       o_totalprice AS totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, orderkey
+"""
+
+
+QUERIES = [
+    Query("lineitem_price_stats", "corr/covar/regression aggregates per flag",
+          lineitem_price_stats, PRICE_STATS_ORACLE),
+    Query("customer_order_moving_avg", "bounded-frame moving average window",
+          customer_order_moving_avg, MOVING_AVG_ORACLE),
+    Query("order_price_quartiles", "ntile/cume_dist/percent_rank windows",
+          order_price_quartiles, QUARTILES_ORACLE),
+    Query("daily_order_spine", "sequence+explode calendar spine, zero-filled",
+          daily_order_spine, DAILY_SPINE_ORACLE),
+    Query("deterministic_sample_stats", "md5 hash-prefix reproducible sampling",
+          deterministic_sample_stats, DET_SAMPLE_ORACLE),
+    Query("large_volume_orders", "TPC-H Q18-style HAVING subquery join",
+          large_volume_orders, LARGE_VOLUME_ORACLE),
+]
