@@ -183,9 +183,90 @@ def text_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus TF-IDF per (doc, term): tf * ln(N/df).
+
+    Plan shape for 100 TB: the tf aggregate is the only big shuffle
+    (explode → groupBy (doc_id, term), map-side combined). The df table
+    is vocabulary-sized, so it folds to a broadcast join; the corpus
+    size N folds to a 1-row broadcast. No driver-side collection.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    exploded = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = exploded.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df,
+       ROUND(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+ORDER BY doc_id, term
+"""
+
+
+def text_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most distinctive term per document: row_number over tfidf desc.
+
+    Deterministic total order (tfidf desc, term asc) so the pick is
+    reproducible across engines; rides one window shuffle on doc_id.
+    """
+    scored = text_tfidf(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tfidf")
+        .orderBy("doc_id")
+    )
+
+
+TOP_TERM_ORACLE = f"""
+WITH scored AS ({TFIDF_ORACLE.replace("ORDER BY doc_id, term", "")})
+SELECT doc_id, term AS top_term, tfidf
+FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("text_token_stats", "whitespace + regex token counting", text_token_stats,
           TOKEN_STATS_ORACLE),
+    Query("text_tfidf", "exact corpus TF-IDF per (doc, term)", text_tfidf,
+          TFIDF_ORACLE),
+    Query("text_top_term", "most distinctive term per doc (TF-IDF argmax)",
+          text_top_term, TOP_TERM_ORACLE),
     Query("text_winnow_stats", "winnowing rolling-hash fingerprints (MOSS scheme)",
           text_winnow_stats, None),
     Query("text_quality_score", "quality gates: stopword/TTR/length-band",
