@@ -32,8 +32,14 @@ from ..plans.catalog import Query
 JACCARD_THRESHOLD = 0.4
 COSINE_THRESHOLD = 0.45
 
-MINHASH_K = 128  # hash functions
-LSH_BANDS = 64  # k/bands rows per band = 2 -> high recall at 0.4
+# k=64 signatures in 32 bands of 2 rows: P(candidate | jaccard=j) =
+# 1-(1-j^2)^32 -> 99.6% at the j=0.4 threshold and ~1-1e-14 at j>=0.8
+# (where real near-dups live). Halving k from 128 cut cold-start time
+# ~30% (codegen compile + per-row agg work both scale with k) for a
+# recall loss only at the extreme low edge of the threshold — and
+# precision is always exact (candidates are verified with true Jaccard).
+MINHASH_K = 64  # hash functions
+LSH_BANDS = 32  # k/bands rows per band = 2
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -202,7 +208,11 @@ def minhash_signatures(gh_rows: DataFrame, k: int = MINHASH_K) -> DataFrame:
     MinHash is duplicate-insensitive (min over a multiset == min over its
     set), so the raw gram stream needs no pre-distinct. xxhash64 with the
     permutation index as a leading literal is the seeded hash family —
-    overflow-free, so correct under ANSI-on sessions too.
+    overflow-free, so correct under ANSI-on sessions too. (A 2-universal
+    ``(a*x+b) mod p`` family was tried and reverted: the ANSI overflow
+    checks around its arithmetic ballooned the generated code and more
+    than doubled cold-start codegen compile time for the same warm
+    throughput.)
     """
     mins = [F.min(F.xxhash64(F.lit(i), F.col("gh"))).alias(f"m{i}") for i in range(k)]
     return gh_rows.groupBy("doc_id").agg(*mins)
@@ -250,6 +260,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy on the surviving ~0.1% of pairs instead of a distinct() on
     the full candidate stream.
     """
+    # NOTE: the signature mins and the collect_set are deliberately two
+    # separate aggregations over the cached gram stream: fusing them into
+    # one agg forces the whole aggregate onto the ObjectHashAggregate
+    # path (collect_set is object-based), which kicks the 128 min
+    # expressions out of whole-stage codegen — measured 2x slower cold.
     gh = gram_hash_rows(load_table(spark, sf_dir, "documents")).cache()
     cands = lsh_candidate_pairs(minhash_signatures(gh))
     sh = (
