@@ -31,11 +31,11 @@ class Query:
 def get_catalog() -> dict[str, Query]:
     """All registered queries, keyed by name (import-light, lazy)."""
     from ..operators import dedup, multimodal, similarity, text
-    from . import advanced, analytics, etl_queries, quality, stats_windows
+    from . import advanced, analytics, etl_queries, quality, stats_windows, subqueries
 
     out: dict[str, Query] = {}
     for module in (
-        analytics, advanced, stats_windows, quality, etl_queries,
+        analytics, advanced, stats_windows, subqueries, quality, etl_queries,
         dedup, similarity, text, multimodal,
     ):
         for q in module.QUERIES:
