@@ -41,6 +41,11 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "text_quality_score",
     "mm_payload_stats",
+    "large_volume_orders",
+    "lineitem_price_stats",
+    "late_order_priority_counts",
+    "text_tfidf",
+    "embedding_label_centroids",
 ]
 
 

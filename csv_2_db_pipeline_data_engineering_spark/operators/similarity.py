@@ -235,9 +235,83 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in long form: (label, dim, centroid component).
+
+    The vector-aggregation primitive behind class prototypes / IVF seed
+    refresh: posexplode to (label, dim, value), one shuffle on
+    (label, dim), avg — fully codegen, no Python, no driver collection.
+    Long form keeps the result oracle-comparable without array
+    serialization tricks; ``array_sort(collect_list(struct(dim, v)))``
+    re-assembles vectors when a consumer needs them.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("centroid_x"), F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("label", "dim")
+    )
+
+
+CENTROIDS_ORACLE = """
+WITH exploded AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT label, dim,
+       ROUND(AVG(x::DOUBLE), 6) AS centroid_x,
+       COUNT(*) AS n_vectors
+FROM exploded GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution (vector hygiene check before ANN).
+
+    Elements are cast to double BEFORE squaring on both engines so the
+    fold is the same IEEE sequence; map-side only + one tiny group-agg.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    return (
+        e.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+NORM_STATS_ORACLE = """
+WITH norms AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS norm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+       ROUND(AVG(norm), 6) AS avg_norm,
+       ROUND(MIN(norm), 6) AS min_norm,
+       ROUND(MAX(norm), 6) AS max_norm
+FROM norms GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = [
     Query("ann_topk_bruteforce", "exact cosine top-k neighbors (broadcast queries)",
           ann_topk_bruteforce, ANN_TOPK_ORACLE),
+    Query("embedding_label_centroids", "per-label centroid components (long form)",
+          embedding_label_centroids, CENTROIDS_ORACLE),
+    Query("embedding_norm_stats", "per-label L2-norm distribution",
+          embedding_norm_stats, NORM_STATS_ORACLE),
     Query("ann_lsh_bucketed", "sign-LSH bucketed ANN (scale path; recall tested)",
           ann_lsh_bucketed, None),
     Query("ann_ivf", "IVF: k-means coarse quantizer + nprobe bucketed search",
