@@ -22,6 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under PEP 563
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -267,9 +268,58 @@ ORDER BY totalprice DESC, orderkey
 """
 
 
+# --- custom UDAF via Arrow-batched grouped-agg Pandas UDF ----------------------
+
+
+def priority_price_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of order totals per priority — a custom UDAF.
+
+    The engine's UDAF surface (SURVEY.md §2.10 names it absent in the
+    reference): a ``pandas_udf`` GROUPED_AGG ships each group's column
+    slice to Python as ONE Arrow batch (not per-row pickling) and rides
+    the same partial-agg/shuffle plan as built-in aggregates. Built-ins
+    still win when they exist — this one is expressible as
+    ``exp(avg(ln(x)))``, which is exactly what the oracle runs — but the
+    UDAF path is the extension point for aggregates SQL can't express.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg(), so the row count is a (trivial) UDAF too.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(geomean("o_totalprice"), 4).alias("geomean_price"),
+            n_rows("o_totalprice").alias("n_orders"),
+        )
+        .orderBy("priority")
+    )
+
+
+GEOMEAN_ORACLE = """
+SELECT o_orderpriority AS priority,
+       ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geomean_price,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY priority ORDER BY priority
+"""
+
+
 QUERIES = [
     Query("lineitem_price_stats", "corr/covar/regression aggregates per flag",
           lineitem_price_stats, PRICE_STATS_ORACLE),
+    Query("priority_price_geomean", "custom UDAF: Arrow grouped-agg pandas_udf",
+          priority_price_geomean, GEOMEAN_ORACLE),
     Query("customer_order_moving_avg", "bounded-frame moving average window",
           customer_order_moving_avg, MOVING_AVG_ORACLE),
     Query("order_price_quartiles", "ntile/cume_dist/percent_rank windows",
