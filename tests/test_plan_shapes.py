@@ -49,3 +49,46 @@ def test_per_group_topk_gets_window_group_limit(spark):
 def test_semi_and_anti_join_plans(spark):
     assert "LeftSemi" in _plan(spark, "customers_with_orders")
     assert "LeftAnti" in _plan(spark, "customers_without_orders")
+
+
+def test_q18_aggregates_fact_before_join(spark):
+    """The lineitem sum must reduce BEFORE the orders join (partial agg
+    below the exchange, join above the aggregate)."""
+    plan = _plan(spark, "large_volume_orders")
+    assert "partial_sum" in plan
+    read = next(ln for ln in plan.splitlines()
+                if "ReadSchema" in ln and "l_orderkey" in ln)
+    assert "l_quantity" in read and "l_extendedprice" not in read
+
+
+def test_exists_shapes_become_semi_anti_joins(spark):
+    """Correlated EXISTS/NOT EXISTS must not execute per-row subqueries."""
+    assert "LeftSemi" in _plan(spark, "late_order_priority_counts")
+    anti = _plan(spark, "idle_rich_customers")
+    assert "LeftAnti" in anti
+    # the date bound reaches the orders scan before the anti join
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in anti
+
+
+def test_spine_has_no_driver_collection(spark):
+    """Calendar spine is generated distributively (explode over a 1-row
+    aggregate), never via a collected driver loop."""
+    plan = _plan(spark, "daily_order_spine")
+    assert "explode(sequence(" in plan
+
+
+def test_stats_aggregates_are_single_pass(spark):
+    """corr/covar/regr fold into one partial+final aggregate pair —
+    no second scan of lineitem."""
+    plan = _plan(spark, "lineitem_price_stats")
+    # formatted mode lists each node twice (tree + detail): one scan node
+    assert plan.count("(1) Scan parquet") == 1 and "(8) Scan parquet" not in plan
+    assert "partial_corr" in plan
+
+
+def test_tfidf_broadcasts_vocab_and_corpus_size(spark):
+    """tf join df join n: the vocabulary-sized and 1-row sides broadcast;
+    the big (doc,term) stream never shuffles for them."""
+    plan = _plan(spark, "text_tfidf")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row corpus-size join
