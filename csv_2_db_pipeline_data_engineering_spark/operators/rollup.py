@@ -1,0 +1,134 @@
+"""Hypertable-style continuous aggregate: incrementally maintained rollups.
+
+The timeseries-DB "continuous aggregate" pattern re-expressed for a
+lakehouse: a rollup table holds per-(bucket, key) MERGEABLE partial
+states — count, sum, min, max, and an HLL sketch for distincts — so new
+data folds in WITHOUT rescanning history:
+
+    rollup(base ∪ delta) == merge(rollup(base), rollup(delta))
+
+That algebraic property (tested in tests/test_rollup.py) is what makes
+the operator correct under out-of-order and late arrivals: a delta
+touching an old bucket just re-merges that bucket, no matter how late.
+
+Scale notes (100 TB of history, GB-sized deltas):
+- Maintenance cost is O(delta + touched buckets), never O(history):
+  ``merge_rollup`` unions the existing rollup (partition-pruned to the
+  touched buckets by the join on bucket keys at write time) with the
+  delta's partials and re-merges. Sum/count/min/max merge by algebra;
+  approx-distinct merges via HLL sketch union (``hll_union_agg``) —
+  exact distinct is NOT mergeable without keeping full key sets, which
+  is the reason hypertables store sketches.
+- avg is derived (sum/count) at serve time, never stored — stored
+  ratios don't merge.
+- The rollup table is itself partitioned by bucket at the sink, so
+  serving queries partition-prune to their time range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: columns every rollup carries besides the grouping keys
+STATE_COLS = ("n_rows", "sum_value", "min_value", "max_value", "distinct_sketch")
+
+
+def build_rollup(
+    events: DataFrame,
+    bucket: str = "1 hour",
+    key: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    distinct_col: str = "user_id",
+) -> DataFrame:
+    """Aggregate raw events into per-(bucket, key) mergeable partials."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts), bucket)["start"].alias("bucket_start"),
+            F.col(key).alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(value).alias("sum_value"),
+            F.min(value).alias("min_value"),
+            F.max(value).alias("max_value"),
+            F.hll_sketch_agg(distinct_col).alias("distinct_sketch"),
+        )
+    )
+
+
+def merge_rollup(existing: DataFrame, delta_rollup: DataFrame) -> DataFrame:
+    """Fold a delta's partials into an existing rollup (same schema).
+
+    Pure algebra per state column — one shuffle on (bucket, key), output
+    schema identical to the inputs, so the merge composes indefinitely.
+    """
+    cols = ["bucket_start", "key", *STATE_COLS]
+    return (
+        existing.select(*cols)
+        .unionByName(delta_rollup.select(*cols))
+        .groupBy("bucket_start", "key")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
+        )
+    )
+
+
+def serve_rollup(rollup: DataFrame) -> DataFrame:
+    """Reader-facing view: derived avg + sketch resolved to an estimate."""
+    return rollup.select(
+        "bucket_start",
+        "key",
+        "n_rows",
+        "sum_value",
+        (F.col("sum_value") / F.col("n_rows")).alias("avg_value"),
+        "min_value",
+        "max_value",
+        F.hll_sketch_estimate("distinct_sketch").alias("approx_distinct"),
+    )
+
+
+# --- catalog registration -------------------------------------------------------
+
+
+def hourly_rollup_serve(spark, sf_dir: str) -> DataFrame:
+    """Served continuous aggregate over events (exact columns only — the
+    HLL sketch estimate is engine-specific and recall-tested instead)."""
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    served = serve_rollup(build_rollup(ev))
+    return served.select(
+        "bucket_start",
+        "key",
+        "n_rows",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    ).orderBy("bucket_start", "key")
+
+
+HOURLY_ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS bucket_start,
+       event_type AS key,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(SUM(value) / COUNT(*), 4) AS avg_value,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events GROUP BY bucket_start, key ORDER BY bucket_start, key
+"""
+
+
+from ..plans.catalog import Query  # noqa: E402
+
+QUERIES = [
+    Query("hourly_rollup_serve", "continuous-aggregate rollup, served view",
+          hourly_rollup_serve, HOURLY_ROLLUP_ORACLE),
+]

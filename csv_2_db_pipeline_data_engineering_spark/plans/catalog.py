@@ -30,13 +30,13 @@ class Query:
 
 def get_catalog() -> dict[str, Query]:
     """All registered queries, keyed by name (import-light, lazy)."""
-    from ..operators import dedup, multimodal, similarity, text
+    from ..operators import dedup, multimodal, rollup, similarity, text
     from . import advanced, analytics, etl_queries, quality, stats_windows, subqueries
 
     out: dict[str, Query] = {}
     for module in (
         analytics, advanced, stats_windows, subqueries, quality, etl_queries,
-        dedup, similarity, text, multimodal,
+        dedup, similarity, text, multimodal, rollup,
     ):
         for q in module.QUERIES:
             if q.name in out:
