@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 
 from csv_2_db_pipeline_data_engineering_spark.plans.catalog import get_catalog
+from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
 from tests.conftest import SF_DIR
 
 
@@ -92,3 +93,49 @@ def test_tfidf_broadcasts_vocab_and_corpus_size(spark):
     plan = _plan(spark, "text_tfidf")
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row corpus-size join
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """When a selective dimension side is too big to broadcast, Spark can
+    inject a bloom filter built from the dim-side join keys into the fact
+    scan (`might_contain(...)` in the scan condition), so non-matching
+    fact rows die before the shuffle. At 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~matching
+    slice. Local test data sits under the 10 GiB application-side
+    threshold, so the thresholds are lowered here to pin the mechanism;
+    production sessions keep Spark's defaults, which enable it exactly
+    when the fact side is big enough to matter."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle-join case
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "bloom_filter_agg" in plan  # built from the filtered dim keys
+        # ...and applied on the fact side before its shuffle
+        fact_filter = [
+            ln for ln in plan.splitlines()
+            if "might_contain" in ln and "l_orderkey" in ln
+        ]
+        assert fact_filter
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
