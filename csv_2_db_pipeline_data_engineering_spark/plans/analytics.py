@@ -352,6 +352,54 @@ ORDER BY event_type, dow
 """
 
 
+# --- explicit grouping sets: two independent dashboards in one pass --------
+
+
+def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order count + revenue by priority AND by status, one scan.
+
+    GROUPING SETS ((priority), (status)) — the shape ROLLUP/CUBE can't
+    express: two *independent* one-dimensional aggregates sharing a
+    single Expand+Aggregate (one fact scan, one shuffle) instead of two
+    separate queries. At 100 TB this halves the scan cost of serving
+    both dashboard dimensions. Decimal-typed sum keeps the total
+    deterministic under any partition/merge order.
+    """
+    d = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus",
+                                           "o_totalprice")
+    return (
+        d.groupingSets(
+            [[F.col("o_orderpriority")], [F.col("o_orderstatus")]],
+            F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total_price",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+ORDER BY priority, status
+"""
+
+
 # --- semi / anti joins ----------------------------------------------------
 
 
@@ -725,6 +773,12 @@ QUERIES = [
     Query("user_event_gaps", "lag window + agg", user_event_gaps, USER_EVENT_GAPS_ORACLE),
     Query("rollup_status_year", "ROLLUP grouping sets", rollup_status_year, ROLLUP_ORACLE),
     Query("cube_event_type_dow", "CUBE grouping sets", cube_event_type_dow, CUBE_ORACLE),
+    Query(
+        "grouping_sets_priority_status",
+        "explicit GROUPING SETS: two independent dims, one scan",
+        grouping_sets_priority_status,
+        GROUPING_SETS_ORACLE,
+    ),
     Query("customers_with_orders", "left-semi join", customers_with_orders, SEMI_ORACLE),
     Query("customers_without_orders", "left-anti join", customers_without_orders, ANTI_ORACLE),
     Query("rich_active_customers", "INTERSECT", rich_active_customers, INTERSECT_ORACLE),
