@@ -90,7 +90,7 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_PAYLOAD_ORACLE = """
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        ROUND(AVG(octet_length(encode(text))), 2) AS avg_bytes,
        MAX(octet_length(encode(text))) AS max_bytes
 FROM documents GROUP BY source ORDER BY source
@@ -249,7 +249,7 @@ WITH d AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
 n AS (SELECT doc_id, L, GREATEST(1, CAST(ceil(L / {FRAME_BYTES}.0) AS INT)) AS nf FROM d),
 fr AS (SELECT doc_id, L, unnest(range(0, nf, 4)) AS i FROM n)
 SELECT doc_id, COUNT(*) AS n_sampled,
-       SUM(LEAST({FRAME_BYTES}, L - i * {FRAME_BYTES})) AS sampled_bytes
+       CAST(SUM(LEAST({FRAME_BYTES}, L - i * {FRAME_BYTES})) AS BIGINT) AS sampled_bytes
 FROM fr GROUP BY doc_id ORDER BY doc_id
 """
 

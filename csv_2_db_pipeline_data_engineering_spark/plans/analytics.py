@@ -632,7 +632,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SESSIONS_ORACLE = """
-SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN (epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id))
@@ -673,7 +673,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_ORACLE = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(props->>'$.k' AS INTEGER)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
        MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
        MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type

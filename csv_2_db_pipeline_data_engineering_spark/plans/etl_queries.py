@@ -88,7 +88,7 @@ def coerce_cast_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 COERCE_ORACLE = """
 SELECT COUNT(*) AS n_total,
        COUNT(v) AS n_parsed,
-       SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_coerced_null,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_coerced_null,
        ROUND(SUM(v), 2) AS sum_parsed
 FROM (
   SELECT TRY_CAST(CASE o_orderkey % 4
@@ -237,7 +237,7 @@ def duplicate_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DUPLICATE_KEYS_ORACLE = """
-SELECT COUNT(*) AS n_duplicated_keys, SUM(n - 1) AS n_excess_rows
+SELECT COUNT(*) AS n_duplicated_keys, CAST(SUM(n - 1) AS BIGINT) AS n_excess_rows
 FROM (
   SELECT user_id, event_type, COUNT(*) AS n
   FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 1

@@ -39,8 +39,8 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias(f"{c}__rows"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distincts"),
-            F.round(F.min(c), 4).alias(f"{c}__min"),
-            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.min(c), 4).cast("double").alias(f"{c}__min"),
+            F.round(F.max(c), 4).cast("double").alias(f"{c}__max"),
         ]
     wide = li.agg(*aggs)
     stack_args = ", ".join(
@@ -55,9 +55,10 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROFILE_ORACLE = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
-       ROUND(MIN({c}), 4) AS min_value, ROUND(MAX({c}), 4) AS max_value
+       CAST(ROUND(MIN({c}), 4) AS DOUBLE) AS min_value,
+       CAST(ROUND(MAX({c}), 4) AS DOUBLE) AS max_value
 FROM lineitem"""
     for c in _PROFILE_COLS
 ) + "\nORDER BY column_name"
