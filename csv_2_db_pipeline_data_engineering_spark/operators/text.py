@@ -187,14 +187,18 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus TF-IDF per (doc, term): tf * ln(N/df).
 
     Plan shape for 100 TB: the tf aggregate is the only big shuffle
-    (explode → groupBy (doc_id, term), map-side combined). The df table
-    is vocabulary-sized, so it folds to a broadcast join; the corpus
-    size N folds to a 1-row broadcast. No driver-side collection.
+    (explode → groupBy (doc_id, term), map-side combined). df is derived
+    FROM tf — tf is already one row per (doc, term), so rows-per-term IS
+    the document frequency — which lets Catalyst reuse the tf exchange
+    (ReusedExchange) instead of scanning + exploding the corpus a second
+    time. The df table is vocabulary-sized, so it folds to a broadcast
+    join; the corpus size N folds to a 1-row broadcast. No driver-side
+    collection.
     """
     d = load_table(spark, sf_dir, "documents")
     exploded = d.select("doc_id", F.explode(_tokens()).alias("term"))
     tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = exploded.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "term")

@@ -358,19 +358,43 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 100 TB shape for cardinality/quantiles: fixed-size mergeable
     sketches, combined map-side, never a sort or a distinct shuffle of
-    the raw column. Output carries both the sketch estimate and the
-    exact value so the error is observable. No SQL oracle — sketch
-    internals are engine-specific; bounds are asserted in tests.
+    the raw column. Sketch internals are engine-specific, so the output
+    is made hash-stable for the oracle: it carries the EXACT values plus
+    in-query booleans asserting the sketch landed within tolerance
+    (HLL++ rsd defaults to 5%; t-digest with 10k centroids is ~exact at
+    this scale). DuckDB oracles the exact columns and TRUE literals.
     """
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2).alias(
-            "approx_p50"
-        ),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("exact_p50"),
-    ).orderBy("l_returnflag")
+    approx_parts = F.approx_count_distinct("l_partkey")
+    exact_parts = F.countDistinct("l_partkey")
+    approx_p50 = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    exact_p50 = F.percentile("l_extendedprice", F.lit(0.5))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            exact_parts.alias("exact_parts"),
+            F.round(exact_p50, 2).cast("double").alias("exact_p50"),
+            (
+                F.abs(approx_parts - exact_parts)
+                <= 0.05 * exact_parts.cast("double")
+            ).alias("hll_within_5pct"),
+            (
+                F.abs(approx_p50 - exact_p50) <= 0.01 * exact_p50
+            ).alias("tdigest_within_1pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+APPROX_AGG_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+            AS DOUBLE) AS exact_p50,
+       TRUE AS hll_within_5pct,
+       TRUE AS tdigest_within_1pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 QUERIES = [
@@ -389,5 +413,5 @@ QUERIES = [
     Query("parts_above_brand_avg", "correlated scalar subquery decorrelated to a window",
           parts_above_brand_avg, SCALAR_SUBQ_ORACLE),
     Query("approx_aggregates", "HLL++ / t-digest sketches beside exact values",
-          approx_aggregates, None),
+          approx_aggregates, APPROX_AGG_ORACLE),
 ]
