@@ -481,6 +481,34 @@ ORDER BY id_a, id_b
 """
 
 
+# Connected components in SQL: the pair graph is small (near-dup pairs,
+# not the corpus), so DuckDB can close it with a recursive CTE — base =
+# symmetric edges, step = extend reachability one hop (set-semantics
+# UNION terminates at the fixpoint). A node's cluster id is the smallest
+# doc_id it can reach (LEAST folds the node itself in). The Spark side
+# computes the same labels by min-label propagation; both group to
+# (cluster_id, n_members).
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+jac AS ({NGRAM_JACCARD_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jac
+  UNION
+  SELECT doc_b, doc_a FROM jac
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+),
+labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT cluster_id, COUNT(*) AS n_members
+FROM labels GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
 QUERIES = [
     Query("dedup_exact", "exact dedup: min doc_id per distinct text", dedup_exact,
           DEDUP_EXACT_ORACLE),
@@ -493,7 +521,7 @@ QUERIES = [
     Query("dedup_simhash", "SimHash Hamming-distance near-dup candidates (no SQL twin)",
           dedup_simhash, None),
     Query("dedup_clusters", "near-dup connected components via min-label propagation",
-          dedup_clusters, None),
+          dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     Query("dedup_embedding_cosine", "exact pairwise embedding-cosine near-dup",
           dedup_embedding_cosine, EMBEDDING_COSINE_ORACLE),
 ]

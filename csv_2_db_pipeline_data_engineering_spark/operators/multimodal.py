@@ -107,6 +107,8 @@ def _fake_decode(payload: bytes) -> tuple[int, float]:
     if payload is None:
         raise NotImplementedError("real media decode requires PIL/ffmpeg — not in container")
     n_frames = max(1, len(payload) // 256)
+    # Raw (unrounded) mean: rounding happens JVM-side (F.round, HALF_UP)
+    # so the oracle's ROUND matches bit-for-bit.
     mean_byte = float(sum(payload)) / max(1, len(payload))
     return n_frames, mean_byte
 
@@ -125,7 +127,7 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             for payload in pdf["payload"]:
                 n_frames, mean_byte = _fake_decode(bytes(payload))
                 frames.append(n_frames)
-                means.append(round(mean_byte, 4))
+                means.append(mean_byte)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -237,11 +239,31 @@ def mm_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-and-featurize over the media table (Pandas-UDF path).
 
-    No SQL oracle — the decode kernel is engine-side Python; the
-    deterministic fake is instead verified by unit tests (byte mean is
-    recomputable) and the rows-only driver check.
+    The stub kernel is pure byte arithmetic, and the stand-in media
+    table is UTF-8 text bytes, so an exact engine can replay it: for
+    ASCII payloads (which `media_table` produces by construction here)
+    byte values equal code points, making the fake decode fully
+    oracle-checkable — the Pandas-UDF plumbing gets a real value check,
+    not just a row count. Real deployments swap `_fake_decode` for
+    PIL/ffmpeg and drop the oracle.
     """
-    return extract_features(media_table(spark, sf_dir)).orderBy("doc_id")
+    feats = extract_features(media_table(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "n_frames",
+        F.round("mean_byte", 4).alias("mean_byte"),
+    ).orderBy("doc_id")
+
+
+MM_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(GREATEST(1, octet_length(encode(text)) // 256) AS INT) AS n_frames,
+       ROUND(list_sum(list_transform(string_split(text, ''), c -> ord(c)))::DOUBLE
+             / GREATEST(1, octet_length(encode(text))), 4) AS mean_byte
+FROM documents ORDER BY doc_id
+"""
 
 
 MM_FRAMES_ORACLE = f"""
@@ -258,7 +280,7 @@ QUERIES = [
     Query("mm_payload_stats", "binary payload byte stats per source", mm_payload_stats,
           MM_PAYLOAD_ORACLE),
     Query("mm_decode_features", "Arrow-batched decode/feature-extract (stub kernel)",
-          mm_decode_features, None),
+          mm_decode_features, MM_DECODE_ORACLE),
     Query("mm_frame_sample_stats", "fan-out frame sampling via mapInPandas",
           mm_frame_sample_stats, MM_FRAMES_ORACLE),
 ]

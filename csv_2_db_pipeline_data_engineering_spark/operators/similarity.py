@@ -305,6 +305,69 @@ FROM norms GROUP BY label ORDER BY label
 """
 
 
+# Recall certificates (hash-stable oracle contract for approximate ANN).
+# An approximate index can't hash-match an exact engine, so — same recipe
+# as approx_aggregates — the registered query runs the FULL approximate
+# operator, joins its hits against the in-query exact baseline, and emits
+# only DuckDB-derivable columns plus tolerance booleans. Thresholds carry
+# ≥2x margin under the measured sf0.01 floors (per-query min 0.4, macro
+# 0.8 LSH / 0.72 IVF); everything is seeded, so the driver rerun is
+# deterministic. The raw neighbor lists stay registered as *_neighbors
+# (rows-only) for consumers of the actual index output.
+PER_QUERY_RECALL_FLOOR = 0.2
+MACRO_RECALL_FLOOR = 0.5
+
+
+def _recall_certificate(
+    approx: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-query recall@k of `approx` vs the exact brute-force top-k."""
+    truth = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        truth.join(approx.select("query_id", "neighbor_id"),
+                   ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    all_q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    recall = F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(TOP_K)
+    per_q = all_q.join(hits, "query_id", "left").select(
+        "query_id", recall.alias("recall")
+    )
+    macro = per_q.agg(F.avg("recall").alias("macro_recall"))
+    return (
+        per_q.join(F.broadcast(macro))
+        .select(
+            "query_id",
+            F.lit(TOP_K).alias("k"),
+            (F.col("recall") >= PER_QUERY_RECALL_FLOOR).alias("recall_ok"),
+            (F.col("macro_recall") >= MACRO_RECALL_FLOOR).alias("macro_recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_lsh_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with an in-query recall certificate vs brute force."""
+    return _recall_certificate(ann_lsh_bucketed(spark, sf_dir), spark, sf_dir)
+
+
+def ann_ivf_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with an in-query recall certificate vs brute force."""
+    return _recall_certificate(ann_ivf(spark, sf_dir), spark, sf_dir)
+
+
+ANN_CERT_ORACLE = f"""
+SELECT vec_id AS query_id, {TOP_K} AS k,
+       TRUE AS recall_ok, TRUE AS macro_recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY query_id
+"""
+
+
 QUERIES = [
     Query("ann_topk_bruteforce", "exact cosine top-k neighbors (broadcast queries)",
           ann_topk_bruteforce, ANN_TOPK_ORACLE),
@@ -312,8 +375,12 @@ QUERIES = [
           embedding_label_centroids, CENTROIDS_ORACLE),
     Query("embedding_norm_stats", "per-label L2-norm distribution",
           embedding_norm_stats, NORM_STATS_ORACLE),
-    Query("ann_lsh_bucketed", "sign-LSH bucketed ANN (scale path; recall tested)",
+    Query("ann_lsh_bucketed", "sign-LSH bucketed ANN + in-query recall certificate",
+          ann_lsh_certified, ANN_CERT_ORACLE),
+    Query("ann_ivf", "IVF (k-means + nprobe) ANN + in-query recall certificate",
+          ann_ivf_certified, ANN_CERT_ORACLE),
+    Query("ann_lsh_neighbors", "sign-LSH bucketed ANN raw neighbor list",
           ann_lsh_bucketed, None),
-    Query("ann_ivf", "IVF: k-means coarse quantizer + nprobe bucketed search",
+    Query("ann_ivf_neighbors", "IVF ANN raw neighbor list",
           ann_ivf, None),
 ]

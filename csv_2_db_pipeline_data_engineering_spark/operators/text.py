@@ -172,15 +172,49 @@ def winnow_fingerprints(docs: DataFrame, n: int = 3, w: int = WINNOW_WINDOW) -> 
 
 
 def text_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fingerprint-set size and fold per document (rows-only check —
-    xxhash64 has no DuckDB twin; the winnowing guarantee is unit-tested)."""
+    """Winnowing fingerprint stats with a hash-stable certificate.
+
+    xxhash64 has no DuckDB twin, so the fingerprint COUNT itself can't
+    be oracled; instead the query emits what an exact engine CAN derive
+    — n_windows, the number of complete winnowing windows, pure token
+    arithmetic: (n_tokens - n + 1) - w + 1 — plus a boolean pinning the
+    scheme's provable bounds: every complete window selects a
+    fingerprint and distinct mins can't exceed windows, so
+    1 <= n_fingerprints <= n_windows. The tight ~2/(w+1) density and
+    the shared-run guarantee are unit-tested where the hash values are
+    visible."""
     d = load_table(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(d)
+    n, w = 3, WINNOW_WINDOW
+    fps = winnow_fingerprints(d, n=n, w=w)
+    counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    windows = d.select(
+        "doc_id",
+        (F.size(F.split("text", " ")) - F.lit(n + w - 2))
+        .cast("bigint")
+        .alias("n_windows"),
+    ).filter(F.col("n_windows") >= 1)
     return (
-        fps.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+        windows.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            (
+                F.coalesce(F.col("n_fp"), F.lit(0)).between(1, F.col("n_windows"))
+            ).alias("fp_bounds_ok"),
+        )
         .orderBy("doc_id")
     )
+
+
+WINNOW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) - {3 + WINNOW_WINDOW - 2} AS n_windows
+  FROM documents
+)
+SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows, TRUE AS fp_bounds_ok
+FROM t WHERE n_windows >= 1 ORDER BY doc_id
+"""
 
 
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +232,15 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     exploded = d.select("doc_id", F.explode(_tokens()).alias("term"))
     tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # count_if(tf >= 1) ≡ row count per term (tf is a count, always ≥1),
+    # but the predicate makes the tf value a real data dependency, so
+    # Catalyst can't prune the column and re-derive a distinct from a
+    # second corpus scan — both subtrees keep the identical
+    # (doc_id, term)-count aggregate and the shuffle is written once and
+    # read twice (ReusedExchange).
+    df = tf.groupBy("term").agg(
+        F.count_if(F.col("tf") >= 1).alias("df")
+    )
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "term")
@@ -272,7 +314,7 @@ QUERIES = [
     Query("text_top_term", "most distinctive term per doc (TF-IDF argmax)",
           text_top_term, TOP_TERM_ORACLE),
     Query("text_winnow_stats", "winnowing rolling-hash fingerprints (MOSS scheme)",
-          text_winnow_stats, None),
+          text_winnow_stats, WINNOW_ORACLE),
     Query("text_quality_score", "quality gates: stopword/TTR/length-band",
           text_quality_score, QUALITY_ORACLE),
     Query("text_lang_id", "stopword-density language-ID heuristic", text_lang_id,

@@ -95,6 +95,17 @@ def test_tfidf_broadcasts_vocab_and_corpus_size(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row corpus-size join
 
 
+def test_tfidf_reuses_tf_shuffle_for_df(spark):
+    """df is derived FROM tf, so at runtime the (doc_id, term) shuffle is
+    written once and read twice (ReusedExchange) — the corpus is scanned
+    and exploded exactly once, not once per aggregate. At 100 TB the
+    second scan+explode pass is the dominant avoidable cost."""
+    df = get_catalog()["text_tfidf"].builder(spark, SF_DIR)
+    df.collect()  # AQE finalizes exchange reuse only at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
     """When a selective dimension side is too big to broadcast, Spark can
     inject a bloom filter built from the dim-side join keys into the fact
