@@ -1,0 +1,224 @@
+"""Corpus-curation operators: the decision layer of a training-data pipeline.
+
+Where ``dedup``/``text``/``similarity`` produce *signals*, these queries
+produce *decisions*: is a document contaminated by the eval set, which
+stratum does it sample into, and does it survive curation at all. This
+is the layer a pre-training data engineer actually ships.
+
+Scale shapes (100 TB):
+- contamination: the eval/benchmark set is tiny by construction, so its
+  n-gram index is a broadcast — the corpus is scanned once map-side and
+  only matching (doc, gram) rows reach the per-doc aggregate. Never a
+  corpus self-join.
+- sampling: pure map-side modulus on the key — zero shuffles beyond the
+  stratum-count aggregate (which is grouped on a handful of strata).
+- curation decision: one shuffle on the 16-byte content fingerprint
+  (exact-dup groups), one semi-join against the (small) near-dup pair
+  list, everything else map-side column math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import Query
+from ..sources.tables import load_table
+from .dedup import NGRAM_JACCARD_ORACLE, dedup_ngram_jaccard, shingles_df
+from .text import _STOPWORD_LIST_SQL, EN_STOPWORDS
+
+# Documents with doc_id below this stand in for the held-out eval /
+# benchmark set (real pipelines load benchmark text from a reference
+# table; the split keeps the demo self-contained and oracle-checkable).
+EVAL_SET_MAX_ID = 25
+CONTAM_NGRAM = 5  # contamination n-gram size (8 is common; docs here are short)
+
+LANG_STOP_RATIO = 0.02  # text_lang_id's en/unknown threshold
+LOW_QUALITY_TTR = 0.2  # repetition gate: type-token ratio floor
+
+
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 n-gram with the
+    eval set, with shared-gram and eval-doc-hit counts.
+
+    The standard pre-training hygiene check (n-gram overlap against
+    held-out benchmarks). The eval side is exploded to (gram, eval_doc)
+    and broadcast; corpus grams stream past it map-side, so the only
+    shuffle is the final per-doc count aggregate.
+    """
+    sh = shingles_df(load_table(spark, sf_dir, "documents"), n=CONTAM_NGRAM)
+    eval_grams = (
+        sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
+        .select(F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("gram"))
+    )
+    corpus = (
+        sh.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
+        .select("doc_id", F.explode("shingles").alias("gram"))
+    )
+    return (
+        corpus.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs_hit"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4]
+                        for i in range(1, len(w) - 3)]) s
+  FROM docs WHERE len(w) >= {CONTAM_NGRAM}
+),
+ev AS (SELECT doc_id AS eval_doc, unnest(s) AS gram FROM sh
+       WHERE doc_id < {EVAL_SET_MAX_ID}),
+co AS (SELECT doc_id, unnest(s) AS gram FROM sh
+       WHERE doc_id >= {EVAL_SET_MAX_ID})
+SELECT co.doc_id,
+       COUNT(DISTINCT co.gram) AS n_shared_grams,
+       COUNT(DISTINCT ev.eval_doc) AS n_eval_docs_hit
+FROM co JOIN ev ON co.gram = ev.gram
+GROUP BY co.doc_id ORDER BY doc_id
+"""
+
+
+# Per-band deterministic sample rates (out of 10): long documents are
+# kept whole, short ones down-sampled — a toy training-mix policy.
+BAND_RATES = {"short": 1, "medium": 5, "long": 10}
+
+
+def corpus_sample_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling plan: per (lang, length band),
+    how many docs the mix policy keeps.
+
+    Selection is ``doc_id % 10 < rate`` — reproducible across engines
+    and runs, no RNG state. (Content-stable pipelines key the modulus on
+    a content hash instead of the id; the plan shape — pure map-side
+    predicate, aggregate over a handful of strata — is identical.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    band = F.when(n < 20, "short").when(n <= 60, "medium").otherwise("long")
+    rate = (
+        F.when(band == "short", BAND_RATES["short"])
+        .when(band == "medium", BAND_RATES["medium"])
+        .otherwise(BAND_RATES["long"])
+    )
+    sampled = (F.pmod(F.col("doc_id"), F.lit(10)) < rate).cast("long")
+    return (
+        d.select("lang", band.alias("length_band"), sampled.alias("s"))
+        .groupBy("lang", "length_band")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("s").alias("n_sampled"))
+        .orderBy("lang", "length_band")
+    )
+
+
+SAMPLE_STRATA_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN len(string_split(text, ' ')) < 20 THEN 'short'
+              WHEN len(string_split(text, ' ')) <= 60 THEN 'medium'
+              ELSE 'long' END AS length_band,
+         doc_id % 10 AS m
+  FROM documents
+)
+SELECT lang, length_band, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN m < (CASE length_band
+                               WHEN 'short' THEN {BAND_RATES["short"]}
+                               WHEN 'medium' THEN {BAND_RATES["medium"]}
+                               ELSE {BAND_RATES["long"]} END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM t GROUP BY lang, length_band ORDER BY lang, length_band
+"""
+
+
+def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop with the first failing gate as the reason.
+
+    Gate order (cheapest-to-most-expensive is the production order; here
+    fixed for determinism): exact_dup → near_dup → non_english →
+    low_quality → keep. Exact-dup losers are non-minimum doc_ids within
+    a normalized-content-fingerprint group (window min over ONE digest
+    shuffle); near-dup losers have a smaller Jaccard-verified partner
+    (semi-join against the pair list, which is small); the language and
+    repetition gates are map-side ratios shared with ``text_lang_id`` /
+    ``text_quality_score``.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.split(F.col("text"), " ")
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+
+    w = Window.partitionBy(F.md5(norm))
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("exact_loser"),
+        stop_ratio.alias("stop_ratio"),
+        ttr.alias("ttr"),
+    )
+    near_losers = (
+        dedup_ngram_jaccard(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    reason = (
+        F.when(F.col("exact_loser"), "exact_dup")
+        .when(F.col("near_loser"), "near_dup")
+        .when(F.col("stop_ratio") < LANG_STOP_RATIO, "non_english")
+        .when(F.col("ttr") < LOW_QUALITY_TTR, "low_quality")
+        .otherwise("keep")
+    )
+    return (
+        base.join(
+            near_losers.withColumn("near_loser", F.lit(True)), "doc_id", "left"
+        )
+        .withColumn("near_loser", F.coalesce("near_loser", F.lit(False)))
+        .select("doc_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "keep")
+        .orderBy("doc_id")
+    )
+
+
+CURATION_ORACLE = f"""
+WITH jac AS ({NGRAM_JACCARD_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
+losers AS (SELECT DISTINCT doc_b FROM jac),
+fp AS (
+  SELECT doc_id,
+         doc_id != MIN(doc_id) OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         ) AS exact_loser,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains({_STOPWORD_LIST_SQL}, t)))::DOUBLE
+           / len(string_split(text, ' ')) AS stop_ratio,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents
+)
+SELECT fp.doc_id,
+       CASE WHEN exact_loser THEN 'exact_dup'
+            WHEN losers.doc_b IS NOT NULL THEN 'near_dup'
+            WHEN stop_ratio < {LANG_STOP_RATIO} THEN 'non_english'
+            WHEN ttr < {LOW_QUALITY_TTR} THEN 'low_quality'
+            ELSE 'keep' END AS reason,
+       (NOT exact_loser AND losers.doc_b IS NULL
+        AND stop_ratio >= {LANG_STOP_RATIO} AND ttr >= {LOW_QUALITY_TTR}) AS keep
+FROM fp LEFT JOIN losers ON losers.doc_b = fp.doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES = [
+    Query("contamination_ngram_overlap",
+          "eval-set n-gram contamination check (broadcast eval index)",
+          contamination_ngram_overlap, CONTAMINATION_ORACLE),
+    Query("corpus_sample_strata",
+          "stratified deterministic sampling plan per (lang, length band)",
+          corpus_sample_strata, SAMPLE_STRATA_ORACLE),
+    Query("corpus_curation_decision",
+          "keep/drop decision per doc: dup gates + language + repetition",
+          corpus_curation_decision, CURATION_ORACLE),
+]

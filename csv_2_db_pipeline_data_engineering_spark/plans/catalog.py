@@ -71,18 +71,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_decode_features",
     "mm_frame_sample_stats",
     "hourly_rollup_serve",
+    # LLM-pipeline: curation decisions (contamination / sampling / keep-drop).
+    "contamination_ngram_overlap",
+    "corpus_sample_strata",
+    "corpus_curation_decision",
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_supplier_volume",
     "top_customers",
-    "orders_per_month",
     "last_event_per_user",
     "running_revenue",
     "user_event_gaps",
     "rollup_status_year",
-    "cube_event_type_dow",
-    "grouping_sets_priority_status",
     "customers_with_orders",
     "customers_without_orders",
     "user_sessions",
@@ -102,13 +103,13 @@ def get_catalog() -> dict[str, Query]:
     driver's correctness-gate check window); remaining queries follow in
     module order.
     """
-    from ..operators import dedup, multimodal, rollup, similarity, text
+    from ..operators import curation, dedup, multimodal, rollup, similarity, text
     from . import advanced, analytics, etl_queries, quality, stats_windows, subqueries
 
     all_queries: dict[str, Query] = {}
     for module in (
         analytics, advanced, stats_windows, subqueries, quality, etl_queries,
-        dedup, similarity, text, multimodal, rollup,
+        dedup, similarity, text, multimodal, rollup, curation,
     ):
         for q in module.QUERIES:
             if q.name in all_queries:

@@ -1,0 +1,57 @@
+"""Corpus-curation operators: contamination, sampling plan, keep/drop."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+    BAND_RATES,
+    EVAL_SET_MAX_ID,
+    contamination_ngram_overlap,
+    corpus_curation_decision,
+    corpus_sample_strata,
+)
+from csv_2_db_pipeline_data_engineering_spark.operators.dedup import dedup_ngram_jaccard
+from tests.conftest import SF_DIR
+
+
+def test_contamination_only_flags_corpus_docs_with_real_overlap(spark):
+    out = contamination_ngram_overlap(spark, SF_DIR).collect()
+    assert out, "test corpus is known to contain eval-overlapping docs"
+    for r in out:
+        assert r.doc_id >= EVAL_SET_MAX_ID  # eval docs never flag themselves
+        assert r.n_shared_grams >= 1 and r.n_eval_docs_hit >= 1
+
+
+def test_sample_strata_rates_and_determinism(spark):
+    rows = {(r.lang, r.length_band): r for r in corpus_sample_strata(spark, SF_DIR).collect()}
+    assert rows
+    for (lang, band), r in rows.items():
+        assert 0 <= r.n_sampled <= r.n_docs
+        if BAND_RATES[band] == 10:  # long band: policy keeps everything
+            assert r.n_sampled == r.n_docs
+    rerun = {(r.lang, r.length_band): r.n_sampled
+             for r in corpus_sample_strata(spark, SF_DIR).collect()}
+    assert rerun == {k: r.n_sampled for k, r in rows.items()}
+
+
+def test_curation_decision_partitions_corpus(spark):
+    out = corpus_curation_decision(spark, SF_DIR)
+    total = out.count()
+    from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+
+    assert total == load_table(spark, SF_DIR, "documents").count()
+    bad = out.filter(F.col("keep") != (F.col("reason") == "keep")).count()
+    assert bad == 0
+
+
+def test_curation_near_dup_losers_have_smaller_partner(spark):
+    losers = {
+        r.doc_id
+        for r in corpus_curation_decision(spark, SF_DIR)
+        .filter(F.col("reason") == "near_dup")
+        .collect()
+    }
+    pairs = dedup_ngram_jaccard(spark, SF_DIR).collect()
+    partnered = {p.doc_b for p in pairs}  # doc_b always has doc_a < doc_b
+    assert losers <= partnered

@@ -52,6 +52,24 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         return problems
     if problems:
         return problems
+    # Driver-strictness: the driver hashes canonicalized VALUES, so a
+    # float64 column on one side vs int64 on the other ("3.0" vs "3")
+    # hash-mismatches even when numerically equal (the round-1 failure
+    # mode: DuckDB SUM(int) -> HUGEINT -> float64). Fail on any
+    # float-vs-integer dtype pair up front.
+    for c in sorted(spark_df.columns):
+        sf, of = spark_df[c], oracle_df[c]
+        s_float = pd.api.types.is_float_dtype(sf)
+        o_float = pd.api.types.is_float_dtype(of)
+        s_int = pd.api.types.is_integer_dtype(sf)
+        o_int = pd.api.types.is_integer_dtype(of)
+        if (s_float and o_int) or (s_int and o_float):
+            problems.append(
+                f"dtype drift col {c}: spark={sf.dtype} oracle={of.dtype} "
+                "(driver's exact hash would fail)"
+            )
+    if problems:
+        return problems
     a, b = normalize(spark_df), normalize(oracle_df)
     for c in a.columns:
         av, bv = a[c], b[c]
