@@ -211,6 +211,65 @@ ORDER BY doc_id
 """
 
 
+CONTEXT_LEN = 512  # packing target (tokens per training sequence)
+N_PACK_SHARDS = 8  # parallel packing streams
+
+
+def corpus_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence-packing plan: which context-window bin
+    every document lands in, summarized per (shard, bin).
+
+    The standard pre-training batching step: concatenate documents and
+    split at CONTEXT_LEN boundaries. A single global concatenation would
+    serialize on one cumulative sum, so the corpus is first split into
+    N_PACK_SHARDS independent streams (modulus-keyed here; content-hash
+    keyed in production) and packed per shard — the window's cumulative
+    sum runs per-partition, embarrassingly parallel, one shuffle total.
+    A doc's bin is its starting offset ÷ CONTEXT_LEN (docs may straddle
+    a boundary — that's concat-and-chunk semantics, tokens spill into
+    the next window).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = d.select(
+        F.pmod("doc_id", F.lit(N_PACK_SHARDS)).alias("shard"),
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+    ).withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / CONTEXT_LEN),
+    )
+    return (
+        placed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_started"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+PACK_PLAN_ORACLE = f"""
+WITH placed AS (
+  SELECT doc_id % {N_PACK_SHARDS} AS shard, doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(FLOOR((SUM(len(string_split(text, ' '))) OVER (
+             PARTITION BY doc_id % {N_PACK_SHARDS} ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - len(string_split(text, ' '))) / {CONTEXT_LEN}) AS BIGINT) AS bin
+  FROM documents
+)
+SELECT shard, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_started
+FROM placed GROUP BY shard, bin ORDER BY shard, bin
+"""
+
+
 QUERIES = [
     Query("contamination_ngram_overlap",
           "eval-set n-gram contamination check (broadcast eval index)",
@@ -221,4 +280,7 @@ QUERIES = [
     Query("corpus_curation_decision",
           "keep/drop decision per doc: dup gates + language + repetition",
           corpus_curation_decision, CURATION_ORACLE),
+    Query("corpus_pack_plan",
+          "shard-parallel concat-and-chunk sequence-packing plan",
+          corpus_pack_plan, PACK_PLAN_ORACLE),
 ]

@@ -75,6 +75,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "contamination_ngram_overlap",
     "corpus_sample_strata",
     "corpus_curation_decision",
+    "corpus_pack_plan",
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -82,7 +83,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "top_customers",
     "last_event_per_user",
     "running_revenue",
-    "user_event_gaps",
     "rollup_status_year",
     "customers_with_orders",
     "customers_without_orders",

@@ -45,6 +45,29 @@ def test_curation_decision_partitions_corpus(spark):
     assert bad == 0
 
 
+def test_pack_plan_conserves_tokens_and_fills_bins(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        CONTEXT_LEN,
+        corpus_pack_plan,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+
+    out = corpus_pack_plan(spark, SF_DIR).collect()
+    total = sum(r.n_tokens_started for r in out)
+    docs = load_table(spark, SF_DIR, "documents")
+    expected = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    assert total == expected  # every token is packed exactly once
+    # concat-and-chunk: within a shard, bins are contiguous from 0 and
+    # every bin boundary is crossed by construction (no empty bins).
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.bin)
+    for shard, bins in by_shard.items():
+        bins.sort()
+        assert bins[0] == 0 and bins == list(range(len(bins))), shard
+    assert CONTEXT_LEN > 0
+
+
 def test_curation_near_dup_losers_have_smaller_partner(spark):
     losers = {
         r.doc_id
