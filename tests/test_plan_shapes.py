@@ -106,6 +106,28 @@ def test_tfidf_reuses_tf_shuffle_for_df(spark):
     assert "ReusedExchange" in plan
 
 
+def test_contamination_broadcasts_eval_index(spark):
+    """The eval/benchmark side is tiny by construction, so the gram join
+    must be broadcast — the 100 TB corpus never shuffles to meet it."""
+    plan = _plan(spark, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_pack_plan_single_data_shuffle(spark):
+    """Packing is shard-parallel: ONE hash exchange on shard feeds both
+    the cumulative-sum window and the (shard, bin) aggregate; the only
+    other exchange is the deterministic output sort."""
+    df = get_catalog()["corpus_pack_plan"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "Join" not in plan
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
     """When a selective dimension side is too big to broadcast, Spark can
     inject a bloom filter built from the dim-side join keys into the fact
