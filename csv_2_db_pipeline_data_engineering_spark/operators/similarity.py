@@ -235,6 +235,79 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_SUBSPACES = 8  # 64-dim -> 8 sub-spaces of 8 dims
+PQ_CODEBOOK_K = 16  # 4-bit codes: 8 x log2(16) = 32 bits = 4 bytes/vector
+PQ_MSE_BOUND = 0.75  # certified ceiling; measured ~0.54, trivial quantizer ~1.0
+
+
+def ann_pq_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the FAISS IVF-PQ residual codec) with an
+    in-query reconstruction-error certificate.
+
+    Each vector is split into PQ_SUBSPACES sub-vectors; a seeded k-means
+    codebook per subspace maps every sub-vector to a 4-bit code — 64
+    float64 dims become 4 bytes (128x). Codebook fits are distributed
+    (pyspark.ml, no driver collection of the corpus); encode/decode is
+    a chain of tiny broadcast joins against the centroid tables, so at
+    100 TB the corpus streams map-side through all eight codebooks.
+
+    The certificate: unit-norm vectors have total per-vector variance
+    ~1.0, which is exactly the MSE of the trivial global-mean quantizer
+    — certifying mean reconstruction MSE < PQ_MSE_BOUND proves the
+    codebooks genuinely beat trivial. Oracle: exact per-label counts +
+    TRUE.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = 64
+    ds = dim // PQ_SUBSPACES
+    df = e
+    err_cols = []
+    for s in range(PQ_SUBSPACES):
+        sub_col = f"sub{s}"
+        df = df.withColumn(sub_col, F.slice("v", s * ds + 1, ds))
+        feat = df.withColumn("_feat", array_to_vector(sub_col))
+        model = KMeans(
+            k=PQ_CODEBOOK_K, seed=42 + s, maxIter=8, featuresCol="_feat",
+            predictionCol=f"code{s}",
+        ).fit(feat)
+        df = model.transform(feat).drop("_feat")
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            f"code{s} int, cent{s} array<double>",
+        )
+        df = df.join(F.broadcast(centroids), f"code{s}")
+        err_cols.append(
+            F.aggregate(
+                F.zip_with(sub_col, f"cent{s}", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    total_err = err_cols[0]
+    for c in err_cols[1:]:
+        total_err = total_err + c
+    return (
+        df.select("vec_id", "label", total_err.alias("sq_err"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.avg("sq_err") < PQ_MSE_BOUND).alias("pq_mse_ok"),
+        )
+        .orderBy("label")
+    )
+
+
+PQ_CERT_ORACLE = """
+SELECT label, COUNT(*) AS n_vectors, TRUE AS pq_mse_ok
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid in long form: (label, dim, centroid component).
 
@@ -379,6 +452,10 @@ QUERIES = [
           ann_lsh_certified, ANN_CERT_ORACLE),
     Query("ann_ivf", "IVF (k-means + nprobe) ANN + in-query recall certificate",
           ann_ivf_certified, ANN_CERT_ORACLE),
+    Query("ann_pq_certified",
+          "product-quantization codec (8x16 codebooks, 128x compression) "
+          "+ reconstruction-error certificate",
+          ann_pq_certified, PQ_CERT_ORACLE),
     Query("ann_lsh_neighbors", "sign-LSH bucketed ANN raw neighbor list",
           ann_lsh_bucketed, None),
     Query("ann_ivf_neighbors", "IVF ANN raw neighbor list",

@@ -56,6 +56,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf",
+    "ann_pq_certified",
     "embedding_label_centroids",
     "embedding_norm_stats",
     # LLM-pipeline: text analysis.
@@ -90,7 +91,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_json_stats",
     "asof_last_order_per_event",
     "range_join_followup_orders",
-    "pivot_status_by_priority",
     "price_percentiles",
     "approx_aggregates",
 )
