@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
 from ..sources.tables import load_table
-from .dedup import NGRAM_JACCARD_ORACLE, dedup_ngram_jaccard, shingles_df
+from .dedup import NGRAM_JACCARD_CAPPED_ORACLE, dedup_ngram_jaccard, shingles_df
 from .text import _STOPWORD_LIST_SQL, EN_STOPWORDS
 
 # Documents with doc_id below this stand in for the held-out eval /
@@ -32,6 +32,17 @@ from .text import _STOPWORD_LIST_SQL, EN_STOPWORDS
 # table; the split keeps the demo self-contained and oracle-checkable).
 EVAL_SET_MAX_ID = 25
 CONTAM_NGRAM = 5  # contamination n-gram size (8 is common; docs here are short)
+
+# Eval-side document-frequency ceiling: a gram present in more than
+# max(MIN, FRAC · n_eval_docs) eval documents is generic boilerplate,
+# not benchmark-specific signal — drop it from the broadcast index.
+# This is the df cap that matters for THIS join's scale shape: the
+# corpus side streams map-side past the broadcast index, so the only
+# blow-up risk is per-gram fan-out into the eval set, which the cap
+# bounds. (A corpus-side df would need a corpus-wide shuffle and would
+# destroy the broadcast-only plan.)
+CONTAM_EVAL_DF_CAP_MIN = 4
+CONTAM_EVAL_DF_CAP_FRACTION = 0.2
 
 LANG_STOP_RATIO = 0.02  # text_lang_id's en/unknown threshold
 LOW_QUALITY_TTR = 0.2  # repetition gate: type-token ratio floor
@@ -47,9 +58,18 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the final per-doc count aggregate.
     """
     sh = shingles_df(load_table(spark, sf_dir, "documents"), n=CONTAM_NGRAM)
+    ev_sh = sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
+    n_eval = ev_sh.agg(F.count(F.lit(1)).alias("n_eval"))
+    cap = F.greatest(
+        F.lit(CONTAM_EVAL_DF_CAP_MIN),
+        F.ceil(F.lit(CONTAM_EVAL_DF_CAP_FRACTION) * F.col("n_eval")),
+    )
     eval_grams = (
-        sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
-        .select(F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("gram"))
+        ev_sh.select(F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("gram"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        .crossJoin(F.broadcast(n_eval))
+        .filter(F.col("df") <= cap)
+        .select("eval_doc", "gram")
     )
     corpus = (
         sh.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
@@ -77,12 +97,22 @@ sh AS (
 ),
 ev AS (SELECT doc_id AS eval_doc, unnest(s) AS gram FROM sh
        WHERE doc_id < {EVAL_SET_MAX_ID}),
+caps AS (
+  SELECT GREATEST({CONTAM_EVAL_DF_CAP_MIN},
+                  CEIL({CONTAM_EVAL_DF_CAP_FRACTION} * COUNT(*))) AS cap
+  FROM sh WHERE doc_id < {EVAL_SET_MAX_ID}
+),
+evk AS (
+  SELECT eval_doc, gram
+  FROM (SELECT eval_doc, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM ev), caps
+  WHERE df <= cap
+),
 co AS (SELECT doc_id, unnest(s) AS gram FROM sh
        WHERE doc_id >= {EVAL_SET_MAX_ID})
 SELECT co.doc_id,
        COUNT(DISTINCT co.gram) AS n_shared_grams,
-       COUNT(DISTINCT ev.eval_doc) AS n_eval_docs_hit
-FROM co JOIN ev ON co.gram = ev.gram
+       COUNT(DISTINCT evk.eval_doc) AS n_eval_docs_hit
+FROM co JOIN evk ON co.gram = evk.gram
 GROUP BY co.doc_id ORDER BY doc_id
 """
 
@@ -184,7 +214,7 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CURATION_ORACLE = f"""
-WITH jac AS ({NGRAM_JACCARD_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
+WITH jac AS ({NGRAM_JACCARD_CAPPED_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
 losers AS (SELECT DISTINCT doc_b FROM jac),
 fp AS (
   SELECT doc_id,

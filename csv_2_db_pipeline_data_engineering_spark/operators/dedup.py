@@ -7,23 +7,25 @@ Scale design (the point of each variant at 100 TB):
 - exact: shuffle on a 128-bit content hash, never on the full text —
   the hash is computed map-side so the shuffle payload is 16 bytes/row.
 - n-gram Jaccard: explode shingles and self-join on the shingle key
-  (inverted index). Exact but the shingle join is quadratic in bucket
-  size — usable as the *verifier* for candidate pairs, not the candidate
-  generator, at scale.
+  (inverted index), with a document-frequency cap on the key so no
+  join bucket can go quadratic (hot stopword shingles are dropped —
+  they carry no pair-discriminating signal).
 - MinHash+LSH: constant-size signature per doc (k hashes), banded so
   only same-band-hash docs meet in the shuffle. This is the candidate
   generator at 100 TB: cost is O(docs × k) map-side + a shuffle keyed
   on (band, band_hash); candidates are then verified with exact Jaccard.
-- SimHash: one 64-bit fingerprint per doc; near-dup = small Hamming
-  distance; banded on 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at
-  least one of 4 chunks equal).
-- embedding cosine: exact pairwise is O(n²) — correct baseline and the
-  verifier; the scale path is LSH bucketing (see ``similarity.py``).
+- SimHash: one 64-bit fingerprint per doc (md5 bit votes — engine-
+  portable, so the operator has a full SQL oracle); near-dup = small
+  Hamming distance; banded on 16-bit chunks (pigeonhole: distance ≤ 3
+  ⇒ at least one of 4 chunks equal).
+- embedding cosine: exact pairs via triangle-inequality k-means
+  blocking — keyed block join + exact-cosine verify; the O(n²)
+  all-pairs twin survives only as the test-side verifier.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -31,6 +33,16 @@ from ..plans.catalog import Query
 
 JACCARD_THRESHOLD = 0.4
 COSINE_THRESHOLD = 0.45
+
+# Hot-shingle ceiling for the exact inverted-index join: a shingle that
+# appears in more than max(MIN, FRAC * n_docs) documents is dropped from
+# the shingle sets before the self-join. Without it, high-df shingles
+# (stopword trigrams) form quadratic join buckets — the classic skew
+# killer in exact near-dup at scale; dropping them is standard in dedup
+# pipelines (they carry no pair-discriminating signal). The cap is
+# corpus-relative with an absolute floor so tiny corpora don't over-drop.
+SHINGLE_DF_CAP_MIN = 16
+SHINGLE_DF_CAP_FRACTION = 0.1
 
 # k=64 signatures in 32 bands of 2 rows: P(candidate | jaccard=j) =
 # 1-(1-j^2)^32 -> 99.6% at the j=0.4 threshold and ~1-1e-14 at j>=0.8
@@ -104,23 +116,51 @@ def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
 # --- exact n-gram Jaccard near-dup ------------------------------------------
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with trigram-shingle Jaccard ≥ threshold (exact).
+def capped_shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows with hot shingles removed by document
+    frequency: df ≤ max(SHINGLE_DF_CAP_MIN, FRAC·n_docs).
 
-    Inverted-index join: explode shingles, self-join on the shingle,
-    count shared shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+    The df is one window count over the shingle key (the same shuffle
+    the downstream self-join needs anyway); the corpus size reaches the
+    filter as a broadcast one-row aggregate — no collect, no second
+    scan of the text.
     """
-    sh = shingles_df(load_table(spark, sf_dir, "documents")).cache()
+    sh = shingles_df(docs, n=n)
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    cap = F.greatest(
+        F.lit(SHINGLE_DF_CAP_MIN),
+        F.ceil(F.lit(SHINGLE_DF_CAP_FRACTION) * F.col("n_docs")),
+    )
+    return (
+        ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= cap)
+        .select("doc_id", "shingle")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with trigram-shingle Jaccard ≥ threshold over the
+    df-capped shingle sets (exact given the cap).
+
+    Inverted-index join: explode shingles, drop hot shingles (df cap —
+    no join bucket can exceed the cap, so the worst bucket cost is
+    cap², never corpus²), self-join on the shingle, count shared
+    shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|) where the sets are
+    the capped sets on both sides of the ratio.
+    """
+    kept = capped_shingle_rows(load_table(spark, sf_dir, "documents")).cache()
+    a, b = kept.alias("a"), kept.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         inter.join(sa, "doc_a")
@@ -131,21 +171,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NGRAM_JACCARD_ORACLE = f"""
-WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+# Shared CTE prefix: per-doc distinct trigram shingles exploded to rows.
+_SHINGLE_ROWS_SQL = """
+docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
 sh AS (
   SELECT doc_id,
          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                         for i in range(1, len(w) - 1)]) s
   FROM docs WHERE len(w) >= 3
 ),
-ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)
+"""
+
+# Uncapped exact Jaccard: the contract for MinHash-LSH (whose verify
+# step uses the full shingle sets) and the cluster oracle.
+NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLE_ROWS_SQL},
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT doc_a, doc_b,
+       ROUND(n_common::DOUBLE / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+# Df-capped exact Jaccard: mirrors ``dedup_ngram_jaccard`` (same cap
+# formula, same windowed df, sizes counted over the kept sets).
+NGRAM_JACCARD_CAPPED_ORACLE = f"""
+WITH {_SHINGLE_ROWS_SQL},
+caps AS (
+  SELECT GREATEST({SHINGLE_DF_CAP_MIN},
+                  CEIL({SHINGLE_DF_CAP_FRACTION} * COUNT(*))) AS cap
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, shingle
+  FROM (SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM ex), caps
+  WHERE df <= cap
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id)
 SELECT doc_a, doc_b,
        ROUND(n_common::DOUBLE / (sa.n + sb.n - n_common), 4) AS jaccard
 FROM inter
@@ -366,61 +444,88 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash -------------------------------------------------------------------
 
 
-def simhash_df(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc from distinct-token xxhash64 bit votes.
+SIMHASH_MAX_HAMMING = 3
 
-    Explode tokens → per-bit one-counts → majority per bit → packed
-    bigint. One shuffle on doc_id (the vote aggregation). The per-bit
+
+def simhash_df(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc from distinct-token md5 bit votes, carried
+    as two unsigned 32-bit halves (doc_id, sh_hi, sh_lo).
+
+    Explode tokens → per-bit one-counts → majority per bit → two packed
+    longs. One shuffle on doc_id (the vote aggregation). The per-bit
     vote is branch-free arithmetic (``sum((h >> b) & 1)`` with the ±1
     sign recovered as ``2·ones > n``) rather than a CASE per element —
-    measured ~18% faster warm and ~2x faster cold at sf0.01, identical
-    output; per-row branchwork is the whole cost of this operator at
-    100 TB.
+    measured ~18% faster warm and ~2x faster cold at sf0.01;
+    per-row branchwork is the whole cost of this operator at 100 TB.
+
+    The token hash is the first 64 bits of md5 split into two 32-bit
+    halves — md5 is bit-identical across engines, which is what gives
+    ``dedup_simhash`` a full exact DuckDB oracle (xxhash64, the cheaper
+    choice, has no DuckDB twin and reduced the driver check to
+    rows-only). Keeping every value in [0, 2^32) also keeps all shifts
+    sign-free on both engines.
     """
+    md5h = F.md5("tok")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
     ones = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"o{b}")
-        for b in range(64)
+        F.sum(F.shiftright(F.col(h), b).bitwiseAND(F.lit(1))).alias(f"{h}{b}")
+        for h in ("hi", "lo")
+        for b in range(32)
     ]
     agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *ones)
-    packed = None
-    for b in range(64):
-        bit = (
-            F.when(F.col(f"o{b}") * 2 > F.col("n"), F.lit(1).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        term = F.shiftleft(bit, b)
-        packed = term if packed is None else packed.bitwiseOR(term)
-    return agg.select("doc_id", packed.alias("simhash"))
+
+    def pack(half: str) -> Column:
+        packed = None
+        for b in range(32):
+            bit = (
+                F.when(F.col(f"{half}{b}") * 2 > F.col("n"), F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            term = F.shiftleft(bit, b)
+            packed = term if packed is None else packed.bitwiseOR(term)
+        return packed
+
+    return agg.select("doc_id", pack("hi").alias("sh_hi"), pack("lo").alias("sh_lo"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ 3 (candidate near-dups).
 
     Banded on 4 × 16-bit chunks: distance ≤ 3 guarantees ≥ 1 equal chunk
-    (pigeonhole), so the join is keyed, never all-pairs. No SQL oracle —
-    xxhash64 isn't reproducible in DuckDB; verified in tests against the
-    Jaccard ground truth instead.
+    (pigeonhole), so the join is keyed, never all-pairs. The banding is
+    *exact* (pigeonhole, not probabilistic), so the banded output equals
+    the all-pairs Hamming filter — which is what the DuckDB oracle
+    computes directly (the oracle mirrors semantics, not the plan).
     """
     sh = simhash_df(load_table(spark, sf_dir, "documents")).cache()
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * 16)
+                F.shiftright(F.col(half), off)
                 .bitwiseAND(F.lit(0xFFFF))
                 .alias("cv"),
             )
-            for c in range(4)
+            for c, (half, off) in enumerate(
+                [("sh_lo", 0), ("sh_lo", 16), ("sh_hi", 0), ("sh_hi", 16)]
+            )
         ]
     )
-    ex = sh.select("doc_id", "simhash", F.explode(chunks).alias("cc")).select(
-        "doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv")
+    ex = sh.select("doc_id", "sh_hi", "sh_lo", F.explode(chunks).alias("cc")).select(
+        "doc_id", "sh_hi", "sh_lo",
+        F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"),
     )
     a, b = ex.alias("a"), ex.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = (
+        F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
+        + F.bit_count(F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo")))
+    )
     return (
         a.join(
             b,
@@ -428,15 +533,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.cv") == F.col("b.cv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(hamming <= 3)
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            hamming.cast("long").alias("hamming"),
         )
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _simhash_oracle_sql() -> str:
+    """Full exact DuckDB twin of ``dedup_simhash``: same md5-derived
+    64-bit token hashes, same majority votes, all-pairs Hamming ≤ 3
+    (equal to the Spark side's banded join by the pigeonhole argument).
+    """
+    sums = ",\n    ".join(
+        f"SUM(({h} >> {b}) & 1) AS {h}{b}" for h in ("hi", "lo") for b in range(32)
+    )
+    packs = {
+        h: " + ".join(f"(CASE WHEN 2*{h}{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32))
+        for h in ("hi", "lo")
+    }
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+  FROM toks
+),
+v AS (
+  SELECT doc_id, COUNT(*) AS n,
+    {sums}
+  FROM h GROUP BY doc_id
+),
+sh AS (SELECT doc_id, {packs['hi']} AS sh_hi, {packs['lo']} AS sh_lo FROM v)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh_hi, b.sh_hi))
+            + bit_count(xor(a.sh_lo, b.sh_lo)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh_hi, b.sh_hi)) + bit_count(xor(a.sh_lo, b.sh_lo))
+      <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+SIMHASH_ORACLE = _simhash_oracle_sql()
 
 
 # --- embedding cosine near-dup ----------------------------------------------
@@ -450,12 +597,23 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine ≥ threshold — exact O(n²) baseline/verifier.
+EMB_BLOCK_K = 8  # coarse k-means blocks for the candidate join
 
-    Norms are precomputed per row (map-side); the pair join is a
-    nested-loop with a broadcast side. At 100 TB use the LSH bucketing
-    in ``similarity.py`` to generate candidates and this as verifier.
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dedup_embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact O(n²) nested-loop.
+
+    Test-side verifier ONLY (differential check for the blocked plan
+    below); not registered as a catalog query because the cartesian
+    shape cannot survive a 100x scale-up.
     """
     e = (
         load_table(spark, sf_dir, "embeddings")
@@ -477,6 +635,79 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ threshold, found EXACTLY via cluster
+    blocking — the join is keyed on a k-means block id, never a
+    cartesian over the corpus.
+
+    Triangle-inequality pruning on the unit sphere: cosine(a,b) ≥ t
+    ⇔ ‖û_a−û_b‖ ≤ τ = √(2−2t) for the normalized vectors. Every vector
+    is assigned to its nearest of EMB_BLOCK_K k-means centroids; block
+    j keeps its max member radius R_j. A vector `a` probes block j iff
+    dist(û_a, c_j) ≤ R_j + τ — then for any qualifying pair, `a`
+    provably probes its partner's home block, so candidates =
+    (probe ⋈ members on block) miss nothing. Exact-cosine verify (on
+    the ORIGINAL vectors, so values match the oracle bit-for-bit with
+    the pre-blocking implementation) + pair dedupe after the verify.
+
+    Scale: the centroid/radius table is k rows (broadcast); probe
+    fan-out is data-dependent — tight clusters & high thresholds probe
+    ~1 block, and the worst case degrades to the corpus meeting itself
+    in k keyed partitions (still a hash join, shuffled on the block
+    id, AQE-splittable — not a nested loop). The all-pairs twin above
+    stays as the test verifier.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .withColumn("u", F.transform("v", lambda x: x / F.col("norm")))
+        .withColumn("feat", array_to_vector("u"))
+    )
+    model = KMeans(k=EMB_BLOCK_K, seed=42, maxIter=10, featuresCol="feat").fit(e)
+    members = model.transform(e).select(
+        "vec_id", "v", "norm", "u", F.col("prediction").alias("block")
+    ).cache()
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "block int, cv array<double>",
+    )
+    radii = (
+        members.join(F.broadcast(centroids), "block")
+        .groupBy("block")
+        .agg(F.max(F.sqrt(_sq_dist(F.col("u"), F.col("cv")))).alias("radius"))
+    )
+    tau = (2.0 - 2.0 * COSINE_THRESHOLD) ** 0.5 + 1e-9
+    probes = (
+        members.select("vec_id", "v", "norm", "u")
+        .crossJoin(F.broadcast(centroids.join(radii, "block")))
+        .filter(F.sqrt(_sq_dist(F.col("u"), F.col("cv"))) <= F.col("radius") + F.lit(tau))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("norm").alias("pnorm"),
+            "block",
+        )
+    )
+    cos = _dot(F.col("pv"), F.col("v")) / (F.col("pnorm") * F.col("norm"))
+    return (
+        probes.join(members.select("vec_id", "v", "norm", "block"), "block")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            F.least("probe_id", "vec_id").alias("id_a"),
+            F.greatest("probe_id", "vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.min("cosine"), 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 EMBEDDING_COSINE_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -494,6 +725,14 @@ ORDER BY id_a, id_b
 # doc_id it can reach (LEAST folds the node itself in). The Spark side
 # computes the same labels by min-label propagation; both group to
 # (cluster_id, n_members).
+#
+# NOTE: the oracle derives edges from exact all-pairs Jaccard while the
+# Spark side builds them from MinHash-LSH candidate pairs, so equality
+# additionally relies on LSH recovering every exact pair (banded
+# P(candidate | j≥0.4) ≈ 0.996 per pair; deterministic here because the
+# hash family is seeded). That is already the oracle contract for
+# ``dedup_minhash_lsh``; it extends to cluster topology, where one
+# missed edge would change component counts.
 DEDUP_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE
 jac AS ({NGRAM_JACCARD_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
@@ -520,14 +759,17 @@ QUERIES = [
           DEDUP_EXACT_ORACLE),
     Query("dedup_exact_hash", "exact dedup on md5 digest (16-byte shuffle key)",
           dedup_exact_hash, DEDUP_EXACT_HASH_ORACLE),
-    Query("dedup_ngram_jaccard", "exact trigram-shingle Jaccard near-dup pairs",
-          dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
+    Query("dedup_ngram_jaccard",
+          "exact trigram-shingle Jaccard near-dup pairs (hot-shingle df cap)",
+          dedup_ngram_jaccard, NGRAM_JACCARD_CAPPED_ORACLE),
     Query("dedup_minhash_lsh", "MinHash+LSH candidates verified with exact Jaccard",
           dedup_minhash_lsh, NGRAM_JACCARD_ORACLE),
-    Query("dedup_simhash", "SimHash Hamming-distance near-dup candidates (no SQL twin)",
-          dedup_simhash, None),
+    Query("dedup_simhash",
+          "SimHash Hamming-distance near-dup pairs (md5 bit votes, banded join)",
+          dedup_simhash, SIMHASH_ORACLE),
     Query("dedup_clusters", "near-dup connected components via min-label propagation",
           dedup_clusters, DEDUP_CLUSTERS_ORACLE),
-    Query("dedup_embedding_cosine", "exact pairwise embedding-cosine near-dup",
+    Query("dedup_embedding_cosine",
+          "exact embedding-cosine near-dup via k-means block join",
           dedup_embedding_cosine, EMBEDDING_COSINE_ORACLE),
 ]

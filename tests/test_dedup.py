@@ -1,0 +1,106 @@
+"""Dedup-operator unit and differential tests.
+
+Covers the round-4 scale fixes: the hot-shingle df cap (no quadratic
+join bucket), the md5-based SimHash (engine-portable hashes), and the
+cluster-blocked embedding-cosine join (exact pairs, no cartesian over
+the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+    SHINGLE_DF_CAP_MIN,
+    capped_shingle_rows,
+    dedup_embedding_cosine,
+    dedup_embedding_cosine_allpairs,
+    simhash_df,
+)
+from tests.conftest import SF_DIR
+
+
+# --- hot-shingle df cap -------------------------------------------------------
+
+
+def _docs(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_df_cap_drops_hot_shingles_keeps_rare(spark):
+    # 2 + SHINGLE_DF_CAP_MIN docs all share the trigram "a b c" (df = n
+    # > cap since 0.1*n < MIN here); docs 0 and 1 additionally share the
+    # rare trigram "x y z".
+    n_hot = SHINGLE_DF_CAP_MIN + 2
+    texts = [f"a b c x y z u{i}" if i < 2 else f"a b c u{i} v{i} w{i}"
+             for i in range(n_hot)]
+    kept = capped_shingle_rows(_docs(spark, texts)).collect()
+    shingles = {r.shingle for r in kept}
+    assert "a b c" not in shingles, "hot shingle must be dropped by the df cap"
+    assert "x y z" in shingles, "rare shared shingle must survive"
+    # no doc keeps more shingles than it has, and the hot key is gone
+    # from every doc (the join can no longer build the quadratic bucket)
+    assert all(r.shingle != "a b c" for r in kept)
+
+
+def test_df_cap_is_noop_below_threshold(spark):
+    # df of every shingle is 1 or 2 — far below the cap: nothing dropped.
+    texts = ["p q r s", "p q r t", "l m n o"]
+    docs = _docs(spark, texts)
+    kept = capped_shingle_rows(docs)
+    n_all = (
+        docs.select(F.explode(F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.split("text", " ")) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.split("text", " "), i + 1),
+                    F.element_at(F.split("text", " "), i + 2),
+                    F.element_at(F.split("text", " "), i + 3),
+                ),
+            )
+        )))
+        .count()
+    )
+    assert kept.count() == n_all
+
+
+# --- md5 SimHash --------------------------------------------------------------
+
+
+def test_simhash_identical_texts_collide_and_pack_unsigned(spark):
+    sh = simhash_df(
+        _docs(spark, ["the quick brown fox jumps", "the quick brown fox jumps",
+                      "completely different words here now"])
+    ).collect()
+    by_id = {r.doc_id: (r.sh_hi, r.sh_lo) for r in sh}
+    assert by_id[0] == by_id[1], "identical text => identical simhash"
+    assert by_id[0] != by_id[2]
+    for hi, lo in by_id.values():
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32, "halves stay unsigned 32-bit"
+
+
+# --- cluster-blocked embedding cosine ----------------------------------------
+
+
+def test_embedding_cosine_blocked_matches_allpairs(spark):
+    blocked = {(r.id_a, r.id_b): r.cosine
+               for r in dedup_embedding_cosine(spark, SF_DIR).collect()}
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in dedup_embedding_cosine_allpairs(spark, SF_DIR).collect()}
+    assert blocked == exact
+    assert exact, "expected some near-dup pairs at this SF"
+
+
+def test_embedding_cosine_plan_has_no_corpus_cartesian(spark):
+    df = dedup_embedding_cosine(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is corpus x k-row centroid table
+    # (the probe build); the pair join itself must be keyed on the block.
+    # The formatted plan mentions each node twice (tree + detail section).
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
