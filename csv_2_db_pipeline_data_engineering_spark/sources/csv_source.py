@@ -10,9 +10,11 @@ Parity surface S1-S3 (SURVEY.md §2.1; reference ``src/ingest.py:11-58``):
 - S2 encoding fallback: UTF-8 first, then latin-1 ("never fails" — every
   byte sequence is valid latin-1, reference ``docs/documentation.md:84``).
   Spark's CSV reader does not raise on bad bytes by default (it replaces
-  them), so we *probe* for invalid UTF-8 declaratively and re-read with
-  ISO-8859-1 when found — same observable result as the reference, still
-  fully distributed.
+  them), so we *probe* the raw bytes for strict UTF-8 validity (via a
+  lossless latin-1 read + ``try_validate_utf8``) and read with
+  ISO-8859-1 only when they are genuinely invalid — the same trigger
+  semantics as the reference's decode-exception fallback
+  (``src/ingest.py:46-58``), still fully distributed.
 - S3 existence precheck, FileNotFoundError distinct from RuntimeError
   (two-exception contract, reference ``docs/documentation.md:67-81``).
 """
@@ -28,7 +30,6 @@ from pyspark.sql import types as T
 
 logger = logging.getLogger(__name__)
 
-_REPLACEMENT_CHAR = "�"  # U+FFFD: what UTF-8 decode emits for bad bytes
 
 
 def _read(spark: SparkSession, path: str, encoding: str, schema: T.StructType | None) -> DataFrame:
@@ -59,7 +60,18 @@ def _read(spark: SparkSession, path: str, encoding: str, schema: T.StructType | 
 
 
 def _has_invalid_utf8(df: DataFrame) -> bool:
-    """True if any string cell decoded to U+FFFD (invalid UTF-8 bytes).
+    """True if any string cell holds bytes that are not valid UTF-8.
+
+    ``df`` must be a latin-1 read: latin-1 decoding is byte-lossless
+    (every byte maps 1:1 to a char ≤ U+00FF), so re-encoding each cell
+    with ISO-8859-1 reconstructs the file's exact original bytes, and
+    ``try_validate_utf8`` checks them strictly. This is a true byte
+    validity test — a file that legitimately *contains* U+FFFD as valid
+    UTF-8 does not trip it (the old probe searched the UTF-8 decode for
+    U+FFFD, which couldn't tell a replacement from the real character).
+    CSV delimiters/quotes are ASCII and UTF-8 continuation bytes are
+    ≥ 0x80, so a multi-byte sequence never spans cells — per-cell
+    validation equals whole-file validation for the data bytes.
 
     One distributed pass with an early-out ``limit(1)``; no driver
     materialization of data.
@@ -69,7 +81,10 @@ def _has_invalid_utf8(df: DataFrame) -> bool:
         return False
     pred = None
     for c in str_cols:
-        p = F.col(c).contains(_REPLACEMENT_CHAR)
+        p = (
+            F.col(c).isNotNull()
+            & F.try_validate_utf8(F.encode(F.col(c), "ISO-8859-1")).isNull()
+        )
         pred = p if pred is None else (pred | p)
     return df.filter(pred).limit(1).count() > 0
 
@@ -94,11 +109,14 @@ def ingest_csv(
 
     logger.info("Reading file: %s", filepath)
     try:
-        df = _read(spark, filepath, "UTF-8", schema)
-        if _has_invalid_utf8(df):
+        # Probe byte validity on a lossless latin-1 read; only the probe
+        # outcome decides which decode the pipeline consumes, so a valid
+        # UTF-8 file is read as UTF-8 even if it contains U+FFFD.
+        probe = _read(spark, filepath, "ISO-8859-1", None)
+        if _has_invalid_utf8(probe):
             logger.warning("UTF-8 failed, retrying with latin-1 encoding")
-            df = _read(spark, filepath, "ISO-8859-1", schema)
-        return df
+            return _read(spark, filepath, "ISO-8859-1", schema)
+        return _read(spark, filepath, "UTF-8", schema)
     except Exception as exc:  # noqa: BLE001 - two-exception contract
         logger.error("Failed to read file with any supported encoding: %s", exc)
         raise RuntimeError(f"Could not read file: {filepath}") from exc

@@ -34,3 +34,21 @@ def test_latin1_fallback(spark, tmp_path):
 def test_all_strings_without_schema(spark, golden_csv):
     df = ingest_csv(spark, golden_csv)
     assert all(t == "string" for _, t in df.dtypes)
+
+
+def test_legit_replacement_char_stays_utf8(spark, tmp_path):
+    # A *valid* UTF-8 file that genuinely contains U+FFFD (bytes EF BF
+    # BD) must NOT trigger the latin-1 fallback: the probe checks byte
+    # validity, not the presence of the replacement character. Under a
+    # latin-1 misread these bytes would mangle to 'ï»½'.
+    raw = (
+        "transaction_id,customer_id,product_name,quantity,unit_price,"
+        "transaction_date,region,status\n"
+        "T001,101,Widget � Pro,3,19.99,2024-01-15,North,completed\n"
+    ).encode("utf-8")
+    p = tmp_path / "fffd.csv"
+    p.write_bytes(raw)
+    df = ingest_csv(spark, str(p), schema=RAW_SCHEMA)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["product_name"] == "Widget � Pro"
