@@ -3,7 +3,9 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query is materialized through the
 ``noop`` sink so the whole physical plan executes (scan→shuffle→agg) without
-driver-side collection skewing the timing.
+driver-side collection skewing the timing. Per-query numbers are the MIN of
+``$SPARK_GRAFT_BENCH_REPS`` (default 3) standalone runs — the raw reps ride
+along under ``queries_all_reps`` for noise inspection.
 """
 
 from __future__ import annotations
@@ -73,15 +75,26 @@ def main() -> None:
         .save()
     )
 
+    # Min-of-N per query: single-shot timings on this box swing ±20-30%
+    # run-to-run (JIT, page cache, GC alignment), which drowns real
+    # regressions. The minimum is the stable estimator of the plan's
+    # cost (noise is strictly additive); rep 1 also absorbs the
+    # query-specific codegen compile so the min reflects warm cost.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = catalog[name]
-        t0 = time.monotonic()
-        q.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
-        # each query is measured standalone: drop its caches so a later
-        # query isn't taxed by an earlier one's executor-memory residue
-        spark.catalog.clearCache()
+        times = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            q.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times.append(round(time.monotonic() - t0, 3))
+            # each rep is measured standalone: drop its caches so the next
+            # run isn't taxed (or flattered) by executor-memory residue
+            spark.catalog.clearCache()
+        timings[name] = min(times)
+        all_reps[name] = times
 
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
@@ -96,6 +109,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "reps": reps,
+                "queries_all_reps": all_reps,
             }
         )
     )

@@ -374,10 +374,13 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             exact_parts.alias("exact_parts"),
             F.round(exact_p50, 2).cast("double").alias("exact_p50"),
+            # 3x the HLL++ default rsd (5% is ONE standard deviation, not
+            # a bound) plus a small absolute floor — a certificate gate
+            # must hold for any data, not just the current fixture.
             (
                 F.abs(approx_parts - exact_parts)
-                <= 0.05 * exact_parts.cast("double")
-            ).alias("hll_within_5pct"),
+                <= F.greatest(F.lit(3.0), 0.15 * exact_parts.cast("double"))
+            ).alias("hll_within_15pct"),
             (
                 F.abs(approx_p50 - exact_p50) <= 0.01 * exact_p50
             ).alias("tdigest_within_1pct"),
@@ -391,7 +394,7 @@ SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS exact_parts,
        CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
             AS DOUBLE) AS exact_p50,
-       TRUE AS hll_within_5pct,
+       TRUE AS hll_within_15pct,
        TRUE AS tdigest_within_1pct
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """

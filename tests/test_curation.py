@@ -57,6 +57,13 @@ def test_pack_plan_conserves_tokens_and_fills_bins(spark):
     docs = load_table(spark, SF_DIR, "documents")
     expected = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
     assert total == expected  # every token is packed exactly once
+    # Precondition for the strict contiguity check below: when every doc
+    # is shorter than the context window, consecutive start offsets
+    # advance < CONTEXT_LEN, so per-shard bins step by 0 or 1 and are
+    # gap-free. A >= CONTEXT_LEN doc would make the next bin skip ahead
+    # (valid concat-and-chunk output, different assertion).
+    max_doc = docs.select(F.max(F.size(F.split("text", " ")))).first()[0]
+    assert max_doc < CONTEXT_LEN, "fixture precondition for gap-free bins"
     # concat-and-chunk: within a shard, bins are contiguous from 0 and
     # every bin boundary is crossed by construction (no empty bins).
     by_shard: dict[int, list[int]] = {}
@@ -65,7 +72,6 @@ def test_pack_plan_conserves_tokens_and_fills_bins(spark):
     for shard, bins in by_shard.items():
         bins.sort()
         assert bins[0] == 0 and bins == list(range(len(bins))), shard
-    assert CONTEXT_LEN > 0
 
 
 def test_curation_near_dup_losers_have_smaller_partner(spark):
