@@ -300,6 +300,113 @@ FROM placed GROUP BY shard, bin ORDER BY shard, bin
 """
 
 
+N_SHUFFLE_SHARDS = 8  # parallel shuffle output streams
+
+
+def corpus_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-shuffle plan: every document gets a
+    (shard, position) under a content-stable pseudo-random permutation.
+
+    The standard pre-training data shuffle WITHOUT a global sort: the
+    permutation key is md5 of the doc id (stable across runs/engines,
+    no RNG state), the shard is a map-side modulus of that key, and
+    positions are assigned per shard — so the only wide operation is a
+    per-shard sort over corpus/N_SHUFFLE_SHARDS rows, embarrassingly
+    parallel, never a single total order of 100 TB. Readers stream
+    shards in position order and the concatenation is a uniform
+    permutation of the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws(":", F.lit("shuffle"), F.col("doc_id").cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(N_SHUFFLE_SHARDS)
+    )
+    keyed = d.select("doc_id", h.alias("h"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+SHUFFLE_PLAN_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('shuffle:' || doc_id) AS h,
+         ('0x' || substr(md5('shuffle:' || doc_id), 1, 8))::BIGINT
+           % {N_SHUFFLE_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM keyed ORDER BY shard, pos
+"""
+
+
+# Domain-mix allocation: temperature-style source reweighting under a
+# token/doc budget. Weights are a deterministic function of the source
+# name (stand-in for a mix policy table; real pipelines broadcast-join
+# a policy dim); allocation uses integer arithmetic so both engines
+# agree bit-for-bit with no float boundary hazards.
+MIX_BUDGET_FRAC = 0.5  # overall kept fraction of the corpus
+
+
+def domain_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc allocation for a target training mix.
+
+    alloc_s = min(n_s, ⌊budget · w_s / Σw⌋) with budget = ⌈frac·N⌉ —
+    the waterfilling-free first pass every mix policy starts from
+    (sources with fewer docs than their share keep everything; the
+    leftover re-spread is a second identical pass at policy level).
+    One tiny aggregate per source plus two broadcast scalars; nothing
+    touches the documents other than the grouped count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    weight = (F.lit(1) + F.substring("source", 4, 10).try_cast("int") % 4).cast("long")
+    weighted = per_src.withColumn("weight", weight)
+    totals = weighted.agg(
+        F.ceil(F.lit(MIX_BUDGET_FRAC) * F.sum("n_docs")).cast("long").alias("budget"),
+        F.sum("weight").alias("sum_w"),
+    )
+    # integer `div`, not `/` + cast: float division can land an exact
+    # multiple at k-ulp and truncate to k-1, diverging from the oracle's
+    # exact integer `//`.
+    alloc = F.least(F.col("n_docs"), F.expr("(budget * weight) div sum_w"))
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            alloc.alias("n_alloc"),
+            F.round(alloc / F.col("n_docs"), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_MIX_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(1 + TRY_CAST(substr(source, 4) AS INT) % 4 AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT CAST(CEIL({MIX_BUDGET_FRAC} * SUM(n_docs)) AS BIGINT) AS budget,
+         SUM(weight) AS sum_w
+  FROM per_src
+)
+SELECT source, n_docs, weight,
+       LEAST(n_docs, CAST((budget * weight) // sum_w AS BIGINT)) AS n_alloc,
+       ROUND(LEAST(n_docs, CAST((budget * weight) // sum_w AS BIGINT))::DOUBLE
+             / n_docs, 6) AS keep_rate
+FROM per_src, totals
+ORDER BY source
+"""
+
+
 QUERIES = [
     Query("contamination_ngram_overlap",
           "eval-set n-gram contamination check (broadcast eval index)",
@@ -313,4 +420,10 @@ QUERIES = [
     Query("corpus_pack_plan",
           "shard-parallel concat-and-chunk sequence-packing plan",
           corpus_pack_plan, PACK_PLAN_ORACLE),
+    Query("corpus_shuffle_plan",
+          "deterministic sharded training-shuffle permutation (no global sort)",
+          corpus_shuffle_plan, SHUFFLE_PLAN_ORACLE),
+    Query("domain_mix_allocation",
+          "per-source doc allocation under a weighted training-mix budget",
+          domain_mix_allocation, DOMAIN_MIX_ORACLE),
 ]

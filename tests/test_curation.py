@@ -74,6 +74,47 @@ def test_pack_plan_conserves_tokens_and_fills_bins(spark):
         assert bins[0] == 0 and bins == list(range(len(bins))), shard
 
 
+def test_shuffle_plan_is_a_permutation_with_dense_positions(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        N_SHUFFLE_SHARDS,
+        corpus_shuffle_plan,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+
+    out = corpus_shuffle_plan(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(out) == n_docs  # every doc placed exactly once
+    assert len({r.doc_id for r in out}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r.shard < N_SHUFFLE_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # deterministic: same permutation on rerun
+    rerun = corpus_shuffle_plan(spark, SF_DIR).collect()
+    assert [(r.doc_id, r.shard, r.pos) for r in out] == [
+        (r.doc_id, r.shard, r.pos) for r in rerun
+    ]
+
+
+def test_domain_mix_allocation_respects_budget_and_counts(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        MIX_BUDGET_FRAC,
+        domain_mix_allocation,
+    )
+
+    out = domain_mix_allocation(spark, SF_DIR).collect()
+    assert out
+    total_docs = sum(r.n_docs for r in out)
+    budget = -(-int(MIX_BUDGET_FRAC * total_docs) // 1)  # ceil for frac*int
+    for r in out:
+        assert 1 <= r.weight <= 4
+        assert 0 <= r.n_alloc <= r.n_docs
+        assert abs(r.keep_rate - r.n_alloc / r.n_docs) < 1e-9
+    assert sum(r.n_alloc for r in out) <= budget
+
+
 def test_curation_near_dup_losers_have_smaller_partner(spark):
     losers = {
         r.doc_id
