@@ -202,10 +202,9 @@ WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
-# Df-capped exact Jaccard: mirrors ``dedup_ngram_jaccard`` (same cap
-# formula, same windowed df, sizes counted over the kept sets).
-NGRAM_JACCARD_CAPPED_ORACLE = f"""
-WITH {_SHINGLE_ROWS_SQL},
+# Df-capped kept-shingle rows (mirrors ``capped_shingle_rows``): shared
+# by the capped-Jaccard and containment oracles.
+_CAPPED_KEPT_SQL = f"""
 caps AS (
   SELECT GREATEST({SHINGLE_DF_CAP_MIN},
                   CEIL({SHINGLE_DF_CAP_FRACTION} * COUNT(*))) AS cap
@@ -217,7 +216,14 @@ kept AS (
                COUNT(*) OVER (PARTITION BY shingle) AS df
         FROM ex), caps
   WHERE df <= cap
-),
+)
+"""
+
+# Df-capped exact Jaccard: mirrors ``dedup_ngram_jaccard`` (same cap
+# formula, same windowed df, sizes counted over the kept sets).
+NGRAM_JACCARD_CAPPED_ORACLE = f"""
+WITH {_SHINGLE_ROWS_SQL},
+{_CAPPED_KEPT_SQL},
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -232,6 +238,84 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
+
+
+# Containment: same candidate definition (shared kept shingle), exact
+# substring verify on the texts, inner = strictly shorter side.
+CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLE_ROWS_SQL},
+{_CAPPED_KEPT_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT CASE WHEN len(ta.text) < len(tb.text) THEN da ELSE db END AS doc_inner,
+         CASE WHEN len(ta.text) < len(tb.text) THEN db ELSE da END AS doc_outer,
+         LEAST(len(ta.text), len(tb.text)) AS inner_len,
+         GREATEST(len(ta.text), len(tb.text)) AS outer_len
+  FROM cand
+  JOIN documents ta ON ta.doc_id = da
+  JOIN documents tb ON tb.doc_id = db
+  WHERE len(ta.text) != len(tb.text)
+    AND position((CASE WHEN len(ta.text) < len(tb.text) THEN ta.text
+                       ELSE tb.text END)
+                 IN (CASE WHEN len(ta.text) < len(tb.text) THEN tb.text
+                          ELSE ta.text END)) > 0
+)
+SELECT doc_inner, doc_outer,
+       CAST(inner_len AS BIGINT) AS inner_len,
+       CAST(outer_len AS BIGINT) AS outer_len
+FROM v ORDER BY doc_inner, doc_outer
+"""
+
+
+# --- sub-document containment dedup ----------------------------------------
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where the shorter document's FULL text is a substring of the
+    longer one — sub-document duplication (quotes, mirrored excerpts,
+    boilerplate wrappers), which Jaccard under-scores when the container
+    is much longer than the contained doc.
+
+    Candidate generation reuses the df-capped inverted index: a doc
+    contained at a word boundary shares every one of its shingles with
+    its container, so any non-hot shingle of the inner doc keys a
+    candidate (the recall condition — at least one shared shingle below
+    the df cap — is part of the operator's definition and mirrored
+    exactly by the oracle). Verify is an exact substring check on the
+    candidate pair's texts; pair multiplicity (one hit per shared
+    shingle) collapses AFTER the verify, like the LSH pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = capped_shingle_rows(docs)
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    ta = docs.select(F.col("doc_id").alias("da"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("db"), F.col("text").alias("text_b"))
+    la, lb = F.length("text_a"), F.length("text_b")
+    a_inner = la < lb
+    inner_txt = F.when(a_inner, F.col("text_a")).otherwise(F.col("text_b"))
+    outer_txt = F.when(a_inner, F.col("text_b")).otherwise(F.col("text_a"))
+    return (
+        cand.join(ta, "da")
+        .join(tb, "db")
+        .filter((la != lb) & F.contains(outer_txt, inner_txt))
+        .select(
+            F.when(a_inner, F.col("da")).otherwise(F.col("db")).alias("doc_inner"),
+            F.when(a_inner, F.col("db")).otherwise(F.col("da")).alias("doc_outer"),
+            F.least(la, lb).cast("long").alias("inner_len"),
+            F.greatest(la, lb).cast("long").alias("outer_len"),
+        )
+        .groupBy("doc_inner", "doc_outer")
+        .agg(F.min("inner_len").alias("inner_len"), F.min("outer_len").alias("outer_len"))
+        .orderBy("doc_inner", "doc_outer")
+    )
 
 
 # --- MinHash + LSH ------------------------------------------------------------
@@ -772,4 +856,7 @@ QUERIES = [
     Query("dedup_embedding_cosine",
           "exact embedding-cosine near-dup via k-means block join",
           dedup_embedding_cosine, EMBEDDING_COSINE_ORACLE),
+    Query("dedup_containment",
+          "sub-document containment pairs (inverted-index candidates + substring verify)",
+          dedup_containment, CONTAINMENT_ORACLE),
 ]

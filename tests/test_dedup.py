@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
     SHINGLE_DF_CAP_MIN,
     capped_shingle_rows,
+    dedup_containment,
     dedup_embedding_cosine,
     dedup_embedding_cosine_allpairs,
     simhash_df,
@@ -80,6 +81,36 @@ def test_simhash_identical_texts_collide_and_pack_unsigned(spark):
     assert by_id[0] != by_id[2]
     for hi, lo in by_id.values():
         assert 0 <= hi < 2**32 and 0 <= lo < 2**32, "halves stay unsigned 32-bit"
+
+
+# --- containment --------------------------------------------------------------
+
+
+def test_containment_finds_subdocument_pairs(spark, tmp_path):
+    docs = _docs(spark, [
+        "alpha beta gamma delta epsilon zeta",            # 0: container
+        "beta gamma delta",                               # 1: contained in 0
+        "totally unrelated words live here now",          # 2: control
+        "eta theta iota kappa",                           # 3: control, no overlap
+    ])
+    path = str(tmp_path / "docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    out = dedup_containment(spark, path).collect()
+    pairs = {(r.doc_inner, r.doc_outer) for r in out}
+    assert pairs == {(1, 0)}
+    (row,) = out
+    assert row.inner_len == len("beta gamma delta")
+    assert row.outer_len == len("alpha beta gamma delta epsilon zeta")
+
+
+def test_containment_on_corpus_inner_is_true_substring(spark):
+    out = dedup_containment(spark, SF_DIR).collect()
+    assert out, "test corpus is known to contain sub-document pairs"
+    docs = {r.doc_id: r.text
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()}
+    for r in out:
+        assert docs[r.doc_inner] in docs[r.doc_outer]
+        assert len(docs[r.doc_inner]) < len(docs[r.doc_outer])
 
 
 # --- cluster-blocked embedding cosine ----------------------------------------
