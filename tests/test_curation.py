@@ -23,6 +23,28 @@ def test_contamination_only_flags_corpus_docs_with_real_overlap(spark):
         assert r.n_shared_grams >= 1 and r.n_eval_docs_hit >= 1
 
 
+def test_contamination_eval_df_cap_drops_generic_grams(spark, tmp_path):
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        CONTAM_EVAL_DF_CAP_MIN,
+    )
+
+    # 12 eval docs (> cap=max(4, ceil(0.2*13))=4) all share one generic
+    # 5-gram; one eval doc holds a rare benchmark-specific 5-gram.
+    hot = "the quick brown fox jumps"
+    rare = "special secret eval phrase here"
+    rows = [(i, f"{hot} uniq{i} filler{i}") for i in range(12)]
+    rows.append((12, f"{rare} tail twelve"))
+    rows.append((30, f"{hot} something else entirely today"))  # hot-only corpus doc
+    rows.append((31, f"{rare} other words follow"))            # genuine contamination
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    out = {r.doc_id: r for r in contamination_ngram_overlap(spark, path).collect()}
+    assert 30 not in out, "generic gram above the eval-df cap must not flag"
+    assert 31 in out and out[31].n_eval_docs_hit == 1
+    assert CONTAM_EVAL_DF_CAP_MIN >= 1
+
+
 def test_sample_strata_rates_and_determinism(spark):
     rows = {(r.lang, r.length_band): r for r in corpus_sample_strata(spark, SF_DIR).collect()}
     assert rows
