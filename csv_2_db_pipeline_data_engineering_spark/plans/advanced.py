@@ -185,26 +185,31 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles of extended price per flag.
+    """Exact discrete percentiles of extended price per return flag.
 
-    ``F.percentile`` (exact, same interpolation as SQL PERCENTILE_CONT /
-    DuckDB quantile_cont). Exact percentile sorts within each group —
-    at 100 TB switch to ``percentile_approx`` (t-digest sketch, fixed
-    memory, mergeable map-side); see ``approx_aggregates``.
+    PERCENTILE_DISC, not CONT: disc returns an actual data element, so
+    both engines hold the bit-identical double and round it the same
+    way at any scale. CONT's linear interpolation computes the midpoint
+    with engine-specific association — a 1-ulp divergence that flips
+    the cents rounding exactly at .xx5 boundaries (observed at
+    sf0.001: 52724.24 vs 52724.25). Exact percentile sorts within each
+    group — at 100 TB switch to ``percentile_approx`` (t-digest
+    sketch, fixed memory, mergeable map-side); see
+    ``approx_aggregates``.
     """
     li = _t(spark, sf_dir, "lineitem")
-    ps = F.percentile(
-        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
-    )
+    aggs = [
+        F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias(n)
+        for q, n in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+    ]
     return (
         li.groupBy("l_returnflag")
-        .agg(ps.alias("ps"))  # ONE buffered pass for all three quantiles
+        .agg(*aggs)
         .select(
             "l_returnflag",
-            *[
-                F.round(F.col("ps")[i], 2).alias(n)
-                for i, n in enumerate(["p50", "p90", "p99"])
-            ],
+            *[F.round(F.col(n), 2).alias(n) for n in ("p50", "p90", "p99")],
         )
         .orderBy("l_returnflag")
     )
@@ -212,9 +217,9 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PERCENTILES_ORACLE = """
 SELECT l_returnflag,
-       ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-       ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-       ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+       ROUND(quantile_disc(l_extendedprice, 0.5), 2) AS p50,
+       ROUND(quantile_disc(l_extendedprice, 0.9), 2) AS p90,
+       ROUND(quantile_disc(l_extendedprice, 0.99), 2) AS p99
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -368,7 +373,9 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_parts = F.approx_count_distinct("l_partkey")
     exact_parts = F.countDistinct("l_partkey")
     approx_p50 = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
-    exact_p50 = F.percentile("l_extendedprice", F.lit(0.5))
+    # disc, not cont: an actual element is bit-identical across engines
+    # (see price_percentiles — cont interpolation diverges by 1 ulp).
+    exact_p50 = F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -392,7 +399,7 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_AGG_ORACLE = """
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS exact_parts,
-       CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+       CAST(ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
             AS DOUBLE) AS exact_p50,
        TRUE AS hll_within_15pct,
        TRUE AS tdigest_within_1pct
