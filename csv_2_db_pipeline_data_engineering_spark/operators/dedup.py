@@ -289,7 +289,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle) collapses AFTER the verify, like the LSH pipeline.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    kept = capped_shingle_rows(docs)
+    # cache: the self-join would otherwise recompute the whole
+    # shingle + windowed-df subtree (two source scans) per side
+    kept = capped_shingle_rows(docs).cache()
     a, b = kept.alias("a"), kept.alias("b")
     cand = a.join(
         b,
