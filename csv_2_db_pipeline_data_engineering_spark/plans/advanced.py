@@ -198,18 +198,19 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_aggregates``.
     """
     li = _t(spark, sf_dir, "lineitem")
-    aggs = [
-        F.expr(
-            f"percentile_disc({q}) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias(n)
-        for q, n in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
-    ]
+    ps = F.expr(
+        "percentile_disc(array(0.5, 0.9, 0.99)) "
+        "WITHIN GROUP (ORDER BY l_extendedprice)"
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(*aggs)
+        .agg(ps.alias("ps"))  # ONE buffered pass for all three quantiles
         .select(
             "l_returnflag",
-            *[F.round(F.col(n), 2).alias(n) for n in ("p50", "p90", "p99")],
+            *[
+                F.round(F.col("ps")[i], 2).alias(n)
+                for i, n in enumerate(["p50", "p90", "p99"])
+            ],
         )
         .orderBy("l_returnflag")
     )
