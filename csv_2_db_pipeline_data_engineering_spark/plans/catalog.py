@@ -36,13 +36,19 @@ class Query:
 # shapes are already covered by an in-window twin; they remain fully
 # registered and are verified by tools/check_oracles.py locally.
 #
-# Round-4 rotation (VERDICT r3 #8): five double-covered twins moved out
-# (dedup_exact ~ dedup_exact_hash, top_customers ~ q3's join+agg+top-k,
-# text_top_term ~ text_tfidf's window, embedding_norm_stats ~
-# embedding_label_centroids' map-side agg, mm_frame_sample_stats ~
-# mm_decode_features' mapInPandas) in favor of five plan shapes the
-# driver had never verified: pivot, per-group top-k limit, skew-salted
-# two-stage aggregation, decorrelated scalar subquery, GROUPING SETS.
+# Round-4 rotation (VERDICT r3 #8): eight double-covered twins moved
+# out (dedup_exact ~ dedup_exact_hash, top_customers ~ q3's
+# join+agg+top-k, text_top_term ~ text_tfidf's window,
+# embedding_norm_stats ~ embedding_label_centroids' map-side agg,
+# mm_frame_sample_stats ~ mm_decode_features' mapInPandas,
+# text_fingerprint ~ dedup_exact_hash's map-side md5, running_revenue ~
+# corpus_pack_plan's running-sum window, rollup_status_year ~
+# grouping_sets_priority_status' expand) in favor of five plan shapes
+# the driver had never verified (pivot, per-group top-k limit,
+# skew-salted two-stage aggregation, decorrelated scalar subquery,
+# GROUPING SETS) plus round 4's three new LLM-pipeline operators
+# (containment dedup, shuffle plan, domain-mix allocation) — keeping
+# every LLM-pipeline operator inside the driver-checked window.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
@@ -59,6 +65,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding_cosine",
+    "dedup_containment",
     # LLM-pipeline: similarity / embeddings.
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
@@ -71,7 +78,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_winnow_stats",
     "text_quality_score",
     "text_lang_id",
-    "text_fingerprint",
     # LLM-pipeline: multimodal + continuous aggregate.
     "mm_payload_stats",
     "mm_decode_features",
@@ -81,13 +87,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_sample_strata",
     "corpus_curation_decision",
     "corpus_pack_plan",
+    "corpus_shuffle_plan",
+    "domain_mix_allocation",
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_supplier_volume",
     "last_event_per_user",
-    "running_revenue",
-    "rollup_status_year",
     "customers_with_orders",
     "customers_without_orders",
     "user_sessions",
