@@ -98,19 +98,41 @@ def serve_rollup(rollup: DataFrame) -> DataFrame:
 
 def hourly_rollup_serve(spark, sf_dir: str) -> DataFrame:
     """Served continuous aggregate over events (exact columns only — the
-    HLL sketch estimate is engine-specific and recall-tested instead)."""
+    HLL sketch estimate is engine-specific and recall-tested instead).
+
+    The summed value is quantized to DECIMAL(18,6) before aggregation:
+    decimal summation is EXACT and order-independent, where a double
+    sum depends on the partial-aggregation tree and diverges between
+    engines by an ulp — enough to flip the 4-dp rounding on one bucket
+    in ~3k at sf0.1. Exact decimal partials are also the right state
+    for a mergeable rollup: re-aggregation gives bit-identical sums no
+    matter how deltas are merged. min/max/avg derive from exact picks
+    and the exact sum, so every served column is engine-stable.
+    """
     from ..sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
     served = serve_rollup(build_rollup(ev))
+    sum_d = F.col("sum_value").cast("double")
+    # avg rounded to 4 dp in PURE INTEGER arithmetic: sum/n in decimal
+    # can land exactly on a .xxxx5 tie, where Spark (BigDecimal HALF_UP)
+    # and DuckDB (C-library rounding on doubles) disagree. Micro-unit
+    # integers + floor((x + n/2)/n) is the same half-up rule computed
+    # identically by both engines for non-negative sums.
+    avg_exact = F.expr(
+        "CAST((CAST(sum_value * 1000000 AS BIGINT) + 50 * n_rows)"
+        " DIV (100 * n_rows) AS DOUBLE) / 10000"
+    )
     return served.select(
         "bucket_start",
         "key",
         "n_rows",
-        F.round("sum_value", 4).alias("sum_value"),
-        F.round("avg_value", 4).alias("avg_value"),
-        F.round("min_value", 4).alias("min_value"),
-        F.round("max_value", 4).alias("max_value"),
+        F.round(sum_d, 4).alias("sum_value"),
+        avg_exact.alias("avg_value"),
+        F.round(F.col("min_value").cast("double"), 4).alias("min_value"),
+        F.round(F.col("max_value").cast("double"), 4).alias("max_value"),
     ).orderBy("bucket_start", "key")
 
 
@@ -118,10 +140,12 @@ HOURLY_ROLLUP_ORACLE = """
 SELECT date_trunc('hour', ts) AS bucket_start,
        event_type AS key,
        COUNT(*) AS n_rows,
-       ROUND(SUM(value), 4) AS sum_value,
-       ROUND(SUM(value) / COUNT(*), 4) AS avg_value,
-       ROUND(MIN(value), 4) AS min_value,
-       ROUND(MAX(value), 4) AS max_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+       CAST(CAST((CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                  + 50 * COUNT(*)) // (100 * COUNT(*)) AS BIGINT) AS DOUBLE)
+         / 10000 AS avg_value,
+       ROUND(CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS min_value,
+       ROUND(CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS max_value
 FROM events GROUP BY bucket_start, key ORDER BY bucket_start, key
 """
 
