@@ -18,8 +18,11 @@ Scale design (the point of each variant at 100 TB):
   portable, so the operator has a full SQL oracle); near-dup = small
   Hamming distance; banded on 16-bit chunks (pigeonhole: distance ≤ 3
   ⇒ at least one of 4 chunks equal).
-- embedding cosine: exact pairs via triangle-inequality k-means
-  blocking — keyed block join + exact-cosine verify; the O(n²)
+- embedding cosine: sign-LSH bucketed candidates + exact-cosine verify
+  at a realistic near-dup threshold (the 100 TB path — geometric
+  blocking provably cannot prune isotropic embeddings, see
+  ``embedding_near_dup_pairs``); the triangle-inequality k-means block
+  join stays as the exhaustive-recall mid-scale variant, and the O(n²)
   all-pairs twin survives only as the test-side verifier.
 """
 
@@ -32,7 +35,24 @@ from ..sources.tables import load_table
 from ..plans.catalog import Query
 
 JACCARD_THRESHOLD = 0.4
-COSINE_THRESHOLD = 0.45
+
+#: threshold for the EXACT k-means block-join variant. 0.45 sits in the
+#: random-similarity tail of this corpus (it has near-dup pairs there);
+#: exhaustive-recall guarantees at such thresholds are inherently O(n²).
+BLOCK_COSINE_THRESHOLD = 0.45
+
+#: threshold for the registered near-dup operator: real embedding
+#: near-duplicates (re-encodes, boilerplate variants) live at ≥ 0.88;
+#: below that, pairs in isotropic embedding space are random flukes.
+EMB_NEAR_DUP_THRESHOLD = 0.88
+
+# Sign-LSH parameters for the near-dup candidate generator. Per-pair
+# candidate probability at cosine t is 1-(1-p^m)^L with
+# p = 1 - acos(t)/π: ≥ 99.85% at t = 0.88, ~1-1e-7 at t ≥ 0.95, while
+# an orthogonal pair (p = 0.5) collides with probability ~1.2% — an
+# ~85x pair-space reduction on isotropic data, far more on clustered.
+EMB_LSH_TABLES = 48
+EMB_LSH_PLANES = 12
 
 # Hot-shingle ceiling for the exact inverted-index join: a shingle that
 # appears in more than max(MIN, FRAC * n_docs) documents is dropped from
@@ -694,18 +714,20 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def dedup_embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _norm_frame(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+def allpairs_cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact O(n²) nested-loop.
 
-    Test-side verifier ONLY (differential check for the blocked plan
-    below); not registered as a catalog query because the cartesian
-    shape cannot survive a 100x scale-up.
+    Test-side verifier ONLY (differential check for the blocked and
+    LSH-routed plans below); not registered as a catalog query because
+    the cartesian shape cannot survive a 100x scale-up.
     """
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    )
+    e = _norm_frame(emb)
     a, b = e.alias("a"), e.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
     return (
@@ -715,16 +737,103 @@ def dedup_embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("b.vec_id").alias("id_b"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
 
 
+def dedup_embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return allpairs_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), BLOCK_COSINE_THRESHOLD
+    )
+
+
+def embedding_lsh_candidates(
+    emb: DataFrame,
+    n_tables: int = EMB_LSH_TABLES,
+    n_planes: int = EMB_LSH_PLANES,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from multi-table sign-LSH buckets.
+
+    The corpus is hashed map-side into 2^n_planes buckets per table (one
+    Arrow-vectorized matmul, see ``similarity._table_buckets``); a pair
+    is a candidate iff it shares a bucket in ANY table. Only
+    (vec_id, table, bucket) rows enter the self-join — the vectors
+    themselves are joined back by id afterwards, so the shuffled payload
+    is ~16 bytes/row × n_tables, not the embedding.
+    """
+    from .similarity import _table_buckets, hyperplanes
+
+    dim = len(emb.select("embedding").first()[0])
+    tables = hyperplanes(dim=dim, n_tables=n_tables, n_planes=n_planes, seed=seed)
+    ex = _table_buckets(_norm_frame(emb).select("vec_id", "v"), tables).select(
+        "vec_id", "t", "bucket"
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    return a.join(
+        b,
+        (F.col("a.t") == F.col("b.t"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = EMB_NEAR_DUP_THRESHOLD,
+    n_tables: int = EMB_LSH_TABLES,
+    n_planes: int = EMB_LSH_PLANES,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs (cosine ≥ threshold): sign-LSH candidates + exact
+    cosine verify on the original vectors, pair dedupe after the verify
+    (a pair surfaces once per shared bucket, like the MinHash pipeline).
+
+    Why LSH routing and not geometric blocking: on isotropic embeddings
+    EVERY point sits at distance ≈ 1.0 from every k-means centroid
+    (concentration of measure — measured radii 0.97-1.01 for k ∈
+    {8,16,32} on this corpus), so triangle-inequality pruning with
+    τ = √(2−2t) admits every probe into every block at ANY threshold —
+    the r4-flagged degeneration. Bucketed sign-LSH prunes by angle
+    directly: precision is exact (verify step); recall is the banded
+    probability above (≥ 99.85% per pair at the registered threshold,
+    deterministic here because the hyperplane family is seeded) — the
+    same stated contract as ``dedup_minhash_lsh``. The planted-near-dup
+    differential test pins recall empirically.
+    """
+    e = _norm_frame(emb).cache()
+    cands = embedding_lsh_candidates(emb, n_tables, n_planes, seed)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("norm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.min("cosine"), 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine ≥ threshold, found EXACTLY via cluster
-    blocking — the join is keyed on a k-means block id, never a
-    cartesian over the corpus.
+    """Registered embedding near-dup: sign-LSH routed, exact-verified,
+    at the realistic near-dup threshold (this corpus has no pairs that
+    similar — the oracle agrees on the empty set; the non-vacuous
+    correctness evidence is the planted-dup differential test in
+    ``tests/test_dedup.py``)."""
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def dedup_embedding_cosine_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ threshold, found EXACTLY (exhaustive
+    recall) via cluster blocking — the join is keyed on a k-means block
+    id, never a cartesian over the corpus.
 
     Triangle-inequality pruning on the unit sphere: cosine(a,b) ≥ t
     ⇔ ‖û_a−û_b‖ ≤ τ = √(2−2t) for the normalized vectors. Every vector
@@ -733,15 +842,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist(û_a, c_j) ≤ R_j + τ — then for any qualifying pair, `a`
     provably probes its partner's home block, so candidates =
     (probe ⋈ members on block) miss nothing. Exact-cosine verify (on
-    the ORIGINAL vectors, so values match the oracle bit-for-bit with
-    the pre-blocking implementation) + pair dedupe after the verify.
+    the ORIGINAL vectors, so values match the all-pairs oracle
+    bit-for-bit) + pair dedupe after the verify.
 
-    Scale: the centroid/radius table is k rows (broadcast); probe
-    fan-out is data-dependent — tight clusters & high thresholds probe
-    ~1 block, and the worst case degrades to the corpus meeting itself
-    in k keyed partitions (still a hash join, shuffled on the block
-    id, AQE-splittable — not a nested loop). The all-pairs twin above
-    stays as the test verifier.
+    Honest scale label (measured, r5): on ISOTROPIC embeddings the
+    pruning is void at every threshold — concentration of measure puts
+    every point at distance ≈ 1.0 from every centroid (measured radii
+    0.97-1.01 for k ∈ {8,16,32} on this corpus), so every vector probes
+    every block and the compute is Θ(n²) executed as a keyed,
+    AQE-splittable hash join. That is the unavoidable price of
+    EXHAUSTIVE recall at a random-tail threshold like 0.45; this is the
+    exact mid-scale variant, and ``dedup_embedding_cosine`` (sign-LSH
+    routed, ~99.9%-recall contract) is the 100 TB path.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -766,7 +878,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("block")
         .agg(F.max(F.sqrt(_sq_dist(F.col("u"), F.col("cv")))).alias("radius"))
     )
-    tau = (2.0 - 2.0 * COSINE_THRESHOLD) ** 0.5 + 1e-9
+    tau = (2.0 - 2.0 * BLOCK_COSINE_THRESHOLD) ** 0.5 + 1e-9
     probes = (
         members.select("vec_id", "v", "norm", "u")
         .crossJoin(F.broadcast(centroids.join(radii, "block")))
@@ -787,21 +899,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("probe_id", "vec_id").alias("id_b"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .filter(F.col("cosine") >= BLOCK_COSINE_THRESHOLD)
         .groupBy("id_a", "id_b")
         .agg(F.round(F.min("cosine"), 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
 
 
-EMBEDDING_COSINE_ORACLE = f"""
+def _allpairs_cosine_oracle(threshold: float) -> str:
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_THRESHOLD}
+WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+#: oracle for the registered near-dup query (exact all-pairs at the
+#: near-dup threshold; the LSH-routed plan matches it per the seeded
+#: recall contract in ``embedding_near_dup_pairs``)
+EMBEDDING_NEAR_DUP_ORACLE = _allpairs_cosine_oracle(EMB_NEAR_DUP_THRESHOLD)
+#: oracle for the exhaustive-recall block-join variant
+EMBEDDING_COSINE_BLOCK_ORACLE = _allpairs_cosine_oracle(BLOCK_COSINE_THRESHOLD)
 
 
 # Connected components in SQL: the pair graph is small (near-dup pairs,
@@ -856,9 +977,14 @@ QUERIES = [
     Query("dedup_clusters", "near-dup connected components via min-label propagation",
           dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     Query("dedup_embedding_cosine",
-          "exact embedding-cosine near-dup via k-means block join",
-          dedup_embedding_cosine, EMBEDDING_COSINE_ORACLE),
+          "embedding near-dup pairs: sign-LSH candidates + exact-cosine verify "
+          f"(cos >= {EMB_NEAR_DUP_THRESHOLD}; seeded >=99.85%-recall contract)",
+          dedup_embedding_cosine, EMBEDDING_NEAR_DUP_ORACLE),
     Query("dedup_containment",
           "sub-document containment pairs (inverted-index candidates + substring verify)",
           dedup_containment, CONTAINMENT_ORACLE),
+    Query("dedup_embedding_cosine_block",
+          "exhaustive-recall embedding-cosine pairs via k-means block join "
+          f"(cos >= {BLOCK_COSINE_THRESHOLD}; Theta(n^2) keyed join on isotropic data)",
+          dedup_embedding_cosine_block, EMBEDDING_COSINE_BLOCK_ORACLE),
 ]

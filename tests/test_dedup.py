@@ -11,11 +11,16 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+    EMB_NEAR_DUP_THRESHOLD,
     SHINGLE_DF_CAP_MIN,
+    allpairs_cosine_pairs,
     capped_shingle_rows,
     dedup_containment,
     dedup_embedding_cosine,
     dedup_embedding_cosine_allpairs,
+    dedup_embedding_cosine_block,
+    embedding_lsh_candidates,
+    embedding_near_dup_pairs,
     simhash_df,
 )
 from tests.conftest import SF_DIR
@@ -113,12 +118,12 @@ def test_containment_on_corpus_inner_is_true_substring(spark):
         assert len(docs[r.doc_inner]) < len(docs[r.doc_outer])
 
 
-# --- cluster-blocked embedding cosine ----------------------------------------
+# --- cluster-blocked embedding cosine (exhaustive-recall variant) -------------
 
 
 def test_embedding_cosine_blocked_matches_allpairs(spark):
     blocked = {(r.id_a, r.id_b): r.cosine
-               for r in dedup_embedding_cosine(spark, SF_DIR).collect()}
+               for r in dedup_embedding_cosine_block(spark, SF_DIR).collect()}
     exact = {(r.id_a, r.id_b): r.cosine
              for r in dedup_embedding_cosine_allpairs(spark, SF_DIR).collect()}
     assert blocked == exact
@@ -126,7 +131,7 @@ def test_embedding_cosine_blocked_matches_allpairs(spark):
 
 
 def test_embedding_cosine_plan_has_no_corpus_cartesian(spark):
-    df = dedup_embedding_cosine(spark, SF_DIR)
+    df = dedup_embedding_cosine_block(spark, SF_DIR)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -135,3 +140,58 @@ def test_embedding_cosine_plan_has_no_corpus_cartesian(spark):
     # (the probe build); the pair join itself must be keyed on the block.
     # The formatted plan mentions each node twice (tree + detail section).
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+# --- sign-LSH-routed embedding near-dup (the registered operator) -------------
+
+
+def _planted_corpus(spark, n_base=300, n_dup=25, dim=64, seed=7):
+    """Seeded isotropic base + planted near-dups of the first n_dup
+    vectors (noise scaled so planted cosines land in [0.90, 0.98] —
+    inside the registered threshold with recall margin). Returns
+    (frame, expected planted pair ids)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n_base, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    eps = rng.uniform(0.2, 0.42, size=n_dup)
+    noise = rng.randn(n_dup, dim)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    dups = base[:n_dup] + eps[:, None] * noise
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    vecs = np.vstack([base, dups])
+    rows = [(i, [float(x) for x in v], "x") for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    planted = {(i, n_base + i) for i in range(n_dup)}
+    return df, planted
+
+
+def test_embedding_near_dup_lsh_matches_exact_on_planted_corpus(spark):
+    emb, planted = _planted_corpus(spark)
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in embedding_near_dup_pairs(emb).collect()}
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in allpairs_cosine_pairs(emb, EMB_NEAR_DUP_THRESHOLD).collect()}
+    assert got == exact, "LSH-routed pairs must equal the exact all-pairs result"
+    assert planted <= set(exact), "every planted near-dup must qualify"
+
+
+def test_embedding_lsh_candidate_fanout_is_bounded(spark):
+    # the point of LSH routing: candidate pairs ≪ all pairs. On an
+    # isotropic corpus the analytical rate is ~1.2% of pairs
+    # (1-(1-0.5^planes)^tables); assert a generous 5% ceiling, i.e.
+    # mean partners-per-vector < 0.05·n (vs n-1 for all-pairs/degenerate
+    # blocking).
+    emb, _ = _planted_corpus(spark)
+    n = emb.count()
+    n_cand = embedding_lsh_candidates(emb).distinct().count()
+    assert n_cand < 0.05 * n * (n - 1) / 2
+
+
+def test_registered_near_dup_is_empty_on_isotropic_corpus(spark):
+    # this corpus has no structurally-similar embeddings: max pairwise
+    # cosine ≈ 0.51, far below the near-dup threshold — the registered
+    # query and its oracle agree on the empty set (the non-vacuous
+    # evidence lives in the planted-corpus tests above).
+    assert dedup_embedding_cosine(spark, SF_DIR).count() == 0
