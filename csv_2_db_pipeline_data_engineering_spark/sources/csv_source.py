@@ -9,12 +9,21 @@ Parity surface S1-S3 (SURVEY.md §2.1; reference ``src/ingest.py:11-58``):
   CSVs fans out across every executor with no driver materialization.
 - S2 encoding fallback: UTF-8 first, then latin-1 ("never fails" — every
   byte sequence is valid latin-1, reference ``docs/documentation.md:84``).
-  Spark's CSV reader does not raise on bad bytes by default (it replaces
-  them), so we *probe* the raw bytes for strict UTF-8 validity (via a
-  lossless latin-1 read + ``try_validate_utf8``) and read with
-  ISO-8859-1 only when they are genuinely invalid — the same trigger
-  semantics as the reference's decode-exception fallback
-  (``src/ingest.py:46-58``), still fully distributed.
+  Implemented as a SINGLE-SCAN in-plan re-decode: the file is read once
+  with ISO-8859-1 (byte-lossless — every byte maps 1:1 to a char
+  ≤ U+00FF), and each string cell whose reconstructed bytes are valid
+  UTF-8 is re-decoded as UTF-8 inside the same plan; invalid cells keep
+  their latin-1 interpretation. A valid-UTF-8 file therefore costs ONE
+  file scan (the r4-flagged double read is gone) and decodes exactly as
+  a UTF-8 read; an entirely-latin-1 file decodes exactly as the
+  reference's fallback. The one divergence is a genuinely MIXED file
+  (valid non-ASCII UTF-8 cells alongside invalid bytes): the reference
+  decodes the whole file latin-1, mojibaking the valid cells, while the
+  per-cell rule decodes each cell under the encoding its own bytes
+  satisfy — strictly better output on data no single encoding fits.
+  CSV delimiters/quotes are ASCII and UTF-8 continuation bytes are
+  ≥ 0x80, so a multi-byte sequence never spans cells — per-cell
+  validation equals whole-file validation for the data bytes.
 - S3 existence precheck, FileNotFoundError distinct from RuntimeError
   (two-exception contract, reference ``docs/documentation.md:67-81``).
 """
@@ -24,7 +33,7 @@ from __future__ import annotations
 import logging
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -59,22 +68,38 @@ def _read(spark: SparkSession, path: str, encoding: str, schema: T.StructType | 
     return df.select(*canonical, *extras)
 
 
+def _utf8_or_latin1(col: Column) -> Column:
+    """Per-cell encoding resolution over a latin-1 read.
+
+    ``encode(col, 'ISO-8859-1')`` reconstructs the cell's exact original
+    file bytes (latin-1 is byte-lossless), ``try_validate_utf8`` checks
+    them STRICTLY — a cell that legitimately contains U+FFFD as valid
+    UTF-8 passes and is decoded as UTF-8 (the old probe searched the
+    UTF-8 decode for U+FFFD, which couldn't tell a replacement from the
+    real character). Invalid bytes keep the latin-1 interpretation —
+    the reference's fallback, per cell. All three functions are
+    codegen'd JVM expressions: no Python, no extra scan.
+    """
+    raw = F.encode(col, "ISO-8859-1")
+    return F.when(col.isNull(), col).when(
+        F.try_validate_utf8(raw).isNotNull(), F.decode(raw, "UTF-8")
+    ).otherwise(col)
+
+
+def _fix_header(name: str) -> str:
+    """Re-decode a latin-1-read column NAME as UTF-8 when its bytes allow
+    (driver-side twin of the per-cell rule; header bytes are tiny)."""
+    try:
+        return name.encode("latin-1").decode("utf-8")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return name
+
+
 def _has_invalid_utf8(df: DataFrame) -> bool:
-    """True if any string cell holds bytes that are not valid UTF-8.
-
-    ``df`` must be a latin-1 read: latin-1 decoding is byte-lossless
-    (every byte maps 1:1 to a char ≤ U+00FF), so re-encoding each cell
-    with ISO-8859-1 reconstructs the file's exact original bytes, and
-    ``try_validate_utf8`` checks them strictly. This is a true byte
-    validity test — a file that legitimately *contains* U+FFFD as valid
-    UTF-8 does not trip it (the old probe searched the UTF-8 decode for
-    U+FFFD, which couldn't tell a replacement from the real character).
-    CSV delimiters/quotes are ASCII and UTF-8 continuation bytes are
-    ≥ 0x80, so a multi-byte sequence never spans cells — per-cell
-    validation equals whole-file validation for the data bytes.
-
-    One distributed pass with an early-out ``limit(1)``; no driver
-    materialization of data.
+    """True if any string cell of a latin-1 read holds bytes that are not
+    valid UTF-8. Explicit probe utility (one distributed pass with an
+    early-out ``limit(1)``) — NOT on the ingest path, which resolves
+    encodings lazily per cell instead of paying a probe scan.
     """
     str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
     if not str_cols:
@@ -96,6 +121,11 @@ def ingest_csv(
 ) -> DataFrame:
     """Read a CSV (file or directory of files) into a DataFrame.
 
+    Single-scan: the only job this function itself may trigger is the
+    reader's header-line resolution; encoding fallback happens inside
+    the returned plan (see ``_utf8_or_latin1``), so a downstream action
+    scans the file exactly once whatever its encoding.
+
     Raises:
         FileNotFoundError: path does not exist (retryable: upstream
             delivery problem — reference ``src/ingest.py:28-30``).
@@ -109,14 +139,17 @@ def ingest_csv(
 
     logger.info("Reading file: %s", filepath)
     try:
-        # Probe byte validity on a lossless latin-1 read; only the probe
-        # outcome decides which decode the pipeline consumes, so a valid
-        # UTF-8 file is read as UTF-8 even if it contains U+FFFD.
-        probe = _read(spark, filepath, "ISO-8859-1", None)
-        if _has_invalid_utf8(probe):
-            logger.warning("UTF-8 failed, retrying with latin-1 encoding")
-            return _read(spark, filepath, "ISO-8859-1", schema)
-        return _read(spark, filepath, "UTF-8", schema)
+        df = _read(spark, filepath, "ISO-8859-1", schema)
+        fixed = [_fix_header(c) for c in df.columns]
+        if fixed != list(df.columns) and len(set(fixed)) == len(fixed):
+            df = df.toDF(*fixed)
+        cells = [
+            _utf8_or_latin1(F.col(f"`{f.name}`")).alias(f.name)
+            if isinstance(f.dataType, T.StringType)
+            else F.col(f"`{f.name}`")
+            for f in df.schema.fields
+        ]
+        return df.select(*cells)
     except Exception as exc:  # noqa: BLE001 - two-exception contract
         logger.error("Failed to read file with any supported encoding: %s", exc)
         raise RuntimeError(f"Could not read file: {filepath}") from exc
