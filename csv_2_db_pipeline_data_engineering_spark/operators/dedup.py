@@ -55,14 +55,20 @@ EMB_LSH_TABLES = 48
 EMB_LSH_PLANES = 12
 
 # Hot-shingle ceiling for the exact inverted-index join: a shingle that
-# appears in more than max(MIN, FRAC * n_docs) documents is dropped from
-# the shingle sets before the self-join. Without it, high-df shingles
-# (stopword trigrams) form quadratic join buckets — the classic skew
-# killer in exact near-dup at scale; dropping them is standard in dedup
-# pipelines (they carry no pair-discriminating signal). The cap is
-# corpus-relative with an absolute floor so tiny corpora don't over-drop.
+# appears in more than min(ABS_MAX, max(MIN, FRAC * n_docs)) documents
+# is dropped from the shingle sets before the self-join. Without it,
+# high-df shingles (stopword trigrams) form quadratic join buckets — the
+# classic skew killer in exact near-dup at scale; dropping them is
+# standard in dedup pipelines (they carry no pair-discriminating
+# signal). The cap is corpus-relative with an absolute floor (tiny
+# corpora don't over-drop) AND an absolute ceiling: without the ceiling
+# a hot shingle at the 0.1·n cap still forms a Θ((n/10)²) = Θ(n²)
+# bucket at scale (the r4 ADVICE finding) — ABS_MAX bounds the worst
+# bucket at a CONSTANT ~16M comparisons regardless of corpus size, the
+# standard hot-key drop.
 SHINGLE_DF_CAP_MIN = 16
 SHINGLE_DF_CAP_FRACTION = 0.1
+SHINGLE_DF_CAP_ABS_MAX = 4096
 
 # k=64 signatures in 32 bands of 2 rows: P(candidate | jaccard=j) =
 # 1-(1-j^2)^32 -> 99.6% at the j=0.4 threshold and ~1-1e-14 at j>=0.8
@@ -138,7 +144,7 @@ def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def capped_shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) rows with hot shingles removed by document
-    frequency: df ≤ max(SHINGLE_DF_CAP_MIN, FRAC·n_docs).
+    frequency: df ≤ min(ABS_MAX, max(SHINGLE_DF_CAP_MIN, FRAC·n_docs)).
 
     The df is one window count over the shingle key (the same shuffle
     the downstream self-join needs anyway); the corpus size reaches the
@@ -148,9 +154,12 @@ def capped_shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     sh = shingles_df(docs, n=n)
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    cap = F.greatest(
-        F.lit(SHINGLE_DF_CAP_MIN),
-        F.ceil(F.lit(SHINGLE_DF_CAP_FRACTION) * F.col("n_docs")),
+    cap = F.least(
+        F.lit(SHINGLE_DF_CAP_ABS_MAX),
+        F.greatest(
+            F.lit(SHINGLE_DF_CAP_MIN),
+            F.ceil(F.lit(SHINGLE_DF_CAP_FRACTION) * F.col("n_docs")),
+        ),
     )
     return (
         ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
@@ -161,8 +170,18 @@ def capped_shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with trigram-shingle Jaccard ≥ threshold over the
-    df-capped shingle sets (exact given the cap).
+    """CAPPED-Jaccard near-dup: all pairs with trigram-shingle Jaccard
+    ≥ threshold computed over the df-capped shingle sets (exact given
+    the cap; the cap is part of the operator's definition).
+
+    Relative to TRUE Jaccard the cap can both drop pairs (overlap that
+    lived only in hot shingles) and admit pairs (shrunken denominators
+    push borderline ratios over the threshold) — so this operator and
+    ``dedup_minhash_lsh`` (which verifies against UNCAPPED sets) are
+    deliberately different contracts at the same threshold: capped =
+    the bounded-skew production scan, uncapped LSH = the faithful-
+    Jaccard candidate pipeline. Both contracts are stated in their
+    catalog entries.
 
     Inverted-index join: explode shingles, drop hot shingles (df cap —
     no join bucket can exceed the cap, so the worst bucket cost is
@@ -226,8 +245,9 @@ ORDER BY doc_a, doc_b
 # by the capped-Jaccard and containment oracles.
 _CAPPED_KEPT_SQL = f"""
 caps AS (
-  SELECT GREATEST({SHINGLE_DF_CAP_MIN},
-                  CEIL({SHINGLE_DF_CAP_FRACTION} * COUNT(*))) AS cap
+  SELECT LEAST({SHINGLE_DF_CAP_ABS_MAX},
+               GREATEST({SHINGLE_DF_CAP_MIN},
+                        CEIL({SHINGLE_DF_CAP_FRACTION} * COUNT(*)))) AS cap
   FROM documents
 ),
 kept AS (
@@ -967,9 +987,13 @@ QUERIES = [
     Query("dedup_exact_hash", "exact dedup on md5 digest (16-byte shuffle key)",
           dedup_exact_hash, DEDUP_EXACT_HASH_ORACLE),
     Query("dedup_ngram_jaccard",
-          "exact trigram-shingle Jaccard near-dup pairs (hot-shingle df cap)",
+          "capped-Jaccard near-dup pairs: trigram shingles with hot shingles "
+          "dropped at the df cap; Jaccard over the CAPPED sets — diverges from "
+          "dedup_minhash_lsh's uncapped-Jaccard contract by design",
           dedup_ngram_jaccard, NGRAM_JACCARD_CAPPED_ORACLE),
-    Query("dedup_minhash_lsh", "MinHash+LSH candidates verified with exact Jaccard",
+    Query("dedup_minhash_lsh",
+          "MinHash+LSH candidates verified with exact UNCAPPED Jaccard "
+          "(faithful-Jaccard contract; see dedup_ngram_jaccard for the capped twin)",
           dedup_minhash_lsh, NGRAM_JACCARD_ORACLE),
     Query("dedup_simhash",
           "SimHash Hamming-distance near-dup pairs (md5 bit votes, banded join)",
@@ -981,7 +1005,10 @@ QUERIES = [
           f"(cos >= {EMB_NEAR_DUP_THRESHOLD}; seeded >=99.85%-recall contract)",
           dedup_embedding_cosine, EMBEDDING_NEAR_DUP_ORACLE),
     Query("dedup_containment",
-          "sub-document containment pairs (inverted-index candidates + substring verify)",
+          "sub-document containment pairs (inverted-index candidates + substring "
+          "verify); recall precondition: the inner doc has >= 3 words and at "
+          "least one shingle below the df cap — shorter or all-boilerplate "
+          "contained docs are out of contract (pinned in tests)",
           dedup_containment, CONTAINMENT_ORACLE),
     Query("dedup_embedding_cosine_block",
           "exhaustive-recall embedding-cosine pairs via k-means block join "

@@ -95,6 +95,21 @@ def serve_rollup(rollup: DataFrame) -> DataFrame:
 
 # --- catalog registration -------------------------------------------------------
 
+#: engine-identical exact 4-dp half-away-from-zero average of
+#: sum_value/n_rows (see the comment block in ``hourly_rollup_serve``);
+#: the two strings differ only in each engine's INTEGER floor-division
+#: spelling and wide-integer type.
+EXACT_AVG_4DP_SPARK = (
+    "CAST((CASE WHEN sum_value < 0 THEN -1 ELSE 1 END)"
+    " * CAST((CAST(ABS(sum_value) * 1000000 AS DECIMAL(38,0)) + 50 * n_rows)"
+    " DIV (100 * n_rows) AS BIGINT) AS DOUBLE) / 10000"
+)
+EXACT_AVG_4DP_DUCKDB = (
+    "CAST((CASE WHEN sum_value < 0 THEN -1 ELSE 1 END)"
+    " * CAST((CAST(ABS(sum_value) * 1000000 AS HUGEINT) + 50 * n_rows)"
+    " // (100 * n_rows) AS BIGINT) AS DOUBLE) / 10000"
+)
+
 
 def hourly_rollup_serve(spark, sf_dir: str) -> DataFrame:
     """Served continuous aggregate over events (exact columns only — the
@@ -119,12 +134,17 @@ def hourly_rollup_serve(spark, sf_dir: str) -> DataFrame:
     # avg rounded to 4 dp in PURE INTEGER arithmetic: sum/n in decimal
     # can land exactly on a .xxxx5 tie, where Spark (BigDecimal HALF_UP)
     # and DuckDB (C-library rounding on doubles) disagree. Micro-unit
-    # integers + floor((x + n/2)/n) is the same half-up rule computed
-    # identically by both engines for non-negative sums.
-    avg_exact = F.expr(
-        "CAST((CAST(sum_value * 1000000 AS BIGINT) + 50 * n_rows)"
-        " DIV (100 * n_rows) AS DOUBLE) / 10000"
-    )
+    # integers + floor((|x| + n/2)/n), sign reapplied, is the same
+    # half-AWAY-FROM-ZERO rule computed identically by both engines:
+    # the ABS/sign split matters because Spark's DIV truncates toward
+    # zero while DuckDB's // floors — they only agree on non-negative
+    # operands (the r4 ADVICE finding). Micro-units live in
+    # DECIMAL(38,0) (Spark) / HUGEINT (DuckDB oracle) so |sum| is good
+    # to ~1.7e32, not the old BIGINT's 9.2e12; the BIGINT quotient cast
+    # bounds |avg| < 9.2e14, comfortably above any physical bucket mean.
+    # (DuckDB note: // on DECIMAL operands is fractional division —
+    # HUGEINT is what keeps it integer floor division there.)
+    avg_exact = F.expr(EXACT_AVG_4DP_SPARK)
     return served.select(
         "bucket_start",
         "key",
@@ -136,17 +156,22 @@ def hourly_rollup_serve(spark, sf_dir: str) -> DataFrame:
     ).orderBy("bucket_start", "key")
 
 
-HOURLY_ROLLUP_ORACLE = """
-SELECT date_trunc('hour', ts) AS bucket_start,
-       event_type AS key,
-       COUNT(*) AS n_rows,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
-       CAST(CAST((CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
-                  + 50 * COUNT(*)) // (100 * COUNT(*)) AS BIGINT) AS DOUBLE)
-         / 10000 AS avg_value,
-       ROUND(CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS min_value,
-       ROUND(CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS max_value
-FROM events GROUP BY bucket_start, key ORDER BY bucket_start, key
+HOURLY_ROLLUP_ORACLE = f"""
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS bucket_start,
+         event_type AS key,
+         COUNT(*) AS n_rows,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sum_value,
+         MIN(CAST(value AS DECIMAL(18,6))) AS min_value,
+         MAX(CAST(value AS DECIMAL(18,6))) AS max_value
+  FROM events GROUP BY bucket_start, key
+)
+SELECT bucket_start, key, n_rows,
+       ROUND(CAST(sum_value AS DOUBLE), 4) AS sum_value,
+       {EXACT_AVG_4DP_DUCKDB} AS avg_value,
+       ROUND(CAST(min_value AS DOUBLE), 4) AS min_value,
+       ROUND(CAST(max_value AS DOUBLE), 4) AS max_value
+FROM agg ORDER BY bucket_start, key
 """
 
 

@@ -108,6 +108,33 @@ def test_containment_finds_subdocument_pairs(spark, tmp_path):
     assert row.outer_len == len("alpha beta gamma delta epsilon zeta")
 
 
+def test_containment_recall_precondition_is_pinned(spark, tmp_path):
+    # The operator's stated recall precondition (catalog description):
+    # an inner doc with < 3 words produces NO shingles, and one whose
+    # every shingle is hot (df > cap) keys no candidate — such contained
+    # docs are out of contract and intentionally NOT found, even though
+    # they satisfy the substring predicate. The oracle mirrors the same
+    # candidate definition, so this blind spot is part of the contract,
+    # not a silent bug — this test keeps it intentional.
+    hot = "common boiler plate"  # one trigram shared by > cap docs
+    n_hot = SHINGLE_DF_CAP_MIN + 2
+    texts = (
+        ["tiny doc"]                                   # 0: < 3 words, inside 2
+        + ["surrounding words tiny doc more words"]    # 1: container of 0
+        + [f"{hot} filler{i} pad{i} tail{i}" for i in range(n_hot)]  # hot docs
+        + [hot]                                        # last: all-hot inner,
+                                                       # contained in every hot doc
+    )
+    docs = _docs(spark, texts)
+    path = str(tmp_path / "docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    found = {(r.doc_inner, r.doc_outer)
+             for r in dedup_containment(spark, path).collect()}
+    inner_ids = {p[0] for p in found}
+    assert 0 not in inner_ids, "< 3-word inner doc is out of contract"
+    assert len(texts) - 1 not in inner_ids, "all-hot-shingle inner doc is out of contract"
+
+
 def test_containment_on_corpus_inner_is_true_substring(spark):
     out = dedup_containment(spark, SF_DIR).collect()
     assert out, "test corpus is known to contain sub-document pairs"

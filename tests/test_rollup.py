@@ -55,6 +55,52 @@ def test_merge_is_associative_over_many_deltas(spark):
     assert _served(acc) == _served(build_rollup(ev))
 
 
+def test_exact_avg_matches_duckdb_on_negative_and_huge_sums(spark):
+    """The served avg's integer half-away-from-zero arithmetic must be
+    engine-identical even where the r4 formula broke: negative sums
+    (Spark DIV truncates toward zero, DuckDB // floors) and |sum| beyond
+    the old BIGINT micro-unit ceiling (~9.2e12)."""
+    import duckdb
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.rollup import (
+        EXACT_AVG_4DP_DUCKDB,
+        EXACT_AVG_4DP_SPARK,
+    )
+
+    cases = [
+        ("-1.00005", 2),   # -0.500025: floor-vs-truncate would differ here
+        ("1.00005", 2),
+        ("-0.00015", 3),   # -0.00005: exact 4-dp tie, rounds away from zero
+        ("0.00015", 3),
+        ("-7.5", 4),
+        ("9300000000000.5", 3),   # overflows the old BIGINT*1e6 path
+        ("-9300000000000.5", 3),
+        ("0", 5),
+    ]
+    sdf = spark.createDataFrame(cases, "s string, n_rows long").withColumn(
+        "sum_value", F.col("s").cast("decimal(28,6)")
+    )
+    got = {
+        r["s"]: r["avg"]
+        for r in sdf.selectExpr("s", f"{EXACT_AVG_4DP_SPARK} AS avg").collect()
+    }
+    con = duckdb.connect()
+    rows = ", ".join(f"(CAST({s} AS DECIMAL(28,6)), CAST({n} AS BIGINT), '{s}')"
+                     for s, n in cases)
+    want = {
+        s: v
+        for s, v in con.execute(
+            f"SELECT s, {EXACT_AVG_4DP_DUCKDB} AS avg"
+            f" FROM (VALUES {rows}) t(sum_value, n_rows, s)"
+        ).fetchall()
+    }
+    assert got == want
+    # sign symmetry: f(-x) == -f(x) for every mirrored case
+    assert got["-1.00005"] == -got["1.00005"]
+    assert got["-0.00015"] == -got["0.00015"]
+    assert got["-9300000000000.5"] == -got["9300000000000.5"]
+
+
 def test_serve_semantics(spark):
     """Served rollup matches a direct aggregate of the raw events
     (exact columns exactly; the sketch within HLL error)."""
