@@ -550,13 +550,35 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup groups: LSH pairs -> connected components -> cluster sizes.
+    """Near-dup groups: exact pairs -> connected components -> cluster sizes.
 
-    The full LLM-pipeline dedup story: candidate pairs (MinHash-LSH,
-    Jaccard-verified) collapse into clusters; the canonical survivor per
-    cluster is the minimum doc_id. Output is one row per multi-member
-    cluster with its size — the delete-list is everything whose doc_id
-    != cluster_id.
+    The full LLM-pipeline dedup story: near-dup pairs collapse into
+    clusters; the canonical survivor per cluster is the minimum doc_id.
+    Output is one row per multi-member cluster with its size — the
+    delete-list is everything whose doc_id != cluster_id.
+
+    The edge set is ``dedup_ngram_jaccard`` (EXACT capped-Jaccard pairs),
+    so the oracle equivalence is UNCONDITIONAL — it no longer rides on
+    LSH recovering every pair (the r4 caveat). The LSH-edged variant
+    survives as ``dedup_clusters_lsh`` for the scale pipeline demo.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` with MinHash-LSH edges — the 100 TB pipeline
+    shape (constant-size signatures, banded candidate join). Oracle
+    equivalence additionally relies on LSH recovering every exact
+    uncapped-Jaccard pair: per-pair banded probability ≈ 0.996 at the
+    0.4 threshold, deterministic here because the hash family is seeded
+    — the same stated contract as ``dedup_minhash_lsh``, extended to
+    cluster topology (one missed edge would change component counts).
     """
     pairs = dedup_minhash_lsh(spark, sf_dir)
     labels = connected_components(pairs)
@@ -952,17 +974,12 @@ EMBEDDING_COSINE_BLOCK_ORACLE = _allpairs_cosine_oracle(BLOCK_COSINE_THRESHOLD)
 # doc_id it can reach (LEAST folds the node itself in). The Spark side
 # computes the same labels by min-label propagation; both group to
 # (cluster_id, n_members).
-#
-# NOTE: the oracle derives edges from exact all-pairs Jaccard while the
-# Spark side builds them from MinHash-LSH candidate pairs, so equality
-# additionally relies on LSH recovering every exact pair (banded
-# P(candidate | j≥0.4) ≈ 0.996 per pair; deterministic here because the
-# hash family is seeded). That is already the oracle contract for
-# ``dedup_minhash_lsh``; it extends to cluster topology, where one
-# missed edge would change component counts.
-DEDUP_CLUSTERS_ORACLE = f"""
+
+
+def _clusters_oracle(pairs_sql: str) -> str:
+    return f"""
 WITH RECURSIVE
-jac AS ({NGRAM_JACCARD_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
+jac AS ({pairs_sql.replace("ORDER BY doc_a, doc_b", "")}),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM jac
   UNION
@@ -979,6 +996,15 @@ labels AS (
 SELECT cluster_id, COUNT(*) AS n_members
 FROM labels GROUP BY cluster_id ORDER BY cluster_id
 """
+
+
+#: UNCONDITIONAL: both sides close over the SAME exact capped-Jaccard
+#: pair set (``dedup_ngram_jaccard`` / its oracle) — no recall caveat.
+DEDUP_CLUSTERS_ORACLE = _clusters_oracle(NGRAM_JACCARD_CAPPED_ORACLE)
+
+#: LSH-edged variant: equality additionally relies on the seeded LSH
+#: recovering every exact uncapped pair (see ``dedup_clusters_lsh``).
+DEDUP_CLUSTERS_LSH_ORACLE = _clusters_oracle(NGRAM_JACCARD_ORACLE)
 
 
 QUERIES = [
@@ -998,7 +1024,9 @@ QUERIES = [
     Query("dedup_simhash",
           "SimHash Hamming-distance near-dup pairs (md5 bit votes, banded join)",
           dedup_simhash, SIMHASH_ORACLE),
-    Query("dedup_clusters", "near-dup connected components via min-label propagation",
+    Query("dedup_clusters",
+          "near-dup connected components via min-label propagation over the "
+          "exact capped-Jaccard pair set (unconditional oracle)",
           dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     Query("dedup_embedding_cosine",
           "embedding near-dup pairs: sign-LSH candidates + exact-cosine verify "
@@ -1010,6 +1038,10 @@ QUERIES = [
           "least one shingle below the df cap — shorter or all-boilerplate "
           "contained docs are out of contract (pinned in tests)",
           dedup_containment, CONTAINMENT_ORACLE),
+    Query("dedup_clusters_lsh",
+          "near-dup connected components over MinHash-LSH edges (the 100 TB "
+          "pipeline shape; seeded-LSH recall contract extends to topology)",
+          dedup_clusters_lsh, DEDUP_CLUSTERS_LSH_ORACLE),
     Query("dedup_embedding_cosine_block",
           "exhaustive-recall embedding-cosine pairs via k-means block join "
           f"(cos >= {BLOCK_COSINE_THRESHOLD}; Theta(n^2) keyed join on isotropic data)",
