@@ -422,15 +422,10 @@ def minhash_signatures(gh_rows: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return gh_rows.groupBy("doc_id").agg(*mins)
 
 
-def lsh_candidate_pairs(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
-    """Banded LSH: docs collide if any band of the signature matches.
-
-    rows-per-band r = k/bands; P(collide | jaccard=j) = 1-(1-j^r)^bands.
-    With k=128, bands=64 (r=2): j=0.4 → ~99.999% recall. Pairs are NOT
-    deduplicated here — a pair surfaces once per matching band and the
-    caller dedupes after the (cheap, broadcast) verify step, which saves
-    a full shuffle on the candidate stream.
-    """
+def band_rows(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Explode a signature frame into (doc_id, band, bh) rows — the LSH
+    join key stream, derived map-side from the m0..m{k-1} columns (so a
+    persisted signature index needs no stored band table)."""
     k = MINHASH_K
     r = k // bands
     band_structs = F.array(
@@ -442,9 +437,21 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
             for b in range(bands)
         ]
     )
-    ex = signed.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return signed.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+
+
+def lsh_candidate_pairs(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Banded LSH: docs collide if any band of the signature matches.
+
+    rows-per-band r = k/bands; P(collide | jaccard=j) = 1-(1-j^r)^bands.
+    With k=128, bands=64 (r=2): j=0.4 → ~99.999% recall. Pairs are NOT
+    deduplicated here — a pair surfaces once per matching band and the
+    caller dedupes after the (cheap, broadcast) verify step, which saves
+    a full shuffle on the candidate stream.
+    """
+    ex = band_rows(signed, bands)
     a, b = ex.alias("a"), ex.alias("b")
     return a.join(
         b,
@@ -587,6 +594,111 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("cluster_id")
     )
+
+
+# --- incremental dedup against a persisted signature index ---------------------
+
+
+def build_signature_index(docs: DataFrame) -> DataFrame:
+    """Per-document dedup state: MinHash signature (m0..m{k-1}) plus the
+    gram-hash set and its size — everything a later delta fold needs
+    (candidates from the banded signature, exact-Jaccard verify from the
+    stored hash sets) WITHOUT the document text. Persist this once per
+    ingested corpus (parquet); history is never re-shingled.
+
+    The signature mins and the collect_set stay two separate
+    aggregations over the shared gram stream for the same codegen
+    reason as ``dedup_minhash_lsh``; both are keyed on doc_id, so the
+    join that zips them back together is co-partitioned.
+    """
+    gh = gram_hash_rows(docs).cache()
+    sig = minhash_signatures(gh)
+    sets = (
+        gh.groupBy("doc_id")
+        .agg(F.collect_set("gh").alias("sh"))
+        .withColumn("ns", F.size("sh"))
+    )
+    return sig.join(sets, "doc_id")
+
+
+def incremental_dedup_pairs(
+    delta_docs: DataFrame, index: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Near-dup pairs between NEW documents and an indexed base corpus,
+    touching only delta text + the stored index — the rollup-style
+    "never rescan history" property applied to dedup (the streaming/
+    batch twin of the reference's idempotent upsert,
+    reference ``src/load.py:87-95``).
+
+    Candidates: delta band rows ⋈ index band rows on (band, bh) — the
+    index side's bands are derived map-side from its stored signature
+    columns. Verify: exact Jaccard on the stored gram-hash sets; pair
+    multiplicity collapses AFTER the verify like the LSH pipeline.
+    Recall contract = ``dedup_minhash_lsh``'s banded probability
+    (≈ 0.996 per pair at the 0.4 threshold, deterministic seeded
+    family); precision is exact.
+    """
+    d_index = build_signature_index(delta_docs)
+    d_bands = band_rows(d_index).select(
+        F.col("doc_id").alias("doc_delta"), "band", "bh"
+    )
+    b_bands = band_rows(index).select(F.col("doc_id").alias("doc_base"), "band", "bh")
+    cands = d_bands.join(b_bands, ["band", "bh"]).select("doc_delta", "doc_base")
+    d_sets = d_index.select(
+        F.col("doc_id").alias("doc_delta"),
+        F.col("sh").alias("sh_d"),
+        F.col("ns").alias("n_d"),
+    )
+    b_sets = index.select(
+        F.col("doc_id").alias("doc_base"),
+        F.col("sh").alias("sh_b"),
+        F.col("ns").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_d", "sh_b"))
+    jac = inter / (F.col("n_d") + F.col("n_b") - inter)
+    return (
+        cands.join(d_sets, "doc_delta")
+        .join(b_sets, "doc_base")
+        .filter((F.col("doc_delta") != F.col("doc_base")) & (jac >= threshold))
+        .select("doc_delta", "doc_base", F.round(jac, 4).alias("jaccard"))
+        .groupBy("doc_delta", "doc_base")
+        .agg(F.min("jaccard").alias("jaccard"))
+        .orderBy("doc_delta", "doc_base")
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered incremental-dedup demo: documents split by id into an
+    already-indexed base (doc_id % 10 != 0) and an arriving delta
+    (doc_id % 10 == 0); the delta folds against the base's signature
+    index. Here the index is built in-plan from the base split; the
+    persistence path — write index, DELETE the base text, fold — is
+    exercised in ``tests/test_dedup_incremental.py``."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return incremental_dedup_pairs(delta, build_signature_index(base))
+
+
+#: exact uncapped Jaccard between the delta and base splits (same
+#: faithful-Jaccard contract as ``dedup_minhash_lsh``'s oracle).
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH {_SHINGLE_ROWS_SQL},
+inter AS (
+  SELECT a.doc_id AS doc_delta, b.doc_id AS doc_base, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT doc_delta, doc_base,
+       ROUND(n_common::DOUBLE / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_delta
+JOIN sizes sb ON sb.doc_id = doc_base
+WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_delta, doc_base
+"""
 
 
 # --- SimHash -------------------------------------------------------------------
@@ -1038,6 +1150,11 @@ QUERIES = [
           "least one shingle below the df cap — shorter or all-boilerplate "
           "contained docs are out of contract (pinned in tests)",
           dedup_containment, CONTAINMENT_ORACLE),
+    Query("dedup_incremental",
+          "incremental dedup: arriving delta docs folded against the base "
+          "corpus' persisted MinHash signature index (base text never "
+          "rescanned; exact-Jaccard verify on stored hash sets)",
+          dedup_incremental, DEDUP_INCREMENTAL_ORACLE),
     Query("dedup_clusters_lsh",
           "near-dup connected components over MinHash-LSH edges (the 100 TB "
           "pipeline shape; seeded-LSH recall contract extends to topology)",
