@@ -36,19 +36,20 @@ class Query:
 # shapes are already covered by an in-window twin; they remain fully
 # registered and are verified by tools/check_oracles.py locally.
 #
-# Round-4 rotation (VERDICT r3 #8): eight double-covered twins moved
-# out (dedup_exact ~ dedup_exact_hash, top_customers ~ q3's
-# join+agg+top-k, text_top_term ~ text_tfidf's window,
-# embedding_norm_stats ~ embedding_label_centroids' map-side agg,
-# mm_frame_sample_stats ~ mm_decode_features' mapInPandas,
-# text_fingerprint ~ dedup_exact_hash's map-side md5, running_revenue ~
-# corpus_pack_plan's running-sum window, rollup_status_year ~
-# grouping_sets_priority_status' expand) in favor of five plan shapes
-# the driver had never verified (pivot, per-group top-k limit,
-# skew-salted two-stage aggregation, decorrelated scalar subquery,
-# GROUPING SETS) plus round 4's three new LLM-pipeline operators
-# (containment dedup, shuffle plan, domain-mix allocation) — keeping
-# every LLM-pipeline operator inside the driver-checked window.
+# Round-5 rotation (VERDICT r4 #8): six double-covered twins moved out
+# (customers_with_orders ~ customers_without_orders' semi/anti family,
+# last_event_per_user ~ top3_orders_per_priority's ranked window,
+# user_sessions ~ user_event_gaps' lag-over-user window,
+# approx_aggregates ~ the ann_* certificate pattern + price_percentiles'
+# exact twin, grouping_sets_priority_status ~ cube_event_type_dow's
+# superset expand, mm_payload_stats ~ mm_decode_features' multimodal
+# surface) in favor of five plan shapes the driver had never verified
+# (CUBE, lag/time-gap window, regex predicate pushdown, deterministic
+# hash sampling, stddev-based outlier filter) plus round 5's new
+# LLM-pipeline operator dedup_incremental (delta vs persisted signature
+# index) — keeping every LLM-pipeline operator family inside the
+# driver-checked window. Rotated-out queries remain registered and
+# locally oracle-checked (tools/check_oracles.py).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
@@ -66,6 +67,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_containment",
+    "dedup_incremental",
     # LLM-pipeline: similarity / embeddings.
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
@@ -79,7 +81,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality_score",
     "text_lang_id",
     # LLM-pipeline: multimodal + continuous aggregate.
-    "mm_payload_stats",
     "mm_decode_features",
     "hourly_rollup_serve",
     # LLM-pipeline: curation decisions (contamination / sampling / keep-drop).
@@ -93,21 +94,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_supplier_volume",
-    "last_event_per_user",
-    "customers_with_orders",
+    "user_event_gaps",
+    "part_brand_regex",
     "customers_without_orders",
-    "user_sessions",
+    "deterministic_sample_stats",
+    "event_value_outliers",
     "events_json_stats",
     "asof_last_order_per_event",
     "range_join_followup_orders",
     "price_percentiles",
-    "approx_aggregates",
-    # Rotated in (round 4): driver-new plan shapes.
+    "cube_event_type_dow",
+    # Rotated in round 4, kept: still the only instances of their shapes.
     "pivot_status_by_priority",
     "top3_orders_per_priority",
     "salted_event_type_counts",
     "parts_above_brand_avg",
-    "grouping_sets_priority_status",
 )
 
 
