@@ -47,7 +47,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         us = F.floor(F.col("ts") / 1000).cast("long")
         df = df.withColumn("ts_us", us).withColumn("ts", F.timestamp_micros(us))
     else:
-        df = df.withColumn("ts_us", F.unix_micros(F.col("ts")))
+        # Parquet timestamp[us] without timezone metadata arrives as
+        # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ; unix_micros
+        # requires TIMESTAMP. The session timezone is pinned to UTC
+        # (session.py), so the NTZ->LTZ cast is exactly naive-as-UTC —
+        # bit-identical to DuckDB's epoch_us() on the same file.
+        df = df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
     return df
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._event_time import as_event_time
+
 
 def dedup_stream_exact(
     events: DataFrame,
@@ -28,7 +30,7 @@ def dedup_stream_exact(
     batch frames (batch: plain dropDuplicates semantics).
     """
     keys = keys or ["event_id"]
-    wm = events.withWatermark("ts", watermark_delay)
+    wm = as_event_time(events).withWatermark("ts", watermark_delay)
     if wm.isStreaming:
         return wm.dropDuplicatesWithinWatermark(keys)
     return wm.dropDuplicates(keys)
@@ -45,7 +47,7 @@ def dedup_stream_content_hash(
     store and the shuffle — same design as the batch
     ``dedup_exact_hash`` (SURVEY.md §2.11 scale note).
     """
-    hashed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    hashed = as_event_time(docs).withColumn("content_hash", F.md5(F.col(text_col)))
     wm = hashed.withWatermark("ts", watermark_delay)
     if wm.isStreaming:
         return wm.dropDuplicatesWithinWatermark(["content_hash"])

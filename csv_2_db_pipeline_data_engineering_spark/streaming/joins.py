@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._event_time import as_event_time
+
 
 def enrich_stream_static(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     """Stream-static broadcast enrichment (dimension join).
@@ -47,7 +49,7 @@ def join_event_pairs(
     of rows per side. Output columns are stable for the batch-twin test.
     """
     v = (
-        views.withWatermark("ts", watermark_delay)
+        as_event_time(views).withWatermark("ts", watermark_delay)
         .select(
             F.col("user_id").alias("v_user"),
             F.col("event_id").alias("view_id"),
@@ -55,7 +57,7 @@ def join_event_pairs(
         )
     )
     c = (
-        clicks.withWatermark("ts", watermark_delay)
+        as_event_time(clicks).withWatermark("ts", watermark_delay)
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),

@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ._event_time import as_event_time
+
 SESSION_GAP_SEC = 1800
 
 
@@ -38,7 +40,7 @@ def windowed_event_counts(
     oracle-checked ``events_hourly_window``.
     """
     return (
-        events.withWatermark("ts", watermark_delay)
+        as_event_time(events).withWatermark("ts", watermark_delay)
         .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
@@ -134,7 +136,7 @@ def sessionize(
             )
 
     return (
-        events.withWatermark("ts", watermark_delay)
+        as_event_time(events).withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
