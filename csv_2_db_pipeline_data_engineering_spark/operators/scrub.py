@@ -1,0 +1,331 @@
+"""Document-hygiene operators: PII scrubbing, repetition stats, chunking.
+
+Three pre-training curation stages the ``text``/``dedup`` families don't
+cover, each a pure column-expression plan over ``documents``:
+
+- :func:`text_pii_scrub` — detect + redact emails / IPv4s / card-like
+  digit runs / phone-like numbers (the standard scrub pass a corpus gets
+  before training). Patterns are chosen to behave identically under
+  Java regex (Spark) and RE2 (DuckDB) so the redacted text is
+  bit-identical cross-engine and the oracle can hash it.
+- :func:`text_repetition_stats` — Gopher-style repetition signals
+  (Rae et al. 2021, "Scaling Language Models", Table A1): the fraction
+  of n-grams claimed by the most frequent one, and the fraction inside
+  duplicated n-grams — the published heuristics for boilerplate and
+  looping text, expressed over token n-grams.
+- :func:`doc_chunk_plan` — fixed-window / strided token chunking (the
+  context-length packing prep step): emits one row per (doc, chunk)
+  with token offsets and a content hash of the slice.
+
+Scale shapes (100 TB):
+- PII scrub is zero-shuffle: regexp count + replace chains run map-side
+  inside whole-stage codegen; nothing but the final demo ORDER BY moves.
+- Repetition stats shuffle (doc_id, gram) once per gram size with
+  map-side partial counts — the same inverted shape as TF-IDF's tf
+  aggregate; gram strings never exceed n tokens and could drop to
+  xxhash64 keys at scale (kept as text here so the oracle can see them).
+- Chunking is also zero-shuffle: chunk counts are integer arithmetic on
+  token counts, the per-chunk rows come from an in-partition
+  sequence+explode, and the slice hash is computed before anything
+  would move. The text column itself never enters a shuffle.
+
+The synthetic corpus is PII-free word soup, so the scrub query plants
+deterministic PII derived from ``doc_id`` — identically in the Spark
+plan and the oracle SQL — exercising detection, counting, and redaction
+with non-trivial, value-checked results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import Query
+from ..sources.tables import load_table
+
+# Patterns valid and equivalent in BOTH Java regex and RE2: no
+# backreferences, no lookaround, ASCII classes and \b only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+DIGIT_RUN_RE = r"\b\d{13,19}\b"  # card-like long digit run
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+_REDACTIONS = (
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (DIGIT_RUN_RE, "<NUM>"),
+    (PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts for a text column (map-side)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0)),
+        "n_ipv4": F.size(F.regexp_extract_all(col, F.lit(IPV4_RE), 0)),
+        "n_digit_runs": F.size(F.regexp_extract_all(col, F.lit(DIGIT_RUN_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), 0)),
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with a typed placeholder (fixed order)."""
+    out = col
+    for pat, token in _REDACTIONS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def _planted_text() -> Column:
+    """``text`` with deterministic doc_id-derived PII appended.
+
+    Presence varies by doc_id modulus so counts are non-uniform; the
+    oracle builds the identical string, so detection, counting, and the
+    redacted-text hash are all value-checked.
+    """
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" contact doc"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit(" host 10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            (did % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    card = F.when(did % 5 == 0, F.lit(" card 4111111111111111")).otherwise(F.lit(""))
+    phone = F.when(did % 7 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, ip, card, phone)
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect, count, and redact PII; certify nothing survives.
+
+    ``pii_free`` re-runs every detector on the redacted text — the
+    in-query proof that the scrub caught everything it can detect.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    planted = _planted_text()
+    counts = pii_counts(planted)
+    red = redact_pii(planted)
+    left = pii_counts(red)
+    return d.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"),
+        (sum(left.values()) == 0).alias("pii_free"),
+    ).orderBy("doc_id")
+
+
+def _planted_sql() -> str:
+    return (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact doc' || doc_id || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' card 4111111111111111' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END"
+    )
+
+
+def _redact_sql(expr: str) -> str:
+    for pat, token in _REDACTIONS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
+
+
+PII_SCRUB_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {_planted_sql()} AS p FROM documents
+),
+red AS (
+  SELECT doc_id, p, {_redact_sql("p")} AS r FROM planted
+)
+SELECT doc_id,
+       len(regexp_extract_all(p, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(p, '{IPV4_RE}')) AS n_ipv4,
+       len(regexp_extract_all(p, '{DIGIT_RUN_RE}')) AS n_digit_runs,
+       len(regexp_extract_all(p, '{PHONE_RE}')) AS n_phones,
+       md5(r) AS redacted_md5,
+       LENGTH(r) AS redacted_len,
+       len(regexp_extract_all(r, '{EMAIL_RE}'))
+         + len(regexp_extract_all(r, '{IPV4_RE}'))
+         + len(regexp_extract_all(r, '{DIGIT_RUN_RE}'))
+         + len(regexp_extract_all(r, '{PHONE_RE}')) = 0 AS pii_free
+FROM red ORDER BY doc_id
+"""
+
+
+# --- Gopher-style repetition signals ---------------------------------
+
+REP_MIN_TOKENS = 5  # need at least one 5-gram
+
+
+def _gram_rows(d: DataFrame, n: int, out: str) -> DataFrame:
+    """Explode token n-grams: one row per (doc_id, gram occurrence)."""
+    grams = F.expr(
+        f"transform(sequence(0, size(split(text, ' ')) - {n}),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+    )
+    return d.select("doc_id", F.explode(grams).alias(out))
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition fractions over token n-grams.
+
+    - ``top_bigram_frac``: share of all bigram occurrences claimed by
+      the most frequent bigram (Gopher's top-2-gram signal).
+    - ``dup_5gram_frac``: share of 5-gram occurrences inside 5-grams
+      that appear more than once (Gopher's dup-n-gram signal) — the
+      looping-text detector.
+
+    Docs shorter than 5 tokens are excluded (no 5-gram exists).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= REP_MIN_TOKENS
+    )
+
+    def frac_agg(rows: DataFrame, gram: str, top: bool, alias: str) -> DataFrame:
+        per_gram = rows.groupBy("doc_id", gram).agg(F.count(F.lit(1)).alias("n"))
+        num = (
+            F.max("n")
+            if top
+            else F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(F.lit(0)))
+        )
+        return per_gram.groupBy("doc_id").agg(
+            F.round(num / F.sum("n"), 6).alias(alias)
+        )
+
+    bi = frac_agg(_gram_rows(d, 2, "bg"), "bg", top=True, alias="top_bigram_frac")
+    five = frac_agg(_gram_rows(d, 5, "fg"), "fg", top=False, alias="dup_5gram_frac")
+    return bi.join(five, "doc_id").orderBy("doc_id")
+
+
+REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {REP_MIN_TOKENS}
+),
+bi AS (
+  SELECT doc_id, ROUND(MAX(n)::DOUBLE / SUM(n), 6) AS top_bigram_frac
+  FROM (
+    SELECT doc_id, bg, COUNT(*) AS n
+    FROM (
+      SELECT doc_id,
+             UNNEST(list_transform(range(len(t) - 1),
+                    i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))) AS bg
+      FROM toks
+    ) GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+),
+five AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END)::DOUBLE / SUM(n), 6)
+           AS dup_5gram_frac
+  FROM (
+    SELECT doc_id, fg, COUNT(*) AS n
+    FROM (
+      SELECT doc_id,
+             UNNEST(list_transform(range(len(t) - 4),
+                    i -> array_to_string(list_slice(t, i + 1, i + 4 + 1), ' '))) AS fg
+      FROM toks
+    ) GROUP BY doc_id, fg
+  ) GROUP BY doc_id
+)
+SELECT doc_id, top_bigram_frac, dup_5gram_frac
+FROM bi JOIN five USING (doc_id) ORDER BY doc_id
+"""
+
+
+# --- Token-window chunking -------------------------------------------
+
+CHUNK_TOKENS = 32  # context window per chunk, in tokens
+CHUNK_STRIDE = 24  # overlap = CHUNK_TOKENS - CHUNK_STRIDE
+
+
+def doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided fixed-window chunking: one row per (doc, chunk).
+
+    ``n_chunks = 1`` when the doc fits one window, else
+    ``1 + ceil((n_tok - W) / S)`` — the last chunk always reaches the
+    final token, interior chunks overlap by ``W - S``. ``chunk_md5``
+    hashes the actual token slice, so the oracle verifies the slicing,
+    not just the arithmetic.
+    """
+    w, s = CHUNK_TOKENS, CHUNK_STRIDE
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= w, F.lit(1)).otherwise(
+        F.lit(1) + ((n - w + s - 1) / s).cast("int")
+    )
+    base = d.select("doc_id", toks.alias("t"), n.alias("n_tok"), n_chunks.alias("nc"))
+    k = F.col("chunk_idx")
+    start = (k * s).cast("int")
+    end = F.least(start + w, F.col("n_tok"))
+    return (
+        base.select(
+            "doc_id",
+            "t",
+            "n_tok",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            start.alias("tok_start"),
+            end.alias("tok_end"),
+            (end - start).alias("n_tok_chunk"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("t"), start + 1, end - start))).alias(
+                "chunk_md5"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_PLAN_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+nc AS (
+  SELECT doc_id, t, n_tok,
+         CASE WHEN n_tok <= {CHUNK_TOKENS} THEN 1
+              ELSE 1 + (n_tok - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+         END AS n_chunks
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, t, n_tok, UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM nc
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_STRIDE} AS INT) AS tok_start,
+       CAST(LEAST(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n_tok) AS INT) AS tok_end,
+       CAST(LEAST(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n_tok)
+            - chunk_idx * {CHUNK_STRIDE} AS INT) AS n_tok_chunk,
+       md5(array_to_string(list_slice(t, chunk_idx * {CHUNK_STRIDE} + 1,
+           LEAST(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n_tok)), ' ')) AS chunk_md5
+FROM chunks ORDER BY doc_id, chunk_idx
+"""
+
+
+QUERIES = [
+    Query("text_pii_scrub",
+          "PII detect/count/redact (email, IPv4, digit runs, phones) with "
+          "an in-query nothing-survives certificate",
+          text_pii_scrub, PII_SCRUB_ORACLE),
+    Query("text_repetition_stats",
+          "Gopher-style repetition: top-bigram and duplicate-5-gram "
+          "fractions per document (docs >= 5 tokens)",
+          text_repetition_stats, REPETITION_ORACLE),
+    Query("doc_chunk_plan",
+          "strided token-window chunk plan with slice-content hashes",
+          doc_chunk_plan, CHUNK_PLAN_ORACLE),
+]

@@ -50,6 +50,14 @@ class Query:
 # index) — keeping every LLM-pipeline operator family inside the
 # driver-checked window. Rotated-out queries remain registered and
 # locally oracle-checked (tools/check_oracles.py).
+#
+# Round-5 additions: three document-hygiene operators new this round
+# (text_pii_scrub, text_repetition_stats, doc_chunk_plan —
+# operators/scrub.py) enter the window in place of three entries the
+# driver already verified green in r04 whose shapes keep in-window
+# twins (duplicate_user_events ~ dedup_exact_hash's dup counting,
+# ann_pq_certified ~ ann_lsh_bucketed/ann_ivf's ANN certificate
+# pattern, embedding_label_centroids ~ the window's agg shapes).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
@@ -57,7 +65,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "normalize_and_serialize",
     "coerce_cast_semantics",
     "multiformat_date_parse",
-    "duplicate_user_events",
     "profile_lineitem",
     # LLM-pipeline: deduplication family.
     "dedup_exact_hash",
@@ -72,14 +79,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf",
-    "ann_pq_certified",
-    "embedding_label_centroids",
-    # LLM-pipeline: text analysis.
+    # LLM-pipeline: text analysis + hygiene.
     "text_token_stats",
     "text_tfidf",
     "text_winnow_stats",
     "text_quality_score",
     "text_lang_id",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "doc_chunk_plan",
     # LLM-pipeline: multimodal + continuous aggregate.
     "mm_decode_features",
     "hourly_rollup_serve",
@@ -119,13 +127,21 @@ def get_catalog() -> dict[str, Query]:
     driver's correctness-gate check window); remaining queries follow in
     module order.
     """
-    from ..operators import curation, dedup, multimodal, rollup, similarity, text
+    from ..operators import (
+        curation,
+        dedup,
+        multimodal,
+        rollup,
+        scrub,
+        similarity,
+        text,
+    )
     from . import advanced, analytics, etl_queries, quality, stats_windows, subqueries
 
     all_queries: dict[str, Query] = {}
     for module in (
         analytics, advanced, stats_windows, subqueries, quality, etl_queries,
-        dedup, similarity, text, multimodal, rollup, curation,
+        dedup, similarity, text, scrub, multimodal, rollup, curation,
     ):
         for q in module.QUERIES:
             if q.name in all_queries:
