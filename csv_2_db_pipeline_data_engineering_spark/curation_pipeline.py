@@ -1,0 +1,255 @@
+"""End-to-end LLM-corpus curation pipeline: the training-data twin of
+:mod:`pipeline` (which carries the reference's sales-ETL contract,
+``main.py:41-136``).
+
+One call takes a raw ``documents`` parquet directory to training-ready
+artifacts:
+
+    raw docs -> PII scrub -> gates (exact-dup, near-dup, language,
+    quality) -> kept/dropped split -> strided token chunks -> parquet
+    sinks + manifest
+
+Design contracts (mirroring the reference's pipeline semantics):
+- **No silent drops**: every input doc lands in exactly one of
+  ``kept_docs`` or ``dropped_docs`` (with its first failing gate as the
+  reason) — the dead-letter pattern of ``sinks/jdbc.rejected_payload``.
+- **Idempotent**: outputs are deterministic functions of the input and
+  written with overwrite semantics; rerunning produces bit-identical
+  tables (the reference's rerun contract, ``README.md:150``).
+- **Driver-side counts only**: the summary's numbers come from one
+  cached per-doc decision frame; document text is never collected.
+
+Scale shapes (100 TB):
+- The scrub and gate signals are map-side column expressions.
+- Near-dup is the MinHash-LSH path (banded signature join + exact
+  Jaccard verify on gram-hash sets) — the same O(candidates) shape as
+  ``dedup_minhash_lsh``, never an all-pairs join.
+- Chunking is in-partition sequence/explode arithmetic; chunk text is
+  sliced map-side on the way into the writer, so the full text column
+  crosses no shuffle.
+- All three sinks could take ``partition_by`` (e.g. by source/date) via
+  ``sources.formats.write_any`` unchanged; kept flat here because the
+  test corpus is small.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.curation import LANG_STOP_RATIO, LOW_QUALITY_TTR
+from .operators.dedup import (
+    JACCARD_THRESHOLD,
+    gram_hash_rows,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from .operators.scrub import CHUNK_STRIDE, CHUNK_TOKENS, pii_counts, redact_pii
+from .operators.text import EN_STOPWORDS
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class CurationSummary:
+    run_id: str
+    input_docs: int
+    kept_docs: int
+    dropped: dict[str, int] = field(default_factory=dict)
+    n_chunks: int = 0
+    pii_redactions: int = 0
+    duration_sec: float = 0.0
+
+    @property
+    def drop_rate_pct(self) -> float:
+        if self.input_docs == 0:
+            return 0.0
+        return round(100.0 * (self.input_docs - self.kept_docs) / self.input_docs, 1)
+
+
+def near_dup_losers(docs: DataFrame) -> DataFrame:
+    """doc_ids dropped by MinHash-LSH near-dup: the larger id of every
+    verified pair (keep-first-seen policy). Exact-Jaccard verify keeps
+    precision exact; recall is the banded-LSH probability (≈1 at the
+    registered threshold — see ``dedup_minhash_lsh``)."""
+    gh = gram_hash_rows(docs)
+    cands = lsh_candidate_pairs(minhash_signatures(gh))
+    sh = (
+        gh.groupBy("doc_id")
+        .agg(F.collect_set("gh").alias("sh"))
+        .withColumn("ns", F.size("sh"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+                   F.col("ns").alias("n_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+                   F.col("ns").alias("n_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+
+def curation_decisions(docs: DataFrame) -> DataFrame:
+    """Per-doc decision frame: (doc_id, text_redacted, n_tok, n_pii,
+    reason, keep, n_chunks).
+
+    Gate order (first failure wins, cheap-to-expensive):
+    exact_dup -> near_dup -> non_english -> low_quality -> keep.
+    """
+    red = redact_pii(F.col("text"))
+    n_pii = sum(pii_counts(F.col("text")).values())
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / n
+    ttr = F.size(F.array_distinct(toks)) / n
+
+    w = Window.partitionBy(F.md5(norm))
+    base = docs.select(
+        "doc_id",
+        red.alias("text_redacted"),
+        n.alias("n_tok"),
+        n_pii.alias("n_pii"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("exact_loser"),
+        stop_ratio.alias("stop_ratio"),
+        ttr.alias("ttr"),
+    )
+    losers = near_dup_losers(docs).withColumn("near_loser", F.lit(True))
+    w_, s_ = CHUNK_TOKENS, CHUNK_STRIDE
+    n_chunks = F.when(F.col("n_tok") <= w_, F.lit(1)).otherwise(
+        F.lit(1) + ((F.col("n_tok") - w_ + s_ - 1) / s_).cast("int")
+    )
+    reason = (
+        F.when(F.col("exact_loser"), "exact_dup")
+        .when(F.col("near_loser"), "near_dup")
+        .when(F.col("stop_ratio") < LANG_STOP_RATIO, "non_english")
+        .when(F.col("ttr") < LOW_QUALITY_TTR, "low_quality")
+        .otherwise("keep")
+    )
+    return (
+        base.join(losers, "doc_id", "left")
+        .withColumn("near_loser", F.coalesce("near_loser", F.lit(False)))
+        .select(
+            "doc_id",
+            "text_redacted",
+            "n_tok",
+            "n_pii",
+            reason.alias("reason"),
+        )
+        .withColumn("keep", F.col("reason") == "keep")
+        .withColumn("n_chunks", F.when(F.col("keep"), n_chunks).otherwise(F.lit(0)))
+    )
+
+
+def chunk_kept(decisions: DataFrame) -> DataFrame:
+    """Materialized chunks for kept docs: (doc_id, chunk_idx, n_tok_chunk,
+    text). Slicing happens map-side before the write — no text shuffle."""
+    w, s = CHUNK_TOKENS, CHUNK_STRIDE
+    kept = decisions.filter("keep")
+    toks = F.split(F.col("text_redacted"), " ")
+    k = F.col("chunk_idx")
+    start = (k * s).cast("int")
+    end = F.least(start + w, F.col("n_tok"))
+    return (
+        kept.select(
+            "doc_id",
+            toks.alias("t"),
+            "n_tok",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (end - start).alias("n_tok_chunk"),
+            F.concat_ws(" ", F.slice(F.col("t"), start + 1, end - start)).alias("text"),
+        )
+    )
+
+
+def run_curation_pipeline(
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+) -> CurationSummary:
+    """Curate a documents parquet directory into ``out_dir``.
+
+    Writes three tables plus a manifest:
+      - ``kept_docs``:    doc_id, text (redacted), n_tok, n_pii
+      - ``dropped_docs``: doc_id, reason
+      - ``chunks``:       doc_id, chunk_idx, n_tok_chunk, text
+      - ``manifest.json``: run metadata + all counts in the summary
+    """
+    run_id = uuid.uuid4().hex[:8]
+    start = time.monotonic()
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    decisions = curation_decisions(docs).cache()
+
+    kept = decisions.filter("keep").select(
+        "doc_id", F.col("text_redacted").alias("text"), "n_tok", "n_pii"
+    )
+    dropped = decisions.filter(~F.col("keep")).select("doc_id", "reason")
+    chunks = chunk_kept(decisions)
+
+    kept.write.mode("overwrite").parquet(os.path.join(out_dir, "kept_docs"))
+    dropped.write.mode("overwrite").parquet(os.path.join(out_dir, "dropped_docs"))
+    chunks.write.mode("overwrite").parquet(os.path.join(out_dir, "chunks"))
+
+    stats = (
+        decisions.groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chunks").alias("nc"),
+            F.sum("n_pii").alias("np"),
+        )
+        .collect()
+    )
+    by_reason = {r["reason"]: r["n"] for r in stats}
+    summary = CurationSummary(
+        run_id=run_id,
+        input_docs=sum(by_reason.values()),
+        kept_docs=by_reason.get("keep", 0),
+        dropped={k: v for k, v in sorted(by_reason.items()) if k != "keep"},
+        n_chunks=sum(r["nc"] for r in stats),
+        pii_redactions=sum(r["np"] for r in stats),
+        duration_sec=round(time.monotonic() - start, 2),
+    )
+    with open(os.path.join(out_dir, "manifest.json"), "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "run_id": summary.run_id,
+                "input_docs": summary.input_docs,
+                "kept_docs": summary.kept_docs,
+                "dropped": summary.dropped,
+                "n_chunks": summary.n_chunks,
+                "pii_redactions": summary.pii_redactions,
+                "drop_rate_pct": summary.drop_rate_pct,
+                "chunk_tokens": CHUNK_TOKENS,
+                "chunk_stride": CHUNK_STRIDE,
+            },
+            fh,
+            indent=2,
+            sort_keys=True,
+        )
+    decisions.unpersist()
+    logger.info(
+        "[%s] curated %d docs -> %d kept (%s dropped), %d chunks in %.2fs",
+        run_id,
+        summary.input_docs,
+        summary.kept_docs,
+        summary.dropped,
+        summary.n_chunks,
+        summary.duration_sec,
+    )
+    return summary

@@ -1,0 +1,98 @@
+"""End-to-end corpus curation pipeline: split exhaustiveness, chunk
+arithmetic vs materialization, PII scrub-through, idempotent rerun."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from csv_2_db_pipeline_data_engineering_spark.curation_pipeline import (
+    run_curation_pipeline,
+)
+from tests.conftest import SF_DIR
+
+
+def _planted_corpus(spark, tmp_path) -> str:
+    """sf0.001 documents with PII planted into every third doc."""
+    src = os.path.join(SF_DIR, "documents.parquet")
+    p = str(tmp_path / "docs_in")
+    (
+        spark.read.parquet(src)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(" contact bob@example.com")),
+            ).otherwise(F.col("text")),
+        )
+        .write.parquet(p)
+    )
+    return p
+
+
+def test_curation_pipeline_contracts(spark, tmp_path):
+    docs_path = _planted_corpus(spark, tmp_path)
+    out = str(tmp_path / "curated")
+    s = run_curation_pipeline(spark, docs_path, out)
+
+    n_input = spark.read.parquet(docs_path).count()
+    # no silent drops: every doc is kept or dropped-with-reason
+    assert s.input_docs == n_input
+    assert s.kept_docs + sum(s.dropped.values()) == n_input
+    assert spark.read.parquet(os.path.join(out, "kept_docs")).count() == s.kept_docs
+    dropped = spark.read.parquet(os.path.join(out, "dropped_docs"))
+    assert dropped.count() == n_input - s.kept_docs
+    assert set(r["reason"] for r in dropped.select("reason").distinct().collect()) <= {
+        "exact_dup", "near_dup", "non_english", "low_quality",
+    }
+
+    # chunk arithmetic == materialized chunk count; tiling is exact
+    chunks = spark.read.parquet(os.path.join(out, "chunks"))
+    assert chunks.count() == s.n_chunks
+    agg = chunks.groupBy("doc_id").agg(
+        F.sum("n_tok_chunk").alias("tok_sum"), F.max("chunk_idx").alias("max_idx")
+    )
+    kept = spark.read.parquet(os.path.join(out, "kept_docs"))
+    joined = kept.join(agg, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r["tok_sum"] >= r["n_tok"]  # overlap means >= doc length
+
+    # PII was counted and nothing raw leaks into any output text
+    assert s.pii_redactions > 0
+    assert kept.filter(F.col("text").contains("@example.com")).count() == 0
+    assert chunks.filter(F.col("text").contains("@example.com")).count() == 0
+    planted_kept = kept.filter(F.col("doc_id") % 3 == 0)
+    if planted_kept.count():
+        assert (
+            planted_kept.filter(F.col("text").contains("<EMAIL>")).count()
+            == planted_kept.count()
+        )
+
+    # manifest mirrors the summary
+    with open(os.path.join(out, "manifest.json"), encoding="utf-8") as fh:
+        m = json.load(fh)
+    assert m["input_docs"] == s.input_docs
+    assert m["kept_docs"] == s.kept_docs
+    assert m["n_chunks"] == s.n_chunks
+
+
+def test_curation_pipeline_rerun_is_idempotent(spark, tmp_path):
+    docs_path = _planted_corpus(spark, tmp_path)
+    out = str(tmp_path / "curated")
+    s1 = run_curation_pipeline(spark, docs_path, out)
+    kept1 = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(os.path.join(out, "kept_docs")).collect()
+    )
+    s2 = run_curation_pipeline(spark, docs_path, out)
+    kept2 = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(os.path.join(out, "kept_docs")).collect()
+    )
+    assert (s1.input_docs, s1.kept_docs, s1.dropped, s1.n_chunks) == (
+        s2.input_docs, s2.kept_docs, s2.dropped, s2.n_chunks,
+    )
+    assert kept1 == kept2
