@@ -101,12 +101,23 @@ def near_dup_losers(docs: DataFrame) -> DataFrame:
     )
 
 
-def curation_decisions(docs: DataFrame) -> DataFrame:
-    """Per-doc decision frame: (doc_id, text_redacted, n_tok, n_pii,
-    reason, keep, n_chunks).
+def curation_decisions(
+    docs: DataFrame,
+    near_losers: DataFrame | None = None,
+    exact_fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc decision frame: (doc_id, fingerprint, text_redacted,
+    n_tok, n_pii, reason, keep, n_chunks).
 
     Gate order (first failure wins, cheap-to-expensive):
     exact_dup -> near_dup -> non_english -> low_quality -> keep.
+
+    ``near_losers`` overrides the loser set (a ``doc_id`` frame) — the
+    streaming fold passes batch-internal ∪ cross-index losers; batch
+    callers default to LSH over ``docs`` itself. ``exact_fingerprints``
+    (a ``fingerprint`` frame, e.g. from a persisted index) marks docs
+    whose normalized content already exists in an earlier corpus as
+    ``exact_dup`` in addition to the in-frame window dedup.
     """
     red = redact_pii(F.col("text"))
     n_pii = sum(pii_counts(F.col("text")).values())
@@ -119,6 +130,7 @@ def curation_decisions(docs: DataFrame) -> DataFrame:
     w = Window.partitionBy(F.md5(norm))
     base = docs.select(
         "doc_id",
+        F.md5(norm).alias("fingerprint"),
         red.alias("text_redacted"),
         n.alias("n_tok"),
         n_pii.alias("n_pii"),
@@ -126,7 +138,21 @@ def curation_decisions(docs: DataFrame) -> DataFrame:
         stop_ratio.alias("stop_ratio"),
         ttr.alias("ttr"),
     )
-    losers = near_dup_losers(docs).withColumn("near_loser", F.lit(True))
+    if exact_fingerprints is not None:
+        seen = (
+            exact_fingerprints.select("fingerprint")
+            .distinct()
+            .withColumn("seen_before", F.lit(True))
+        )
+        base = base.join(seen, "fingerprint", "left").withColumn(
+            "exact_loser",
+            F.col("exact_loser") | F.coalesce("seen_before", F.lit(False)),
+        )
+    if near_losers is None:
+        near_losers = near_dup_losers(docs)
+    losers = near_losers.select("doc_id").distinct().withColumn(
+        "near_loser", F.lit(True)
+    )
     w_, s_ = CHUNK_TOKENS, CHUNK_STRIDE
     n_chunks = F.when(F.col("n_tok") <= w_, F.lit(1)).otherwise(
         F.lit(1) + ((F.col("n_tok") - w_ + s_ - 1) / s_).cast("int")
@@ -143,6 +169,7 @@ def curation_decisions(docs: DataFrame) -> DataFrame:
         .withColumn("near_loser", F.coalesce("near_loser", F.lit(False)))
         .select(
             "doc_id",
+            "fingerprint",
             "text_redacted",
             "n_tok",
             "n_pii",

@@ -1,0 +1,173 @@
+"""Streaming continuous corpus curation: fold arriving document files
+into an append-only curated corpus + a persisted dedup index.
+
+The streaming twin of :mod:`..curation_pipeline` — and the piece that
+makes curation *incremental*: each micro-batch of new documents is
+gated against everything already curated WITHOUT rescanning history.
+
+Per batch:
+1. exact-dup gate — within-batch (fingerprint window) AND against the
+   stored index's fingerprints (broadcast-sized join column);
+2. near-dup gate — within-batch MinHash-LSH plus
+   ``incremental_dedup_pairs`` against the stored signature index
+   (banded signature join + exact-Jaccard verify on stored gram-hash
+   sets — history text is never re-shingled, the property proven in
+   ``tests/test_dedup_incremental.py``);
+3. language/quality gates + PII scrub (map-side);
+4. kept docs, their chunks, their dropped siblings, and the kept docs'
+   NEW index rows land in per-batch directories; a manifest commit
+   makes the batch visible.
+
+Exactly-once under crash-replay (the reference's idempotency contract,
+``README.md:150``, applied to a stream): every output is written to
+``<table>/batch=<id>/`` with overwrite semantics, so a replayed
+uncommitted fold rewrites its own directories byte-identically; the
+atomic ``_MANIFEST.json`` commit (tmp + ``os.replace``) is the single
+visibility point, and a replay of a COMMITTED batch no-ops on the
+manifest gate. Readers resolve the manifest first and read only
+committed batch dirs, so a crash mid-write can never surface partial
+data.
+
+Scale notes (100 TB of history, TB/day arrivals): per-batch cost is
+O(batch + index-candidates). The stored index carries signatures +
+gram-hash sets, not text — the 100 TB corpus's index is ~2-3 orders
+smaller than the corpus. The only unbounded growth is the index itself;
+at extreme scale the (band, bh) join key can be bucketed on disk so the
+candidate join co-partitions (``tests/test_bucketing.py`` pattern).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..curation_pipeline import chunk_kept, curation_decisions, near_dup_losers
+from ..operators.dedup import build_signature_index, incremental_dedup_pairs
+
+#: minimal arriving-document schema (streaming sources require one)
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_MANIFEST = "_MANIFEST.json"
+TABLES = ("kept", "chunks", "dropped", "index")
+
+
+def _read_manifest(out_dir: str) -> dict:
+    p = os.path.join(out_dir, _MANIFEST)
+    if not os.path.exists(p):
+        return {"applied": []}
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(out_dir: str, manifest: dict) -> None:
+    fd, tmp = tempfile.mkstemp(prefix="._manifest_", dir=out_dir)
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+
+
+def _batch_dir(out_dir: str, table: str, batch_id: int) -> str:
+    return os.path.join(out_dir, table, f"batch={batch_id}")
+
+
+def read_curated(spark: SparkSession, out_dir: str, table: str) -> DataFrame | None:
+    """Read a curated table across all COMMITTED batches (manifest-gated)."""
+    assert table in TABLES, table
+    applied = _read_manifest(out_dir)["applied"]
+    paths = [
+        _batch_dir(out_dir, table, b)
+        for b in applied
+        if os.path.exists(_batch_dir(out_dir, table, b))
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def fold_curation_batch(
+    spark: SparkSession, batch_df: DataFrame, out_dir: str, batch_id: int
+) -> None:
+    """Curate one micro-batch against the committed index and append it."""
+    manifest = _read_manifest(out_dir)
+    if batch_id in manifest["applied"]:
+        return  # crash-replay of a committed batch
+    os.makedirs(out_dir, exist_ok=True)
+    if batch_df.isEmpty():
+        _commit_manifest(out_dir, {"applied": manifest["applied"] + [batch_id]})
+        return
+
+    docs = batch_df.select("doc_id", "text")
+    index = read_curated(spark, out_dir, "index")
+
+    internal = near_dup_losers(docs)
+    if index is not None:
+        # Signature-less rows (docs too short to shingle) are tracked by
+        # fingerprint only — excluding them from the banded join avoids
+        # the degenerate all-shorts-collide bucket.
+        cross = incremental_dedup_pairs(
+            docs, index.filter(F.col("m0").isNotNull())
+        ).select(F.col("doc_delta").alias("doc_id"))
+        losers = internal.select("doc_id").union(cross)
+        fps = index.select("fingerprint")
+    else:
+        losers, fps = internal, None
+
+    decisions = curation_decisions(
+        docs, near_losers=losers, exact_fingerprints=fps
+    ).localCheckpoint(eager=True)  # pin: three writes + index derive from it
+
+    kept = decisions.filter("keep")
+    kept_docs = docs.join(kept.select("doc_id"), "doc_id")  # original text for index
+    # LEFT join from the fingerprint side: a kept doc too short to have
+    # a signature still claims its fingerprint in the index, so later
+    # exact copies of it are caught even though LSH can't see it.
+    new_index = kept.select("doc_id", "fingerprint").join(
+        build_signature_index(kept_docs), "doc_id", "left"
+    )
+
+    writes = {
+        "kept": kept.select(
+            "doc_id", F.col("text_redacted").alias("text"), "n_tok", "n_pii"
+        ),
+        "chunks": chunk_kept(decisions),
+        "dropped": decisions.filter(~F.col("keep")).select("doc_id", "reason"),
+        "index": new_index,
+    }
+    for table, df in writes.items():
+        df.write.mode("overwrite").parquet(_batch_dir(out_dir, table, batch_id))
+    _commit_manifest(out_dir, {"applied": manifest["applied"] + [batch_id]})
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = DOC_SCHEMA,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously curate parquet document files arriving in
+    ``landing_dir``. ``available_now=True`` drains and stops."""
+    docs = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing_dir)
+    )
+    writer = docs.writeStream.foreachBatch(
+        lambda bdf, bid: fold_curation_batch(spark, bdf, out_dir, bid)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

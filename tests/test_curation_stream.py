@@ -1,0 +1,120 @@
+"""Streaming continuous curation: cross-batch dedup via the persisted
+index, exactly-once replay, and end-to-end stream drain."""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from csv_2_db_pipeline_data_engineering_spark.streaming.curation_stream import (
+    DOC_SCHEMA,
+    fold_curation_batch,
+    read_curated,
+    run_curation_stream,
+)
+
+# Stopword-dense, varied text that passes every content gate.
+_BASE = (
+    "the quick brown fox jumps over a lazy dog and it runs to the old barn "
+    "of a quiet farm in the misty morning light while it is watching birds"
+)
+_VARIANT = _BASE.replace("misty morning", "foggy evening")  # near-dup of _BASE
+_OTHER = (
+    "a steady river flows through the green valley and it carries boats of "
+    "traders to the busy market in the stone city where it meets the sea"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def _digests(root: str) -> dict[str, str]:
+    out = {}
+    for p in sorted(Path(root).rglob("*.parquet")):
+        out[str(p.relative_to(root))] = hashlib.sha256(p.read_bytes()).hexdigest()
+    return out
+
+
+def test_cross_batch_dedup_via_index(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    fold_curation_batch(spark, _docs(spark, [(1, _BASE), (2, _OTHER)]), out, 0)
+    kept0 = {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
+    assert kept0 == {1, 2}
+
+    # batch 1: exact copy of doc 1, near-dup of doc 1, and a fresh doc
+    fresh = (
+        "seven golden apples fell from the tall tree and it was a sign of "
+        "the good harvest to come for the people of the small village inn"
+    )
+    fold_curation_batch(
+        spark,
+        _docs(spark, [(10, _BASE), (11, _VARIANT), (12, fresh)]),
+        out,
+        1,
+    )
+    dropped = {
+        r["doc_id"]: r["reason"]
+        for r in read_curated(spark, out, "dropped").collect()
+    }
+    assert dropped[10] == "exact_dup"  # caught by the index fingerprint
+    assert dropped[11] == "near_dup"  # caught by the signature index
+    kept = {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
+    assert kept == {1, 2, 12}
+    # the index grew by exactly the newly kept doc
+    idx = read_curated(spark, out, "index")
+    assert {r["doc_id"] for r in idx.collect()} == {1, 2, 12}
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    b0 = _docs(spark, [(1, _BASE), (2, _OTHER)])
+    fold_curation_batch(spark, b0, out, 0)
+    before = _digests(out)
+    fold_curation_batch(spark, b0, out, 0)  # crash-replay of committed batch
+    assert _digests(out) == before
+
+
+def test_short_doc_fingerprint_still_guards(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    # two words: no 3-gram shingles -> no signature; it fails the
+    # language gate (no stopword density), so it lands in dropped — but
+    # a signature-less KEPT doc is the real target; craft one that
+    # passes gates: stopword-rich but only 2 words is impossible, so
+    # assert the weaker invariant: the fold neither crashes nor
+    # miscounts with unshingleable docs present.
+    fold_curation_batch(spark, _docs(spark, [(1, "the it"), (2, _BASE)]), out, 0)
+    kept = {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
+    dropped = {r["doc_id"] for r in read_curated(spark, out, "dropped").collect()}
+    assert kept | dropped == {1, 2} and kept & dropped == set()
+    # fold a second batch against the index (exercises the m0 filter)
+    fold_curation_batch(spark, _docs(spark, [(3, _OTHER)]), out, 1)
+    assert 3 in {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
+
+
+def test_stream_end_to_end(spark, tmp_path):
+    landing = tmp_path / "landing"
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    _docs(spark, [(1, _BASE), (2, _OTHER)]).write.parquet(str(landing / "f1"))
+    _docs(spark, [(10, _BASE), (12, _VARIANT)]).write.parquet(str(landing / "f2"))
+
+    q = run_curation_stream(spark, str(landing), out, ckpt)
+    q.awaitTermination(300)
+
+    kept = read_curated(spark, out, "kept")
+    dropped = read_curated(spark, out, "dropped")
+    chunks = read_curated(spark, out, "chunks")
+    assert kept is not None and dropped is not None and chunks is not None
+    seen = {r["doc_id"] for r in kept.collect()} | {
+        r["doc_id"] for r in dropped.collect()
+    }
+    assert seen == {1, 2, 10, 12}
+    # maxFilesPerTrigger=1 => f1 then f2: the f2 copies lose to f1's docs
+    assert {r["doc_id"] for r in dropped.collect()} == {10, 12}
+    # chunk rows exist only for kept docs
+    assert {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()} <= {
+        r["doc_id"] for r in kept.collect()
+    }
