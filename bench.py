@@ -48,6 +48,10 @@ HEADLINE = [
     "late_order_priority_counts",
     "text_tfidf",
     "embedding_label_centroids",
+    # round-5 document hygiene (zero-/one-shuffle text plans)
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "doc_chunk_plan",
 ]
 
 
