@@ -316,6 +316,69 @@ FROM chunks ORDER BY doc_id, chunk_idx
 """
 
 
+# --- character-level entropy (perplexity proxy) ----------------------
+
+LOW_ENTROPY_BITS = 2.0  # below this, text is repeated-char / binary junk
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the character unigram distribution per doc.
+
+    The cheap perplexity proxy quality gates use before any model sees
+    the data: repeated-char garbage and binary junk sit near 0 bits,
+    natural language ~4 bits/char. Computed entirely with higher-order
+    array functions — O(distinct_chars x n_chars) per row, map-side,
+    zero shuffle; the per-char counts never leave the row.
+
+    Summation runs over the SORTED distinct characters in both engines,
+    so the float accumulation order (and hence the rounded value) is
+    identical cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    n = F.size(chars)
+    uniq = F.array_sort(F.array_distinct(chars))
+    counts = F.transform(uniq, lambda c: F.size(F.filter(chars, lambda x: x == c)))
+    ent = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, k: acc + (k / n) * F.log2(k / n),
+    )
+    return (
+        d.filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            n.alias("n_chars"),
+            F.size(uniq).alias("n_distinct_chars"),
+            F.round(ent, 6).alias("char_entropy_bits"),
+            (ent < LOW_ENTROPY_BITS).alias("is_low_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHAR_ENTROPY_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, string_split(text, '') AS ch, LENGTH(text) AS n
+  FROM documents WHERE LENGTH(text) >= 1
+),
+e AS (
+  SELECT doc_id, n,
+         len(list_distinct(ch)) AS n_distinct_chars,
+         -list_sum(list_transform(list_sort(list_distinct(ch)),
+             d -> (len(list_filter(ch, x -> x = d))::DOUBLE / n)
+                  * log2(len(list_filter(ch, x -> x = d))::DOUBLE / n)))::DOUBLE
+           AS ent
+  FROM c
+)
+SELECT doc_id, CAST(n AS INT) AS n_chars,
+       CAST(n_distinct_chars AS INT) AS n_distinct_chars,
+       ROUND(ent, 6) AS char_entropy_bits,
+       ent < {LOW_ENTROPY_BITS} AS is_low_entropy
+FROM e ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("text_pii_scrub",
           "PII detect/count/redact (email, IPv4, digit runs, phones) with "
@@ -328,4 +391,7 @@ QUERIES = [
     Query("doc_chunk_plan",
           "strided token-window chunk plan with slice-content hashes",
           doc_chunk_plan, CHUNK_PLAN_ORACLE),
+    Query("text_char_entropy",
+          "char-unigram Shannon entropy (perplexity-proxy quality gate)",
+          text_char_entropy, CHAR_ENTROPY_ORACLE),
 ]

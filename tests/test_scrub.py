@@ -127,6 +127,32 @@ def test_chunk_plan_tiles_documents_exactly(spark):
             assert n_tok > CHUNK_TOKENS
 
 
+def test_char_entropy_known_values(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators import scrub
+
+    df = _docs(spark, [(1, "aaaa"), (2, "abab"), (3, "abcd")])
+    chars = F.split(F.col("text"), "")
+    n = F.size(chars)
+    uniq = F.array_sort(F.array_distinct(chars))
+    counts = F.transform(uniq, lambda c: F.size(F.filter(chars, lambda x: x == c)))
+    ent = -F.aggregate(counts, F.lit(0.0), lambda a, k: a + (k / n) * F.log2(k / n))
+    got = {r["doc_id"]: r["e"] for r in df.select("doc_id", F.round(ent, 6).alias("e")).collect()}
+    assert got[1] == 0.0  # single symbol
+    assert got[2] == 1.0  # two symbols, uniform
+    assert got[3] == 2.0  # four symbols, uniform
+    out = scrub.text_char_entropy(spark, SF_DIR).collect()
+    assert out and all(0.0 <= r["char_entropy_bits"] <= 8.0 for r in out)
+    assert not any(r["is_low_entropy"] for r in out)  # word soup is not junk
+
+
+def test_char_entropy_is_shuffle_free(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators import scrub
+
+    plan = _formatted_plan(spark, scrub.text_char_entropy(spark, SF_DIR))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "hashpartitioning" not in plan
+
+
 def test_chunk_plan_is_shuffle_free(spark):
     plan = _formatted_plan(spark, doc_chunk_plan(spark, SF_DIR))
     assert plan.count("Location: InMemoryFileIndex") == 1
