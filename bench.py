@@ -84,21 +84,24 @@ def main() -> None:
     # regressions. The minimum is the stable estimator of the plan's
     # cost (noise is strictly additive); rep 1 also absorbs the
     # query-specific codegen compile so the min reflects warm cost.
+    # Reps are INTERLEAVED (full rounds over the query list) rather than
+    # consecutive per query: this shared host shows minute-scale noisy
+    # phases, and consecutive reps would land all of a query's samples
+    # in the same phase — spreading them across rounds lets the min pick
+    # each query's quietest moment. Codegen stays warm across a round
+    # (the compiled-class cache is keyed by generated source).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings: dict[str, float] = {}
-    all_reps: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        q = catalog[name]
-        times = []
-        for _ in range(reps):
+    all_reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            q = catalog[name]
             t0 = time.monotonic()
             q.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            times.append(round(time.monotonic() - t0, 3))
+            all_reps[name].append(round(time.monotonic() - t0, 3))
             # each rep is measured standalone: drop its caches so the next
             # run isn't taxed (or flattered) by executor-memory residue
             spark.catalog.clearCache()
-        timings[name] = min(times)
-        all_reps[name] = times
+    timings = {name: min(times) for name, times in all_reps.items()}
 
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
