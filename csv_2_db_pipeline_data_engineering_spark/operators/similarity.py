@@ -257,6 +257,8 @@ def ann_pq_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks genuinely beat trivial. Oracle: exact per-label counts +
     TRUE.
     """
+    from functools import reduce
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -265,34 +267,57 @@ def ann_pq_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = 64
     ds = dim // PQ_SUBSPACES
-    df = e
-    err_cols = []
+    # Each codebook trains and encodes on a SHALLOW cached frame of just
+    # its own sub-vectors. The first version accumulated every prior
+    # subspace's transform+join into one growing lineage, which each
+    # KMeans iteration re-executed end-to-end — quadratic in the number
+    # of subspaces (measured 53s at sf0.1; this shape is ~15x faster).
+    # Per-subspace squared errors recombine by doc-keyed union+sum.
+    err_frames = []
     for s in range(PQ_SUBSPACES):
-        sub_col = f"sub{s}"
-        df = df.withColumn(sub_col, F.slice("v", s * ds + 1, ds))
-        feat = df.withColumn("_feat", array_to_vector(sub_col))
+        # coalesce: k-means on a corpus SAMPLE is driver-overhead-bound
+        # (8 fits x 8 iterations of 50-row-per-task stages); a handful
+        # of fat partitions cuts per-iteration task count ~10x. At
+        # 100 TB you'd train codebooks on a bounded sample anyway —
+        # encode (the broadcast join below) is what streams the corpus.
+        feat = (
+            e.select("vec_id", F.slice("v", s * ds + 1, ds).alias("sub"))
+            .coalesce(4)
+            .withColumn("_feat", array_to_vector("sub"))
+            .cache()
+        )
+        # random init (seeded): k-means|| init costs several extra
+        # distributed passes per fit and buys nothing at codebook size
+        # k=16 with Lloyd refinement behind it.
         model = KMeans(
             k=PQ_CODEBOOK_K, seed=42 + s, maxIter=8, featuresCol="_feat",
-            predictionCol=f"code{s}",
+            predictionCol="code", initMode="random",
         ).fit(feat)
-        df = model.transform(feat).drop("_feat")
         centroids = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-            f"code{s} int, cent{s} array<double>",
+            "code int, cent array<double>",
         )
-        df = df.join(F.broadcast(centroids), f"code{s}")
-        err_cols.append(
-            F.aggregate(
-                F.zip_with(sub_col, f"cent{s}", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        err = (
+            model.transform(feat)
+            .join(F.broadcast(centroids), "code")
+            .select(
+                "vec_id",
+                F.aggregate(
+                    F.zip_with("sub", "cent", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("err"),
             )
         )
-    total_err = err_cols[0]
-    for c in err_cols[1:]:
-        total_err = total_err + c
+        err_frames.append(err)
+    total = (
+        reduce(lambda a, b: a.unionAll(b), err_frames)
+        .groupBy("vec_id")
+        .agg(F.sum("err").alias("sq_err"))
+    )
     return (
-        df.select("vec_id", "label", total_err.alias("sq_err"))
+        e.select("vec_id", "label")
+        .join(total, "vec_id")
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
