@@ -52,6 +52,7 @@ def run_pipeline(
     filepath: str,
     clean_sink_path: str,
     rejected_sink_path: str,
+    metrics_path: str | None = None,
 ) -> RunSummary:
     """Run the full ETL against file-based sinks (parquet upsert + append).
 
@@ -100,6 +101,25 @@ def run_pipeline(
         summary.rejection_rate_pct,
         summary.duration_sec,
     )
+    if metrics_path is not None:
+        # Durable twin of the reference's logged summary block: one
+        # appended row per run, so operational history (rejection-rate
+        # drift, volume trends) is queryable instead of grep-able.
+        spark.createDataFrame(
+            [
+                (
+                    summary.run_id,
+                    filepath,
+                    summary.input_rows,
+                    summary.clean_rows,
+                    summary.rejected_rows,
+                    summary.rejection_rate_pct,
+                    summary.duration_sec,
+                )
+            ],
+            "run_id string, source string, input_rows long, clean_rows long, "
+            "rejected_rows long, rejection_rate_pct double, duration_sec double",
+        ).coalesce(1).write.mode("append").parquet(metrics_path)
     if summary.clean_rows == 0:
         # Reference halts when nothing survives validation (main.py:111-114).
         logger.error("[%s] no clean rows produced - halting", run_id)

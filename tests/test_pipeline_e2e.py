@@ -21,6 +21,23 @@ def test_golden_trace(spark, golden_csv, tmp_path):
     assert '"product_name":"Gadget Max"' in row["raw_data"]
 
 
+def test_metrics_history_appends_per_run(spark, golden_csv, tmp_path):
+    m = str(tmp_path / "run_metrics")
+    run_pipeline(spark, golden_csv, str(tmp_path / "c"), str(tmp_path / "r"),
+                 metrics_path=m)
+    run_pipeline(spark, golden_csv, str(tmp_path / "c"), str(tmp_path / "r"),
+                 metrics_path=m)
+    hist = spark.read.parquet(m)
+    rows = hist.collect()
+    assert len(rows) == 2
+    assert len({r["run_id"] for r in rows}) == 2
+    assert all(
+        (r["input_rows"], r["clean_rows"], r["rejected_rows"]) == (10, 9, 1)
+        and r["rejection_rate_pct"] == 10.0
+        for r in rows
+    )
+
+
 def test_idempotent_rerun(spark, golden_csv, tmp_path):
     """Reference README.md:150: run twice -> identical clean counts."""
     clean_path = str(tmp_path / "sales_transactions")
