@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
 from ..sources.tables import load_table
-from .dedup import NGRAM_JACCARD_CAPPED_ORACLE, dedup_ngram_jaccard, shingles_df
+from .dedup import NGRAM_JACCARD_CAPPED_ORACLE, dedup_ngram_jaccard, shingle_rows
 from .text import _STOPWORD_LIST_SQL, EN_STOPWORDS
 
 # Documents with doc_id below this stand in for the held-out eval /
@@ -57,23 +57,24 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and broadcast; corpus grams stream past it map-side, so the only
     shuffle is the final per-doc count aggregate.
     """
-    sh = shingles_df(load_table(spark, sf_dir, "documents"), n=CONTAM_NGRAM)
+    sh = shingle_rows(load_table(spark, sf_dir, "documents"), n=CONTAM_NGRAM)
     ev_sh = sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
-    n_eval = ev_sh.agg(F.count(F.lit(1)).alias("n_eval"))
+    # number of eval DOCS (shingle_rows is per-gram rows, so count
+    # distinct docs — same value the per-doc-array frame counted rows of)
+    n_eval = ev_sh.agg(F.countDistinct("doc_id").alias("n_eval"))
     cap = F.greatest(
         F.lit(CONTAM_EVAL_DF_CAP_MIN),
         F.ceil(F.lit(CONTAM_EVAL_DF_CAP_FRACTION) * F.col("n_eval")),
     )
     eval_grams = (
-        ev_sh.select(F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("gram"))
+        ev_sh.select(F.col("doc_id").alias("eval_doc"), F.col("shingle").alias("gram"))
         .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
         .crossJoin(F.broadcast(n_eval))
         .filter(F.col("df") <= cap)
         .select("eval_doc", "gram")
     )
-    corpus = (
-        sh.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
-        .select("doc_id", F.explode("shingles").alias("gram"))
+    corpus = sh.filter(F.col("doc_id") >= EVAL_SET_MAX_ID).select(
+        "doc_id", F.col("shingle").alias("gram")
     )
     return (
         corpus.join(F.broadcast(eval_grams), "gram")

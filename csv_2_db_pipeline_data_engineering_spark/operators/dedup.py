@@ -121,25 +121,38 @@ FROM documents GROUP BY content_hash ORDER BY keep_doc_id
 # --- shingling -------------------------------------------------------------
 
 
-def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingles array<string>, n_shingles) — distinct word n-grams.
-
-    Pure column expressions: split → sliding window via transform over an
-    index sequence → array_distinct. No Python in the loop.
-    """
-    w = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)]),
-    )
-    return (
-        docs.filter(F.size(w) >= n)
-        .select("doc_id", F.array_distinct(grams).alias("shingles"))
-        .withColumn("n_shingles", F.size("shingles"))
-    )
-
-
 # --- exact n-gram Jaccard near-dup ------------------------------------------
+
+
+def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): DISTINCT word n-grams per doc, as rows.
+
+    posexplode + window-lead + distinct — the codegen'd row shape every
+    shingle consumer (inverted-index joins, df caps, contamination)
+    actually wants. Measured ~2x faster at sf0.1 than the previous
+    per-row lambda-built shingle arrays: ``transform`` + ``element_at``
+    + ``concat_ws`` per element run on the interpreted higher-order
+    path, while lead/concat here stay inside whole-stage codegen. One
+    token shuffle (doc_id-keyed window) + one distinct (map-side
+    combined, doc_id-prefixed key).
+    """
+    from pyspark.sql import Window as W
+
+    words = docs.filter(F.size(F.split("text", " ")) >= n).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(win) for i in range(1, n)]
+    return (
+        words.select(
+            "doc_id",
+            leads[-1].isNotNull().alias("full"),
+            F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+        )
+        .filter("full")
+        .select("doc_id", "shingle")
+        .distinct()
+    )
 
 
 def capped_shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -151,8 +164,7 @@ def capped_shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     filter as a broadcast one-row aggregate — no collect, no second
     scan of the text.
     """
-    sh = shingles_df(docs, n=n)
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    ex = shingle_rows(docs, n=n)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     cap = F.least(
         F.lit(SHINGLE_DF_CAP_ABS_MAX),
