@@ -408,6 +408,110 @@ ORDER BY source
 """
 
 
+# --- content-keyed train/val/test split with leakage certificate -----
+
+# First hex char of the content fingerprint: 0-b train (12/16), c-d val,
+# e-f test. String comparison only — no hex->int conversion, so the
+# bucketing is trivially identical across engines.
+SPLIT_TRAIN_MAX = "b"
+SPLIT_VAL_MAX = "d"
+
+
+def corpus_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split, keyed on CONTENT, with an
+    in-query leakage certificate.
+
+    Splitting on a content fingerprint (not doc_id) makes exact
+    duplicates land in the same split by construction — the certificate
+    column proves it cross-engine (an id-keyed split would fail it on
+    any duplicated corpus). Near-duplicates CAN still straddle splits;
+    ``n_neardup_cross_pairs`` measures that residual leakage using the
+    capped-Jaccard pair list, which is why real pipelines dedup BEFORE
+    splitting (the curation pipeline's gate order).
+
+    Scale: assignment is map-side (hash + substring compare); the
+    certificate is one fingerprint-keyed aggregate; the near-dup
+    measure joins the (small) verified pair list against the
+    assignment twice — broadcast-sized at any corpus scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    h = F.substring(fp, 1, 1)
+    split = (
+        F.when(h <= SPLIT_TRAIN_MAX, "train")
+        .when(h <= SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+    assign = d.select("doc_id", fp.alias("fp"), split.alias("split"))
+    per_split = assign.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    )
+    exact_leak = (
+        assign.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(F.count_if(F.col("ns") > 1).alias("n_leaky_fp"))
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    sa = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    near_cross = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.count_if(F.col("split_a") != F.col("split_b")).alias(
+                "n_neardup_cross_pairs"
+            )
+        )
+    )
+    return (
+        per_split.crossJoin(F.broadcast(exact_leak))
+        .crossJoin(F.broadcast(near_cross))
+        .select(
+            "split",
+            "n_docs",
+            "n_fingerprints",
+            (F.col("n_leaky_fp") == 0).alias("exact_dup_leak_free"),
+            "n_neardup_cross_pairs",
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_PLAN_ORACLE = f"""
+WITH assign AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         CASE WHEN substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 1)
+                   <= '{SPLIT_TRAIN_MAX}' THEN 'train'
+              WHEN substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 1)
+                   <= '{SPLIT_VAL_MAX}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+per_split AS (
+  SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_fingerprints
+  FROM assign GROUP BY split
+),
+leak AS (
+  SELECT COUNT(*) FILTER (ns > 1) AS n_leaky_fp
+  FROM (SELECT fp, COUNT(DISTINCT split) AS ns FROM assign GROUP BY fp)
+),
+jac AS ({NGRAM_JACCARD_CAPPED_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
+near AS (
+  SELECT COUNT(*) FILTER (a.split <> b.split) AS n_neardup_cross_pairs
+  FROM jac
+  JOIN assign a ON a.doc_id = jac.doc_a
+  JOIN assign b ON b.doc_id = jac.doc_b
+)
+SELECT split, n_docs, n_fingerprints,
+       n_leaky_fp = 0 AS exact_dup_leak_free,
+       n_neardup_cross_pairs
+FROM per_split CROSS JOIN leak CROSS JOIN near
+ORDER BY split
+"""
+
+
 QUERIES = [
     Query("contamination_ngram_overlap",
           "eval-set n-gram contamination check (broadcast eval index)",
@@ -427,4 +531,8 @@ QUERIES = [
     Query("domain_mix_allocation",
           "per-source doc allocation under a weighted training-mix budget",
           domain_mix_allocation, DOMAIN_MIX_ORACLE),
+    Query("corpus_split_plan",
+          "content-keyed train/val/test split with exact-dup leakage "
+          "certificate and near-dup cross-split measure",
+          corpus_split_plan, SPLIT_PLAN_ORACLE),
 ]

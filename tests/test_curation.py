@@ -147,3 +147,24 @@ def test_curation_near_dup_losers_have_smaller_partner(spark):
     pairs = dedup_ngram_jaccard(spark, SF_DIR).collect()
     partnered = {p.doc_b for p in pairs}  # doc_b always has doc_a < doc_b
     assert losers <= partnered
+
+
+def test_corpus_split_plan_certificates(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        corpus_split_plan,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = corpus_split_plan(spark, SF_DIR).collect()
+    by_split = {r["split"]: r for r in rows}
+    assert set(by_split) == {"train", "val", "test"}
+    # content-keyed split can never leak an exact duplicate
+    assert all(r["exact_dup_leak_free"] for r in rows)
+    # the near-dup residual is a global measure, identical on every row
+    assert len({r["n_neardup_cross_pairs"] for r in rows}) == 1
+    total = sum(r["n_docs"] for r in rows)
+    # hex-prefix bucketing: train 12/16 of fingerprint space (binomial
+    # slack: the corpus has hundreds of docs, allow a wide band)
+    assert 0.55 < by_split["train"]["n_docs"] / total < 0.9
+    # duplicated content collapses fingerprints: n_fp <= n_docs
+    assert all(r["n_fingerprints"] <= r["n_docs"] for r in rows)
