@@ -53,6 +53,35 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessions via the BUILT-IN ``session_window`` — the
+    idiomatic Spark shape when per-session output is (start, end,
+    aggregates). The custom ``applyInPandasWithState`` sessionizer
+    below stays for semantics this can't express (mid-stream emission,
+    custom state transitions); for plain per-session aggregates this
+    one keeps everything JVM-side with watermark-bounded state merge.
+
+    Works on batch frames too (watermark no-ops) — the batch-twin test
+    pins streaming output to the batch run over the same files.
+    """
+    ev = as_event_time(events)
+    return (
+        ev.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

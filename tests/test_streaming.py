@@ -190,3 +190,70 @@ def test_dedup_stream_exactly_once(spark, tmp_path):
     got = spark.table("dedup_out")
     assert got.count() == 300
     assert got.select("event_id").distinct().count() == 300
+
+
+def test_session_window_counts_batch_matches_lag_cumsum_twin(spark):
+    from csv_2_db_pipeline_data_engineering_spark.streaming.windows import (
+        session_window_counts,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    got = session_window_counts(events).select("user_id", "n_events")
+    sessions = _batch_sessions(events).select("user_id", "n_events")
+    # same multiset of (user, session-size) pairs as the oracle-style
+    # lag+cumsum twin (session_window merges by the same 30-min gap)
+    assert got.count() == sessions.count()
+    assert got.exceptAll(sessions).isEmpty() and sessions.exceptAll(got).isEmpty()
+
+
+def test_session_window_stream_emits_watermark_closed_sessions(spark, tmp_path):
+    from csv_2_db_pipeline_data_engineering_spark.streaming.windows import (
+        session_window_counts,
+    )
+
+    import pyspark.sql.functions as SF
+
+    all_events = load_table(spark, SF_DIR, "events")
+    landing = tmp_path / "sw_landing"
+    # time-ordered files: each micro-batch only carries data newer than
+    # the watermark, so nothing is late-dropped and emission is exact
+    a, b, c = all_events.approxQuantile("ts_us", [0.25, 0.5, 0.75], 0.0)
+    events = all_events.select("user_id", "ts", "ts_us")
+    parts = [
+        events.filter(SF.col("ts_us") <= a),
+        events.filter((SF.col("ts_us") > a) & (SF.col("ts_us") <= b)),
+        events.filter((SF.col("ts_us") > b) & (SF.col("ts_us") <= c)),
+        events.filter(SF.col("ts_us") > c),
+    ]
+    for i, p in enumerate(parts):
+        p.select("user_id", "ts").coalesce(1).write.parquet(str(landing / f"f{i}"))
+    events = events.select("user_id", "ts")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing))
+    )
+    q = (
+        session_window_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sw_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "session_window stream did not terminate"
+    got = spark.table("sw_sessions")
+    batch = session_window_counts(events)
+    # every emitted session is a genuine batch-twin session
+    assert got.exceptAll(batch.select(*got.columns)).isEmpty()
+    # every session that fell fully behind the final watermark was emitted
+    max_ts = events.agg(SF.max("ts")).first()[0]
+    import datetime as _dt
+
+    horizon = max_ts - _dt.timedelta(minutes=31)
+    must_emit = batch.filter(SF.col("session_end") < SF.lit(horizon))
+    assert must_emit.exceptAll(got.select(*got.columns)).isEmpty()
+    assert got.count() >= must_emit.count() > 0
