@@ -52,6 +52,7 @@ HEADLINE = [
     "text_pii_scrub",
     "text_repetition_stats",
     "doc_chunk_plan",
+    "text_char_entropy",
 ]
 
 
