@@ -172,3 +172,22 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_approx_aggregates_avoids_distinct_expand(spark):
+    # The distinct and percentile aggregate families run as separate
+    # groupBys joined on the group key; a single mixed agg would insert
+    # an Expand node that replays every row through the percentile
+    # buffers per distinct group (measured 4x slower).
+    plan = _plan(spark, "approx_aggregates")
+    assert "Expand" not in plan
+
+
+def test_repetition_and_shingles_use_codegen_gram_derivation(spark):
+    # Gram construction must stay on the posexplode + window-lead path;
+    # per-row transform(sequence, slice/element_at) lambdas run
+    # interpreted and measured 2-4x slower (round-5 rewrites).
+    for name in ("text_repetition_stats", "dedup_ngram_jaccard"):
+        plan = _plan(spark, name)
+        assert "posexplode" in plan, name
+        assert "transform(sequence" not in plan, name
