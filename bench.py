@@ -58,7 +58,13 @@ HEADLINE = [
 
 def main() -> None:
     catalog = get_catalog()
-    spark = get_session(app_name="bench")
+    # The driver parses the bench summary from captured stdout with a
+    # bounded tail buffer: keep stdout to EXACTLY one compact JSON line
+    # (console progress bars off, full per-rep detail goes to a side file).
+    spark = get_session(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM paths every query shares — codegen compiler, shuffle
@@ -109,19 +115,23 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "reps": reps,
-                "queries_all_reps": all_reps,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "reps": reps,
+    }
+    # Per-rep raw samples are for human noise inspection, not the driver's
+    # parser — they tripled the stdout line in r5 and overflowed the tail
+    # capture. Park them in a side file next to the repo root.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REPS.json"),
+        "w",
+    ) as f:
+        json.dump({**summary, "queries_all_reps": all_reps}, f, indent=1)
+    print(json.dumps(summary), flush=True)
     spark.stop()
 
 

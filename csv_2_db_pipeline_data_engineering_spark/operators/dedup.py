@@ -458,7 +458,8 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     """Banded LSH: docs collide if any band of the signature matches.
 
     rows-per-band r = k/bands; P(collide | jaccard=j) = 1-(1-j^r)^bands.
-    With k=128, bands=64 (r=2): j=0.4 → ~99.999% recall. Pairs are NOT
+    With the shipped k=64, bands=32 (r=2): j=0.4 → ≈99.6% per-pair
+    recall (1-(1-0.16)^32). Pairs are NOT
     deduplicated here — a pair surfaces once per matching band and the
     caller dedupes after the (cheap, broadcast) verify step, which saves
     a full shuffle on the candidate stream.
@@ -924,19 +925,20 @@ def embedding_lsh_candidates(
     """Candidate (id_a, id_b) pairs from multi-table sign-LSH buckets.
 
     The corpus is hashed map-side into 2^n_planes buckets per table (one
-    Arrow-vectorized matmul, see ``similarity._table_buckets``); a pair
-    is a candidate iff it shares a bucket in ANY table. Only
+    Arrow-vectorized matmul, see ``similarity._table_buckets_seeded``);
+    a pair is a candidate iff it shares a bucket in ANY table. Only
     (vec_id, table, bucket) rows enter the self-join — the vectors
     themselves are joined back by id afterwards, so the shuffled payload
-    is ~16 bytes/row × n_tables, not the embedding.
+    is ~16 bytes/row × n_tables, not the embedding. The seeded
+    hyperplane family is regenerated inside the Arrow kernel from the
+    batch's own dim, so candidate generation performs NO driver-side
+    actions (no ``.first()`` dim probe).
     """
-    from .similarity import _table_buckets, hyperplanes
+    from .similarity import _table_buckets_seeded
 
-    dim = len(emb.select("embedding").first()[0])
-    tables = hyperplanes(dim=dim, n_tables=n_tables, n_planes=n_planes, seed=seed)
-    ex = _table_buckets(_norm_frame(emb).select("vec_id", "v"), tables).select(
-        "vec_id", "t", "bucket"
-    )
+    ex = _table_buckets_seeded(
+        _norm_frame(emb).select("vec_id", "v"), n_tables, n_planes, seed
+    ).select("vec_id", "t", "bucket")
     a, b = ex.alias("a"), ex.alias("b")
     return a.join(
         b,
@@ -987,13 +989,50 @@ def embedding_near_dup_pairs(
     )
 
 
+# The natural corpus has no pairs above the near-dup threshold (max
+# pairwise cosine ≈ 0.51), so checking the registered query against its
+# oracle would only verify agreement on the empty set.  Planting
+# deterministic vec_id-derived twin vectors IN-PLAN, identically on the
+# Spark and oracle sides (the ``text_pii_scrub`` pattern), makes the
+# driver row value-checked: every twin must be recovered through the
+# full sign-LSH route and its exact cosine must match the all-pairs
+# oracle after rounding.  Twin cosines land at ≈ 0.985-0.988 (unit-norm
+# corpus + eps·cos(j) tilt), far above threshold — inside the seeded
+# ≥99.85%-recall contract with enormous margin (miss prob ~1e-15).
+PLANT_TWIN_MOD = 25  # one twin per 25 vec_ids -> 20 planted pairs at 500 rows
+PLANT_TWIN_ID_OFFSET = 10_000_000
+PLANT_TWIN_EPS = 0.03
+
+
+def _with_planted_twins(emb: DataFrame) -> DataFrame:
+    """Union the corpus with deterministic near-dup twins.
+
+    Twin j-th component = v[j] + EPS*cos(j): a seeded-free, engine-
+    reproducible tilt (both Spark and DuckDB evaluate the identical
+    closed form), keeping cosine(orig, twin) ≈ 0.985 on a unit-norm
+    corpus while twin-vs-other pairs stay far below threshold.
+    """
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    twins = base.filter(F.col("vec_id") % PLANT_TWIN_MOD == 0).select(
+        (F.col("vec_id") + F.lit(PLANT_TWIN_ID_OFFSET)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, j: x + F.lit(PLANT_TWIN_EPS) * F.cos(j)
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered embedding near-dup: sign-LSH routed, exact-verified,
-    at the realistic near-dup threshold (this corpus has no pairs that
-    similar — the oracle agrees on the empty set; the non-vacuous
-    correctness evidence is the planted-dup differential test in
-    ``tests/test_dedup.py``)."""
-    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+    at the realistic near-dup threshold, over the corpus plus planted
+    deterministic twins (``_with_planted_twins``) so the oracle
+    comparison is value-checked on real pairs rather than vacuously
+    green on the empty set.  The recall evidence under randomized
+    near-dups additionally lives in the planted-corpus differential
+    tests in ``tests/test_dedup.py``."""
+    return embedding_near_dup_pairs(
+        _with_planted_twins(load_table(spark, sf_dir, "embeddings"))
+    )
 
 
 def dedup_embedding_cosine_block(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1083,10 +1122,27 @@ ORDER BY id_a, id_b
 """
 
 
-#: oracle for the registered near-dup query (exact all-pairs at the
-#: near-dup threshold; the LSH-routed plan matches it per the seeded
-#: recall contract in ``embedding_near_dup_pairs``)
-EMBEDDING_NEAR_DUP_ORACLE = _allpairs_cosine_oracle(EMB_NEAR_DUP_THRESHOLD)
+#: oracle for the registered near-dup query: exact all-pairs at the
+#: near-dup threshold over corpus + the SAME planted twins
+#: (``_with_planted_twins``); the LSH-routed plan matches it per the
+#: seeded recall contract in ``embedding_near_dup_pairs``.  range(0, n)
+#: is 0-based like Spark's transform index; DuckDB lists are 1-indexed,
+#: hence v[j+1].
+EMBEDDING_NEAR_DUP_ORACLE = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+twins AS (
+  SELECT vec_id + {PLANT_TWIN_ID_OFFSET} AS vec_id,
+         list_transform(range(0, len(v)),
+                        j -> v[j + 1] + {PLANT_TWIN_EPS} * cos(j)) AS v
+  FROM base WHERE vec_id % {PLANT_TWIN_MOD} = 0
+),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {EMB_NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
 #: oracle for the exhaustive-recall block-join variant
 EMBEDDING_COSINE_BLOCK_ORACLE = _allpairs_cosine_oracle(BLOCK_COSINE_THRESHOLD)
 
@@ -1154,7 +1210,9 @@ QUERIES = [
           dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     Query("dedup_embedding_cosine",
           "embedding near-dup pairs: sign-LSH candidates + exact-cosine verify "
-          f"(cos >= {EMB_NEAR_DUP_THRESHOLD}; seeded >=99.85%-recall contract)",
+          f"(cos >= {EMB_NEAR_DUP_THRESHOLD}; seeded >=99.85%-recall contract) "
+          "over corpus + deterministic planted twins so the oracle row is "
+          "value-checked, not empty-set-green",
           dedup_embedding_cosine, EMBEDDING_NEAR_DUP_ORACLE),
     Query("dedup_containment",
           "sub-document containment pairs (inverted-index candidates + substring "

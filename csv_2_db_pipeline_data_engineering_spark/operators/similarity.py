@@ -96,6 +96,35 @@ def hyperplanes(
     return rng.randn(n_tables, n_planes, dim).tolist()
 
 
+def _table_buckets_seeded(
+    df: DataFrame, n_tables: int, n_planes: int, seed: int
+) -> DataFrame:
+    """``_table_buckets`` with the hyperplane family generated INSIDE
+    the Arrow batch kernel from (seed, observed dim).
+
+    ``RandomState(seed).randn(L, m, dim)`` is deterministic, so every
+    executor regenerates the identical family ``hyperplanes`` would
+    have produced — but the embedding dim is read off the batch itself,
+    which removes the driver-side ``.first()`` dim probe from candidate
+    generation (zero driver actions before the terminal one). The randn
+    call is ~L·m·dim doubles per batch — noise next to the matmul.
+    """
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.values)  # (batch, dim)
+        planes = np.random.RandomState(seed).randn(n_tables, n_planes, mat.shape[1])
+        flat = planes.reshape(n_tables * n_planes, -1).T  # (dim, L*m)
+        bits = (mat @ flat) > 0
+        packed = (
+            bits.reshape(len(mat), n_tables, n_planes).astype(np.int64) * weights
+        ).sum(axis=2)
+        return pd.Series(list(packed.astype(np.int32)))
+
+    return df.select(*df.columns, F.posexplode(buckets("v")).alias("t", "bucket"))
+
+
 def _table_buckets(df: DataFrame, tables: list[list[list[float]]]) -> DataFrame:
     """Explode each vector into one (table, bucket) row per hash table.
 

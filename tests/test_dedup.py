@@ -216,9 +216,24 @@ def test_embedding_lsh_candidate_fanout_is_bounded(spark):
     assert n_cand < 0.05 * n * (n - 1) / 2
 
 
-def test_registered_near_dup_is_empty_on_isotropic_corpus(spark):
-    # this corpus has no structurally-similar embeddings: max pairwise
-    # cosine ≈ 0.51, far below the near-dup threshold — the registered
-    # query and its oracle agree on the empty set (the non-vacuous
-    # evidence lives in the planted-corpus tests above).
-    assert dedup_embedding_cosine(spark, SF_DIR).count() == 0
+def test_registered_near_dup_recovers_exactly_the_planted_twins(spark):
+    # The natural corpus has no structurally-similar embeddings (max
+    # pairwise cosine ≈ 0.51, far below threshold), so every qualifying
+    # pair must be an (original, planted twin) pair — each recovered
+    # through the full sign-LSH route, none invented, with the exact
+    # verified cosine in the expected ≈0.985 band.
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        PLANT_TWIN_ID_OFFSET,
+        PLANT_TWIN_MOD,
+    )
+
+    out = dedup_embedding_cosine(spark, SF_DIR).collect()
+    n_twins = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") % PLANT_TWIN_MOD == 0)
+        .count()
+    )
+    assert n_twins > 0 and len(out) == n_twins
+    for r in out:
+        assert r.id_b == r.id_a + PLANT_TWIN_ID_OFFSET
+        assert 0.95 <= r.cosine < 1.0
