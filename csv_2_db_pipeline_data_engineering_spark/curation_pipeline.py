@@ -79,7 +79,10 @@ def near_dup_losers(docs: DataFrame) -> DataFrame:
     verified pair (keep-first-seen policy). Exact-Jaccard verify keeps
     precision exact; recall is the banded-LSH probability (≈1 at the
     registered threshold — see ``dedup_minhash_lsh``)."""
-    gh = gram_hash_rows(docs)
+    # Cache the gram stream: it feeds BOTH the signature branch and the
+    # collect_set branch (same reason dedup_minhash_lsh caches it), and
+    # this path runs once per streaming micro-batch.
+    gh = gram_hash_rows(docs).cache()
     cands = lsh_candidate_pairs(minhash_signatures(gh))
     sh = (
         gh.groupBy("doc_id")

@@ -1,0 +1,172 @@
+"""Real (pure-stdlib) media codecs for the multimodal operators.
+
+The container has no PIL/ffmpeg, but two honest decode paths need no
+third-party code at all:
+
+- **PNG**: implemented from the public spec (RFC 2083) with ``zlib`` +
+  ``struct`` — signature check, chunk walk with CRC verification, IHDR
+  parse, IDAT inflate, and full scanline unfiltering (filter types
+  0-4). 8-bit depth, non-interlaced, gray/RGB/RGBA.
+- **WAV**: RIFF/PCM via the stdlib ``wave`` module — header parse plus
+  16-bit sample extraction.
+
+Both come with matching encoders so queries can synthesize payloads
+deterministically from ``doc_id`` executor-side, decode them with the
+REAL decoder, and value-check the decoded features against a DuckDB
+oracle that computes the same numbers from the closed-form pixel /
+sample formulas — i.e. the encode→deflate→inflate→unfilter round trip
+itself is what the correctness gate verifies. Generic JPEG/video decode
+still requires PIL/ffmpeg and remains stubbed in ``multimodal.py``.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_COLOR_TYPE_FOR_CHANNELS = {1: 0, 3: 2, 4: 6}
+_CHANNELS_FOR_COLOR_TYPE = {0: 1, 2: 3, 6: 4}
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Encode raw row-major 8-bit pixels as a spec-valid PNG.
+
+    Rows cycle through filter types None/Sub/Up (y % 3) so a decoder
+    must actually unfilter to recover the pixels — a round trip through
+    ``decode_png`` exercises real codec work, not byte identity.
+    """
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size does not match dimensions")
+    color_type = _COLOR_TYPE_FOR_CHANNELS[channels]
+    stride = width * channels
+    rows = []
+    prior = bytes(stride)
+    for y in range(height):
+        raw = pixels[y * stride:(y + 1) * stride]
+        ftype = y % 3
+        if ftype == 0:
+            filt = raw
+        elif ftype == 1:  # Sub: delta vs the pixel to the left
+            filt = bytes(
+                (raw[i] - (raw[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(stride)
+            )
+        else:  # Up: delta vs the row above
+            filt = bytes((raw[i] - prior[i]) & 0xFF for i in range(stride))
+        rows.append(bytes([ftype]) + filt)
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows))
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG to (width, height, channels, raw row-major pixels).
+
+    Verifies the signature and every chunk CRC, inflates IDAT, and
+    reverses all five spec filter types. Raises ``ValueError`` on
+    malformed input and on honest capability limits (bit depth != 8,
+    interlacing, palette images).
+    """
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+            channels = _CHANNELS_FOR_COLOR_TYPE.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prior[i]
+                c = prior[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out += line
+        prior = bytes(line)
+    return width, height, channels, bytes(out)
+
+
+def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Encode 16-bit mono PCM samples as a RIFF/WAV byte string."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a WAV to (sample_rate, n_channels, n_frames, samples).
+
+    Real RIFF parse via the stdlib ``wave`` reader; 16-bit PCM only
+    (the honest capability line — other widths raise ``ValueError``).
+    """
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    samples = list(struct.unpack(f"<{n * ch}h", raw))
+    return sr, ch, n, samples

@@ -6,11 +6,20 @@ metadata struct; decode/feature-extraction runs as Arrow-batched Pandas
 UDFs over ``mapInPandas`` so each executor processes whole record
 batches without ever concentrating bytes on the driver.
 
-The container has no image/audio libraries, so the decode kernel is a
-clearly marked deterministic fake (`_fake_decode`) behind the real
-Spark plumbing — schema, partitioning, UDF signature, and batch shape
-are all production-real and tested; swapping in PIL/ffmpeg is a
-one-function change.
+Decode kernels come in two honesty tiers:
+
+- **Real codecs** (round 6): PNG (from-spec stdlib implementation —
+  chunk CRCs, IDAT inflate, scanline unfiltering) and WAV (RIFF/PCM
+  via stdlib ``wave``) in ``media_codecs.py``. The registered
+  ``mm_png_decode_stats`` / ``mm_wav_decode_stats`` queries synthesize
+  payloads deterministically from doc_id executor-side, run the REAL
+  decoder on them, and value-check the decoded features against a
+  closed-form DuckDB oracle — the codec round trip is inside the
+  correctness gate.
+- **Stub kernel** (`_fake_decode`): generic JPEG/video decode still
+  requires PIL/ffmpeg (not in container); the Spark plumbing — schema,
+  partitioning, UDF signature, batch shape — is production-real and
+  tested, and swapping in PIL/ffmpeg is a one-function change.
 """
 
 from __future__ import annotations
@@ -276,9 +285,173 @@ FROM fr GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- REAL decode kernels (stdlib PNG + WAV codecs) ---------------------------
+#
+# Payload synthesis parameters — pure integer closed forms so the DuckDB
+# oracle can recompute every decoded feature exactly (no float seams
+# besides the final AVG/sqrt, identical IEEE ops on both engines).
+PNG_W = "8 + doc_id % 9"      # 8..16
+PNG_H = "5 + doc_id % 7"      # 5..11
+WAV_N = "160 + doc_id % 241"  # samples, 160..400
+WAV_SR = 8000
+
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def mm_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode: synthesize → encode → decode → featurize.
+
+    Per doc_id an RGB image with pixel[k] = (doc_id*31 + k) % 256 is
+    PNG-encoded (rows cycle None/Sub/Up filters) and then decoded with
+    the from-spec stdlib decoder; the emitted features come from the
+    DECODED pixels, so the oracle match certifies the deflate/inflate/
+    unfilter round trip, not the synthesis.
+    """
+    from .media_codecs import decode_png, encode_png
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in PNG_STATS_SCHEMA}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 9, 5 + doc_id % 7
+                px = bytes((doc_id * 31 + k) % 256 for k in range(w * h * 3))
+                dw, dh, dc, dpx = decode_png(encode_png(w, h, px, channels=3))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(dw)
+                rows["height"].append(dh)
+                rows["n_channels"].append(dc)
+                rows["n_pixels"].append(dw * dh)
+                rows["mean_pixel"].append(float(sum(dpx)) / len(dpx))
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "n_channels": pd.array(rows["n_channels"], dtype="int32"),
+                    "n_pixels": pd.array(rows["n_pixels"], dtype="int64"),
+                    "mean_pixel": rows["mean_pixel"],
+                }
+            )
+
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(decode_batches, PNG_STATS_SCHEMA)
+    )
+    return feats.select(
+        "doc_id", "width", "height", "n_channels", "n_pixels",
+        F.round("mean_pixel", 4).alias("mean_pixel"),
+    ).orderBy("doc_id")
+
+
+MM_PNG_DECODE_ORACLE = f"""
+WITH d AS (SELECT doc_id, {PNG_W} AS w, {PNG_H} AS h FROM documents),
+k AS (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS k FROM d)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       3 AS n_channels, w * h AS n_pixels,
+       ROUND(AVG((doc_id * 31 + k) % 256), 4) AS mean_pixel
+FROM k GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        # duration in MILLISECONDS: n*1000/8000 = n/8 is exact in binary
+        # doubles, so there is no round-half seam between engines (n/8000
+        # seconds lands on .xxxx5 boundaries where Spark's HALF_UP and
+        # DuckDB's binary rounding disagree — measured on this corpus).
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def mm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode: synthesize PCM → RIFF-encode → decode → featurize.
+
+    Per doc_id a 16-bit mono wave s_i = ((i*step) % 2048) - 1024 (step =
+    doc_id % 7 + 1) is written through the stdlib ``wave`` encoder and
+    read back with the real RIFF parser; header fields and the RMS over
+    the DECODED samples are value-checked against the closed form.
+    """
+    import numpy as np
+
+    from .media_codecs import decode_wav, encode_wav
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in WAV_STATS_SCHEMA}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n, step = 160 + doc_id % 241, doc_id % 7 + 1
+                samples = [((i * step) % 2048) - 1024 for i in range(n)]
+                sr, ch, nf, decoded = decode_wav(encode_wav(samples, WAV_SR))
+                a = np.asarray(decoded, dtype=np.float64)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(sr)
+                rows["n_channels"].append(ch)
+                rows["n_samples"].append(nf)
+                rows["duration_ms"].append(nf * 1000.0 / sr)
+                rows["rms"].append(float(np.sqrt(np.mean(a * a))))
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "sample_rate": pd.array(rows["sample_rate"], dtype="int32"),
+                    "n_channels": pd.array(rows["n_channels"], dtype="int32"),
+                    "n_samples": pd.array(rows["n_samples"], dtype="int64"),
+                    "duration_ms": rows["duration_ms"],
+                    "rms": rows["rms"],
+                }
+            )
+
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(decode_batches, WAV_STATS_SCHEMA)
+    )
+    return feats.select(
+        "doc_id", "sample_rate", "n_channels", "n_samples",
+        "duration_ms",
+        F.round("rms", 4).alias("rms"),
+    ).orderBy("doc_id")
+
+
+MM_WAV_DECODE_ORACLE = f"""
+WITH d AS (SELECT doc_id, {WAV_N} AS n, doc_id % 7 + 1 AS step FROM documents),
+s AS (SELECT doc_id, n, step, unnest(range(0, n)) AS i FROM d),
+v AS (SELECT doc_id, n, ((i * step) % 2048) - 1024 AS s FROM s)
+SELECT doc_id, {WAV_SR} AS sample_rate, 1 AS n_channels, n AS n_samples,
+       n * 1000.0 / {WAV_SR} AS duration_ms,
+       ROUND(sqrt(AVG(s * s)), 4) AS rms
+FROM v GROUP BY doc_id, n ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("mm_payload_stats", "binary payload byte stats per source", mm_payload_stats,
           MM_PAYLOAD_ORACLE),
+    Query("mm_png_decode_stats",
+          "REAL PNG decode (from-spec stdlib codec: CRC walk, inflate, "
+          "unfilter) value-checked through an encode->decode round trip",
+          mm_png_decode_stats, MM_PNG_DECODE_ORACLE),
+    Query("mm_wav_decode_stats",
+          "REAL WAV/PCM decode (stdlib RIFF parser) value-checked through "
+          "an encode->decode round trip",
+          mm_wav_decode_stats, MM_WAV_DECODE_ORACLE),
     Query("mm_decode_features", "Arrow-batched decode/feature-extract (stub kernel)",
           mm_decode_features, MM_DECODE_ORACLE),
     Query("mm_frame_sample_stats", "fan-out frame sampling via mapInPandas",

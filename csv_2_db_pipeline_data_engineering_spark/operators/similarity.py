@@ -326,6 +326,12 @@ def ann_pq_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
             "code int, cent array<double>",
         )
+        # Eager localCheckpoint materializes the TINY per-subspace error
+        # frame (vec_id + one double) while `feat` is still cached, so
+        # the cache can be dropped right here instead of accumulating
+        # executor storage for the session lifetime (8 cached sub-vector
+        # frames per call). The checkpointed RDD is released by the
+        # ContextCleaner once the returned result is unreferenced.
         err = (
             model.transform(feat)
             .join(F.broadcast(centroids), "code")
@@ -337,7 +343,9 @@ def ann_pq_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda acc, x: acc + x,
                 ).alias("err"),
             )
+            .localCheckpoint(eager=True)
         )
+        feat.unpersist()
         err_frames.append(err)
     total = (
         reduce(lambda a, b: a.unionAll(b), err_frames)

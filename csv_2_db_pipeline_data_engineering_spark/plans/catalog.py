@@ -58,6 +58,20 @@ class Query:
 # twins (duplicate_user_events ~ dedup_exact_hash's dup counting,
 # ann_pq_certified ~ ann_lsh_bucketed/ann_ivf's ANN certificate
 # pattern, embedding_label_centroids ~ the window's agg shapes).
+#
+# Round-6 rotation (VERDICT r5 #9 + new real codecs): in come
+# text_char_entropy and corpus_split_plan (both locally green but never
+# driver-hash-checked: sorted-summation entropy; certificate-bearing
+# content-keyed split) plus mm_png_decode_stats / mm_wav_decode_stats
+# (NEW: real stdlib PNG/WAV decoders value-checked through an
+# encode→decode round trip). Out go four entries green in ≥2
+# consecutive driver rounds, each with an in-window family twin:
+# dedup_ngram_jaccard (capped twin of dedup_minhash_lsh; its exact SQL
+# still runs in-window INSIDE dedup_clusters' oracle), dedup_simhash
+# (banded-join family ~ dedup_minhash_lsh), salted_event_type_counts
+# (salted-agg demo ~ cube/pivot agg shapes), corpus_shuffle_plan
+# (curation planning family ~ corpus_pack_plan). All stay registered
+# and locally oracle-checked via tools/check_oracles.py.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
@@ -68,9 +82,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "profile_lineitem",
     # LLM-pipeline: deduplication family.
     "dedup_exact_hash",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_containment",
@@ -88,15 +100,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_pii_scrub",
     "text_repetition_stats",
     "doc_chunk_plan",
+    "text_char_entropy",
     # LLM-pipeline: multimodal + continuous aggregate.
     "mm_decode_features",
+    "mm_png_decode_stats",
+    "mm_wav_decode_stats",
     "hourly_rollup_serve",
     # LLM-pipeline: curation decisions (contamination / sampling / keep-drop).
     "contamination_ngram_overlap",
     "corpus_sample_strata",
     "corpus_curation_decision",
     "corpus_pack_plan",
-    "corpus_shuffle_plan",
+    "corpus_split_plan",
     "domain_mix_allocation",
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
@@ -115,7 +130,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Rotated in round 4, kept: still the only instances of their shapes.
     "pivot_status_by_priority",
     "top3_orders_per_priority",
-    "salted_event_type_counts",
     "parts_above_brand_avg",
 )
 

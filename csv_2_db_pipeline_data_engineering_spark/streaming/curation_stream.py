@@ -21,12 +21,13 @@ Per batch:
 Exactly-once under crash-replay (the reference's idempotency contract,
 ``README.md:150``, applied to a stream): every output is written to
 ``<table>/batch=<id>/`` with overwrite semantics, so a replayed
-uncommitted fold rewrites its own directories byte-identically; the
-atomic ``_MANIFEST.json`` commit (tmp + ``os.replace``) is the single
-visibility point, and a replay of a COMMITTED batch no-ops on the
-manifest gate. Readers resolve the manifest first and read only
-committed batch dirs, so a crash mid-write can never surface partial
-data.
+uncommitted fold rewrites its own directories content-identically
+(part-file NAMES embed a per-job UUID, so the correctness mechanism is
+not byte identity — it is the atomic ``_MANIFEST.json`` commit (tmp +
+``os.replace``), the single visibility point; a replay of a COMMITTED
+batch no-ops on the manifest gate). Readers resolve the manifest first
+and read only committed batch dirs, so a crash mid-write can never
+surface partial data.
 
 Scale notes (100 TB of history, TB/day arrivals): per-batch cost is
 O(batch + index-candidates). The stored index carries signatures +
