@@ -28,6 +28,8 @@ Scale design (the point of each variant at 100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -632,6 +634,46 @@ def build_signature_index(docs: DataFrame) -> DataFrame:
         .withColumn("ns", F.size("sh"))
     )
     return sig.join(sets, "doc_id")
+
+
+def write_signature_index(docs: DataFrame, path: str, tag: str = "base") -> None:
+    """Persist a corpus' signature index under ``<path>/delta=<tag>/``.
+
+    The index is a tagged partition-dir layout from day one so later
+    deltas EXTEND it by writing new ``delta=<tag>`` directories —
+    O(delta) per maintenance step, never a rewrite of history (the
+    upsert-shaped index update a daily crawl needs; spiritual parallel
+    to the reference's idempotent ``ON CONFLICT`` upsert,
+    ``src/load.py:87-95``, where replaying an ingest is a no-op).
+    """
+    build_signature_index(docs).write.mode("overwrite").parquet(
+        os.path.join(path, f"delta={tag}")
+    )
+
+
+def extend_signature_index(delta_docs: DataFrame, path: str, tag: str) -> None:
+    """Fold a delta's signatures INTO the persisted index: O(delta).
+
+    Writes only ``<path>/delta=<tag>/`` — existing partitions are never
+    read or rewritten, so extending a 100 TB corpus' index costs the
+    delta alone. Re-running with the same tag overwrites the same
+    directory with identical content (replay-idempotent); after the
+    extension, future folds see the delta's docs as index history.
+    """
+    write_signature_index(delta_docs, path, tag)
+
+
+def read_signature_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read the full signature index (all delta partitions) back.
+
+    The ``delta`` partition tag is dropped: consumers treat the index as
+    one logical table regardless of how many maintenance steps built it.
+    """
+    return (
+        spark.read.option("basePath", path)
+        .parquet(os.path.join(path, "delta=*"))
+        .drop("delta")
+    )
 
 
 def incremental_dedup_pairs(

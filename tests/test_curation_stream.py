@@ -79,19 +79,34 @@ def test_replayed_batch_is_noop(spark, tmp_path):
 
 def test_short_doc_fingerprint_still_guards(spark, tmp_path):
     out = str(tmp_path / "curated")
-    # two words: no 3-gram shingles -> no signature; it fails the
-    # language gate (no stopword density), so it lands in dropped — but
-    # a signature-less KEPT doc is the real target; craft one that
-    # passes gates: stopword-rich but only 2 words is impossible, so
-    # assert the weaker invariant: the fold neither crashes nor
-    # miscounts with unshingleable docs present.
-    fold_curation_batch(spark, _docs(spark, [(1, "the it"), (2, _BASE)]), out, 0)
+    # "of the": stopword-dense (passes the language gate), all distinct
+    # (passes TTR), but with 2 words it cannot form a 3-word shingle ->
+    # a KEPT doc with NO MinHash signature. Its index row must be
+    # fingerprint-only (m0 null) and must still block a later exact
+    # copy via the left-join path in fold_curation_batch.
+    short = "of the"
+    fold_curation_batch(spark, _docs(spark, [(1, short), (2, _BASE)]), out, 0)
     kept = {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
-    dropped = {r["doc_id"] for r in read_curated(spark, out, "dropped").collect()}
-    assert kept | dropped == {1, 2} and kept & dropped == set()
-    # fold a second batch against the index (exercises the m0 filter)
-    fold_curation_batch(spark, _docs(spark, [(3, _OTHER)]), out, 1)
-    assert 3 in {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
+    assert kept == {1, 2}, "the short stopword-dense doc must pass every gate"
+    idx = {r["doc_id"]: r for r in read_curated(spark, out, "index").collect()}
+    assert idx[1]["m0"] is None, "short doc's index row must be fingerprint-only"
+    assert idx[2]["m0"] is not None
+
+    # batch 1: an exact copy of the signature-less doc, a fresh doc, and
+    # another unshingleable doc (exercises the m0-null filter on the
+    # banded join side at the same time)
+    fold_curation_batch(
+        spark, _docs(spark, [(5, short), (6, _OTHER), (7, "and it")]), out, 1
+    )
+    dropped = {
+        r["doc_id"]: r["reason"] for r in read_curated(spark, out, "dropped").collect()
+    }
+    assert dropped.get(5) == "exact_dup", (
+        "fingerprint-only index row must block an exact copy of a "
+        "signature-less kept doc"
+    )
+    kept = {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
+    assert 6 in kept
 
 
 def test_stream_end_to_end(spark, tmp_path):
