@@ -441,9 +441,170 @@ FROM v GROUP BY doc_id, n ORDER BY doc_id
 """
 
 
+RESIZE_TO = 8  # nearest-neighbor target: RESIZE_TO x RESIZE_TO
+
+PNG_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def mm_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: decode PNG → nearest-neighbor resample →
+    re-encode → decode again → featurize.
+
+    Source pixel for target (x, y) is (x·w // N, y·h // N) — the
+    classic floor-mapped nearest neighbor. The resized image makes a
+    SECOND full PNG round trip before features are read, so the oracle
+    match certifies decode + resample + re-encode + re-decode.
+    """
+    from .media_codecs import decode_png, encode_png
+
+    n = RESIZE_TO
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 9, 5 + doc_id % 7
+                px = bytes((doc_id * 31 + k) % 256 for k in range(w * h * 3))
+                dw, dh, dc, dpx = decode_png(encode_png(w, h, px, channels=3))
+                resized = bytearray()
+                for y in range(n):
+                    sy = (y * dh) // n
+                    for x in range(n):
+                        sx = (x * dw) // n
+                        base = (sy * dw + sx) * dc
+                        resized += dpx[base:base + dc]
+                # second round trip: the resized image is itself re-encoded
+                rw, rh, rc, rpx = decode_png(encode_png(n, n, bytes(resized), channels=dc))
+                ids.append(doc_id)
+                means.append(float(sum(rpx)) / len(rpx))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": pd.array([n] * len(ids), dtype="int32"),
+                    "height": pd.array([n] * len(ids), dtype="int32"),
+                    "mean_pixel": means,
+                }
+            )
+
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(resize_batches, PNG_RESIZE_SCHEMA)
+    )
+    return feats.select(
+        "doc_id", "width", "height", F.round("mean_pixel", 4).alias("mean_pixel")
+    ).orderBy("doc_id")
+
+
+MM_PNG_RESIZE_ORACLE = f"""
+WITH d AS (SELECT doc_id, {PNG_W} AS w, {PNG_H} AS h FROM documents),
+g AS (SELECT doc_id, w, h, unnest(range(0, {RESIZE_TO * RESIZE_TO * 3})) AS i FROM d),
+m AS (SELECT doc_id, w, h, i % 3 AS c, (i // 3) % {RESIZE_TO} AS x,
+             i // {RESIZE_TO * 3} AS y FROM g),
+k AS (SELECT doc_id, (((y * h) // {RESIZE_TO}) * w + ((x * w) // {RESIZE_TO})) * 3 + c AS k
+      FROM m)
+SELECT doc_id, {RESIZE_TO} AS width, {RESIZE_TO} AS height,
+       ROUND(AVG((doc_id * 31 + k) % 256), 4) AS mean_pixel
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+VAD_FRAME = 160       # 20 ms at 8 kHz
+VAD_RMS_THRESHOLD = 512.0
+
+WAV_VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_voiced", T.IntegerType()),
+        T.StructField("max_frame_rms", T.DoubleType()),
+    ]
+)
+
+
+def mm_wav_vad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio analysis: decode WAV → 20 ms frames → per-frame RMS →
+    energy-based voice-activity counts (the classic VAD baseline).
+
+    Works on the DECODED samples (same synth as ``mm_wav_decode_stats``),
+    so the oracle match certifies RIFF parse + framing + energy math.
+    """
+    import numpy as np
+
+    from .media_codecs import decode_wav, encode_wav
+
+    def vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, nvs, mx = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n, step = 160 + doc_id % 241, doc_id % 7 + 1
+                samples = [((i * step) % 2048) - 1024 for i in range(n)]
+                _sr, _ch, _nf, decoded = decode_wav(encode_wav(samples, WAV_SR))
+                a = np.asarray(decoded, dtype=np.float64)
+                rms = [
+                    float(np.sqrt(np.mean(a[f:f + VAD_FRAME] ** 2)))
+                    for f in range(0, len(a), VAD_FRAME)
+                ]
+                ids.append(doc_id)
+                nfs.append(len(rms))
+                nvs.append(sum(r >= VAD_RMS_THRESHOLD for r in rms))
+                mx.append(max(rms))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": pd.array(nfs, dtype="int32"),
+                    "n_voiced": pd.array(nvs, dtype="int32"),
+                    "max_frame_rms": mx,
+                }
+            )
+
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(vad_batches, WAV_VAD_SCHEMA)
+    )
+    return feats.select(
+        "doc_id", "n_frames", "n_voiced",
+        F.round("max_frame_rms", 4).alias("max_frame_rms"),
+    ).orderBy("doc_id")
+
+
+MM_WAV_VAD_ORACLE = f"""
+WITH d AS (SELECT doc_id, {WAV_N} AS n, doc_id % 7 + 1 AS step FROM documents),
+s AS (SELECT doc_id, step, unnest(range(0, n)) AS i FROM d),
+v AS (SELECT doc_id, i // {VAD_FRAME} AS f, ((i * step) % 2048) - 1024 AS s FROM s),
+fr AS (
+  SELECT doc_id, f, sqrt(AVG(s * s)) AS rms
+  FROM v GROUP BY doc_id, f
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST(COUNT(*) FILTER (WHERE rms >= {VAD_RMS_THRESHOLD}) AS INT) AS n_voiced,
+       ROUND(MAX(rms), 4) AS max_frame_rms
+FROM fr GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("mm_payload_stats", "binary payload byte stats per source", mm_payload_stats,
           MM_PAYLOAD_ORACLE),
+    Query("mm_png_resize_stats",
+          "REAL nearest-neighbor image resize through two full PNG round "
+          "trips (decode -> resample -> re-encode -> re-decode)",
+          mm_png_resize_stats, MM_PNG_RESIZE_ORACLE),
+    Query("mm_wav_vad_stats",
+          "REAL energy-based voice-activity detection over decoded PCM "
+          "frames (20ms framing + per-frame RMS)",
+          mm_wav_vad_stats, MM_WAV_VAD_ORACLE),
     Query("mm_png_decode_stats",
           "REAL PNG decode (from-spec stdlib codec: CRC walk, inflate, "
           "unfilter) value-checked through an encode->decode round trip",

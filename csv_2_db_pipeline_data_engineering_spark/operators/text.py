@@ -306,9 +306,91 @@ FROM (
 """
 
 
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-MLE bigram log-probability per document — the perplexity-
+    style fluency proxy (CCNet, Wenzek et al. 2020, filters corpora by
+    LM perplexity; with no external LM in the container, the corpus's
+    own bigram MLE is the self-contained equivalent: looping/boilerplate
+    text scores high, token-salad scores low).
+
+    score(doc) = avg over its bigram occurrences of
+    ln((C(w1,w2) + 1) / (C(w1·) + V)), counts over the WHOLE corpus,
+    V = corpus vocabulary size. Add-one smoothing is load-bearing, not
+    cosmetic: raw MLE assigns P=1 to any bigram whose prefix occurs
+    once (a singleton context has a deterministic continuation), so
+    token salad made of unique words would score at the MAXIMUM;
+    smoothing pulls singleton bigrams toward 1/V and restores the
+    intended ordering (repeated fluent patterns high, salad low).
+
+    Plan shape (100 TB): the bigram stream is posexplode + one window
+    lead (codegen'd gram rows, the ``text_repetition_stats`` trick),
+    cached once, then aggregated twice (pair counts, prefix counts) and
+    joined back on token keys — the inverted-index family TF-IDF uses;
+    every join is a keyed shuffle, never all-pairs, and the per-doc
+    aggregate is co-partitioned on doc_id.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 2
+    )
+    words = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1"))
+    win = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        words.withColumn("w2", F.lead("w1").over(win))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+        .cache()
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    # Vocabulary size as a 1-row broadcast frame (NOT a driver action):
+    # counted over ALL token occurrences, including doc-final ones.
+    vsize = words.agg(F.countDistinct("w1").alias("v"))
+    lp = F.log(
+        (F.col("n12") + 1).cast("double") / (F.col("n1") + F.col("v"))
+    )
+    return (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LOGPROB_ORACLE = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))]) AS b
+  FROM docs WHERE len(w) >= 2
+),
+bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+c2 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bb GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM bb GROUP BY w1),
+vs AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(w) AS tok FROM docs WHERE len(w) >= 2)
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln((n12 + 1)::DOUBLE / (n1 + v))), 4) AS avg_logprob
+FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("text_token_stats", "whitespace + regex token counting", text_token_stats,
           TOKEN_STATS_ORACLE),
+    Query("text_bigram_logprob",
+          "corpus-MLE bigram log-probability fluency score (perplexity-style "
+          "quality proxy, CCNet-inspired)",
+          text_bigram_logprob, BIGRAM_LOGPROB_ORACLE),
     Query("text_tfidf", "exact corpus TF-IDF per (doc, term)", text_tfidf,
           TFIDF_ORACLE),
     Query("text_top_term", "most distinctive term per doc (TF-IDF argmax)",

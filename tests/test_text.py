@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from csv_2_db_pipeline_data_engineering_spark.operators.text import (
     WINNOW_WINDOW,
+    text_bigram_logprob,
     winnow_fingerprints,
 )
 
@@ -42,3 +43,24 @@ def test_winnowing_compression(spark):
     # winnowing keeps roughly 2/(w+1) of gram hashes, never more than all
     assert len(fps) < n_grams
     assert len(fps) >= n_grams // (WINNOW_WINDOW * 3)
+
+
+def test_bigram_logprob_orders_fluent_above_salad(spark, tmp_path):
+    # Repeated fluent patterns must outscore token salad; without
+    # add-one smoothing the ordering INVERTS (singleton prefixes give
+    # MLE P=1), so this pins the smoothing as load-bearing.
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),            # repeated bigrams
+            (1, "q r s t u v"),            # all-singleton bigrams
+            (2, "a b a b x a b"),          # mostly repeated
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    scores = {
+        r.doc_id: r.avg_logprob
+        for r in text_bigram_logprob(spark, str(tmp_path)).collect()
+    }
+    assert scores[0] > scores[1]
+    assert scores[2] > scores[1]
