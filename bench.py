@@ -53,6 +53,10 @@ HEADLINE = [
     "text_repetition_stats",
     "doc_chunk_plan",
     "text_char_entropy",
+    # round-6: bigram-LM fluency (token-keyed inverted joins) and a
+    # real-codec Arrow kernel (PNG decode round trip via mapInPandas)
+    "text_bigram_logprob",
+    "mm_png_decode_stats",
 ]
 
 

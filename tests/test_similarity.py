@@ -34,3 +34,28 @@ def test_ann_ivf_recall(spark):
     n_queries = len({q for q, _ in approx})
     assert all(q != n for q, n in approx)
     assert len(approx) == n_queries * TOP_K
+
+
+def test_seeded_kernel_buckets_match_driver_side_family(spark):
+    # The in-kernel seeded hyperplane generation (no driver-side dim
+    # probe) must produce bit-identical buckets to the explicit
+    # hyperplanes() + _table_buckets path for the same seed.
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.similarity import (
+        _table_buckets,
+        _table_buckets_seeded,
+        hyperplanes,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    tables = hyperplanes(dim=16, n_tables=6, n_planes=5, seed=99)
+    a = {(r.vec_id, r.t): r.bucket for r in _table_buckets(df, tables).collect()}
+    b = {
+        (r.vec_id, r.t): r.bucket
+        for r in _table_buckets_seeded(df, 6, 5, 99).collect()
+    }
+    assert a == b
