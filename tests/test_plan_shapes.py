@@ -191,3 +191,15 @@ def test_repetition_and_shingles_use_codegen_gram_derivation(spark):
         plan = _plan(spark, name)
         assert "posexplode" in plan, name
         assert "transform(sequence" not in plan, name
+
+
+def test_bigram_logprob_shape(spark):
+    # Inverted-join fluency score: the bigram stream must be CACHED and
+    # reused by all three consumers (scoring rows + both count frames),
+    # and the only nested-loop join allowed is the broadcast of the
+    # 1-row vocabulary frame — never a cartesian over data.
+    plan = _plan(spark, "text_bigram_logprob")
+    assert "CartesianProduct" not in plan
+    # formatted plans mention each node twice (tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("InMemoryTableScan") >= 3
