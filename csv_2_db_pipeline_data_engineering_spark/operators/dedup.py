@@ -676,6 +676,44 @@ def read_signature_index(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def write_banded_index_table(index: DataFrame, table: str, n_buckets: int = 64) -> None:
+    """Persist PRECOMPUTED band rows as a table bucketed on (band, bh).
+
+    The 100 TB refinement of the incremental fold: the candidate join's
+    big side (history's band rows) lives bucketed on exactly the join
+    key, so Spark reads its buckets in place and shuffles ONLY the
+    delta side into the bucket scheme — O(delta) network, zero movement
+    of the stored index regardless of corpus size
+    (``tests/test_bucketing.py::test_banded_index_join_shuffles_only_delta``
+    pins the plan). Band rows are derived once at write time from the
+    signature columns; re-deriving them per fold (the ``band_rows`` call
+    in ``incremental_dedup_pairs``) is map-side work but still scans the
+    stored signatures — the bucketed band table trades a little storage
+    (#bands rows per doc) for a shuffle-free, scan-minimal join.
+    """
+    band_rows(index).write.bucketBy(n_buckets, "band", "bh").sortBy(
+        "band", "bh"
+    ).mode("overwrite").saveAsTable(table)
+
+
+def incremental_candidates_banded(delta_docs: DataFrame, band_table: str) -> DataFrame:
+    """Candidate (doc_delta, doc_base) pairs against a bucketed band table.
+
+    Multiplicity (one row per shared band) is preserved — like
+    ``lsh_candidate_pairs``, the caller collapses after its verify step.
+    The stored side is read bucket-aligned (no Exchange); verify joins
+    back to the signature index on doc_id as usual.
+    """
+    spark = delta_docs.sparkSession
+    d_bands = band_rows(build_signature_index(delta_docs)).select(
+        F.col("doc_id").alias("doc_delta"), "band", "bh"
+    )
+    b_bands = spark.table(band_table).select(
+        F.col("doc_id").alias("doc_base"), "band", "bh"
+    )
+    return d_bands.join(b_bands, ["band", "bh"]).select("doc_delta", "doc_base")
+
+
 def incremental_dedup_pairs(
     delta_docs: DataFrame, index: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:

@@ -89,3 +89,57 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_banded_index_join_shuffles_only_delta(spark, tmp_path):
+    """Incremental-dedup candidate join against a band table bucketed on
+    (band, bh): the stored side must be read bucket-aligned (no Exchange
+    in its subtree) while the delta side shuffles into the bucket
+    scheme — O(delta) network at any history size."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        build_signature_index,
+        incremental_candidates_banded,
+        write_banded_index_table,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS banddemo LOCATION '{tmp_path}'")
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        write_banded_index_table(
+            build_signature_index(base), "banddemo.bands_b", n_buckets=4
+        )
+        cands = incremental_candidates_banded(delta, "banddemo.bands_b")
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # exactly ONE hash-partitioning on the join key (the delta side);
+        # the stored side is read bucket-aligned straight off disk
+        assert plan.count("Exchange hashpartitioning(band") == 1, (
+            f"expected only the delta side to shuffle on (band, bh):\n{plan}"
+        )
+        assert "Bucketed: true" in plan
+        # and the candidates are correct (the near-dup base doc collides)
+        hit = {(r.doc_delta, r.doc_base) for r in cands.collect()}
+        assert (100, 1) in hit and all(d == 100 for d, _ in hit)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS banddemo.bands_b")
+        spark.sql("DROP DATABASE IF EXISTS banddemo")
