@@ -441,6 +441,61 @@ FROM v GROUP BY doc_id, n ORDER BY doc_id
 """
 
 
+PNG_SAFE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def png_features_with_deadletter(media: DataFrame) -> DataFrame:
+    """Decode a PNG payload column with per-row dead-lettering.
+
+    At 100 TB some payloads WILL be truncated or corrupt; a decode
+    error must become a row, never a task failure (the reference's
+    dead-letter principle applied to media). Good rows carry decoded
+    features; bad rows carry ``ok=false`` and the decoder's error
+    message, ready to route to a rejected sink.
+    """
+    from .media_codecs import decode_png
+
+    def safe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in PNG_SAFE_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(int(doc_id))
+                try:
+                    w, h, _c, px = decode_png(bytes(payload))
+                    rows["ok"].append(True)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_pixel"].append(float(sum(px)) / max(1, len(px)))
+                    rows["error"].append(None)
+                except Exception as exc:  # noqa: BLE001 — decode must never kill the task
+                    rows["ok"].append(False)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["mean_pixel"].append(None)
+                    rows["error"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "ok": rows["ok"],
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "mean_pixel": pd.array(rows["mean_pixel"], dtype="float64"),
+                    "error": rows["error"],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(safe_batches, PNG_SAFE_SCHEMA)
+
+
 RESIZE_TO = 8  # nearest-neighbor target: RESIZE_TO x RESIZE_TO
 
 PNG_RESIZE_SCHEMA = T.StructType(

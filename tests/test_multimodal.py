@@ -57,3 +57,26 @@ def test_frame_sampling_fan_out(spark):
             for i in range(0, n_frames, 4)
         )
         assert got[r.doc_id] == (want_n, want_b)
+
+
+def test_png_deadletter_decode_rows_not_task_failures(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.media_codecs import (
+        encode_png,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.operators.multimodal import (
+        png_features_with_deadletter,
+    )
+
+    good = encode_png(4, 3, bytes(range(4 * 3 * 3)))
+    truncated = good[: len(good) // 2]
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"not a png at all")),
+        (3, bytearray(truncated)),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in png_features_with_deadletter(media).collect()}
+    assert out[1].ok and out[1].width == 4 and out[1].height == 3
+    assert not out[2].ok and "signature" in out[2].error
+    assert not out[3].ok and out[3].error
+    assert out[2].width is None
