@@ -74,15 +74,21 @@ class CurationSummary:
         return round(100.0 * (self.input_docs - self.kept_docs) / self.input_docs, 1)
 
 
-def near_dup_losers(docs: DataFrame) -> DataFrame:
+def near_dup_losers(docs: DataFrame, gh: DataFrame | None = None) -> DataFrame:
     """doc_ids dropped by MinHash-LSH near-dup: the larger id of every
     verified pair (keep-first-seen policy). Exact-Jaccard verify keeps
     precision exact; recall is the banded-LSH probability (≈1 at the
-    registered threshold — see ``dedup_minhash_lsh``)."""
+    registered threshold — see ``dedup_minhash_lsh``).
+
+    ``gh`` lets a caller that controls the lifecycle (the streaming
+    fold, which runs once per micro-batch) pass in an already-cached
+    gram stream and unpersist it after materialization — otherwise each
+    batch would leave one more cached stream in executor storage for
+    the life of the session."""
     # Cache the gram stream: it feeds BOTH the signature branch and the
-    # collect_set branch (same reason dedup_minhash_lsh caches it), and
-    # this path runs once per streaming micro-batch.
-    gh = gram_hash_rows(docs).cache()
+    # collect_set branch (same reason dedup_minhash_lsh caches it).
+    if gh is None:
+        gh = gram_hash_rows(docs).cache()
     cands = lsh_candidate_pairs(minhash_signatures(gh))
     sh = (
         gh.groupBy("doc_id")

@@ -614,7 +614,7 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- incremental dedup against a persisted signature index ---------------------
 
 
-def build_signature_index(docs: DataFrame) -> DataFrame:
+def build_signature_index(docs: DataFrame, gh: DataFrame | None = None) -> DataFrame:
     """Per-document dedup state: MinHash signature (m0..m{k-1}) plus the
     gram-hash set and its size — everything a later delta fold needs
     (candidates from the banded signature, exact-Jaccard verify from the
@@ -625,8 +625,14 @@ def build_signature_index(docs: DataFrame) -> DataFrame:
     aggregations over the shared gram stream for the same codegen
     reason as ``dedup_minhash_lsh``; both are keyed on doc_id, so the
     join that zips them back together is co-partitioned.
+
+    ``gh`` lets lifecycle-owning callers (the streaming curation fold)
+    inject an already-cached gram stream — one cache per micro-batch,
+    unpersisted by the caller after materialization, instead of one
+    leaked cache per ``build_signature_index`` call.
     """
-    gh = gram_hash_rows(docs).cache()
+    if gh is None:
+        gh = gram_hash_rows(docs).cache()
     sig = minhash_signatures(gh)
     sets = (
         gh.groupBy("doc_id")
@@ -715,7 +721,10 @@ def incremental_candidates_banded(delta_docs: DataFrame, band_table: str) -> Dat
 
 
 def incremental_dedup_pairs(
-    delta_docs: DataFrame, index: DataFrame, threshold: float = JACCARD_THRESHOLD
+    delta_docs: DataFrame,
+    index: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    gh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between NEW documents and an indexed base corpus,
     touching only delta text + the stored index — the rollup-style
@@ -731,7 +740,7 @@ def incremental_dedup_pairs(
     (≈ 0.996 per pair at the 0.4 threshold, deterministic seeded
     family); precision is exact.
     """
-    d_index = build_signature_index(delta_docs)
+    d_index = build_signature_index(delta_docs, gh=gh)
     d_bands = band_rows(d_index).select(
         F.col("doc_id").alias("doc_delta"), "band", "bh"
     )

@@ -111,13 +111,19 @@ def fold_curation_batch(
     docs = batch_df.select("doc_id", "text")
     index = read_curated(spark, out_dir, "index")
 
-    internal = near_dup_losers(docs)
+    # Batch-scoped cache: unpersisted after the eager checkpoint below,
+    # so a long-running stream doesn't accumulate one cached gram stream
+    # per micro-batch in executor storage.
+    from ..operators.dedup import gram_hash_rows
+
+    gh = gram_hash_rows(docs).cache()
+    internal = near_dup_losers(docs, gh=gh)
     if index is not None:
         # Signature-less rows (docs too short to shingle) are tracked by
         # fingerprint only — excluding them from the banded join avoids
         # the degenerate all-shorts-collide bucket.
         cross = incremental_dedup_pairs(
-            docs, index.filter(F.col("m0").isNotNull())
+            docs, index.filter(F.col("m0").isNotNull()), gh=gh
         ).select(F.col("doc_delta").alias("doc_id"))
         losers = internal.select("doc_id").union(cross)
         fps = index.select("fingerprint")
@@ -133,8 +139,14 @@ def fold_curation_batch(
     # LEFT join from the fingerprint side: a kept doc too short to have
     # a signature still claims its fingerprint in the index, so later
     # exact copies of it are caught even though LSH can't see it.
+    # The kept docs' gram stream is the batch stream filtered to kept
+    # ids — reusing the cached frame instead of re-shingling kept text.
     new_index = kept.select("doc_id", "fingerprint").join(
-        build_signature_index(kept_docs), "doc_id", "left"
+        build_signature_index(
+            kept_docs, gh=gh.join(kept.select("doc_id"), "doc_id")
+        ),
+        "doc_id",
+        "left",
     )
 
     writes = {
@@ -147,6 +159,10 @@ def fold_curation_batch(
     }
     for table, df in writes.items():
         df.write.mode("overwrite").parquet(_batch_dir(out_dir, table, batch_id))
+    # All consumers (decision checkpoint + index write) have
+    # materialized — drop the batch's gram-stream cache so a long
+    # stream holds at most one batch's worth of executor storage.
+    gh.unpersist()
     _commit_manifest(out_dir, {"applied": manifest["applied"] + [batch_id]})
 
 
