@@ -230,7 +230,10 @@ def run_curation_pipeline(
     run_id = uuid.uuid4().hex[:8]
     start = time.monotonic()
     docs = spark.read.parquet(docs_path).select("doc_id", "text")
-    decisions = curation_decisions(docs).cache()
+    # Run-scoped gram-stream cache (same lifecycle discipline as the
+    # streaming fold): dropped after the last consumer below.
+    gh = gram_hash_rows(docs).cache()
+    decisions = curation_decisions(docs, near_losers=near_dup_losers(docs, gh=gh)).cache()
 
     kept = decisions.filter("keep").select(
         "doc_id", F.col("text_redacted").alias("text"), "n_tok", "n_pii"
@@ -279,6 +282,7 @@ def run_curation_pipeline(
             sort_keys=True,
         )
     decisions.unpersist()
+    gh.unpersist()
     logger.info(
         "[%s] curated %d docs -> %d kept (%s dropped), %d chunks in %.2fs",
         run_id,

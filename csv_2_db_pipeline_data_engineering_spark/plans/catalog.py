@@ -72,6 +72,15 @@ class Query:
 # (salted-agg demo ~ cube/pivot agg shapes), corpus_shuffle_plan
 # (curation planning family ~ corpus_pack_plan). All stay registered
 # and locally oracle-checked via tools/check_oracles.py.
+#
+# Round-6 late additions: text_bigram_logprob (new fluency-score family,
+# plan-pinned) and mm_png_resize_stats (real resize through two codec
+# round trips) enter in place of mm_decode_features (fake-kernel decode
+# ~ the real-codec mm_png_decode_stats twin now in-window) and
+# q5_supplier_volume (multi-way broadcast-join family ~ in-window
+# q1/q3 + parts_above_brand_avg; driver-green r3-r5).
+# mm_wav_vad_stats stays locally checked (family twin
+# mm_wav_decode_stats is in-window).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
@@ -101,10 +110,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_repetition_stats",
     "doc_chunk_plan",
     "text_char_entropy",
+    "text_bigram_logprob",
     # LLM-pipeline: multimodal + continuous aggregate.
-    "mm_decode_features",
     "mm_png_decode_stats",
     "mm_wav_decode_stats",
+    "mm_png_resize_stats",
     "hourly_rollup_serve",
     # LLM-pipeline: curation decisions (contamination / sampling / keep-drop).
     "contamination_ngram_overlap",
@@ -116,7 +126,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_supplier_volume",
     "user_event_gaps",
     "part_brand_regex",
     "customers_without_orders",
