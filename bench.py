@@ -17,6 +17,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from csv_2_db_pipeline_data_engineering_spark.operators.lifecycle import (
+    release_scoped_caches,
+)
 from csv_2_db_pipeline_data_engineering_spark.plans.catalog import get_catalog
 from csv_2_db_pipeline_data_engineering_spark.session import get_session
 
@@ -111,6 +114,7 @@ def main() -> None:
             all_reps[name].append(round(time.monotonic() - t0, 3))
             # each rep is measured standalone: drop its caches so the next
             # run isn't taxed (or flattered) by executor-memory residue
+            release_scoped_caches()
             spark.catalog.clearCache()
     timings = {name: min(times) for name, times in all_reps.items()}
 

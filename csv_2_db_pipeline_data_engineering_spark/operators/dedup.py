@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ..plans.catalog import Query
+from .lifecycle import scoped_cache
 
 JACCARD_THRESHOLD = 0.4
 
@@ -203,7 +204,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|) where the sets are
     the capped sets on both sides of the ratio.
     """
-    kept = capped_shingle_rows(load_table(spark, sf_dir, "documents")).cache()
+    kept = scoped_cache(capped_shingle_rows(load_table(spark, sf_dir, "documents")))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -345,7 +346,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # cache: the self-join would otherwise recompute the whole
     # shingle + windowed-df subtree (two source scans) per side
-    kept = capped_shingle_rows(docs).cache()
+    kept = scoped_cache(capped_shingle_rows(docs))
     a, b = kept.alias("a"), kept.alias("b")
     cand = a.join(
         b,
@@ -491,13 +492,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one agg forces the whole aggregate onto the ObjectHashAggregate
     # path (collect_set is object-based), which kicks the 128 min
     # expressions out of whole-stage codegen — measured 2x slower cold.
-    gh = gram_hash_rows(load_table(spark, sf_dir, "documents")).cache()
+    gh = scoped_cache(gram_hash_rows(load_table(spark, sf_dir, "documents")))
     cands = lsh_candidate_pairs(minhash_signatures(gh))
-    sh = (
+    sh = scoped_cache(
         gh.groupBy("doc_id")
         .agg(F.collect_set("gh").alias("sh"))
         .withColumn("ns", F.size("sh"))
-        .cache()
     )
     sa = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("ns").alias("n_a")
@@ -628,11 +628,12 @@ def build_signature_index(docs: DataFrame, gh: DataFrame | None = None) -> DataF
 
     ``gh`` lets lifecycle-owning callers (the streaming curation fold)
     inject an already-cached gram stream — one cache per micro-batch,
-    unpersisted by the caller after materialization, instead of one
-    leaked cache per ``build_signature_index`` call.
+    unpersisted by the caller after materialization. Without ``gh`` the
+    cache is registered with the scoped-cache registry so catalog
+    consumers release it after the query materializes.
     """
     if gh is None:
-        gh = gram_hash_rows(docs).cache()
+        gh = scoped_cache(gram_hash_rows(docs))
     sig = minhash_signatures(gh)
     sets = (
         gh.groupBy("doc_id")
@@ -651,10 +652,18 @@ def write_signature_index(docs: DataFrame, path: str, tag: str = "base") -> None
     upsert-shaped index update a daily crawl needs; spiritual parallel
     to the reference's idempotent ``ON CONFLICT`` upsert,
     ``src/load.py:87-95``, where replaying an ingest is a no-op).
+
+    The gram-stream cache is local to this call: the write materializes
+    the index here, so the cache is dropped before returning instead of
+    leaking one frame per maintenance step.
     """
-    build_signature_index(docs).write.mode("overwrite").parquet(
-        os.path.join(path, f"delta={tag}")
-    )
+    gh = gram_hash_rows(docs).cache()
+    try:
+        build_signature_index(docs, gh=gh).write.mode("overwrite").parquet(
+            os.path.join(path, f"delta={tag}")
+        )
+    finally:
+        gh.unpersist()
 
 
 def extend_signature_index(delta_docs: DataFrame, path: str, tag: str) -> None:
@@ -865,7 +874,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-pairs Hamming filter — which is what the DuckDB oracle
     computes directly (the oracle mirrors semantics, not the plan).
     """
-    sh = simhash_df(load_table(spark, sf_dir, "documents")).cache()
+    sh = scoped_cache(simhash_df(load_table(spark, sf_dir, "documents")))
     chunks = F.array(
         *[
             F.struct(
@@ -1060,7 +1069,7 @@ def embedding_near_dup_pairs(
     same stated contract as ``dedup_minhash_lsh``. The planted-near-dup
     differential test pins recall empirically.
     """
-    e = _norm_frame(emb).cache()
+    e = scoped_cache(_norm_frame(emb))
     cands = embedding_lsh_candidates(emb, n_tables, n_planes, seed)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
                  F.col("norm").alias("na"))
@@ -1160,9 +1169,9 @@ def dedup_embedding_cosine_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("feat", array_to_vector("u"))
     )
     model = KMeans(k=EMB_BLOCK_K, seed=42, maxIter=10, featuresCol="feat").fit(e)
-    members = model.transform(e).select(
+    members = scoped_cache(model.transform(e).select(
         "vec_id", "v", "norm", "u", F.col("prediction").alias("block")
-    ).cache()
+    ))
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "block int, cv array<double>",

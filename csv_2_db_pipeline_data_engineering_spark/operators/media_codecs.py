@@ -86,8 +86,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     pos = 8
     width = height = channels = None
     idat = bytearray()
+    saw_iend = False
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 8 + length + 4 > len(payload):
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -105,8 +108,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length
+    if not saw_iend:
+        raise ValueError("truncated PNG chunk")
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     raw = zlib.decompress(bytes(idat))

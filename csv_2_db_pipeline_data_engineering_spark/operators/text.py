@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
 from ..sources.tables import load_table
+from .lifecycle import scoped_cache
 
 # Tiny English function-word list for the heuristics (deterministic,
 # shared verbatim with the oracles).
@@ -336,11 +337,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1"))
     win = W.partitionBy("doc_id").orderBy("pos")
-    bi = (
+    bi = scoped_cache(
         words.withColumn("w2", F.lead("w1").over(win))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "w1", "w2")
-        .cache()
     )
     c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
@@ -350,6 +350,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = F.log(
         (F.col("n12") + 1).cast("double") / (F.col("n1") + F.col("v"))
     )
+    # Deterministic summation: fold the per-bigram logs in sorted order
+    # (value sequence is unique under ties) so the rounded average can
+    # never flip on engine-dependent partial-sum order; the oracle folds
+    # the identical sorted sequence with DuckDB's list_reduce.
+    lps = F.sort_array(F.collect_list(lp))
+    avg_sorted = F.aggregate(lps, F.lit(0.0), lambda a, x: a + x) / F.size(lps)
     return (
         bi.join(c2, ["w1", "w2"])
         .join(c1, "w1")
@@ -357,7 +363,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(lp), 4).alias("avg_logprob"),
+            F.round(avg_sorted, 4).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -376,11 +382,15 @@ c1 AS (SELECT w1, COUNT(*) AS n1 FROM bb GROUP BY w1),
 vs AS (
   SELECT COUNT(DISTINCT tok) AS v
   FROM (SELECT unnest(w) AS tok FROM docs WHERE len(w) >= 2)
+),
+scored AS (
+  SELECT doc_id, ln((n12 + 1)::DOUBLE / (n1 + v)) AS lp
+  FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs
 )
 SELECT doc_id, COUNT(*) AS n_bigrams,
-       ROUND(AVG(ln((n12 + 1)::DOUBLE / (n1 + v))), 4) AS avg_logprob
-FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs
-GROUP BY doc_id ORDER BY doc_id
+       ROUND(list_reduce(list(lp ORDER BY lp), (a, b) -> a + b) / COUNT(*), 4)
+         AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 

@@ -119,3 +119,20 @@ def test_wav_rejects_non_16bit():
         w.writeframes(bytes(100))
     with pytest.raises(ValueError, match="16-bit"):
         decode_wav(buf.getvalue())
+
+
+def test_png_every_truncation_point_raises_value_error():
+    # The dead-letter contract: ANY prefix of a valid PNG must raise
+    # ValueError (never struct.error / IndexError), so corrupt payloads
+    # become error rows, not task failures (round-6 advice finding).
+    good = encode_png(6, 5, _pixels(6 * 5 * 3))
+    for cut in range(len(good)):
+        with pytest.raises(ValueError):
+            decode_png(good[:cut])
+
+
+def test_png_missing_iend_raises_value_error():
+    good = encode_png(4, 4, _pixels(4 * 4 * 3))
+    no_iend = good[:-12]  # strip the whole IEND chunk
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(no_iend)

@@ -20,6 +20,7 @@ import duckdb
 import pandas as pd
 
 import __spark_entry__ as entrymod
+from csv_2_db_pipeline_data_engineering_spark.operators.lifecycle import release_scoped_caches
 from csv_2_db_pipeline_data_engineering_spark.session import get_session
 from csv_2_db_pipeline_data_engineering_spark.sources.tables import TABLE_NAMES
 
@@ -114,6 +115,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised {type(exc).__name__}: {exc}")
             failures += 1
             continue
+        finally:
+            release_scoped_caches()  # query-scoped caches die with the query
         if name not in oracles:
             rows_only += 1
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.monotonic()-t0:.1f}s]")
