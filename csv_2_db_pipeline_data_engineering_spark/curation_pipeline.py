@@ -44,15 +44,16 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators.curation import LANG_STOP_RATIO, LOW_QUALITY_TTR
+from .operators.curation import FLUENCY_MARGIN, LANG_STOP_RATIO, LOW_QUALITY_TTR
 from .operators.dedup import (
     JACCARD_THRESHOLD,
     gram_hash_rows,
     lsh_candidate_pairs,
     minhash_signatures,
 )
+from .operators.lifecycle import release_scoped_caches
 from .operators.scrub import CHUNK_STRIDE, CHUNK_TOKENS, pii_counts, redact_pii
-from .operators.text import EN_STOPWORDS
+from .operators.text import EN_STOPWORDS, bigram_logprob_frame
 
 logger = logging.getLogger(__name__)
 
@@ -119,7 +120,8 @@ def curation_decisions(
     n_tok, n_pii, reason, keep, n_chunks).
 
     Gate order (first failure wins, cheap-to-expensive):
-    exact_dup -> near_dup -> non_english -> low_quality -> keep.
+    exact_dup -> near_dup -> non_english -> low_quality ->
+    low_fluency -> keep.
 
     ``near_losers`` overrides the loser set (a ``doc_id`` frame) — the
     streaming fold passes batch-internal ∪ cross-index losers; batch
@@ -127,6 +129,14 @@ def curation_decisions(
     (a ``fingerprint`` frame, e.g. from a persisted index) marks docs
     whose normalized content already exists in an earlier corpus as
     ``exact_dup`` in addition to the in-frame window dedup.
+
+    The fluency gate (CCNet-style perplexity filter with the corpus's
+    own bigram MLE as the LM) drops docs scoring > FLUENCY_MARGIN below
+    the median ``bigram_logprob_frame`` score of THIS input frame —
+    batch-local statistics in the streaming fold (a production pipeline
+    would score against a fixed reference LM; the median-relative cut
+    keeps the decision stable across corpus sizes and vocabularies).
+    Docs with < 2 tokens have no score and pass the gate.
     """
     red = redact_pii(F.col("text"))
     n_pii = sum(pii_counts(F.col("text")).values())
@@ -162,6 +172,8 @@ def curation_decisions(
     losers = near_losers.select("doc_id").distinct().withColumn(
         "near_loser", F.lit(True)
     )
+    scores = bigram_logprob_frame(docs).select("doc_id", "avg_logprob")
+    med = scores.agg(F.median("avg_logprob").alias("fluency_med"))
     w_, s_ = CHUNK_TOKENS, CHUNK_STRIDE
     n_chunks = F.when(F.col("n_tok") <= w_, F.lit(1)).otherwise(
         F.lit(1) + ((F.col("n_tok") - w_ + s_ - 1) / s_).cast("int")
@@ -171,11 +183,17 @@ def curation_decisions(
         .when(F.col("near_loser"), "near_dup")
         .when(F.col("stop_ratio") < LANG_STOP_RATIO, "non_english")
         .when(F.col("ttr") < LOW_QUALITY_TTR, "low_quality")
+        .when(
+            F.col("fluency_med") - F.col("avg_logprob") > FLUENCY_MARGIN,
+            "low_fluency",
+        )
         .otherwise("keep")
     )
     return (
         base.join(losers, "doc_id", "left")
         .withColumn("near_loser", F.coalesce("near_loser", F.lit(False)))
+        .join(scores, "doc_id", "left")
+        .crossJoin(F.broadcast(med))
         .select(
             "doc_id",
             "fingerprint",
@@ -283,6 +301,7 @@ def run_curation_pipeline(
         )
     decisions.unpersist()
     gh.unpersist()
+    release_scoped_caches()  # the fluency gate's bigram stream
     logger.info(
         "[%s] curated %d docs -> %d kept (%s dropped), %d chunks in %.2fs",
         run_id,

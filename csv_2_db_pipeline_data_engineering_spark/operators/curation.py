@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..plans.catalog import Query
 from ..sources.tables import load_table
 from .dedup import NGRAM_JACCARD_CAPPED_ORACLE, dedup_ngram_jaccard, shingle_rows
-from .text import _STOPWORD_LIST_SQL, EN_STOPWORDS
+from .text import _STOPWORD_LIST_SQL, EN_STOPWORDS, bigram_logprob_frame
 
 # Documents with doc_id below this stand in for the held-out eval /
 # benchmark set (real pipelines load benchmark text from a reference
@@ -46,6 +46,29 @@ CONTAM_EVAL_DF_CAP_FRACTION = 0.2
 
 LANG_STOP_RATIO = 0.02  # text_lang_id's en/unknown threshold
 LOW_QUALITY_TTR = 0.2  # repetition gate: type-token ratio floor
+
+# Fluency gate (perplexity-style, CCNet): drop documents whose corpus-MLE
+# bigram log-probability sits more than FLUENCY_MARGIN below the corpus
+# MEDIAN score. The margin is relative, not absolute, because the
+# corpus-MLE score shifts with vocabulary size and corpus length (there
+# is no fixed external LM in the container); a median-relative cut is
+# stable under those shifts while token salad — whose bigrams are all
+# smoothing-floor singletons — lands far below any fluent document.
+# Measured on this corpus: fluent docs spread ≤ ~0.23 below the median,
+# planted salad sits ≥ ~1.1 below — the 0.35 margin cuts through a wide
+# empty band on both sides.
+FLUENCY_MARGIN = 0.35
+
+# Planted token-salad witnesses (the dedup_embedding_cosine twin
+# pattern): the synthetic corpus contains no natural gibberish, so the
+# registered decision query unions deterministic doc_id-derived salad
+# docs — identically in the Spark plan and the DuckDB oracle — making
+# the low_fluency rows value-checked instead of vacuously absent.
+# Every 10th salad token is 'the' so the salad PASSES the stopword
+# (non_english) gate and genuinely reaches the fluency gate.
+SALAD_MOD = 100  # one salad per 100 doc_ids -> 5 at the 500-row sf
+SALAD_ID_OFFSET = 20_000_000
+SALAD_TOKENS = 40
 
 
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,19 +191,53 @@ FROM t GROUP BY lang, length_band ORDER BY lang, length_band
 """
 
 
+def _with_planted_salads(docs: DataFrame) -> DataFrame:
+    """Union the corpus with deterministic token-salad witness docs.
+
+    Salad token j of source doc_id: 'the' when j % 10 == 0 (passes the
+    stopword gate), else the corpus-unique token 'zz<doc_id>x<j>' — a
+    closed form both engines evaluate identically, like
+    ``dedup._with_planted_twins``."""
+    base = docs.select("doc_id", "text")
+    salad_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(SALAD_TOKENS)),
+            lambda j: F.when(j % 10 == 0, F.lit("the")).otherwise(
+                F.concat(
+                    F.lit("zz"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("x"),
+                    j.cast("string"),
+                )
+            ),
+        ),
+    )
+    salads = base.filter(F.col("doc_id") % SALAD_MOD == 0).select(
+        (F.col("doc_id") + F.lit(SALAD_ID_OFFSET)).alias("doc_id"),
+        salad_text.alias("text"),
+    )
+    return base.unionByName(salads)
+
+
 def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keep/drop with the first failing gate as the reason.
 
     Gate order (cheapest-to-most-expensive is the production order; here
     fixed for determinism): exact_dup → near_dup → non_english →
-    low_quality → keep. Exact-dup losers are non-minimum doc_ids within
-    a normalized-content-fingerprint group (window min over ONE digest
-    shuffle); near-dup losers have a smaller Jaccard-verified partner
-    (semi-join against the pair list, which is small); the language and
-    repetition gates are map-side ratios shared with ``text_lang_id`` /
-    ``text_quality_score``.
+    low_quality → low_fluency → keep. Exact-dup losers are non-minimum
+    doc_ids within a normalized-content-fingerprint group (window min
+    over ONE digest shuffle); near-dup losers have a smaller
+    Jaccard-verified partner (semi-join against the pair list, which is
+    small); the language and repetition gates are map-side ratios shared
+    with ``text_lang_id`` / ``text_quality_score``; the fluency gate
+    drops docs scoring > FLUENCY_MARGIN below the corpus-median bigram
+    log-probability (``bigram_logprob_frame`` — the CCNet perplexity
+    filter with the corpus's own bigram MLE standing in for the LM).
+    Runs over the corpus plus planted salad witnesses so the
+    low_fluency rows are value-checked, not vacuously absent.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = _with_planted_salads(load_table(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     toks = F.split(F.col("text"), " ")
     stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / F.size(toks)
@@ -196,11 +253,19 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_losers = (
         dedup_ngram_jaccard(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
     )
+    # Fluency: per-doc score over the SAME augmented corpus, median as a
+    # 1-row broadcast (never a driver action).
+    scores = bigram_logprob_frame(d).select("doc_id", "avg_logprob")
+    med = scores.agg(F.median("avg_logprob").alias("fluency_med"))
     reason = (
         F.when(F.col("exact_loser"), "exact_dup")
         .when(F.col("near_loser"), "near_dup")
         .when(F.col("stop_ratio") < LANG_STOP_RATIO, "non_english")
         .when(F.col("ttr") < LOW_QUALITY_TTR, "low_quality")
+        .when(
+            F.col("fluency_med") - F.col("avg_logprob") > FLUENCY_MARGIN,
+            "low_fluency",
+        )
         .otherwise("keep")
     )
     return (
@@ -208,6 +273,8 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             near_losers.withColumn("near_loser", F.lit(True)), "doc_id", "left"
         )
         .withColumn("near_loser", F.coalesce("near_loser", F.lit(False)))
+        .join(scores, "doc_id", "left")
+        .crossJoin(F.broadcast(med))
         .select("doc_id", reason.alias("reason"))
         .withColumn("keep", F.col("reason") == "keep")
         .orderBy("doc_id")
@@ -215,8 +282,38 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CURATION_ORACLE = f"""
-WITH jac AS ({NGRAM_JACCARD_CAPPED_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SALAD_ID_OFFSET} AS doc_id,
+         array_to_string([CASE WHEN j % 10 = 0 THEN 'the'
+                               ELSE 'zz' || doc_id || 'x' || j END
+                          for j in range(1, {SALAD_TOKENS} + 1)], ' ') AS text
+  FROM documents WHERE doc_id % {SALAD_MOD} = 0
+),
+jac AS ({NGRAM_JACCARD_CAPPED_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
 losers AS (SELECT DISTINCT doc_b FROM jac),
+bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+bi AS (
+  SELECT doc_id,
+         unnest([{{'w1': w[i], 'w2': w[i+1]}} for i in range(1, len(w))]) AS b
+  FROM bw WHERE len(w) >= 2
+),
+bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+c2 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bb GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM bb GROUP BY w1),
+vs AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(w) AS tok FROM bw WHERE len(w) >= 2)
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list(lp ORDER BY lp), (a, b) -> a + b) / COUNT(*) AS lp
+  FROM (SELECT doc_id, ln((n12 + 1)::DOUBLE / (n1 + v)) AS lp
+        FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs)
+  GROUP BY doc_id
+),
+med AS (SELECT quantile_cont(lp, 0.5) AS m FROM scored),
 fp AS (
   SELECT doc_id,
          doc_id != MIN(doc_id) OVER (
@@ -227,17 +324,21 @@ fp AS (
            / len(string_split(text, ' ')) AS stop_ratio,
          len(list_distinct(string_split(text, ' ')))::DOUBLE
            / len(string_split(text, ' ')) AS ttr
-  FROM documents
+  FROM aug
 )
-SELECT fp.doc_id,
-       CASE WHEN exact_loser THEN 'exact_dup'
-            WHEN losers.doc_b IS NOT NULL THEN 'near_dup'
-            WHEN stop_ratio < {LANG_STOP_RATIO} THEN 'non_english'
-            WHEN ttr < {LOW_QUALITY_TTR} THEN 'low_quality'
-            ELSE 'keep' END AS reason,
-       (NOT exact_loser AND losers.doc_b IS NULL
-        AND stop_ratio >= {LANG_STOP_RATIO} AND ttr >= {LOW_QUALITY_TTR}) AS keep
-FROM fp LEFT JOIN losers ON losers.doc_b = fp.doc_id
+SELECT doc_id, reason, reason = 'keep' AS keep FROM (
+  SELECT fp.doc_id,
+         CASE WHEN exact_loser THEN 'exact_dup'
+              WHEN losers.doc_b IS NOT NULL THEN 'near_dup'
+              WHEN stop_ratio < {LANG_STOP_RATIO} THEN 'non_english'
+              WHEN ttr < {LOW_QUALITY_TTR} THEN 'low_quality'
+              WHEN med.m - scored.lp > {FLUENCY_MARGIN} THEN 'low_fluency'
+              ELSE 'keep' END AS reason
+  FROM fp
+  LEFT JOIN losers ON losers.doc_b = fp.doc_id
+  LEFT JOIN scored ON scored.doc_id = fp.doc_id
+  CROSS JOIN med
+)
 ORDER BY doc_id
 """
 

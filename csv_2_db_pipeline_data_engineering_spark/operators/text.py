@@ -307,17 +307,16 @@ FROM (
 """
 
 
-def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-MLE bigram log-probability per document — the perplexity-
-    style fluency proxy (CCNet, Wenzek et al. 2020, filters corpora by
-    LM perplexity; with no external LM in the container, the corpus's
-    own bigram MLE is the self-contained equivalent: looping/boilerplate
-    text scores high, token-salad scores low).
+def bigram_logprob_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) over an arbitrary (doc_id, text)
+    frame — the corpus-MLE bigram fluency score, UNROUNDED (gate
+    consumers compare against a corpus statistic; rounding belongs to
+    the registered display query only). Docs with < 2 tokens get no row.
 
     score(doc) = avg over its bigram occurrences of
-    ln((C(w1,w2) + 1) / (C(w1·) + V)), counts over the WHOLE corpus,
-    V = corpus vocabulary size. Add-one smoothing is load-bearing, not
-    cosmetic: raw MLE assigns P=1 to any bigram whose prefix occurs
+    ln((C(w1,w2) + 1) / (C(w1·) + V)), counts over the WHOLE input
+    frame, V = its vocabulary size. Add-one smoothing is load-bearing,
+    not cosmetic: raw MLE assigns P=1 to any bigram whose prefix occurs
     once (a singleton context has a deterministic continuation), so
     token salad made of unique words would score at the MAXIMUM;
     smoothing pulls singleton bigrams toward 1/V and restores the
@@ -325,16 +324,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape (100 TB): the bigram stream is posexplode + one window
     lead (codegen'd gram rows, the ``text_repetition_stats`` trick),
-    cached once, then aggregated twice (pair counts, prefix counts) and
-    joined back on token keys — the inverted-index family TF-IDF uses;
-    every join is a keyed shuffle, never all-pairs, and the per-doc
-    aggregate is co-partitioned on doc_id.
+    cached once (scoped — released by the catalog/pipeline consumers),
+    then aggregated twice (pair counts, prefix counts) and joined back
+    on token keys — the inverted-index family TF-IDF uses; every join
+    is a keyed shuffle, never all-pairs, and the per-doc aggregate is
+    co-partitioned on doc_id.
     """
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", " ")) >= 2
-    )
+    d = docs.filter(F.size(F.split("text", " ")) >= 2)
     words = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1"))
     win = W.partitionBy("doc_id").orderBy("pos")
     bi = scoped_cache(
@@ -363,8 +361,21 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(avg_sorted, 4).alias("avg_logprob"),
+            avg_sorted.alias("avg_logprob"),
         )
+    )
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered corpus-MLE bigram fluency score (perplexity-style
+    quality proxy — CCNet, Wenzek et al. 2020, filters corpora by LM
+    perplexity; with no external LM in the container, the corpus's own
+    bigram MLE is the self-contained equivalent). Thin display wrapper
+    over :func:`bigram_logprob_frame`, which the curation fluency gate
+    consumes unrounded."""
+    return (
+        bigram_logprob_frame(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "n_bigrams", F.round("avg_logprob", 4).alias("avg_logprob"))
         .orderBy("doc_id")
     )
 

@@ -50,6 +50,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..curation_pipeline import chunk_kept, curation_decisions, near_dup_losers
 from ..operators.dedup import build_signature_index, incremental_dedup_pairs
+from ..operators.lifecycle import release_scoped_caches
 
 #: minimal arriving-document schema (streaming sources require one)
 DOC_SCHEMA = T.StructType(
@@ -160,9 +161,11 @@ def fold_curation_batch(
     for table, df in writes.items():
         df.write.mode("overwrite").parquet(_batch_dir(out_dir, table, batch_id))
     # All consumers (decision checkpoint + index write) have
-    # materialized — drop the batch's gram-stream cache so a long
-    # stream holds at most one batch's worth of executor storage.
+    # materialized — drop the batch's gram-stream cache (and the fluency
+    # gate's scoped bigram stream) so a long stream holds at most one
+    # batch's worth of executor storage.
     gh.unpersist()
+    release_scoped_caches()
     _commit_manifest(out_dir, {"applied": manifest["applied"] + [batch_id]})
 
 

@@ -45,7 +45,7 @@ def test_curation_pipeline_contracts(spark, tmp_path):
     dropped = spark.read.parquet(os.path.join(out, "dropped_docs"))
     assert dropped.count() == n_input - s.kept_docs
     assert set(r["reason"] for r in dropped.select("reason").distinct().collect()) <= {
-        "exact_dup", "near_dup", "non_english", "low_quality",
+        "exact_dup", "near_dup", "non_english", "low_quality", "low_fluency",
     }
 
     # chunk arithmetic == materialized chunk count; tiling is exact
@@ -96,3 +96,31 @@ def test_curation_pipeline_rerun_is_idempotent(spark, tmp_path):
         s2.input_docs, s2.kept_docs, s2.dropped, s2.n_chunks,
     )
     assert kept1 == kept2
+
+
+def test_fluency_gate_drops_token_salad(spark, tmp_path):
+    """A gibberish doc (large unique vocabulary, no repeated bigrams)
+    must fall to the CCNet-style fluency gate — and ONLY docs far below
+    the corpus-median bigram score may fall to it."""
+    src = os.path.join(SF_DIR, "documents.parquet")
+    base = spark.read.parquet(src).select("doc_id", "text")
+    # ~300 unique tokens; every 10th is a stopword so the salad passes
+    # the non_english gate and genuinely reaches the fluency gate.
+    salad_tokens = [
+        "the" if j % 10 == 0 else f"qq{j}gibber" for j in range(1, 301)
+    ]
+    salad = spark.createDataFrame(
+        [(999_999, " ".join(salad_tokens))], "doc_id long, text string"
+    )
+    p = str(tmp_path / "docs_in")
+    base.unionByName(salad).write.parquet(p)
+
+    out = str(tmp_path / "curated")
+    s = run_curation_pipeline(spark, p, out)
+
+    dropped = spark.read.parquet(os.path.join(out, "dropped_docs"))
+    salad_row = dropped.filter(F.col("doc_id") == 999_999).collect()
+    assert salad_row and salad_row[0]["reason"] == "low_fluency"
+    assert s.dropped.get("low_fluency", 0) >= 1
+    # the gate is surgical on this corpus: fluent docs all survive it
+    assert s.dropped.get("low_fluency", 0) <= 1
