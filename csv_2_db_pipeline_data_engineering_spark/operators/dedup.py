@@ -691,7 +691,9 @@ def read_signature_index(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_banded_index_table(index: DataFrame, table: str, n_buckets: int = 64) -> None:
+def write_banded_index_table(
+    index: DataFrame, table: str, n_buckets: int = 64, path: str | None = None
+) -> None:
     """Persist PRECOMPUTED band rows as a table bucketed on (band, bh).
 
     The 100 TB refinement of the incremental fold: the candidate join's
@@ -706,9 +708,31 @@ def write_banded_index_table(index: DataFrame, table: str, n_buckets: int = 64) 
     stored signatures — the bucketed band table trades a little storage
     (#bands rows per doc) for a shuffle-free, scan-minimal join.
     """
+    w = band_rows(index).write.bucketBy(n_buckets, "band", "bh").sortBy("band", "bh")
+    if path is not None:
+        w = w.option("path", path)  # external table at a caller-owned location
+    w.mode("overwrite").saveAsTable(table)
+
+
+def extend_banded_index_table(
+    index: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """APPEND a delta's band rows to an existing bucketed band table.
+
+    O(delta) per maintenance step: bucketed appends write only the new
+    rows' bucket files (readers merge the per-bucket file sets), so the
+    stored band table grows like the signature index — history is never
+    rewritten. The bucket spec must match the create-time spec.
+
+    The explicit ``refreshTable`` is load-bearing: the session caches
+    the table's file listing from the previous fold's candidate join,
+    and without invalidation the NEXT fold reads the stale listing and
+    silently misses the rows just appended (observed: a cross-batch
+    near-dup sailing through)."""
     band_rows(index).write.bucketBy(n_buckets, "band", "bh").sortBy(
         "band", "bh"
-    ).mode("overwrite").saveAsTable(table)
+    ).mode("append").saveAsTable(table)
+    index.sparkSession.catalog.refreshTable(table)
 
 
 def incremental_candidates_banded(delta_docs: DataFrame, band_table: str) -> DataFrame:
@@ -734,6 +758,7 @@ def incremental_dedup_pairs(
     index: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     gh: DataFrame | None = None,
+    band_table: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs between NEW documents and an indexed base corpus,
     touching only delta text + the stored index — the rollup-style
@@ -743,17 +768,31 @@ def incremental_dedup_pairs(
 
     Candidates: delta band rows ⋈ index band rows on (band, bh) — the
     index side's bands are derived map-side from its stored signature
-    columns. Verify: exact Jaccard on the stored gram-hash sets; pair
-    multiplicity collapses AFTER the verify like the LSH pipeline.
-    Recall contract = ``dedup_minhash_lsh``'s banded probability
-    (≈ 0.996 per pair at the 0.4 threshold, deterministic seeded
-    family); precision is exact.
+    columns, or, when ``band_table`` names a bucketed band table
+    (``write_banded_index_table`` layout), read bucket-aligned straight
+    off disk so ONLY the delta side shuffles (the plan pinned by
+    ``tests/test_bucketing.py``). A band table MAY contain rows for
+    docs not (or not yet) in ``index`` — crash-replayed appends, or
+    rows appended before a manifest commit that never happened; the
+    verify's inner join against ``index`` prunes them, so the table is
+    a pure accelerator, never a correctness input. Verify: exact
+    Jaccard on the stored gram-hash sets; pair multiplicity collapses
+    AFTER the verify like the LSH pipeline. Recall contract =
+    ``dedup_minhash_lsh``'s banded probability (≈ 0.996 per pair at
+    the 0.4 threshold, deterministic seeded family); precision exact.
     """
     d_index = build_signature_index(delta_docs, gh=gh)
     d_bands = band_rows(d_index).select(
         F.col("doc_id").alias("doc_delta"), "band", "bh"
     )
-    b_bands = band_rows(index).select(F.col("doc_id").alias("doc_base"), "band", "bh")
+    if band_table is not None:
+        b_bands = delta_docs.sparkSession.table(band_table).select(
+            F.col("doc_id").alias("doc_base"), "band", "bh"
+        )
+    else:
+        b_bands = band_rows(index).select(
+            F.col("doc_id").alias("doc_base"), "band", "bh"
+        )
     cands = d_bands.join(b_bands, ["band", "bh"]).select("doc_delta", "doc_base")
     d_sets = d_index.select(
         F.col("doc_id").alias("doc_delta"),

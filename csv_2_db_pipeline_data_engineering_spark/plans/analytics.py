@@ -466,11 +466,21 @@ ORDER BY custkey
 
 
 def idle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: suppliers with no shipments on/after 2001-08-01."""
+    """EXCEPT: suppliers with no full-truck (quantity >= 48) shipment
+    on/after 2001-08-01.
+
+    The quantity qualifier keeps the set difference NON-EMPTY at every
+    test sf (every supplier ships *something* in any late window of
+    this dense corpus, so a date-only predicate verified the empty set
+    — the round-6 vacuity finding; 3 rows at sf0.001, 25 at sf0.01).
+    """
     s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("suppkey"))
     used = (
         _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_shipdate") >= F.lit("2001-08-01").cast("timestamp"))
+        .filter(
+            (F.col("l_shipdate") >= F.lit("2001-08-01").cast("timestamp"))
+            & (F.col("l_quantity") >= 48)
+        )
         .select(F.col("l_suppkey").alias("suppkey"))
     )
     return s.exceptAll(used.distinct()).orderBy("suppkey")
@@ -480,7 +490,7 @@ EXCEPT_ORACLE = """
 SELECT s_suppkey AS suppkey FROM supplier
 EXCEPT
 SELECT DISTINCT l_suppkey AS suppkey FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '2001-08-01'
+WHERE l_shipdate >= TIMESTAMP '2001-08-01' AND l_quantity >= 48
 ORDER BY suppkey
 """
 

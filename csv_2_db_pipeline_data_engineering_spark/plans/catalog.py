@@ -96,6 +96,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_containment",
     "dedup_incremental",
+    "dedup_simhash",  # rotated in r7 (locally green since r4)
     # LLM-pipeline: similarity / embeddings.
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
@@ -112,9 +113,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_char_entropy",
     "text_bigram_logprob",
     # LLM-pipeline: multimodal + continuous aggregate.
+    # (r7: resize + wav-decode rotated out after their r6 driver checks —
+    # the rotated-in VAD exercises the same WAV decode path; the new
+    # JPEG codec, the dead-letter stored-payload decode, and the
+    # never-driver-checked VAD rotate in.)
     "mm_png_decode_stats",
-    "mm_wav_decode_stats",
-    "mm_png_resize_stats",
+    "mm_jpeg_decode_stats",
+    "mm_png_deadletter_stats",
+    "mm_wav_vad_stats",
     "hourly_rollup_serve",
     # LLM-pipeline: curation decisions (contamination / sampling / keep-drop).
     "contamination_ngram_overlap",
@@ -135,11 +141,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "asof_last_order_per_event",
     "range_join_followup_orders",
     "price_percentiles",
-    "cube_event_type_dow",
     # Rotated in round 4, kept: still the only instances of their shapes.
+    # (r7: cube_event_type_dow and parts_above_brand_avg rotated out —
+    # driver-green r4-r6, family shapes still covered by pivot/top3.)
     "pivot_status_by_priority",
     "top3_orders_per_priority",
-    "parts_above_brand_avg",
 )
 
 

@@ -32,13 +32,18 @@ surface partial data.
 Scale notes (100 TB of history, TB/day arrivals): per-batch cost is
 O(batch + index-candidates). The stored index carries signatures +
 gram-hash sets, not text — the 100 TB corpus's index is ~2-3 orders
-smaller than the corpus. The only unbounded growth is the index itself;
-at extreme scale the (band, bh) join key can be bucketed on disk so the
-candidate join co-partitions (``tests/test_bucketing.py`` pattern).
+smaller than the corpus. The only unbounded growth is the index itself,
+and at fold time history never moves: the candidate join reads a
+maintained bucketed band table (``band_table``) in place and shuffles
+ONLY the delta into the bucket scheme (plan pinned by
+``tests/test_bucketing.py`` and the fold-path test in
+``tests/test_curation_stream.py``); the table itself grows by O(delta)
+bucketed appends per fold.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import tempfile
@@ -49,7 +54,12 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..curation_pipeline import chunk_kept, curation_decisions, near_dup_losers
-from ..operators.dedup import build_signature_index, incremental_dedup_pairs
+from ..operators.dedup import (
+    build_signature_index,
+    extend_banded_index_table,
+    incremental_dedup_pairs,
+    write_banded_index_table,
+)
 from ..operators.lifecycle import release_scoped_caches
 
 #: minimal arriving-document schema (streaming sources require one)
@@ -81,6 +91,46 @@ def _commit_manifest(out_dir: str, manifest: dict) -> None:
 
 def _batch_dir(out_dir: str, table: str, batch_id: int) -> str:
     return os.path.join(out_dir, table, f"batch={batch_id}")
+
+
+def band_table_name(out_dir: str) -> str:
+    """Session-catalog name of this stream's bucketed band table."""
+    return "spark_graft_bands_" + hashlib.md5(out_dir.encode()).hexdigest()[:10]
+
+
+def ensure_band_table(spark: SparkSession, out_dir: str, index: DataFrame) -> str:
+    """Make the bucketed band table exist for this stream, returning its
+    name. The table is a pure JOIN ACCELERATOR (the verify join prunes
+    any rows not in the committed index), persisted as an EXTERNAL
+    bucketed table under ``out_dir``. The manifest-gated parquet index
+    stays the durable source of truth: a fresh session whose in-memory
+    catalog lost the table entry rebuilds it here from the committed
+    index (one O(history) pass per process), after which every fold
+    extends it by O(delta) appends."""
+    tbl = band_table_name(out_dir)
+    if not spark.catalog.tableExists(tbl):
+        write_banded_index_table(
+            index, tbl, path=os.path.join(out_dir, "band_table")
+        )
+    return tbl
+
+
+def cross_index_losers(
+    spark: SparkSession,
+    docs: DataFrame,
+    index: DataFrame,
+    out_dir: str,
+    gh: DataFrame | None = None,
+) -> DataFrame:
+    """Batch-vs-history near-dup losers through the bucketed band table:
+    candidates come from the delta band rows joined against the stored
+    table bucket-aligned — the single delta-side Exchange plan pinned
+    by ``tests/test_bucketing.py`` — then exact-Jaccard verified
+    against the committed index's gram-hash sets."""
+    tbl = ensure_band_table(spark, out_dir, index)
+    return incremental_dedup_pairs(docs, index, gh=gh, band_table=tbl).select(
+        F.col("doc_delta").alias("doc_id")
+    )
 
 
 def read_curated(spark: SparkSession, out_dir: str, table: str) -> DataFrame | None:
@@ -123,9 +173,9 @@ def fold_curation_batch(
         # Signature-less rows (docs too short to shingle) are tracked by
         # fingerprint only — excluding them from the banded join avoids
         # the degenerate all-shorts-collide bucket.
-        cross = incremental_dedup_pairs(
-            docs, index.filter(F.col("m0").isNotNull()), gh=gh
-        ).select(F.col("doc_delta").alias("doc_id"))
+        cross = cross_index_losers(
+            spark, docs, index.filter(F.col("m0").isNotNull()), out_dir, gh=gh
+        )
         losers = internal.select("doc_id").union(cross)
         fps = index.select("fingerprint")
     else:
@@ -160,6 +210,26 @@ def fold_curation_batch(
     }
     for table, df in writes.items():
         df.write.mode("overwrite").parquet(_batch_dir(out_dir, table, batch_id))
+    # Maintain the bucketed band accelerator BEFORE the manifest commit:
+    # a crash between commit and append would silently lose history
+    # coverage, while append-then-no-commit only leaves phantom rows the
+    # verify join prunes (and a replay's duplicate candidates collapse
+    # in the post-verify groupBy).
+    new_sig = (
+        spark.read.parquet(_batch_dir(out_dir, "index", batch_id))
+        .filter(F.col("m0").isNotNull())
+    )
+    if index is not None:
+        extend_banded_index_table(
+            new_sig,
+            ensure_band_table(spark, out_dir, index.filter(F.col("m0").isNotNull())),
+        )
+    else:
+        write_banded_index_table(
+            new_sig,
+            band_table_name(out_dir),
+            path=os.path.join(out_dir, "band_table"),
+        )
     # All consumers (decision checkpoint + index write) have
     # materialized — drop the batch's gram-stream cache (and the fluency
     # gate's scoped bigram stream) so a long stream holds at most one

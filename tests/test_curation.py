@@ -58,13 +58,31 @@ def test_sample_strata_rates_and_determinism(spark):
 
 
 def test_curation_decision_partitions_corpus(spark):
-    out = corpus_curation_decision(spark, SF_DIR)
-    total = out.count()
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        SALAD_ID_OFFSET,
+        SALAD_MOD,
+    )
     from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
 
-    assert total == load_table(spark, SF_DIR, "documents").count()
+    out = corpus_curation_decision(spark, SF_DIR)
+    total = out.count()
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    n_salads = docs.filter(F.col("doc_id") % SALAD_MOD == 0).count()
+    # corpus + planted salad witnesses, nothing dropped silently
+    assert total == n_docs + n_salads
     bad = out.filter(F.col("keep") != (F.col("reason") == "keep")).count()
     assert bad == 0
+    # every planted salad falls to the fluency gate; no real doc does
+    salads = out.filter(F.col("doc_id") >= SALAD_ID_OFFSET)
+    assert salads.count() == n_salads
+    assert salads.filter(F.col("reason") != "low_fluency").count() == 0
+    assert (
+        out.filter(
+            (F.col("doc_id") < SALAD_ID_OFFSET) & (F.col("reason") == "low_fluency")
+        ).count()
+        == 0
+    )
 
 
 def test_pack_plan_conserves_tokens_and_fills_bins(spark):

@@ -133,3 +133,52 @@ def test_stream_end_to_end(spark, tmp_path):
     assert {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()} <= {
         r["doc_id"] for r in kept.collect()
     }
+
+
+def test_fold_candidate_join_shuffles_only_delta(spark, tmp_path):
+    """The fold's cross-index candidate path goes through the maintained
+    bucketed band table: the stored side reads bucket-aligned (zero
+    Exchange in its subtree), only the delta shuffles on (band, bh) —
+    the same plan test_bucketing pins for the standalone operator."""
+    from csv_2_db_pipeline_data_engineering_spark.streaming.curation_stream import (
+        band_table_name,
+        cross_index_losers,
+    )
+
+    out = str(tmp_path / "curated")
+    fold_curation_batch(spark, _docs(spark, [(1, _BASE), (2, _OTHER)]), out, 0)
+    tbl = band_table_name(out)
+    assert spark.catalog.tableExists(tbl)  # batch 0 bootstrapped it
+
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        index = read_curated(spark, out, "index").filter(F.col("m0").isNotNull())
+        delta = _docs(spark, [(10, _VARIANT)])
+        losers = cross_index_losers(spark, delta, index, out)
+        plan = losers._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE hash exchange on the band key: the delta side
+        assert plan.count("Exchange hashpartitioning(band") == 1, plan
+        assert "Bucketed: true" in plan
+        # and it still catches the near-dup through the table route
+        assert {r["doc_id"] for r in losers.collect()} == {10}
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+    # folding the delta extends the table by the new kept rows (O(delta)
+    # append): doc 10 is dropped as near_dup, so the table is unchanged;
+    # a fresh kept doc lands in it.
+    fresh = (
+        "seven golden apples fell from the tall tree and it was a sign of "
+        "the good harvest to come for the people of the small village inn"
+    )
+    fold_curation_batch(spark, _docs(spark, [(10, _VARIANT), (12, fresh)]), out, 1)
+    table_docs = {r["doc_id"] for r in spark.table(tbl).select("doc_id").distinct().collect()}
+    assert table_docs == {1, 2, 12}
