@@ -1,0 +1,128 @@
+"""10x scale probe: measure how the heaviest query families scale.
+
+The driver's parquet stops at sf0.1 (5k docs); the "100 TB design"
+claims need measured evidence that the plans scale ~linearly in data
+volume. This tool self-generates an sf1-equivalent ``documents`` table
+(10x rows, same vocabulary/length distribution; each extra copy is a
+seeded word-level SHUFFLE of a source doc, so copies share unigrams but
+NOT trigram shingles — the near-dup pair structure stays sparse instead
+of exploding quadratically, which would measure a different corpus, not
+a bigger one) and times the probe queries at sf0.1 vs the generated
+sf1, min-of-N interleaved reps through the noop sink (the ``bench.py``
+estimator).
+
+Usage: python tools/scale_probe.py [--reps 3]
+Writes SCALE_PROBE.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC_SF_DIR = "/root/testdata/sf0.1"
+GEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaleprobe", "sf1"
+)
+COPIES = 10  # sf0.1 -> sf1 equivalent
+PROBES = ["dedup_minhash_lsh", "text_bigram_logprob", "mm_png_decode_stats"]
+
+
+def generate(src: str, dst: str, copies: int) -> None:
+    """Materialize the scaled documents table (idempotent)."""
+    import pandas as pd
+
+    out = os.path.join(dst, "documents.parquet")
+    if os.path.exists(out):
+        return
+    os.makedirs(dst, exist_ok=True)
+    df = pd.read_parquet(os.path.join(src, "documents.parquet"))
+    n = int(df["doc_id"].max()) + 1
+    frames = [df]
+    for k in range(1, copies):
+        c = df.copy()
+        texts = []
+        for doc_id, text in zip(c["doc_id"], c["text"]):
+            words = text.split(" ")
+            random.Random(doc_id * copies + k).shuffle(words)
+            texts.append(" ".join(words))
+        c["text"] = texts
+        c["doc_id"] = c["doc_id"] + k * n
+        frames.append(c)
+    big = pd.concat(frames, ignore_index=True)
+    big.to_parquet(out, index=False)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    t0 = time.monotonic()
+    generate(SRC_SF_DIR, GEN_DIR, COPIES)
+    gen_sec = round(time.monotonic() - t0, 1)
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.lifecycle import (
+        release_scoped_caches,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.plans.catalog import get_catalog
+    from csv_2_db_pipeline_data_engineering_spark.session import get_session
+
+    catalog = get_catalog()
+    spark = get_session(
+        app_name="scale_probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up shared JVM paths on the small scale before timing anything
+    catalog[PROBES[0]].builder(spark, SRC_SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    release_scoped_caches()
+    spark.catalog.clearCache()
+
+    reps: dict[str, dict[str, list[float]]] = {
+        name: {"sf0.1": [], "sf1": []} for name in PROBES
+    }
+    for _ in range(args.reps):
+        for name in PROBES:
+            for label, sf_dir in (("sf0.1", SRC_SF_DIR), ("sf1", GEN_DIR)):
+                t = time.monotonic()
+                catalog[name].builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                reps[name][label].append(round(time.monotonic() - t, 3))
+                release_scoped_caches()
+                spark.catalog.clearCache()
+
+    summary = {
+        "metric": "scale_probe_10x",
+        "copies": COPIES,
+        "reps": args.reps,
+        "generate_sec": gen_sec,
+        "queries": {
+            name: {
+                "sf0.1_sec": min(r["sf0.1"]),
+                "sf1_sec": min(r["sf1"]),
+                "ratio": round(min(r["sf1"]) / min(r["sf0.1"]), 2),
+            }
+            for name, r in reps.items()
+        },
+    }
+    with open(
+        os.path.join(os.path.dirname(GEN_DIR), "..", "SCALE_PROBE.json"), "w"
+    ) as f:
+        json.dump({**summary, "all_reps": reps}, f, indent=1)
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
