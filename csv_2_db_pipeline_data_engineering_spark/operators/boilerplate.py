@@ -1,0 +1,379 @@
+"""Boilerplate removal and model-scored quality filtering.
+
+Three curation stages the ``scrub``/``text`` families don't cover, each
+the Spark-first form of a published pre-training cleanup rule:
+
+- :func:`text_line_dedup` — corpus-level duplicate-line removal (the
+  C4 rule, Raffel et al. 2020 §2.2: any three-sentence span occurring
+  more than once in the corpus is removed, keeping one occurrence).
+  Here at line granularity: a line seen in >= 2 documents survives only
+  in the lowest-``doc_id`` document; every other copy is dropped. This
+  is the cookie-banner / nav-bar / legal-footer kill pass every crawl
+  corpus needs.
+- :func:`text_intradoc_dedup` — within-document repeated-line removal
+  (the RefinedWeb / MassiveText "remove duplicated lines within a
+  document" rule): only the first occurrence of each distinct line in a
+  document survives, preserving original line order.
+- :func:`text_quality_logit` — frozen-weight logistic quality scorer
+  (the shape of fastText/DCLM/FineWeb-Edu classifier *inference* at
+  corpus scale: the model is trained offline, scoring is a pure column
+  expression). Features: token count, mean token length, stopword
+  ratio, distinct-token ratio; score = sigmoid(w·f + b).
+
+The synthetic corpus is single-line word soup, so the two line-dedup
+queries plant deterministic multi-line structure derived from
+``doc_id`` — identically in the Spark plan and the oracle SQL (the
+``text_pii_scrub`` pattern) — giving non-trivial, value-checked drops:
+shared promo/legal/cookie lines that ARE corpus-duplicated, a per-doc
+signature line that never is, and an in-doc chorus repeated
+``1 + doc_id % 3`` times.
+
+Scale shapes (100 TB):
+- ``text_line_dedup`` is the inverted-index shape: one shuffle keyed by
+  line to build (df, keeper), one line-keyed join back, one doc-keyed
+  re-assembly agg — all with map-side partial aggregation. At scale the
+  join key drops to ``xxhash64(line)`` (8 B) instead of the raw line;
+  kept as text here so the oracle can see it. Zipf-skewed boilerplate
+  lines (the whole point of the pass) are exactly what AQE skew-join
+  handles; it is on in the session defaults.
+- ``text_intradoc_dedup`` needs no corpus-wide state at all: both
+  aggregations are keyed by ``doc_id`` (then ``(doc_id, line)``), so a
+  corpus pre-partitioned by ``doc_id`` runs it with a single local
+  exchange — embarrassingly parallel across shards.
+- ``text_quality_logit`` is zero-shuffle: every feature and the score
+  are whole-stage-codegen column expressions over one scan; only the
+  demo ORDER BY adds a range exchange.
+
+Reference parity note: the reference pipeline (main.py + src/, ~506
+LoC) has no corpus-dedup or model-scoring surface at all; these
+operators are part of the driver-mandated LLM-pipeline superset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import Query
+from ..sources.tables import load_table
+
+# A line appearing in at least this many documents is corpus boilerplate.
+LINE_DUP_DOCS = 2
+
+# Shared boilerplate lines planted by doc_id modulus (each lands in a
+# large fraction of the corpus, so all are corpus-duplicated), plus a
+# per-doc unique signature line that never is.
+_PROMO = "subscribe to our newsletter today"
+_LEGAL = "all rights reserved site terms apply"
+_COOKIE = "cookie policy accept to continue"
+
+HEAD_CHARS = 40  # body slice reused as the doc's own first line
+
+
+def _planted_multiline() -> Column:
+    """``doc_id``-derived multi-line text (oracle builds the identical string)."""
+    did = F.col("doc_id")
+    head = F.substring(F.col("text"), 1, HEAD_CHARS)
+    promo = F.when(did % 2 == 0, F.lit("\n" + _PROMO)).otherwise(F.lit(""))
+    legal = F.when(did % 3 == 0, F.lit("\n" + _LEGAL)).otherwise(F.lit(""))
+    cookie = F.when(did % 5 == 2, F.lit("\n" + _COOKIE)).otherwise(F.lit(""))
+    sig = F.concat(F.lit("\nsig "), did.cast("string"))
+    return F.concat(head, promo, legal, cookie, sig)
+
+
+_PLANTED_SQL = (
+    f"substring(text, 1, {HEAD_CHARS})"
+    f" || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '{_PROMO}' ELSE '' END"
+    f" || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_LEGAL}' ELSE '' END"
+    f" || CASE WHEN doc_id % 5 = 2 THEN chr(10) || '{_COOKIE}' ELSE '' END"
+    " || chr(10) || 'sig ' || doc_id"
+)
+
+
+def _lines(d: DataFrame, planted: Column) -> DataFrame:
+    """One row per (doc_id, pos, line)."""
+    return d.select(
+        "doc_id", F.posexplode(F.split(planted, "\n")).alias("pos", "line")
+    )
+
+
+def _kept_md5(keep: Column) -> Column:
+    """md5 of the surviving lines re-joined in original order.
+
+    ``collect_list`` drops the NULLs that ``when(keep, ...)`` produces
+    for removed lines; ``array_sort`` on the (pos, line) struct restores
+    document order before the join.
+    """
+    picked = F.collect_list(F.when(keep, F.struct("pos", "line")))
+    return F.md5(
+        F.array_join(F.transform(F.array_sort(picked), lambda x: x["line"]), "\n")
+    )
+
+
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-line removal (C4 rule, line granularity).
+
+    A line in >= ``LINE_DUP_DOCS`` distinct docs survives only in its
+    lowest-``doc_id`` doc (C4 keeps exactly one occurrence). Emits per
+    doc: total lines, dropped count, and an md5 of the kept text —
+    value-checking the drop decision AND the reassembled document.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lines = _lines(d, _planted_multiline())
+    stats = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("keeper"),
+    )
+    j = lines.join(stats, "line").withColumn(
+        "keep",
+        (F.col("n_docs") < F.lit(LINE_DUP_DOCS)) | (F.col("doc_id") == F.col("keeper")),
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+            _kept_md5(F.col("keep")).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LINE_DEDUP_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {_PLANTED_SQL} AS p FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(p, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(p, chr(10))))) AS pos
+  FROM planted
+),
+stats AS (
+  SELECT line, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+  FROM lines GROUP BY line
+)
+SELECT l.doc_id,
+       count(*) AS n_lines,
+       count(*) FILTER (
+         WHERE NOT (s.n_docs < {LINE_DUP_DOCS} OR l.doc_id = s.keeper)
+       ) AS n_dropped,
+       md5(coalesce(
+         string_agg(l.line, chr(10) ORDER BY l.pos)
+           FILTER (WHERE s.n_docs < {LINE_DUP_DOCS} OR l.doc_id = s.keeper),
+         '')) AS kept_md5
+FROM lines l JOIN stats s USING (line)
+GROUP BY l.doc_id
+ORDER BY doc_id
+"""
+
+
+# --- within-document repeated-line removal (RefinedWeb rule) ---------------
+
+
+def _planted_chorus() -> Column:
+    """Doc text with an internal chorus line repeated ``1 + doc_id % 3`` times."""
+    did = F.col("doc_id")
+    head = F.substring(F.col("text"), 1, HEAD_CHARS)
+    chorus = F.concat(F.lit("\nrepeat chorus line "), (did % 7).cast("string"))
+    reps = F.repeat(chorus, (did % 3 + 1).cast("int"))
+    tail = F.concat(F.lit("\ntail "), did.cast("string"))
+    return F.concat(head, reps, tail)
+
+
+_CHORUS_SQL = (
+    f"substring(text, 1, {HEAD_CHARS})"
+    " || repeat(chr(10) || 'repeat chorus line ' || (doc_id % 7),"
+    " CAST(doc_id % 3 + 1 AS INTEGER))"
+    " || chr(10) || 'tail ' || doc_id"
+)
+
+
+def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep only the first occurrence of each line within a document.
+
+    Two keyed aggregations, no corpus-wide state: (doc_id, line) ->
+    (occurrences, first position), then doc_id -> counts + md5 of the
+    deduplicated text in original order.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lines = _lines(d, _planted_chorus())
+    per_line = lines.groupBy("doc_id", "line").agg(
+        F.count(F.lit(1)).alias("n_occ"), F.min("pos").alias("first_pos")
+    )
+    picked = F.collect_list(F.struct(F.col("first_pos").alias("pos"), F.col("line")))
+    return (
+        per_line.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_lines"),
+            (F.sum("n_occ") - F.count(F.lit(1))).alias("n_removed"),
+            F.count(F.lit(1)).alias("n_distinct_lines"),
+            F.md5(
+                F.array_join(
+                    F.transform(F.array_sort(picked), lambda x: x["line"]), "\n"
+                )
+            ).alias("dedup_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+INTRADOC_DEDUP_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {_CHORUS_SQL} AS p FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(p, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(p, chr(10))))) AS pos
+  FROM planted
+),
+per_line AS (
+  SELECT doc_id, line, count(*) AS n_occ, min(pos) AS first_pos
+  FROM lines GROUP BY doc_id, line
+)
+SELECT doc_id,
+       CAST(sum(n_occ) AS BIGINT) AS n_lines,
+       CAST(sum(n_occ) - count(*) AS BIGINT) AS n_removed,
+       count(*) AS n_distinct_lines,
+       md5(string_agg(line, chr(10) ORDER BY first_pos)) AS dedup_md5
+FROM per_line
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- frozen-weight logistic quality scorer ---------------------------------
+
+# Stopword set shared with the oracle (the corpus vocabulary includes
+# 'a' and 'the'; function words signal natural prose vs token salad).
+STOPWORDS = ("the", "a", "of", "to", "and")
+
+# Frozen classifier weights (trained offline in a real pipeline; fixed
+# constants here so scoring is pure inference, like serving a fastText
+# quality model). Chosen so the synthetic corpus lands on both sides of
+# the keep boundary. All weights are exact multiples of 0.01, so the
+# logit is the exact rational N / (100 * n_tok) with integer
+# N = -90*n_tok + 2*n_tok^2 + 150*n_stop + 400*n_distinct - 50*n_char:
+# the whole decision path stays in integer arithmetic and the reported
+# 4-decimal logit is rounded EXACTLY (half away from zero) on both
+# engines. Feature ratios frequently land on exact decimal rounding
+# ties (e.g. odd/32 ends in ...5 at the 5th decimal), where
+# double-round() quantization makes Spark and DuckDB disagree — the
+# integer path makes ties impossible to misround.
+W_BIAS_E2 = -90  # -0.90 (centers the boundary inside the corpus z-range)
+W_NTOK_E2 = 2  # 0.02
+W_STOP_E2 = 150  # 1.50
+W_DISTINCT_E2 = 400  # 4.00
+W_MEANLEN_E2 = -50  # -0.50
+
+
+def _round4_exact(num: Column, den: Column) -> Column:
+    """round(num/den, 4) with half-away ties, exact for integer inputs.
+
+    Works in scaled-integer space: q = num*10^4, result = q/den rounded
+    half away from zero via floor((2|q| + den)/(2 den)). The double
+    division feeding floor() is safe: operands stay far below 2^53 and a
+    non-integer true quotient sits at least 1/(2 den) from any integer,
+    orders of magnitude beyond the division's half-ulp error.
+    """
+    q = num.cast("long") * 10000
+    r = F.floor((F.abs(q) * 2 + den) / (den * 2))
+    return F.when(q < 0, -r).otherwise(r).cast("double") / F.lit(10000.0)
+
+
+def _round4_sql(num: str, den: str) -> str:
+    """DuckDB twin of :func:`_round4_exact` (``//`` keeps it in BIGINT)."""
+    q = f"(CAST({num} AS BIGINT) * 10000)"
+    r = f"((abs({q}) * 2 + {den}) // ({den} * 2))"
+    return f"(CASE WHEN {q} < 0 THEN -{r} ELSE {r} END / 10000.0)"
+
+
+def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score each doc with a frozen-weight logistic quality model.
+
+    ``keep`` is decided on the sign of the integer-scaled logit
+    (exactly equivalent to p > 0.5, with no floating point on the
+    decision path); the sigmoid probability is reported at coarse
+    rounding, the only column touching a transcendental.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    n_tok = F.size(toks).cast("long")
+    n_char = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_scaled = (
+        F.lit(W_BIAS_E2) * n_tok
+        + F.lit(W_NTOK_E2) * n_tok * n_tok
+        + F.lit(W_STOP_E2) * n_stop
+        + F.lit(W_DISTINCT_E2) * n_distinct
+        + F.lit(W_MEANLEN_E2) * n_char
+    )
+    z = n_scaled.cast("double") / (F.lit(100.0) * n_tok)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        _round4_exact(n_stop, n_tok).alias("stop_ratio"),
+        _round4_exact(n_distinct, n_tok).alias("distinct_ratio"),
+        _round4_exact(n_char, n_tok).alias("mean_token_len"),
+        _round4_exact(n_scaled, F.lit(100) * n_tok).alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 3).alias("quality_prob"),
+        (n_scaled > 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+QUALITY_LOGIT_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tok,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_char,
+         CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+                         t -> t IN ({_STOP_IN}))) AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
+              AS BIGINT) AS n_distinct
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_tok, n_stop, n_distinct, n_char,
+         {W_BIAS_E2} * n_tok + {W_NTOK_E2} * n_tok * n_tok
+           + {W_STOP_E2} * n_stop + {W_DISTINCT_E2} * n_distinct
+           + {W_MEANLEN_E2} * n_char AS n_scaled
+  FROM feat
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       {_round4_sql("n_stop", "n_tok")} AS stop_ratio,
+       {_round4_sql("n_distinct", "n_tok")} AS distinct_ratio,
+       {_round4_sql("n_char", "n_tok")} AS mean_token_len,
+       {_round4_sql("n_scaled", "(100 * n_tok)")} AS quality_logit,
+       round(1.0 / (1.0 + exp(-(CAST(n_scaled AS DOUBLE) / (100.0 * n_tok)))), 3)
+         AS quality_prob,
+       n_scaled > 0 AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+QUERIES = [
+    Query(
+        "text_line_dedup",
+        "corpus-level duplicate-line removal (C4 rule): keep one occurrence",
+        text_line_dedup,
+        LINE_DEDUP_ORACLE,
+    ),
+    Query(
+        "text_intradoc_dedup",
+        "within-doc repeated-line removal (RefinedWeb rule), order-preserving",
+        text_intradoc_dedup,
+        INTRADOC_DEDUP_ORACLE,
+    ),
+    Query(
+        "text_quality_logit",
+        "frozen-weight logistic quality scorer (classifier inference at scale)",
+        text_quality_logit,
+        QUALITY_LOGIT_ORACLE,
+    ),
+]

@@ -769,6 +769,144 @@ ORDER BY nationkey
 """
 
 
+# --- further TPC-H query shapes (Q14 / Q15 / Q19) --------------------------
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation market share.
+
+    One month of lineitem joined to a broadcast ``part``; the PROMO
+    share is a CASE-inside-SUM over the same rows as the denominator,
+    so the whole query is one scan + one broadcast join + one global
+    aggregate (partial map-side, 1-row exchange).
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+PROMO_SHARE_ORACLE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-of-aggregate via a broadcast scalar.
+
+    Quarterly revenue per supplier, then the supplier(s) hitting the
+    maximum. The max folds to a 1-row broadcast joined back to the
+    per-supplier aggregate — no second shuffle, no global sort; revenue
+    is rounded to cents BEFORE max/compare so the equality is on the
+    value both engines report.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    best = rev.agg(F.max("total_rev").alias("best_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(best), F.col("total_rev") == F.col("best_rev"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            "total_rev",
+        )
+        .orderBy("suppkey")
+    )
+
+
+TOP_SUPPLIER_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name AS name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY suppkey
+"""
+
+
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs bracket predicate over a fact-dim join.
+
+    Three (brand, size-range, quantity-range) brackets OR-ed together.
+    Catalyst pushes the common ``p_partkey`` equi-join out of the
+    disjunction and evaluates the brackets as a residual filter on the
+    broadcast-joined rows — the classic Q19 plan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 35)
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+DISJUNCTIVE_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15
+       AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
 QUERIES = [
     Query("q1_pricing_summary", "TPC-H Q1-style pricing summary: filter→groupBy→agg→sort",
           q1_pricing_summary, Q1_ORACLE),
@@ -811,4 +949,10 @@ QUERIES = [
           customer_order_years, ORDER_YEARS_ORACLE),
     Query("part_brand_regex", "regexp_extract + tokenize + distinct agg",
           part_brand_regex, BRAND_REGEX_ORACLE),
+    Query("promo_revenue_share", "conditional-agg market share (TPC-H Q14 shape)",
+          promo_revenue_share, PROMO_SHARE_ORACLE),
+    Query("top_revenue_supplier", "max-of-aggregate via broadcast scalar (Q15 shape)",
+          top_revenue_supplier, TOP_SUPPLIER_ORACLE),
+    Query("disjunctive_bracket_revenue", "OR-of-ANDs bracket predicate (Q19 shape)",
+          disjunctive_bracket_revenue, DISJUNCTIVE_ORACLE),
 ]

@@ -157,6 +157,7 @@ def get_catalog() -> dict[str, Query]:
     module order.
     """
     from ..operators import (
+        boilerplate,
         curation,
         dedup,
         multimodal,
@@ -170,7 +171,7 @@ def get_catalog() -> dict[str, Query]:
     all_queries: dict[str, Query] = {}
     for module in (
         analytics, advanced, stats_windows, subqueries, quality, etl_queries,
-        dedup, similarity, text, scrub, multimodal, rollup, curation,
+        dedup, similarity, text, scrub, boilerplate, multimodal, rollup, curation,
     ):
         for q in module.QUERIES:
             if q.name in all_queries:

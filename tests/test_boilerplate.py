@@ -1,0 +1,101 @@
+"""Boilerplate-removal + quality-classifier operators (operators/boilerplate.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_2_db_pipeline_data_engineering_spark.operators.boilerplate import (
+    STOPWORDS,
+    _round4_exact,
+    text_intradoc_dedup,
+    text_line_dedup,
+    text_quality_logit,
+)
+from tests.conftest import SF_DIR
+
+
+def test_line_dedup_drops_shared_lines_keeps_one_occurrence(spark):
+    rows = {r["doc_id"]: r for r in text_line_dedup(spark, SF_DIR).collect()}
+    assert rows
+    # doc 0 is the lowest doc_id, hence the canonical keeper of every
+    # boilerplate line it contains: nothing of its own is ever dropped.
+    assert rows[0]["n_dropped"] == 0
+    # every other even doc carries the planted promo line and is not its
+    # keeper -> at least one drop
+    dropped_docs = [d for d, r in rows.items() if d % 2 == 0 and d > 0]
+    assert dropped_docs and all(rows[d]["n_dropped"] >= 1 for d in dropped_docs)
+    # the per-doc unique signature line never pushes a doc to zero lines
+    assert all(r["n_dropped"] < r["n_lines"] for r in rows.values())
+
+
+def test_intradoc_dedup_removes_exactly_the_planted_repeats(spark):
+    rows = text_intradoc_dedup(spark, SF_DIR).collect()
+    assert rows
+    # the chorus is planted 1 + doc_id % 3 times -> exactly doc_id % 3
+    # copies are removed, independent of the surrounding text
+    for r in rows:
+        assert r["n_removed"] == r["doc_id"] % 3
+        assert r["n_lines"] == r["n_distinct_lines"] + r["n_removed"]
+
+
+def test_quality_logit_matches_python_and_splits_corpus(spark):
+    out = text_quality_logit(spark, SF_DIR)
+    rows = out.collect()
+    keeps = {r["keep"] for r in rows}
+    assert keeps == {True, False}  # non-vacuous decision boundary
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    for r in rows[:25]:
+        toks = docs[r["doc_id"]].strip().split()
+        n_tok = len(toks)
+        n_stop = sum(1 for t in toks if t in STOPWORDS)
+        n_distinct = len(set(toks))
+        n_char = len(docs[r["doc_id"]].replace(" ", ""))
+        n_scaled = (
+            -90 * n_tok + 2 * n_tok * n_tok + 150 * n_stop
+            + 400 * n_distinct - 50 * n_char
+        )
+        assert r["keep"] == (n_scaled > 0)
+        assert r["n_tokens"] == n_tok
+        # exact 4-decimal half-away rounding of the rational logit
+        q = n_scaled * 10000
+        d = 100 * n_tok
+        mag = (abs(q) * 2 + d) // (2 * d)
+        expect = (-mag if q < 0 else mag) / 10000.0
+        assert r["quality_logit"] == expect
+
+
+def test_round4_exact_handles_decimal_ties(spark):
+    # odd/32 terminates in ...5 at the 5th decimal: the exact tie class
+    # where double round() diverges between engines. 1/32 = 0.03125
+    # must round half-away to 0.0313 (and -1/32 to -0.0313).
+    df = spark.range(1).select(
+        _round4_exact(F.lit(1), F.lit(32)).alias("pos"),
+        _round4_exact(F.lit(-1), F.lit(32)).alias("neg"),
+        _round4_exact(F.lit(3), F.lit(4)).alias("plain"),
+    )
+    r = df.collect()[0]
+    assert r["pos"] == 0.0313
+    assert r["neg"] == -0.0313
+    assert r["plain"] == 0.75
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_quality_logit_is_shuffle_free_and_jvm_side(spark):
+    plan = _formatted_plan(spark, text_quality_logit(spark, SF_DIR))
+    assert "hashpartitioning" not in plan  # only the demo ORDER BY exchange
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan  # ... and no pandas UDF either
+
+
+def test_line_dedup_plan_has_no_cartesian_or_python(spark):
+    plan = _formatted_plan(spark, text_line_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
