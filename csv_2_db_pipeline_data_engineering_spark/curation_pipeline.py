@@ -44,7 +44,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators.curation import FLUENCY_MARGIN, LANG_STOP_RATIO, LOW_QUALITY_TTR
+from .operators.boilerplate import quality_nscaled, quality_ntok
+from .operators.curation import (
+    CLASSIFIER_FLOOR_E2,
+    FLUENCY_MARGIN,
+    LANG_STOP_RATIO,
+    LOW_QUALITY_TTR,
+)
 from .operators.dedup import (
     JACCARD_THRESHOLD,
     gram_hash_rows,
@@ -121,7 +127,9 @@ def curation_decisions(
 
     Gate order (first failure wins, cheap-to-expensive):
     exact_dup -> near_dup -> non_english -> low_quality ->
-    low_fluency -> keep.
+    low_fluency -> low_classifier -> keep. The classifier gate serves
+    the frozen logistic quality model (``boilerplate.quality_nscaled``)
+    in pure integer arithmetic.
 
     ``near_losers`` overrides the loser set (a ``doc_id`` frame) — the
     streaming fold passes batch-internal ∪ cross-index losers; batch
@@ -156,6 +164,8 @@ def curation_decisions(
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("exact_loser"),
         stop_ratio.alias("stop_ratio"),
         ttr.alias("ttr"),
+        quality_nscaled(F.col("text")).alias("clf_nscaled"),
+        quality_ntok(F.col("text")).alias("clf_ntok"),
     )
     if exact_fingerprints is not None:
         seen = (
@@ -186,6 +196,10 @@ def curation_decisions(
         .when(
             F.col("fluency_med") - F.col("avg_logprob") > FLUENCY_MARGIN,
             "low_fluency",
+        )
+        .when(
+            F.col("clf_nscaled") < F.lit(CLASSIFIER_FLOOR_E2) * F.col("clf_ntok"),
+            "low_classifier",
         )
         .otherwise("keep")
     )

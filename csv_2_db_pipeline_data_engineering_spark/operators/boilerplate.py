@@ -268,6 +268,56 @@ W_DISTINCT_E2 = 400  # 4.00
 W_MEANLEN_E2 = -50  # -0.50
 
 
+def quality_ntok(text: Column) -> Column:
+    """Whitespace token count (long), shared with the SQL twin."""
+    return F.size(F.split(F.trim(text), " +")).cast("long")
+
+
+def quality_nscaled(text: Column) -> Column:
+    """Integer-scaled logit numerator N with z = N / (100 * n_tok).
+
+    Pure integer arithmetic end to end, so gates built on it (the
+    curation layer's ``low_classifier``) are exact cross-engine.
+    """
+    toks = F.split(F.trim(text), " +")
+    n_tok = F.size(toks).cast("long")
+    n_char = F.length(F.regexp_replace(text, " ", "")).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    return (
+        F.lit(W_BIAS_E2) * n_tok
+        + F.lit(W_NTOK_E2) * n_tok * n_tok
+        + F.lit(W_STOP_E2) * n_stop
+        + F.lit(W_DISTINCT_E2) * n_distinct
+        + F.lit(W_MEANLEN_E2) * n_char
+    )
+
+
+def quality_ntok_sql(expr: str) -> str:
+    """DuckDB twin of :func:`quality_ntok` over a text expression."""
+    return f"CAST(len(string_split_regex(trim({expr}), ' +')) AS BIGINT)"
+
+
+def quality_nscaled_sql(expr: str) -> str:
+    """DuckDB twin of :func:`quality_nscaled` over a text expression."""
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_tok = quality_ntok_sql(expr)
+    n_char = f"CAST(length(replace({expr}, ' ', '')) AS BIGINT)"
+    n_stop = (
+        f"CAST(len(list_filter(string_split_regex(trim({expr}), ' +'),"
+        f" t -> t IN ({stop_in}))) AS BIGINT)"
+    )
+    n_distinct = (
+        f"CAST(len(list_distinct(string_split_regex(trim({expr}), ' +')))"
+        " AS BIGINT)"
+    )
+    return (
+        f"({W_BIAS_E2} * {n_tok} + {W_NTOK_E2} * {n_tok} * {n_tok}"
+        f" + {W_STOP_E2} * {n_stop} + {W_DISTINCT_E2} * {n_distinct}"
+        f" + {W_MEANLEN_E2} * {n_char})"
+    )
+
+
 def _round4_exact(num: Column, den: Column) -> Column:
     """round(num/den, 4) with half-away ties, exact for integer inputs.
 

@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
 from ..sources.tables import load_table
+from .boilerplate import (
+    quality_nscaled,
+    quality_nscaled_sql,
+    quality_ntok,
+    quality_ntok_sql,
+)
 from .dedup import NGRAM_JACCARD_CAPPED_ORACLE, dedup_ngram_jaccard, shingle_rows
 from .text import _STOPWORD_LIST_SQL, EN_STOPWORDS, bigram_logprob_frame
 
@@ -58,6 +64,18 @@ LOW_QUALITY_TTR = 0.2  # repetition gate: type-token ratio floor
 # planted salad sits ≥ ~1.1 below — the 0.35 margin cuts through a wide
 # empty band on both sides.
 FLUENCY_MARGIN = 0.35
+
+# Classifier gate (fastText/DCLM-style frozen quality model, served by
+# operators/boilerplate.py): drop documents whose logistic quality
+# logit z = N / (100 * n_tok) falls below CLASSIFIER_FLOOR. The
+# comparison stays in integer space (N < FLOOR_E2 * n_tok), so the gate
+# decision is exact cross-engine — no floating point at all. The floor
+# sits well below the model's own keep boundary (z > 0): curation only
+# rejects the low tail the classifier is confident about, it does not
+# re-litigate every borderline doc. Measured at sf0.01: z spans
+# [-0.74, +0.67] with median ≈ -0.02; the -0.30 floor drops ~8% of the
+# corpus — real witnesses, no planting needed.
+CLASSIFIER_FLOOR_E2 = -30  # z floor of -0.30, in integer-scaled units
 
 # Planted token-salad witnesses (the dedup_embedding_cosine twin
 # pattern): the synthetic corpus contains no natural gibberish, so the
@@ -225,7 +243,10 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gate order (cheapest-to-most-expensive is the production order; here
     fixed for determinism): exact_dup → near_dup → non_english →
-    low_quality → low_fluency → keep. Exact-dup losers are non-minimum
+    low_quality → low_fluency → low_classifier → keep. The classifier
+    gate serves the frozen logistic quality model
+    (``boilerplate.quality_nscaled``) entirely in integer arithmetic —
+    the decision is exact cross-engine. Exact-dup losers are non-minimum
     doc_ids within a normalized-content-fingerprint group (window min
     over ONE digest shuffle); near-dup losers have a smaller
     Jaccard-verified partner (semi-join against the pair list, which is
@@ -249,6 +270,8 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("exact_loser"),
         stop_ratio.alias("stop_ratio"),
         ttr.alias("ttr"),
+        quality_nscaled(F.col("text")).alias("clf_nscaled"),
+        quality_ntok(F.col("text")).alias("clf_ntok"),
     )
     near_losers = (
         dedup_ngram_jaccard(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
@@ -265,6 +288,10 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(
             F.col("fluency_med") - F.col("avg_logprob") > FLUENCY_MARGIN,
             "low_fluency",
+        )
+        .when(
+            F.col("clf_nscaled") < F.lit(CLASSIFIER_FLOOR_E2) * F.col("clf_ntok"),
+            "low_classifier",
         )
         .otherwise("keep")
     )
@@ -323,7 +350,9 @@ fp AS (
              t -> list_contains({_STOPWORD_LIST_SQL}, t)))::DOUBLE
            / len(string_split(text, ' ')) AS stop_ratio,
          len(list_distinct(string_split(text, ' ')))::DOUBLE
-           / len(string_split(text, ' ')) AS ttr
+           / len(string_split(text, ' ')) AS ttr,
+         {quality_nscaled_sql("text")} AS clf_nscaled,
+         {quality_ntok_sql("text")} AS clf_ntok
   FROM aug
 )
 SELECT doc_id, reason, reason = 'keep' AS keep FROM (
@@ -333,6 +362,8 @@ SELECT doc_id, reason, reason = 'keep' AS keep FROM (
               WHEN stop_ratio < {LANG_STOP_RATIO} THEN 'non_english'
               WHEN ttr < {LOW_QUALITY_TTR} THEN 'low_quality'
               WHEN med.m - scored.lp > {FLUENCY_MARGIN} THEN 'low_fluency'
+              WHEN clf_nscaled < {CLASSIFIER_FLOOR_E2} * clf_ntok
+                THEN 'low_classifier'
               ELSE 'keep' END AS reason
   FROM fp
   LEFT JOIN losers ON losers.doc_b = fp.doc_id

@@ -46,6 +46,7 @@ def test_curation_pipeline_contracts(spark, tmp_path):
     assert dropped.count() == n_input - s.kept_docs
     assert set(r["reason"] for r in dropped.select("reason").distinct().collect()) <= {
         "exact_dup", "near_dup", "non_english", "low_quality", "low_fluency",
+        "low_classifier",
     }
 
     # chunk arithmetic == materialized chunk count; tiling is exact
@@ -124,3 +125,27 @@ def test_fluency_gate_drops_token_salad(spark, tmp_path):
     assert s.dropped.get("low_fluency", 0) >= 1
     # the gate is surgical on this corpus: fluent docs all survive it
     assert s.dropped.get("low_fluency", 0) <= 1
+
+
+def test_classifier_gate_drops_confident_low_quality(spark):
+    """A doc the frozen quality model scores far below its floor must
+    fall to low_classifier — AFTER passing every earlier gate (its
+    bigrams repeat within the doc, so it clears the fluency cut)."""
+    from csv_2_db_pipeline_data_engineering_spark.curation_pipeline import (
+        curation_decisions,
+    )
+
+    chorus = "alphabetagam deltaepsilon zetaetatheta"
+    junk = "the " + " ".join([chorus] * 4)  # long rare words -> z << -0.30
+    rows = [(1, junk)] + [
+        (k, f"the w{k}a w{k}b w{k}c and a dog{k} cat{k} tree{k} bird{k} sun{k} moon{k}")
+        for k in range(2, 6)
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in curation_decisions(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["reason"] == "low_classifier"
+    assert all(out[k]["keep"] for k in range(2, 6))
