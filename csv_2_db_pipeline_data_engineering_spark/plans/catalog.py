@@ -81,6 +81,19 @@ class Query:
 # q1/q3 + parts_above_brand_avg; driver-green r3-r5).
 # mm_wav_vad_stats stays locally checked (family twin
 # mm_wav_decode_stats is in-window).
+#
+# Round-7 mid-round rotation (new boilerplate-removal family): in come
+# text_line_dedup, text_intradoc_dedup, text_quality_logit — a NEW
+# LLM-pipeline operator family (C4 corpus line dedup, RefinedWeb
+# within-doc dedup, frozen-classifier inference; every LLM family
+# stays driver-checked). Out go three entries green in >= 3 consecutive
+# driver rounds with in-window family twins: events_json_stats
+# (JSON serialize/extract ~ normalize_and_serialize's to_json twin,
+# green r3-r6), profile_lineitem (data-quality profile ~
+# event_value_outliers, green r3-r6), deterministic_sample_stats
+# (md5-prefix deterministic sampling ~ corpus_sample_strata's modulus
+# sampling, green r5-r6). All stay registered and locally
+# oracle-checked via tools/check_oracles.py.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
@@ -88,7 +101,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "normalize_and_serialize",
     "coerce_cast_semantics",
     "multiformat_date_parse",
-    "profile_lineitem",
     # LLM-pipeline: deduplication family.
     "dedup_exact_hash",
     "dedup_minhash_lsh",
@@ -112,6 +124,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_chunk_plan",
     "text_char_entropy",
     "text_bigram_logprob",
+    # LLM-pipeline: boilerplate removal + classifier inference (NEW r7).
+    "text_line_dedup",
+    "text_intradoc_dedup",
+    "text_quality_logit",
     # LLM-pipeline: multimodal + continuous aggregate.
     # (r7: resize + wav-decode rotated out after their r6 driver checks —
     # the rotated-in VAD exercises the same WAV decode path; the new
@@ -135,9 +151,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "user_event_gaps",
     "part_brand_regex",
     "customers_without_orders",
-    "deterministic_sample_stats",
     "event_value_outliers",
-    "events_json_stats",
     "asof_last_order_per_event",
     "range_join_followup_orders",
     "price_percentiles",
