@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
 from ..sources.tables import load_table
+from .lifecycle import scoped_cache
 
 # A line appearing in at least this many documents is corpus boilerplate.
 LINE_DUP_DOCS = 2
@@ -119,7 +120,10 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checking the drop decision AND the reassembled document.
     """
     d = load_table(spark, sf_dir, "documents")
-    lines = _lines(d, _planted_multiline())
+    # Cached: the exploded line stream feeds both the corpus-frequency
+    # aggregate and the join-back (without it the scan + explode run
+    # twice and the line-keyed exchange is not reused).
+    lines = scoped_cache(_lines(d, _planted_multiline()))
     stats = lines.groupBy("line").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.min("doc_id").alias("keeper"),

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.lifecycle import scoped_cache
 from ..sources.tables import load_table
 from .catalog import Query
 
@@ -822,9 +823,11 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev = (
-        li.groupBy("l_suppkey")
-        .agg(
+    # Cached: the per-supplier aggregate (dimension-sized) feeds both
+    # the 1-row max and the final join — without it the quarter's
+    # lineitem scan + shuffle would run twice.
+    rev = scoped_cache(
+        li.groupBy("l_suppkey").agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_rev")
