@@ -51,6 +51,8 @@ operators are part of the driver-mandated LLM-pipeline superset.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -168,6 +170,165 @@ SELECT l.doc_id,
          '')) AS kept_md5
 FROM lines l JOIN stats s USING (line)
 GROUP BY l.doc_id
+ORDER BY doc_id
+"""
+
+
+# --- incremental corpus line dedup vs a persisted line index ---------------
+
+
+def build_line_index(docs: DataFrame, planted: Column | None = None) -> DataFrame:
+    """Per-line dedup state for a corpus: (line_md5, n_docs, keeper).
+
+    16-byte digest keys instead of raw line text (the at-scale shuffle
+    key the batch query's docstring promises), distinct-doc frequency,
+    and the lowest doc_id seen — everything a later delta fold needs to
+    apply the C4 keep-one-occurrence rule WITHOUT the history text.
+    """
+    lines = _lines(docs, planted if planted is not None else F.col("text"))
+    return (
+        lines.select("doc_id", F.md5("line").alias("line_md5"))
+        .groupBy("line_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+
+
+def write_line_index(
+    docs: DataFrame, path: str, tag: str = "base", planted: Column | None = None
+) -> None:
+    """Persist a corpus' line index under ``<path>/delta=<tag>/``.
+
+    Tagged partition-dir layout from day one (the
+    ``write_signature_index`` design): later deltas EXTEND the index by
+    writing new ``delta=<tag>`` directories — O(delta) per maintenance
+    step, history partitions never read or rewritten, same-tag replay
+    overwrites with identical content (idempotent).
+    """
+    build_line_index(docs, planted).write.mode("overwrite").parquet(
+        os.path.join(path, f"delta={tag}")
+    )
+
+
+def extend_line_index(
+    delta_docs: DataFrame, path: str, tag: str, planted: Column | None = None
+) -> None:
+    """Fold a delta's line stats INTO the persisted index: O(delta)."""
+    write_line_index(delta_docs, path, tag, planted)
+
+
+def read_line_index(spark: SparkSession, path: str) -> DataFrame:
+    """All delta partitions as one logical (line_md5, n_docs, keeper)
+    table. Per-line stats may span partitions; the fold merges them
+    (SUM / MIN are the mergeable partials, rollup-style)."""
+    return (
+        spark.read.option("basePath", path)
+        .parquet(os.path.join(path, "delta=*"))
+        .drop("delta")
+    )
+
+
+def incremental_line_dedup_frame(
+    delta_docs: DataFrame, index: DataFrame, planted: Column | None = None
+) -> DataFrame:
+    """C4 line dedup for NEW documents against an indexed base corpus.
+
+    A delta line already in the index is boilerplate whose keeper lives
+    in history — every delta copy drops. A line new to the index drops
+    unless this doc is the delta's own first occurrence. Touches delta
+    text + the stored index only; history is never rescanned. Per-doc
+    output matches :func:`text_line_dedup` (n_lines, n_dropped,
+    kept_md5).
+    """
+    lines = scoped_cache(
+        _lines(delta_docs, planted if planted is not None else F.col("text")).select(
+            "doc_id", "pos", "line", F.md5("line").alias("line_md5")
+        )
+    )
+    d_stats = lines.groupBy("line_md5").agg(
+        F.countDistinct("doc_id").alias("d_docs"),
+        F.min("doc_id").alias("d_keeper"),
+    )
+    i_stats = index.groupBy("line_md5").agg(
+        F.sum("n_docs").alias("i_docs"), F.min("keeper").alias("i_keeper")
+    )
+    j = (
+        lines.join(d_stats, "line_md5")
+        .join(i_stats, "line_md5", "left")
+        .withColumn(
+            "keep",
+            (F.col("d_docs") + F.coalesce("i_docs", F.lit(0)) < F.lit(LINE_DUP_DOCS))
+            | (F.col("i_docs").isNull() & (F.col("doc_id") == F.col("d_keeper"))),
+        )
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+            _kept_md5(F.col("keep")).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered incremental demo: documents split by id into an
+    already-indexed base (doc_id % 10 != 0) and an arriving delta
+    (doc_id % 10 == 0); the delta folds against the base's line index.
+    The index is built in-plan here; the persistence path — write,
+    extend, fold against the read-back — is exercised in
+    ``tests/test_boilerplate.py``. Planted multi-line structure shared
+    with :func:`text_line_dedup`, so base and delta genuinely share
+    boilerplate lines across the split.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return incremental_line_dedup_frame(
+        delta,
+        build_line_index(base, _planted_multiline()),
+        _planted_multiline(),
+    )
+
+
+LINE_DEDUP_INCREMENTAL_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {_PLANTED_SQL} AS p FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(p, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(p, chr(10))))) AS pos
+  FROM planted
+),
+i_stats AS (
+  SELECT line, count(DISTINCT doc_id) AS i_docs
+  FROM lines WHERE doc_id % 10 != 0 GROUP BY line
+),
+d AS (SELECT * FROM lines WHERE doc_id % 10 = 0),
+d_stats AS (
+  SELECT line, count(DISTINCT doc_id) AS d_docs, min(doc_id) AS d_keeper
+  FROM d GROUP BY line
+),
+k AS (
+  SELECT d.doc_id, d.line, d.pos,
+         (d_stats.d_docs + coalesce(i_stats.i_docs, 0) < {LINE_DUP_DOCS})
+         OR (i_stats.i_docs IS NULL AND d.doc_id = d_stats.d_keeper) AS keep
+  FROM d
+  JOIN d_stats USING (line)
+  LEFT JOIN i_stats USING (line)
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       count(*) FILTER (WHERE NOT keep) AS n_dropped,
+       md5(coalesce(
+         string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep),
+         '')) AS kept_md5
+FROM k
+GROUP BY doc_id
 ORDER BY doc_id
 """
 
@@ -417,6 +578,12 @@ QUERIES = [
         "corpus-level duplicate-line removal (C4 rule): keep one occurrence",
         text_line_dedup,
         LINE_DEDUP_ORACLE,
+    ),
+    Query(
+        "line_dedup_incremental",
+        "C4 line dedup of a delta vs a persisted line index (O(delta) fold)",
+        line_dedup_incremental,
+        LINE_DEDUP_INCREMENTAL_ORACLE,
     ),
     Query(
         "text_intradoc_dedup",

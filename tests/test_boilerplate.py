@@ -99,3 +99,70 @@ def test_line_dedup_plan_has_no_cartesian_or_python(spark):
     plan = _formatted_plan(spark, text_line_dedup(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_line_index_persisted_fold_matches_inplan(spark, tmp_path):
+    """write -> read-back -> fold must equal the in-plan registered query."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.boilerplate import (
+        _planted_multiline,
+        incremental_line_dedup_frame,
+        line_dedup_incremental,
+        read_line_index,
+        write_line_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "lineidx")
+    write_line_index(base, path, "base", _planted_multiline())
+    got = incremental_line_dedup_frame(
+        delta, read_line_index(spark, path), _planted_multiline()
+    ).collect()
+    want = line_dedup_incremental(spark, SF_DIR).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert any(r["n_dropped"] > 0 for r in got)
+
+
+def test_line_index_extend_is_o_delta_and_feeds_later_folds(spark, tmp_path):
+    """Extending writes ONLY the new delta partition (history untouched)
+    and later folds see the extended lines as boilerplate."""
+    import os
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.boilerplate import (
+        extend_line_index,
+        incremental_line_dedup_frame,
+        read_line_index,
+        write_line_index,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    path = str(tmp_path / "idx")
+    write_line_index(docs([(1, "common line\nbase only")]), path, "base")
+
+    def listing(tag):
+        d = os.path.join(path, f"delta={tag}")
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+
+    base_files = listing("base")
+    delta2 = docs([(3, "fresh boiler\nuniq three")])
+
+    # before the extend, 'fresh boiler' is unknown -> doc 3 keeps it
+    before = incremental_line_dedup_frame(delta2, read_line_index(spark, path)).collect()
+    assert before[0]["n_dropped"] == 0
+
+    extend_line_index(docs([(2, "fresh boiler\nuniq two")]), path, "d1")
+    assert listing("base") == base_files  # history never rewritten
+    after = incremental_line_dedup_frame(delta2, read_line_index(spark, path)).collect()
+    assert after[0]["n_dropped"] == 1  # the extended line is now boilerplate
+
+    # same-tag replay is idempotent: index CONTENT identical after
+    # re-extend (part-file names are fresh UUIDs; rows are what counts)
+    content_before = sorted(map(tuple, read_line_index(spark, path).collect()))
+    extend_line_index(docs([(2, "fresh boiler\nuniq two")]), path, "d1")
+    spark.catalog.refreshByPath(path)  # overwrite replaced the part files
+    again = incremental_line_dedup_frame(delta2, read_line_index(spark, path)).collect()
+    assert again[0]["n_dropped"] == 1
+    assert sorted(map(tuple, read_line_index(spark, path).collect())) == content_before
