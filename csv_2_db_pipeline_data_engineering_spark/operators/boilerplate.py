@@ -333,6 +333,58 @@ ORDER BY doc_id
 """
 
 
+# A line must be seen in at least this many distinct documents before a
+# STREAM strips it as boilerplate. Deliberately higher than the batch
+# query's LINE_DUP_DOCS: at line granularity a threshold of 2 would
+# collapse into exact dedup on single-line documents (the dup gates own
+# that), while real boilerplate — cookie banners, nav bars, legal
+# footers — recurs across far more documents than any organic near-dup.
+STREAM_LINE_DF = 4
+
+
+def strip_boilerplate_lines(docs: DataFrame, line_index: DataFrame | None) -> DataFrame:
+    """Remove known-boilerplate and within-doc repeated lines from docs.
+
+    The streaming pre-clean: lines whose accumulated distinct-doc count
+    in ``line_index`` reaches ``STREAM_LINE_DF`` are stripped wherever
+    they appear; repeated lines within a document keep their first
+    occurrence (RefinedWeb). Returns (doc_id, text) with text
+    reassembled in original line order — a document without newlines
+    and without a hot line passes through byte-identical.
+
+    Scale shape: the hot-line set is digest-keyed (16 B) and orders of
+    magnitude smaller than the index (only lines crossing the
+    threshold); the join is keyed on line_md5 and the reassembly is one
+    doc-keyed aggregation — O(batch) work, history untouched.
+    """
+    lines = (
+        docs.select("doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line"))
+        .withColumn("line_md5", F.md5("line"))
+        .groupBy("doc_id", "line_md5")
+        .agg(F.min("pos").alias("pos"), F.first("line").alias("line"))
+    )
+    if line_index is not None:
+        hot = (
+            line_index.groupBy("line_md5")
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .filter(F.col("n_docs") >= STREAM_LINE_DF)
+            .select("line_md5", F.lit(True).alias("hot"))
+        )
+        lines = lines.join(hot, "line_md5", "left").filter(F.col("hot").isNull())
+    picked = F.array_sort(F.collect_list(F.struct("pos", "line")))
+    cleaned = lines.groupBy("doc_id").agg(
+        F.array_join(F.transform(picked, lambda x: x["line"]), "\n").alias("text")
+    )
+    # A doc whose EVERY line was boilerplate must survive as an empty
+    # doc (the quality gates drop it with a reason), never vanish — the
+    # pipeline's no-silent-drops contract.
+    return (
+        docs.select("doc_id")
+        .join(cleaned, "doc_id", "left")
+        .withColumn("text", F.coalesce("text", F.lit("")))
+    )
+
+
 # --- within-document repeated-line removal (RefinedWeb rule) ---------------
 
 

@@ -6,6 +6,13 @@ makes curation *incremental*: each micro-batch of new documents is
 gated against everything already curated WITHOUT rescanning history.
 
 Per batch:
+0. boilerplate pre-clean — lines the accumulated line index has seen
+   in >= STREAM_LINE_DF distinct docs are stripped (C4's
+   keep-one-occurrence rule at stream scale), within-doc repeats keep
+   their first occurrence (RefinedWeb); every later stage sees
+   boilerplate-free text. The raw batch's lines extend the index
+   O(delta) per fold (``operators/boilerplate.write/extend_line_index``
+   tagged-partition layout);
 1. exact-dup gate — within-batch (fingerprint window) AND against the
    stored index's fingerprints (broadcast-sized join column);
 2. near-dup gate — within-batch MinHash-LSH plus
@@ -54,6 +61,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..curation_pipeline import chunk_kept, curation_decisions, near_dup_losers
+from ..operators.boilerplate import extend_line_index, strip_boilerplate_lines
 from ..operators.dedup import (
     build_signature_index,
     extend_banded_index_table,
@@ -87,6 +95,33 @@ def _commit_manifest(out_dir: str, manifest: dict) -> None:
     with os.fdopen(fd, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+
+
+LINE_INDEX_DIR = "line_index"
+
+
+def _line_index_excluding(
+    spark: SparkSession, out_dir: str, batch_id: int
+) -> DataFrame | None:
+    """The accumulated line index MINUS the current batch's own tag.
+
+    Excluding ``delta=batch<id>`` makes a crash-replayed fold see
+    exactly the index it saw the first time: without the exclusion, a
+    replay would find its own lines already indexed and strip first
+    occurrences it originally kept (content-identity under replay is
+    the stream's exactly-once mechanism).
+    """
+    base = os.path.join(out_dir, LINE_INDEX_DIR)
+    if not os.path.isdir(base):
+        return None
+    parts = [
+        os.path.join(base, t)
+        for t in os.listdir(base)
+        if t.startswith("delta=") and t != f"delta=batch{batch_id}"
+    ]
+    if not parts:
+        return None
+    return spark.read.option("basePath", base).parquet(*parts).drop("delta")
 
 
 def _batch_dir(out_dir: str, table: str, batch_id: int) -> str:
@@ -159,7 +194,14 @@ def fold_curation_batch(
         _commit_manifest(out_dir, {"applied": manifest["applied"] + [batch_id]})
         return
 
-    docs = batch_df.select("doc_id", "text")
+    raw_docs = batch_df.select("doc_id", "text")
+    # C4-style pre-clean: strip lines the accumulated line index has
+    # seen in >= STREAM_LINE_DF docs (and within-doc repeats) BEFORE
+    # any gating — fingerprints, signatures, and chunks are all
+    # computed on boilerplate-free text.
+    docs = strip_boilerplate_lines(
+        raw_docs, _line_index_excluding(spark, out_dir, batch_id)
+    )
     index = read_curated(spark, out_dir, "index")
 
     # Batch-scoped cache: unpersisted after the eager checkpoint below,
@@ -230,6 +272,15 @@ def fold_curation_batch(
             band_table_name(out_dir),
             path=os.path.join(out_dir, "band_table"),
         )
+    # Accumulate the batch's RAW lines into the line index (dropped
+    # docs included — boilerplate recurs in arrivals regardless of
+    # their fate; stripping pre-indexing would keep counts below the
+    # threshold forever). Same pre-commit ordering as the band table;
+    # a replay overwrites its own delta=batch<id> tag idempotently and
+    # never reads it back (_line_index_excluding).
+    extend_line_index(
+        raw_docs, os.path.join(out_dir, LINE_INDEX_DIR), f"batch{batch_id}"
+    )
     # All consumers (decision checkpoint + index write) have
     # materialized — drop the batch's gram-stream cache (and the fluency
     # gate's scoped bigram stream) so a long stream holds at most one

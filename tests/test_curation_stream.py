@@ -182,3 +182,38 @@ def test_fold_candidate_join_shuffles_only_delta(spark, tmp_path):
     fold_curation_batch(spark, _docs(spark, [(10, _VARIANT), (12, fresh)]), out, 1)
     table_docs = {r["doc_id"] for r in spark.table(tbl).select("doc_id").distinct().collect()}
     assert table_docs == {1, 2, 12}
+
+
+def test_boilerplate_lines_stripped_across_batches(spark, tmp_path):
+    """Once the line index has seen a line in >= STREAM_LINE_DF docs,
+    later arrivals lose it before gating; boilerplate-only docs drop
+    with a reason instead of vanishing."""
+    out = str(tmp_path / "curated")
+    promo = "subscribe to our newsletter today"
+    bodies = [
+        "the quick brown fox jumps over a lazy dog and it runs to the barn",
+        "a steady river flows through the green valley and it meets the sea",
+        "seven golden apples fell from the tall tree and it was a good sign",
+        "the old clock on the wall strikes nine and it wakes the sleepy cat",
+    ]
+    batch0 = [(i, f"{b}\n{promo}") for i, b in enumerate(bodies)]
+    fold_curation_batch(spark, _docs(spark, batch0), out, 0)
+    kept0 = {r["doc_id"]: r["text"] for r in read_curated(spark, out, "kept").collect()}
+    # index was empty at batch 0 -> nothing stripped yet
+    assert kept0 and all(promo in t for t in kept0.values())
+
+    newbody = "a small boat sails along the coast and it carries tea to the port"
+    fold_curation_batch(
+        spark,
+        _docs(spark, [(10, f"{newbody}\n{promo}"), (11, promo)]),
+        out,
+        1,
+    )
+    kept = {r["doc_id"]: r["text"] for r in read_curated(spark, out, "kept").collect()}
+    assert 10 in kept
+    assert promo not in kept[10] and newbody.split()[2] in kept[10]
+    # the boilerplate-only doc survives as a row in dropped, with a reason
+    dropped = {
+        r["doc_id"]: r["reason"] for r in read_curated(spark, out, "dropped").collect()
+    }
+    assert 11 in dropped and dropped[11]
