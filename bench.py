@@ -60,6 +60,10 @@ HEADLINE = [
     # real-codec Arrow kernel (PNG decode round trip via mapInPandas)
     "text_bigram_logprob",
     "mm_png_decode_stats",
+    # round-7: boilerplate removal (line-keyed inverted shape) and
+    # classifier inference (zero-shuffle integer scoring)
+    "text_line_dedup",
+    "text_quality_logit",
 ]
 
 

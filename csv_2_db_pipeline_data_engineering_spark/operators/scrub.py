@@ -416,6 +416,116 @@ FROM e ORDER BY doc_id
 """
 
 
+# --- mojibake repair (ftfy-style encoding fix) -----------------------------
+
+# UTF-8 bytes decoded as latin-1/cp1252 leave characteristic two- and
+# three-byte ghosts ('Ã©' for 'é', 'â€™' for a right single quote).
+# The repair is a fixed mapping applied as literal replacements — the
+# deterministic core of what ftfy does, expressible as a zero-shuffle
+# column chain. Pairs are chosen with distinct prefixes so application
+# order cannot cascade.
+MOJIBAKE_FIXES = (
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã¯", "ï"),  # Ã¯ -> ï
+    ("â", "’"),  # â€™ -> ’
+    ("â", "“"),  # â€œ -> “
+    ("â", "–"),  # â€“ -> –
+)
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Apply the fixed mojibake mapping as chained literal replaces."""
+    for bad, good in MOJIBAKE_FIXES:
+        col = F.replace(col, F.lit(bad), F.lit(good))
+    return col
+
+
+def count_mojibake(col: Column) -> Column:
+    """Total occurrences of any known mojibake sequence."""
+    out = F.lit(0)
+    for bad, _ in MOJIBAKE_FIXES:
+        out = out + (
+            (F.length(col) - F.length(F.replace(col, F.lit(bad), F.lit(""))))
+            / F.length(F.lit(bad))
+        ).cast("long")
+    return out
+
+
+def _planted_mojibake() -> Column:
+    """``text`` with deterministic doc_id-derived mojibake appended."""
+    did = F.col("doc_id")
+    a = F.when(
+        did % 3 == 0, F.lit(" visit the cafÃ© and cafÃ© bar")
+    ).otherwise(F.lit(""))
+    b = F.when(did % 4 == 1, F.lit(" a naÃ¯ve plan")).otherwise(F.lit(""))
+    c = F.when(
+        did % 5 == 3, F.lit(" donât panic â yet")
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), a, b, c)
+
+
+def text_encoding_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and repair mojibake; certify nothing detectable survives.
+
+    The ftfy pass every crawl corpus needs before tokenization, as a
+    pure zero-shuffle column plan. ``mojibake_free`` re-counts every
+    sequence on the repaired text — the in-query proof the fix chain
+    caught what the detector sees.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    planted = _planted_mojibake()
+    fixed = fix_mojibake(planted)
+    return d.select(
+        "doc_id",
+        count_mojibake(planted).alias("n_mojibake"),
+        F.md5(fixed).alias("fixed_md5"),
+        F.length(fixed).alias("fixed_len"),
+        (count_mojibake(fixed) == 0).alias("mojibake_free"),
+    ).orderBy("doc_id")
+
+
+def _mojibake_planted_sql() -> str:
+    return (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' visit the cafÃ© and cafÃ© bar' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 1 THEN ' a naÃ¯ve plan' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 3 THEN ' donât panic â yet' ELSE '' END"
+    )
+
+
+def _mojibake_fix_sql(expr: str) -> str:
+    for bad, good in MOJIBAKE_FIXES:
+        expr = f"replace({expr}, '{bad}', '{good}')"
+    return expr
+
+
+def _mojibake_count_sql(expr: str) -> str:
+    terms = [
+        f"CAST((length({expr}) - length(replace({expr}, '{bad}', '')))"
+        f" / {len(bad)} AS BIGINT)"
+        for bad, _ in MOJIBAKE_FIXES
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+ENCODING_FIX_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {_mojibake_planted_sql()} AS p FROM documents
+),
+fixed AS (
+  SELECT doc_id, p, {_mojibake_fix_sql("p")} AS f FROM planted
+)
+SELECT doc_id,
+       {_mojibake_count_sql("p")} AS n_mojibake,
+       md5(f) AS fixed_md5,
+       LENGTH(f) AS fixed_len,
+       {_mojibake_count_sql("f")} = 0 AS mojibake_free
+FROM fixed ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("text_pii_scrub",
           "PII detect/count/redact (email, IPv4, digit runs, phones) with "
@@ -431,4 +541,8 @@ QUERIES = [
     Query("text_char_entropy",
           "char-unigram Shannon entropy (perplexity-proxy quality gate)",
           text_char_entropy, CHAR_ENTROPY_ORACLE),
+    Query("text_encoding_fix",
+          "mojibake detect/repair (ftfy-style latin-1 ghost mapping) with "
+          "an in-query nothing-survives certificate",
+          text_encoding_fix, ENCODING_FIX_ORACLE),
 ]

@@ -160,3 +160,43 @@ def test_chunk_plan_is_shuffle_free(spark):
     plan = _formatted_plan(spark, doc_chunk_plan(spark, SF_DIR))
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "hashpartitioning" not in plan
+
+
+def test_mojibake_fix_repairs_each_ghost_and_counts(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.scrub import (
+        count_mojibake,
+        fix_mojibake,
+    )
+
+    # latin-1 ghost forms: 'â' is UTF-8 for a right
+    # single quote mis-decoded as latin-1, 'Ã©' likewise 'é'.
+    rows = [
+        (1, "visit the cafÃ© now"),
+        (2, "donât panic"),
+        (3, "a naÃ¯ve plan â soon"),
+        (4, "plain ascii stays put"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            fix_mojibake(F.col("text")).alias("fixed"),
+            count_mojibake(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert out[1]["fixed"] == "visit the café now" and out[1]["n"] == 1
+    assert out[2]["fixed"] == "don’t panic" and out[2]["n"] == 1
+    assert out[3]["fixed"] == "a naïve plan – soon" and out[3]["n"] == 2
+    assert out[4]["fixed"] == "plain ascii stays put" and out[4]["n"] == 0
+
+
+def test_encoding_fix_certifies_clean_output(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.scrub import (
+        text_encoding_fix,
+    )
+
+    rows = text_encoding_fix(spark, SF_DIR).collect()
+    assert all(r["mojibake_free"] for r in rows)
+    counts = {r["n_mojibake"] for r in rows}
+    assert 0 in counts and any(c > 0 for c in counts)  # non-vacuous planting
