@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from ..plans.catalog import Query
 from ..sources.tables import load_table
+from .lifecycle import scoped_cache
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the demo query vectors
@@ -503,6 +504,169 @@ FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY query_id
 """
 
 
+# --- PCA top component via integer power iteration -------------------------
+
+# Quantization grid for the exact power iteration: embeddings land on
+# an integer grid of 1/PCA_SCALE, and every iterate is renormalized to
+# max-abs = PCA_SCALE by exact integer floor-division. All arithmetic
+# stays in BIGINT, so the loadings, the Rayleigh quotient, and the
+# explained-variance share are bit-identical cross-engine — the same
+# integer-exactness discipline as ``boilerplate.text_quality_logit``,
+# applied to an iterative linear-algebra operator. Overflow audit at
+# these bounds (|xq| <= ~60, 64 dims, sf0.1 = 5k rows): dot <= 4e5,
+# w <= 1.2e11, w*PCA_SCALE <= 1.2e13 — double-exact (< 2^53) and far
+# inside BIGINT. At 1e9+ rows the renormalization divisor grows but the
+# shape is unchanged (or the iterate drops to float with a tolerance
+# certificate); the demo keeps the exact-integer contract.
+PCA_SCALE = 100
+PCA_ITERS = 3
+
+
+def _pca_xq(e: DataFrame) -> DataFrame:
+    """Quantized long-form embeddings: (vec_id, dim, xq)."""
+    return e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "dim",
+        # floor(x*S + 0.5): identical IEEE ops on both engines (round()
+        # tie semantics differ between them; floor does not)
+        F.floor(F.col("x") * PCA_SCALE + F.lit(0.5)).cast("long").alias("xq"),
+    )
+
+
+def _int_div(num: Column, den: Column) -> Column:
+    """Exact floor division of non-negative longs via the modulo trick
+    (``num/den`` alone would route through double division)."""
+    return ((num - num % den) / den).cast("long")
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding second
+    moment, by ``PCA_ITERS`` rounds of exact integer power iteration.
+
+    Per round: dot_i = x_i·v (vec-keyed agg), w = Σ_i x_i·dot_i
+    (dim-keyed agg, 64 groups), then v' = w renormalized to max-abs
+    PCA_SCALE by integer floor-division (1-row broadcast of the max).
+    No driver collection, no floating point until the final reported
+    ratios — and those round in scaled-integer space, so every output
+    column is exact. Emits long-form loadings plus the Rayleigh
+    quotient λ̂ = ‖Av‖²/‖v‖² and its share of total second moment
+    (the explained-variance certificate).
+    """
+    from .boilerplate import _round4_exact
+
+    e = load_table(spark, sf_dir, "embeddings")
+    xq = scoped_cache(_pca_xq(e))
+    v = xq.select("dim").distinct().select(
+        "dim",
+        F.when(F.col("dim") == 0, F.lit(PCA_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("vq"),
+    )
+    dots = None
+    for _ in range(PCA_ITERS):
+        dots = (
+            xq.join(v, "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xq") * F.col("vq")).alias("dot"))
+        )
+        w = (
+            xq.join(dots, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("xq") * F.col("dot")).alias("w"))
+        )
+        s = w.agg(F.max(F.abs(F.col("w"))).alias("s"))
+        # Eager checkpoint of the 64-row iterate: keeps the final plan
+        # shallow (each round otherwise re-plans the whole chain below
+        # it — the ann_pq_certified lineage-cut pattern, ~64 rows/round)
+        v = (
+            w.crossJoin(F.broadcast(s))
+            .select(
+                "dim",
+                (
+                    F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
+                    * _int_div(F.abs(F.col("w")) * PCA_SCALE, F.col("s"))
+                ).alias("vq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # final-iterate statistics, all exact integers
+    num = (
+        xq.join(v, "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xq") * F.col("vq")).alias("dot"))
+        .agg(F.sum(F.col("dot") * F.col("dot")).alias("num"))
+    )
+    den = v.agg(F.sum(F.col("vq") * F.col("vq")).alias("den"))
+    trace = xq.agg(F.sum(F.col("xq") * F.col("xq")).alias("trace"))
+    return (
+        v.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            "dim",
+            F.col("vq").alias("loading"),
+            _round4_exact(F.col("num"), F.col("den")).alias("rayleigh"),
+            _round4_exact(F.col("num"), F.col("den") * F.col("trace")).alias(
+                "explained_share"
+            ),
+        )
+        .orderBy("dim")
+    )
+
+
+def _pca_sql() -> str:
+    """DuckDB twin: the same iteration unrolled as chained CTEs."""
+    from .boilerplate import _round4_sql
+
+    ctes = [
+        "xq AS ("
+        " SELECT vec_id,"
+        "        unnest(range(len(embedding))) AS dim,"
+        "        unnest(list_transform(embedding,"
+        f"          x -> CAST(floor(x::DOUBLE * {PCA_SCALE} + 0.5) AS BIGINT)))"
+        "          AS xq"
+        " FROM embeddings)",
+        f"v0 AS (SELECT DISTINCT dim,"
+        f" CAST(CASE WHEN dim = 0 THEN {PCA_SCALE} ELSE 0 END AS BIGINT) AS vq"
+        f" FROM xq)",
+    ]
+    # every SUM is cast back to BIGINT: DuckDB widens SUM(BIGINT) to
+    # HUGEINT, which pandas would surface as float64 (dtype drift)
+    for t in range(1, PCA_ITERS + 1):
+        ctes += [
+            f"d{t} AS (SELECT vec_id, CAST(SUM(xq * vq) AS BIGINT) AS dot"
+            f" FROM xq JOIN v{t-1} USING (dim) GROUP BY vec_id)",
+            f"w{t} AS (SELECT dim, CAST(SUM(xq * dot) AS BIGINT) AS w"
+            f" FROM xq JOIN d{t} USING (vec_id) GROUP BY dim)",
+            f"s{t} AS (SELECT MAX(abs(w)) AS s FROM w{t})",
+            f"v{t} AS (SELECT dim, CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END)"
+            f" * ((abs(w) * {PCA_SCALE}) // s) AS BIGINT) AS vq FROM w{t}, s{t})",
+        ]
+    k = PCA_ITERS
+    ctes += [
+        f"df AS (SELECT vec_id, CAST(SUM(xq * vq) AS BIGINT) AS dot"
+        f" FROM xq JOIN v{k} USING (dim) GROUP BY vec_id)",
+        "nm AS (SELECT CAST(SUM(dot * dot) AS BIGINT) AS num FROM df)",
+        f"dn AS (SELECT CAST(SUM(vq * vq) AS BIGINT) AS den FROM v{k})",
+        "tr AS (SELECT CAST(SUM(xq * xq) AS BIGINT) AS trace FROM xq)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT dim, vq AS loading,\n"
+        f"       {_round4_sql('num', 'den')} AS rayleigh,\n"
+        f"       {_round4_sql('num', '(den * trace)')} AS explained_share\n"
+        f"FROM v{k}, nm, dn, tr\n"
+        "ORDER BY dim"
+    )
+
+
+PCA_POWER_ORACLE = _pca_sql()
+
+
 QUERIES = [
     Query("ann_topk_bruteforce", "exact cosine top-k neighbors (broadcast queries)",
           ann_topk_bruteforce, ANN_TOPK_ORACLE),
@@ -510,6 +674,10 @@ QUERIES = [
           embedding_label_centroids, CENTROIDS_ORACLE),
     Query("embedding_norm_stats", "per-label L2-norm distribution",
           embedding_norm_stats, NORM_STATS_ORACLE),
+    Query("embedding_pca_power",
+          "top principal direction via exact integer power iteration "
+          "(loadings + Rayleigh + explained share, bit-exact cross-engine)",
+          embedding_pca_power, PCA_POWER_ORACLE),
     Query("ann_lsh_bucketed", "sign-LSH bucketed ANN + in-query recall certificate",
           ann_lsh_certified, ANN_CERT_ORACLE),
     Query("ann_ivf", "IVF (k-means + nprobe) ANN + in-query recall certificate",

@@ -59,3 +59,31 @@ def test_seeded_kernel_buckets_match_driver_side_family(spark):
         for r in _table_buckets_seeded(df, 6, 5, 99).collect()
     }
     assert a == b
+
+
+def test_pca_power_finds_planted_dominant_direction(spark):
+    """Vectors = strong component along dim 3 + weak noise: the integer
+    power iteration must put its peak loading on dim 3."""
+    import numpy as np
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.similarity import (
+        PCA_SCALE,
+        embedding_pca_power,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(200):
+        v = rng.normal(0, 0.02, 8)
+        v[3] += (1 if i % 2 == 0 else -1) * 0.4  # dominant +/- axis
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = embedding_pca_power(spark, d).collect()
+    by_dim = {r["dim"]: r for r in out}
+    peak = max(by_dim.values(), key=lambda r: abs(r["loading"]))
+    assert peak["dim"] == 3 and abs(peak["loading"]) == PCA_SCALE
+    # explained share of a 1-D dominated cloud is far above uniform 1/8
+    assert by_dim[0]["explained_share"] > 0.5

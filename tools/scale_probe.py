@@ -31,7 +31,12 @@ GEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaleprobe", "sf1"
 )
 COPIES = 10  # sf0.1 -> sf1 equivalent
-PROBES = ["dedup_minhash_lsh", "text_bigram_logprob", "mm_png_decode_stats"]
+PROBES = [
+    "dedup_minhash_lsh",
+    "text_bigram_logprob",
+    "mm_png_decode_stats",
+    "text_line_dedup",  # r7: the line-keyed inverted shape
+]
 
 
 def generate(src: str, dst: str, copies: int) -> None:
