@@ -9,14 +9,17 @@ third-party code at all:
   0-4). 8-bit depth, non-interlaced, gray/RGB/RGBA.
 - **WAV**: RIFF/PCM via the stdlib ``wave`` module — header parse plus
   16-bit sample extraction.
+- **Y4M**: YUV4MPEG2 uncompressed video (mjpegtools stream format) —
+  header parse, FRAME segmentation, mono plane extraction.
 
 Both come with matching encoders so queries can synthesize payloads
 deterministically from ``doc_id`` executor-side, decode them with the
 REAL decoder, and value-check the decoded features against a DuckDB
 oracle that computes the same numbers from the closed-form pixel /
 sample formulas — i.e. the encode→deflate→inflate→unfilter round trip
-itself is what the correctness gate verifies. Generic JPEG/video decode
-still requires PIL/ffmpeg and remains stubbed in ``multimodal.py``.
+itself is what the correctness gate verifies. Generic image formats and
+COMPRESSED video still require PIL/ffmpeg and remain stubbed in
+``multimodal.py``; baseline JPEG lives in ``jpeg_codec.py``.
 """
 
 from __future__ import annotations
@@ -176,3 +179,64 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
         raw = w.readframes(n)
     samples = list(struct.unpack(f"<{n * ch}h", raw))
     return sr, ch, n, samples
+
+
+# --- YUV4MPEG2 (uncompressed video stream) ---------------------------------
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(
+    width: int, height: int, frames: list[bytes], fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Encode mono (Cmono) luma frames as a YUV4MPEG2 stream.
+
+    Y4M is a real, public video container (mjpegtools): a text stream
+    header, then ``FRAME\\n`` + raw planes per frame — the one video
+    format honestly decodable with zero third-party code, which is what
+    retires the "video decode needs ffmpeg" stub for the uncompressed
+    case. Compressed codecs (H.26x/VP9/AV1) still need ffmpeg and stay
+    behind the labeled stub in ``multimodal.py``.
+    """
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("frame size does not match dimensions")
+    header = b"%s W%d H%d F%d:%d Ip A1:1 Cmono\n" % (
+        Y4M_MAGIC, width, height, fps[0], fps[1],
+    )
+    return header + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode a Cmono YUV4MPEG2 stream to (width, height, frames).
+
+    Raises ``ValueError`` on a bad magic, malformed header, unsupported
+    colourspace, malformed frame marker, or truncated frame payload —
+    the dead-letter contract shared with ``decode_png``.
+    """
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(Y4M_MAGIC + b" "):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = -1
+    for tok in payload[len(Y4M_MAGIC) + 1:nl].split(b" "):
+        if tok.startswith(b"W"):
+            width = int(tok[1:])
+        elif tok.startswith(b"H"):
+            height = int(tok[1:])
+        elif tok.startswith(b"C") and tok != b"Cmono":
+            raise ValueError("only Cmono Y4M supported")
+    if width <= 0 or height <= 0:
+        raise ValueError("missing or invalid Y4M dimensions")
+    fsize = width * height
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed Y4M frame marker")
+        start = fnl + 1
+        if start + fsize > len(payload):
+            raise ValueError("truncated Y4M frame")
+        frames.append(payload[start:start + fsize])
+        pos = start + fsize
+    return width, height, frames

@@ -830,6 +830,108 @@ FROM fr GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- Y4M: real (uncompressed) video decode + frame sampling ----------------
+
+Y4M_W, Y4M_H = 8, 8
+Y4M_FRAMES = "1 + doc_id % 4"  # frames per synthesized clip
+Y4M_STRIDE = 2  # sample every 2nd frame
+
+Y4M_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_sampled", T.IntegerType()),
+        T.StructField("sampled_luma_sum", T.LongType()),
+        T.StructField("mean_sampled_luma", T.DoubleType()),
+    ]
+)
+
+
+def mm_y4m_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode: synthesize → Y4M encode → decode → frame-
+    sample → featurize.
+
+    Per doc_id a Cmono YUV4MPEG2 clip of ``1 + doc_id % 4`` constant
+    frames (frame k filled with ``(doc_id*7 + k*13) % 256``) is encoded
+    and then decoded with the from-spec stream parser; every
+    ``Y4M_STRIDE``-th decoded frame is sampled and its luma aggregated.
+    The emitted numbers come from the DECODED planes, so the oracle
+    match certifies header parse + frame segmentation, not the
+    synthesis. Compressed video stays honestly stubbed (needs ffmpeg).
+    """
+    from .media_codecs import decode_y4m, encode_y4m
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in Y4M_STATS_SCHEMA}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 1 + doc_id % 4
+                frames = [
+                    bytes([(doc_id * 7 + k * 13) % 256]) * (Y4M_W * Y4M_H)
+                    for k in range(n)
+                ]
+                w, h, dec = decode_y4m(encode_y4m(Y4M_W, Y4M_H, frames))
+                sampled = dec[::Y4M_STRIDE]
+                luma_sum = sum(sum(f) for f in sampled)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(len(dec))
+                rows["n_sampled"].append(len(sampled))
+                rows["sampled_luma_sum"].append(luma_sum)
+                rows["mean_sampled_luma"].append(
+                    float(luma_sum) / (len(sampled) * w * h)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "n_frames": pd.array(rows["n_frames"], dtype="int32"),
+                    "n_sampled": pd.array(rows["n_sampled"], dtype="int32"),
+                    "sampled_luma_sum": pd.array(
+                        rows["sampled_luma_sum"], dtype="int64"
+                    ),
+                    "mean_sampled_luma": rows["mean_sampled_luma"],
+                }
+            )
+
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(decode_batches, Y4M_STATS_SCHEMA)
+    )
+    return feats.select(
+        "doc_id", "width", "height", "n_frames", "n_sampled",
+        "sampled_luma_sum",
+        F.round("mean_sampled_luma", 4).alias("mean_sampled_luma"),
+    ).orderBy("doc_id")
+
+
+MM_Y4M_ORACLE = f"""
+WITH d AS (SELECT doc_id, {Y4M_FRAMES} AS n FROM documents),
+k AS (
+  SELECT doc_id, n, unnest(range(0, n, {Y4M_STRIDE})) AS k FROM d
+),
+s AS (
+  SELECT doc_id, n, COUNT(*) AS n_sampled,
+         CAST(SUM(((doc_id * 7 + k * 13) % 256) * {Y4M_W} * {Y4M_H})
+              AS BIGINT) AS luma_sum
+  FROM k GROUP BY doc_id, n
+)
+SELECT doc_id, {Y4M_W} AS width, {Y4M_H} AS height,
+       CAST(n AS INT) AS n_frames,
+       CAST(n_sampled AS INT) AS n_sampled,
+       luma_sum AS sampled_luma_sum,
+       ROUND(luma_sum / (n_sampled * {Y4M_W} * {Y4M_H}), 4)
+         AS mean_sampled_luma
+FROM s ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("mm_payload_stats", "binary payload byte stats per source", mm_payload_stats,
           MM_PAYLOAD_ORACLE),
@@ -858,6 +960,10 @@ QUERIES = [
           "zigzag, dequant, IDCT) value-checked through the lossless "
           "flat-qtable round trip",
           mm_jpeg_decode_stats, MM_JPEG_DECODE_ORACLE),
+    Query("mm_y4m_video_stats",
+          "REAL uncompressed-video decode (YUV4MPEG2 parse + frame "
+          "sampling) via mapInPandas",
+          mm_y4m_video_stats, MM_Y4M_ORACLE),
     Query("mm_decode_features", "Arrow-batched decode/feature-extract (stub kernel)",
           mm_decode_features, MM_DECODE_ORACLE),
     Query("mm_frame_sample_stats", "fan-out frame sampling via mapInPandas",

@@ -136,3 +136,57 @@ def test_png_missing_iend_raises_value_error():
     no_iend = good[:-12]  # strip the whole IEND chunk
     with pytest.raises(ValueError, match="truncated"):
         decode_png(no_iend)
+
+
+# --- Y4M ---------------------------------------------------------------
+
+
+def test_y4m_round_trip_exact():
+    from csv_2_db_pipeline_data_engineering_spark.operators.media_codecs import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    frames = [bytes([(7 * k + i) % 256 for i in range(6 * 4)]) for k in range(3)]
+    w, h, dec = decode_y4m(encode_y4m(6, 4, frames))
+    assert (w, h) == (6, 4)
+    assert dec == frames  # bit-exact planes through the container
+
+
+def test_y4m_every_truncation_point_raises_valueerror():
+    import pytest
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.media_codecs import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    payload = encode_y4m(4, 3, [bytes(12), bytes(range(12))])
+    header_end = payload.find(b"\n") + 1
+    fsize = 4 * 3 + len(b"FRAME\n")
+    # Y4M has no frame count in the header, so a cut landing exactly on
+    # a frame boundary is BY SPEC a valid, shorter stream; every other
+    # cut must raise.
+    boundaries = {header_end, header_end + fsize, header_end + 2 * fsize}
+    for cut in range(len(payload)):
+        if cut in boundaries:
+            _, _, dec = decode_y4m(payload[:cut])
+            assert len(dec) == (cut - header_end) // fsize
+        else:
+            with pytest.raises(ValueError):
+                decode_y4m(payload[:cut])
+
+
+def test_y4m_rejects_bad_magic_and_colourspace():
+    import pytest
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.media_codecs import (
+        decode_y4m,
+    )
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF not a video")
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H3 F25:1 C420\nFRAME\n" + bytes(18))
+    with pytest.raises(ValueError):  # frame marker corrupted
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 Cmono\nFRAMX\n" + bytes(4))
