@@ -163,3 +163,56 @@ def test_split_matches_python_model(spark, rows):
 
     # every rejected row carries at least one reason
     assert all(r.rejection_reason for r in rejected_rows)
+
+
+@given(
+    nums=st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=30),
+    den=st.integers(1, 10**5),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_round4_exact_matches_fraction_model(spark, nums, den):
+    """_round4_exact == decimal half-away-from-zero rounding of num/den,
+    modeled exactly with Fraction (no floats anywhere in the model)."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.boilerplate import (
+        _round4_exact,
+    )
+
+    df = spark.createDataFrame([(n,) for n in nums], "num long")
+    got = [
+        r["r"]
+        for r in df.select(
+            _round4_exact(F.col("num"), F.lit(den)).alias("r")
+        ).collect()
+    ]
+    for n, g in zip(nums, got):
+        q = Fraction(abs(n) * 10000, den)
+        mag = q.numerator // q.denominator
+        if Fraction(q.numerator % q.denominator, q.denominator) >= Fraction(1, 2):
+            mag += 1
+        want = (-mag if n < 0 else mag) / 10000.0
+        assert g == want, (n, den, g, want)
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    n_frames=st.integers(0, 5),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_y4m_round_trip_property(w, h, n_frames, seed):
+    import random
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.media_codecs import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = random.Random(seed)
+    frames = [bytes(rng.randrange(256) for _ in range(w * h)) for _ in range(n_frames)]
+    dw, dh, dec = decode_y4m(encode_y4m(w, h, frames))
+    assert (dw, dh, dec) == (w, h, frames)
