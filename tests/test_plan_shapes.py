@@ -203,3 +203,48 @@ def test_bigram_logprob_shape(spark):
     # formatted plans mention each node twice (tree + detail)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_runtime_bloom_filter_prunes_fact_side_of_shuffle_join(spark):
+    """When the dim side is too big to broadcast (forced here), Spark's
+    runtime bloom filter must side-channel the selective dim predicate
+    onto the fact scan — the row-level pruning that keeps a 100 TB
+    fact⋈dim shuffle join from shuffling rows that can never match."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        p = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
+            F.col("p_brand") == "Brand#4"
+        )
+        j = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_type")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan  # bloom probe applied to the fact side
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
