@@ -932,6 +932,100 @@ FROM s ORDER BY doc_id
 """
 
 
+# --- GIF: real LZW decode + animation frame stats --------------------------
+
+GIF_W = "6 + doc_id % 5"   # 6..10
+GIF_H = "4 + doc_id % 4"   # 4..7
+GIF_FRAMES = "1 + doc_id % 3"
+
+GIF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_pixels_total", T.LongType()),
+        T.StructField("mean_index", T.DoubleType()),
+    ]
+)
+
+
+def mm_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode: synthesize → LZW-compress → decode → featurize.
+
+    Per doc_id an animated GIF89a (``1 + doc_id % 3`` full frames,
+    pixel ``(doc_id*11 + f*29 + k) % 256``) is encoded with the
+    from-spec LZW compressor and decoded with the full
+    variable-code-width LZW decoder (``gif_codec``); the stats come
+    from the DECODED index planes, so the oracle match certifies the
+    compression round trip, dictionary growth and all.
+    """
+    from .gif_codec import decode_gif, encode_gif
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in GIF_STATS_SCHEMA}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 6 + doc_id % 5, 4 + doc_id % 4
+                n = 1 + doc_id % 3
+                frames = [
+                    bytes((doc_id * 11 + f * 29 + k) % 256 for k in range(w * h))
+                    for f in range(n)
+                ]
+                dw, dh, dec = decode_gif(encode_gif(w, h, frames))
+                total = sum(sum(fr) for fr in dec)
+                npx = dw * dh * len(dec)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(dw)
+                rows["height"].append(dh)
+                rows["n_frames"].append(len(dec))
+                rows["n_pixels_total"].append(npx)
+                rows["mean_index"].append(float(total) / npx)
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "n_frames": pd.array(rows["n_frames"], dtype="int32"),
+                    "n_pixels_total": pd.array(
+                        rows["n_pixels_total"], dtype="int64"
+                    ),
+                    "mean_index": rows["mean_index"],
+                }
+            )
+
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(decode_batches, GIF_STATS_SCHEMA)
+    )
+    return feats.select(
+        "doc_id", "width", "height", "n_frames", "n_pixels_total",
+        F.round("mean_index", 4).alias("mean_index"),
+    ).orderBy("doc_id")
+
+
+MM_GIF_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {GIF_W} AS w, {GIF_H} AS h, {GIF_FRAMES} AS n FROM documents
+),
+fk AS (
+  SELECT doc_id, w, h, n,
+         unnest(range(0, n)) AS f
+  FROM d
+),
+px AS (
+  SELECT doc_id, w, h, n, f, unnest(range(0, w * h)) AS k FROM fk
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_frames,
+       CAST(w * h * n AS BIGINT) AS n_pixels_total,
+       ROUND(AVG((doc_id * 11 + f * 29 + k) % 256), 4) AS mean_index
+FROM px GROUP BY doc_id, w, h, n ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("mm_payload_stats", "binary payload byte stats per source", mm_payload_stats,
           MM_PAYLOAD_ORACLE),
@@ -960,6 +1054,10 @@ QUERIES = [
           "zigzag, dequant, IDCT) value-checked through the lossless "
           "flat-qtable round trip",
           mm_jpeg_decode_stats, MM_JPEG_DECODE_ORACLE),
+    Query("mm_gif_decode_stats",
+          "REAL animated-GIF decode (full variable-width LZW) via "
+          "mapInPandas",
+          mm_gif_decode_stats, MM_GIF_ORACLE),
     Query("mm_y4m_video_stats",
           "REAL uncompressed-video decode (YUV4MPEG2 parse + frame "
           "sampling) via mapInPandas",
