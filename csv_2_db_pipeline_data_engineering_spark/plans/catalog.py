@@ -94,6 +94,17 @@ class Query:
 # (md5-prefix deterministic sampling ~ corpus_sample_strata's modulus
 # sampling, green r5-r6). All stay registered and locally
 # oracle-checked via tools/check_oracles.py.
+#
+# Round-7 late rotation: in come mm_gif_decode_stats (never checked:
+# real variable-width LZW decode) and embedding_pca_power (never
+# checked: exact integer power iteration — a new embedding-ops family
+# member). Out go asof_last_order_per_event and
+# customers_without_orders, both driver-green four consecutive rounds
+# (r3-r6); the custom-join flavor keeps range_join_followup_orders
+# in-window, and anti-join semantics stay exercised inside the dedup /
+# split families. The other r7 additions (line_dedup_incremental,
+# text_encoding_fix, mm_y4m_video_stats, the Q14/Q15/Q19 shapes) have
+# in-window family twins and stay locally checked.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
@@ -113,6 +124,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf",
+    "embedding_pca_power",  # rotated in late r7 (new, never checked)
     # LLM-pipeline: text analysis + hygiene.
     "text_token_stats",
     "text_tfidf",
@@ -135,6 +147,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # never-driver-checked VAD rotate in.)
     "mm_png_decode_stats",
     "mm_jpeg_decode_stats",
+    "mm_gif_decode_stats",  # rotated in late r7 (new, never checked)
     "mm_png_deadletter_stats",
     "mm_wav_vad_stats",
     "hourly_rollup_serve",
@@ -150,9 +163,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q3_shipping_priority",
     "user_event_gaps",
     "part_brand_regex",
-    "customers_without_orders",
     "event_value_outliers",
-    "asof_last_order_per_event",
     "range_join_followup_orders",
     "price_percentiles",
     # Rotated in round 4, kept: still the only instances of their shapes.
