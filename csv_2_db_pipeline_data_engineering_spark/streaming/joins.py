@@ -77,3 +77,51 @@ def join_event_pairs(
             "gap_sec"
         ),
     )
+
+
+def join_event_pairs_outer(
+    clicks: DataFrame,
+    views: DataFrame,
+    max_gap: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every view, with its attributed
+    click or NULLs if none arrived in time.
+
+    The semantics the inner join can't express: an unmatched view must
+    still be EMITTED (with null click columns) — which a streaming
+    engine can only do once the watermark proves no matching click can
+    still arrive. State economics are identical to the inner join
+    (watermark + interval bound both buffers); the extra behavior is
+    the null emission on state expiry, pinned by the batch-twin test
+    (in batch, watermarks are no-ops and this is a plain left join).
+    """
+    v = (
+        as_event_time(views).withWatermark("ts", watermark_delay)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    c = (
+        as_event_time(clicks).withWatermark("ts", watermark_delay)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"interval {max_gap}"))
+    )
+    return v.join(c, cond, "leftOuter").select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.col("click_ts").cast("long") - F.col("view_ts").cast("long")).alias(
+            "gap_sec"
+        ),
+    )

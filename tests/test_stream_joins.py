@@ -78,3 +78,47 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert got.filter(F.col("c_name").isNull()).count() == ev.join(
         customers, "user_id", "left_anti"
     ).count()
+
+
+def test_stream_stream_left_outer_emits_expired_unmatched(spark, tmp_path):
+    """Left-outer: matched rows must equal the batch twin's; unmatched
+    views are emitted with NULL click columns once the watermark proves
+    no click can arrive. Rows younger than the FINAL watermark are
+    legitimately held back on the stream side (never emitted wrong,
+    only late) — so null rows are a subset of the batch twin's, and
+    must be non-empty for this data."""
+    from csv_2_db_pipeline_data_engineering_spark.streaming.joins import (
+        join_event_pairs_outer,
+    )
+
+    views_b, clicks_b = _events_split(spark)
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views_b.write.parquet(vdir)
+    clicks_b.write.parquet(cdir)
+
+    schema = views_b.schema
+    views_s = spark.readStream.schema(schema).parquet(vdir)
+    clicks_s = spark.readStream.schema(schema).parquet(cdir)
+
+    q = (
+        join_event_pairs_outer(clicks_s, views_s)
+        .writeStream.format("memory")
+        .queryName("pairs_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "outer join did not terminate"
+    got = spark.table("pairs_outer")
+    expected = join_event_pairs_outer(clicks_b, views_b)  # plain left join
+
+    got_matched = got.filter(F.col("click_id").isNotNull())
+    exp_matched = expected.filter(F.col("click_id").isNotNull())
+    assert got_matched.count() == exp_matched.count() > 0
+    assert got_matched.exceptAll(exp_matched).isEmpty()
+
+    got_null = got.filter(F.col("click_id").isNull())
+    exp_null = expected.filter(F.col("click_id").isNull())
+    assert got_null.count() > 0  # expiry DID emit unmatched views
+    assert got_null.exceptAll(exp_null).isEmpty()  # never a wrong null row
