@@ -230,6 +230,35 @@ def read_line_index(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def compact_line_index(spark: SparkSession, path: str, tag: str = "base") -> None:
+    """Merge every delta partition into one ``delta=<tag>`` partition.
+
+    The LSM move: folds read the whole index to derive per-line totals,
+    so after many O(delta) extends the per-fold aggregation input is
+    one row per (line, tag-it-appeared-in). Compaction re-aggregates to
+    one row per line and swaps the directory set atomically enough for
+    this layout (write the merged partition to a temp tag, then remove
+    the old tags) — run it on the maintenance cadence, amortized
+    O(index) against many O(delta) folds.
+    """
+    import shutil
+
+    merged = (
+        read_line_index(spark, path)
+        .groupBy("line_md5")
+        .agg(F.sum("n_docs").alias("n_docs"), F.min("keeper").alias("keeper"))
+    )
+    tmp_tag = f"__compact_{tag}"
+    merged.write.mode("overwrite").parquet(os.path.join(path, f"delta={tmp_tag}"))
+    for t in os.listdir(path):
+        if t.startswith("delta=") and t != f"delta={tmp_tag}":
+            shutil.rmtree(os.path.join(path, t))
+    os.replace(
+        os.path.join(path, f"delta={tmp_tag}"), os.path.join(path, f"delta={tag}")
+    )
+    spark.catalog.refreshByPath(path)
+
+
 def incremental_line_dedup_frame(
     delta_docs: DataFrame, index: DataFrame, planted: Column | None = None
 ) -> DataFrame:

@@ -513,11 +513,14 @@ FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY query_id
 # explained-variance share are bit-identical cross-engine — the same
 # integer-exactness discipline as ``boilerplate.text_quality_logit``,
 # applied to an iterative linear-algebra operator. Overflow audit at
-# these bounds (|xq| <= ~60, 64 dims, sf0.1 = 5k rows): dot <= 4e5,
-# w <= 1.2e11, w*PCA_SCALE <= 1.2e13 — double-exact (< 2^53) and far
-# inside BIGINT. At 1e9+ rows the renormalization divisor grows but the
-# shape is unchanged (or the iterate drops to float with a tolerance
-# certificate); the demo keeps the exact-integer contract.
+# the real data bounds (max |x| = 0.578 at sf0.1 -> |xq| <= 58,
+# 64 dims, 2k rows): dot <= 3.7e5, w <= 4.3e11, w*PCA_SCALE <= 4.3e13
+# (double-exact, < 2^53), and the Rayleigh path peaks at
+# 2*num*10^4 <= 5.5e18 — inside BIGINT with ~1.7x headroom. The
+# session runs ANSI mode, so exceeding these bounds at much larger N
+# fails LOUDLY instead of wrapping; past ~10x this row count the
+# renormalization divisor grows (or the iterate drops to float with a
+# tolerance certificate) — the demo keeps the exact-integer contract.
 PCA_SCALE = 100
 PCA_ITERS = 3
 

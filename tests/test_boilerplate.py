@@ -166,3 +166,41 @@ def test_line_index_extend_is_o_delta_and_feeds_later_folds(spark, tmp_path):
     again = incremental_line_dedup_frame(delta2, read_line_index(spark, path)).collect()
     assert again[0]["n_dropped"] == 1
     assert sorted(map(tuple, read_line_index(spark, path).collect())) == content_before
+
+
+def test_line_index_compaction_preserves_fold_semantics(spark, tmp_path):
+    """Compacting many delta tags into one must not change any fold
+    result: totals and keepers merge exactly (SUM / MIN partials)."""
+    import os
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.boilerplate import (
+        compact_line_index,
+        extend_line_index,
+        incremental_line_dedup_frame,
+        read_line_index,
+        write_line_index,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    path = str(tmp_path / "idx")
+    write_line_index(docs([(1, "shared line\none only")]), path, "base")
+    extend_line_index(docs([(2, "shared line\ntwo only")]), path, "d1")
+    extend_line_index(docs([(3, "fresh thing\nthree only")]), path, "d2")
+
+    probe = docs([(9, "shared line\nfresh thing\nnine only")])
+    before = incremental_line_dedup_frame(probe, read_line_index(spark, path)).collect()
+
+    compact_line_index(spark, path)
+    tags = [t for t in os.listdir(path) if t.startswith("delta=")]
+    assert tags == ["delta=base"]  # one merged partition left
+    after = incremental_line_dedup_frame(probe, read_line_index(spark, path)).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    # merged totals are exact: 'shared line' seen in 2 docs, keeper 1
+    idx = {
+        r["line_md5"]: r for r in read_line_index(spark, path).collect()
+    }
+    import hashlib
+    key = hashlib.md5(b"shared line").hexdigest()
+    assert idx[key]["n_docs"] == 2 and idx[key]["keeper"] == 1
