@@ -405,9 +405,91 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- BPE tokenization with a frozen merge table ----------------------------
+
+# Frozen merge list in priority order (a trained BPE vocabulary is
+# produced offline; corpus-scale APPLICATION is the Spark job). Chosen
+# for this corpus's vocabulary so merges genuinely fire: each entry
+# rewrites "x y" -> "xy" everywhere, exactly the reference BPE apply
+# step for a rank-ordered merge. Plain literal replaces (no regex), so
+# Spark and DuckDB rewrite identically.
+BPE_MERGES = (
+    ("t h", "th"), ("th e", "the"), ("a n", "an"), ("i n", "in"),
+    ("s c", "sc"), ("sc an", "scan"), ("r o", "ro"), ("a s", "as"),
+    ("l u", "lu"), ("v a", "va"), ("va lu", "valu"), ("a b", "ab"),
+    ("t ab", "tab"), ("tab l", "tabl"), ("tabl e", "table"),
+)
+
+
+def _bpe_spaced(word: Column) -> Column:
+    """'spark' -> 's p a r k', then the merge cascade."""
+    col = F.trim(F.regexp_replace(word, "(.)", "$1 "))
+    for pair, merged in BPE_MERGES:
+        col = F.replace(col, F.lit(pair), F.lit(merged))
+    return col
+
+
+def _bpe_spaced_sql(expr: str) -> str:
+    out = f"trim(regexp_replace({expr}, '(.)', '\\1 ', 'g'))"
+    for pair, merged in BPE_MERGES:
+        out = f"replace({out}, '{pair}', '{merged}')"
+    return out
+
+
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a frozen BPE merge table to every word; count subword
+    tokens and hash the full tokenization.
+
+    The corpus-scale half of BPE (training happens offline, once): per
+    word, split to characters and run the rank-ordered merge cascade —
+    pure literal string rewrites inside whole-stage codegen, one
+    explode + one doc-keyed re-aggregation (the TF-IDF shape). Output
+    is value-checked end to end: subword counts AND the md5 of the
+    '|'-joined tokenized words in document order.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    enc = words.select(
+        "doc_id", "pos", _bpe_spaced(F.col("w")).alias("enc")
+    ).withColumn("n_sub", F.size(F.split("enc", " ")))
+    picked = F.array_sort(F.collect_list(F.struct("pos", "enc")))
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+            F.md5(
+                F.array_join(F.transform(picked, lambda x: x["enc"]), "|")
+            ).alias("tokenized_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BPE_TOKENIZE_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+enc AS (
+  SELECT doc_id, pos, {_bpe_spaced_sql("w")} AS e FROM words
+)
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(len(string_split(e, ' '))) AS BIGINT) AS n_bpe_tokens,
+       md5(string_agg(e, '|' ORDER BY pos)) AS tokenized_md5
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("text_token_stats", "whitespace + regex token counting", text_token_stats,
           TOKEN_STATS_ORACLE),
+    Query("text_bpe_tokenize",
+          "frozen-merge BPE tokenization: subword counts + tokenization hash",
+          text_bpe_tokenize, BPE_TOKENIZE_ORACLE),
     Query("text_bigram_logprob",
           "corpus-MLE bigram log-probability fluency score (perplexity-style "
           "quality proxy, CCNet-inspired)",

@@ -64,3 +64,39 @@ def test_bigram_logprob_orders_fluent_above_salad(spark, tmp_path):
     }
     assert scores[0] > scores[1]
     assert scores[2] > scores[1]
+
+
+def test_bpe_merge_cascade_on_known_words(spark):
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.text import _bpe_spaced
+
+    df = spark.createDataFrame(
+        [("the",), ("table",), ("scan",), ("value",), ("spark",)], "w string"
+    )
+    got = {r["w"]: r["e"] for r in df.select("w", _bpe_spaced(F.col("w")).alias("e")).collect()}
+    assert got["the"] == "the"        # t h -> th; th e -> the
+    assert got["table"] == "table"    # full cascade t ab -> tab -> tabl -> table
+    assert got["scan"] == "scan"      # s c -> sc; a n -> an; sc an -> scan
+    assert got["value"] == "valu e"   # va lu -> valu; final e unmerged
+    assert got["spark"] == "s p a r k"  # no merge fires
+
+
+def test_bpe_tokenize_compresses_the_corpus(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.text import (
+        text_bpe_tokenize,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = text_bpe_tokenize(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bpe_tokens"] >= r["n_words"]  # never fewer tokens than words
+    # merges genuinely fire somewhere: some doc has tokens < chars
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    assert any(
+        r["n_bpe_tokens"] < len(docs[r["doc_id"]].replace(" ", "")) for r in rows
+    )
