@@ -52,23 +52,29 @@ class _BitWriter:
 
 
 class _BitReader:
-    """LSB-first bit reader; raises ``ValueError`` past end of data."""
+    """LSB-first bit reader; raises ``ValueError`` past end of data.
+
+    The whole stream is lifted into one big int once — each read is a
+    shift+mask instead of a per-bit loop (the decode hot spot; streams
+    here are KB-scale, so the big-int shifts stay cheap)."""
 
     def __init__(self, data: bytes) -> None:
-        self._data = data
-        self._pos = 0  # bit position
+        self._val = int.from_bytes(data, "little")
+        self._nbits = len(data) * 8
+        self._pos = 0
 
     def read(self, width: int) -> int:
         end = self._pos + width
-        if end > len(self._data) * 8:
+        if end > self._nbits:
             raise ValueError("truncated LZW stream")
-        out = 0
-        for i in range(width):
-            bit_pos = self._pos + i
-            bit = (self._data[bit_pos >> 3] >> (bit_pos & 7)) & 1
-            out |= bit << i
+        out = (self._val >> self._pos) & ((1 << width) - 1)
         self._pos = end
         return out
+
+
+# literal-table templates, copied per reset instead of rebuilt
+_ENC_LITERALS = {bytes([i]): i for i in range(256)}
+_DEC_LITERALS = [bytes([i]) for i in range(256)]
 
 
 def _lzw_encode(data: bytes, mcs: int) -> bytes:
@@ -78,11 +84,12 @@ def _lzw_encode(data: bytes, mcs: int) -> bytes:
     bw = _BitWriter()
 
     def reset() -> tuple[dict[bytes, int], int, int]:
-        return (
-            {bytes([i]): i for i in range(clear)},
-            end + 1,
-            mcs + 1,
+        table = (
+            dict(_ENC_LITERALS)
+            if clear == 256
+            else {bytes([i]): i for i in range(clear)}
         )
+        return table, end + 1, mcs + 1
 
     table, next_code, size = reset()
     bw.write(clear, size)
@@ -119,11 +126,7 @@ def _lzw_decode(data: bytes, mcs: int, max_pixels: int) -> bytes:
     out = bytearray()
 
     def reset() -> tuple[list[bytes], int, int]:
-        return (
-            [bytes([i]) for i in range(clear)] + [b"", b""],
-            end + 1,
-            mcs + 1,
-        )
+        return _DEC_LITERALS[:clear] + [b"", b""], end + 1, mcs + 1
 
     table, next_code, size = reset()
     prev: bytes | None = None
