@@ -58,7 +58,13 @@ from .operators.dedup import (
     minhash_signatures,
 )
 from .operators.lifecycle import release_scoped_caches
-from .operators.scrub import CHUNK_STRIDE, CHUNK_TOKENS, pii_counts, redact_pii
+from .operators.scrub import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    fix_mojibake,
+    pii_counts,
+    redact_pii,
+)
 from .operators.text import EN_STOPWORDS, bigram_logprob_frame
 
 logger = logging.getLogger(__name__)
@@ -146,7 +152,10 @@ def curation_decisions(
     keeps the decision stable across corpus sizes and vocabularies).
     Docs with < 2 tokens have no score and pass the gate.
     """
-    red = redact_pii(F.col("text"))
+    # Stored text gets the full scrub chain: mojibake repair (ftfy
+    # pass), then PII redaction. Gates and fingerprints still see the
+    # raw text, so the decision layer is independent of the repair.
+    red = redact_pii(fix_mojibake(F.col("text")))
     n_pii = sum(pii_counts(F.col("text")).values())
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     toks = F.split(F.col("text"), " ")

@@ -149,3 +149,26 @@ def test_classifier_gate_drops_confident_low_quality(spark):
     }
     assert out[1]["reason"] == "low_classifier"
     assert all(out[k]["keep"] for k in range(2, 6))
+
+
+def test_emitted_text_gets_mojibake_repair(spark):
+    """The stored-text scrub chain repairs mojibake (ftfy pass) before
+    PII redaction; the decision gates still see the raw text."""
+    from csv_2_db_pipeline_data_engineering_spark.curation_pipeline import (
+        curation_decisions,
+    )
+
+    rows = [
+        (1, "the quick fox visits a cafÃ© and mails bob@example.com daily"),
+        (2, "a steady river flows through the green valley and it meets the sea"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in curation_decisions(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    red = out[1]["text_redacted"]
+    assert "cafÃ©" not in red and "café" in red  # mojibake repaired
+    assert "bob@example.com" not in red and "<EMAIL>" in red  # PII still redacted
+    assert out[1]["n_pii"] == 1
