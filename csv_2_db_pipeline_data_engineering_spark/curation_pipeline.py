@@ -270,7 +270,17 @@ def run_curation_pipeline(
     """
     run_id = uuid.uuid4().hex[:8]
     start = time.monotonic()
-    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    raw = spark.read.parquet(docs_path).select("doc_id", "text")
+    # Boilerplate pre-clean, the batch twin of the streaming fold's:
+    # lines appearing in >= STREAM_LINE_DF docs of THIS corpus are
+    # deleted everywhere (the RefinedWeb treatment of boilerplate; the
+    # registered text_line_dedup query implements C4's
+    # keep-one-occurrence variant), and within-doc repeats keep their
+    # first occurrence. Single-line corpora without boilerplate pass
+    # through byte-identical.
+    from .operators.boilerplate import build_line_index, strip_boilerplate_lines
+
+    docs = strip_boilerplate_lines(raw, build_line_index(raw))
     # Run-scoped gram-stream cache (same lifecycle discipline as the
     # streaming fold): dropped after the last consumer below.
     gh = gram_hash_rows(docs).cache()

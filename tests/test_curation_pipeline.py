@@ -172,3 +172,30 @@ def test_emitted_text_gets_mojibake_repair(spark):
     assert "cafÃ©" not in red and "café" in red  # mojibake repaired
     assert "bob@example.com" not in red and "<EMAIL>" in red  # PII still redacted
     assert out[1]["n_pii"] == 1
+
+
+def test_batch_pre_clean_strips_recurring_boilerplate_lines(spark, tmp_path):
+    """A line recurring across >= 4 docs of the corpus disappears from
+    every kept doc; the bodies survive untouched."""
+    import os
+
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    promo = "subscribe to our newsletter today"
+    planted = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("\n" + promo))
+        ).otherwise(F.col("text")),
+    )
+    p = str(tmp_path / "docs_in")
+    planted.write.parquet(p)
+    out = str(tmp_path / "curated")
+    run_curation_pipeline(spark, p, out)
+    kept = spark.read.parquet(os.path.join(out, "kept_docs"))
+    assert kept.filter(F.col("text").contains(promo)).count() == 0
+    # planted docs that were kept retain their original body
+    survivors = kept.filter(F.col("doc_id") % 7 == 0)
+    assert survivors.count() > 0
+    assert survivors.filter(F.length("text") > 50).count() == survivors.count()
