@@ -1,7 +1,10 @@
 """Boilerplate removal and model-scored quality filtering.
 
-Three curation stages the ``scrub``/``text`` families don't cover, each
-the Spark-first form of a published pre-training cleanup rule:
+Curation stages the ``scrub``/``text`` families don't cover, each the
+Spark-first form of a published pre-training cleanup rule — plus the
+incremental machinery (persisted line-frequency index with O(delta)
+extends and LSM compaction, and the streaming pre-clean
+:func:`strip_boilerplate_lines`) that applies them continuously:
 
 - :func:`text_line_dedup` — corpus-level duplicate-line removal (the
   C4 rule, Raffel et al. 2020 §2.2: any three-sentence span occurring
