@@ -417,6 +417,63 @@ def strip_boilerplate_lines(docs: DataFrame, line_index: DataFrame | None) -> Da
     )
 
 
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered twin of the streaming pre-clean: threshold-strip.
+
+    Lines the corpus' own line index has seen in >= ``STREAM_LINE_DF``
+    docs are deleted everywhere (the RefinedWeb treatment served by
+    ``strip_boilerplate_lines`` in both pipeline folds); within-doc
+    repeats keep their first occurrence. Value-checks the per-doc
+    surviving text md5 and length — the operator the e2e folds rely on,
+    here under the driver-style oracle gate. Planted structure shared
+    with :func:`text_line_dedup` (promo lands in half the corpus,
+    legal in a third, cookie in a fifth — all >= the threshold; the
+    signature line never is).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select("doc_id", _planted_multiline().alias("text"))
+    stripped = strip_boilerplate_lines(planted, build_line_index(planted))
+    return stripped.select(
+        "doc_id",
+        F.md5("text").alias("stripped_md5"),
+        F.length("text").alias("stripped_len"),
+    ).orderBy("doc_id")
+
+
+BOILERPLATE_STRIP_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {_PLANTED_SQL} AS p FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(p, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(p, chr(10))))) AS pos
+  FROM planted
+),
+firsts AS (
+  SELECT doc_id, line, min(pos) AS pos FROM lines GROUP BY doc_id, line
+),
+hot AS (
+  SELECT line FROM lines
+  GROUP BY line HAVING count(DISTINCT doc_id) >= {STREAM_LINE_DF}
+),
+kept AS (
+  SELECT f.doc_id, f.line, f.pos
+  FROM firsts f LEFT JOIN hot USING (line)
+  WHERE hot.line IS NULL
+)
+SELECT p.doc_id,
+       md5(coalesce(k.t, '')) AS stripped_md5,
+       LENGTH(coalesce(k.t, '')) AS stripped_len
+FROM planted p
+LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # --- within-document repeated-line removal (RefinedWeb rule) ---------------
 
 
@@ -668,6 +725,12 @@ QUERIES = [
         "C4 line dedup of a delta vs a persisted line index (O(delta) fold)",
         line_dedup_incremental,
         LINE_DEDUP_INCREMENTAL_ORACLE,
+    ),
+    Query(
+        "text_boilerplate_strip",
+        "threshold-strip of corpus-hot lines (the streaming pre-clean twin)",
+        text_boilerplate_strip,
+        BOILERPLATE_STRIP_ORACLE,
     ),
     Query(
         "text_intradoc_dedup",

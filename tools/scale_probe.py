@@ -36,6 +36,8 @@ PROBES = [
     "text_bigram_logprob",
     "mm_png_decode_stats",
     "text_line_dedup",  # r7: the line-keyed inverted shape
+    "mm_gif_decode_stats",  # r7: LZW kernel (pure-Python Arrow batches)
+    "text_bpe_tokenize",  # r7: merge-cascade codegen + doc re-agg
 ]
 
 
