@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 
 from ..plans.catalog import Query
 from ..sources.tables import load_table
+from .lifecycle import scoped_cache
 
 # Metadata struct carried beside every payload.
 MEDIA_SCHEMA = T.StructType(
@@ -1026,7 +1027,202 @@ FROM px GROUP BY doc_id, w, h, n ORDER BY doc_id
 """
 
 
+# --- perceptual-hash image dedup (aHash over decoded pixels) ---------------
+
+PHASH_TWIN_OFFSET = 30_000_000
+PHASH_TWIN_MOD = 10  # every 10th doc gets a perturbed twin image
+PHASH_MAX_HAMMING = 3  # pigeonhole banding is exact at <= 3 of 64 bits
+
+# Grayscale synthesis with a doc x position INTERACTION term: aHash is
+# brightness-invariant by design, so any f(doc)+g(k) form would give
+# every same-dims image an identical hash (constant shift) and flood
+# the pair list. The (k % 5) * doc term makes unrelated docs decorrelate.
+PHASH_W = "8 + doc_id % 9"
+PHASH_H = "5 + doc_id % 7"
+PHASH_PX = "(doc_id * 31 + k * k + (k % 5) * doc_id) % 256"
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("img_id", T.LongType()),
+        T.StructField("ph_hi", T.LongType()),
+        T.StructField("ph_lo", T.LongType()),
+    ]
+)
+
+
+def _ahash_from_pixels(px: bytes, w: int, h: int) -> tuple[int, int]:
+    """64-bit average hash: 8x8 nearest-neighbor samples thresholded by
+    their own mean (integer compare: 64*v > total), packed lo/hi."""
+    samples = [
+        px[(r * h // 8) * w + (c * w // 8)] for r in range(8) for c in range(8)
+    ]
+    total = sum(samples)
+    hi = lo = 0
+    for i, v in enumerate(samples):
+        if 64 * v > total:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return hi, lo
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs via perceptual hash over REAL decoded pixels.
+
+    The crawl-pipeline image-dedup pass: per doc a grayscale image is
+    PNG-encoded and decoded with the from-spec codec, aHash'd, and
+    near-identical images (planted twins: every 10th doc repeated with
+    +3 brightness on every 17th pixel) pair up at Hamming <= 3. The
+    candidate join is the SimHash pigeonhole banding (4 x 16-bit
+    chunks — exact at this threshold, never all-pairs); the oracle
+    computes the same hashes closed-form and filters all pairs, equal
+    by the pigeonhole argument. Brightness-*shift* invariance is
+    inherent to aHash (threshold-by-own-mean), which is exactly why the
+    perturbation must survive it: +3 on a sparse pixel subset moves
+    samples RELATIVE to the mean.
+    """
+    from .media_codecs import decode_png, encode_png
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            his: list[int] = []
+            los: list[int] = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 9, 5 + doc_id % 7
+                base = bytes(
+                    (doc_id * 31 + k * k + (k % 5) * doc_id) % 256
+                    for k in range(w * h)
+                )
+                variants = [(doc_id, base)]
+                if doc_id % PHASH_TWIN_MOD == 0:
+                    twin = bytes(
+                        min(v + 3, 255) if k % 17 == 0 else v
+                        for k, v in enumerate(base)
+                    )
+                    variants.append((doc_id + PHASH_TWIN_OFFSET, twin))
+                for img_id, px in variants:
+                    _, _, _, dec = decode_png(encode_png(w, h, px, channels=1))
+                    hi, lo = _ahash_from_pixels(dec, w, h)
+                    ids.append(img_id)
+                    his.append(hi)
+                    los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "img_id": pd.array(ids, dtype="int64"),
+                    "ph_hi": pd.array(his, dtype="int64"),
+                    "ph_lo": pd.array(los, dtype="int64"),
+                }
+            )
+
+    ph = scoped_cache(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(hash_batches, PHASH_SCHEMA)
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col(half), off)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cv"),
+            )
+            for c, (half, off) in enumerate(
+                [("ph_lo", 0), ("ph_lo", 16), ("ph_hi", 0), ("ph_hi", 16)]
+            )
+        ]
+    )
+    ex = ph.select("img_id", "ph_hi", "ph_lo", F.explode(chunks).alias("cc")).select(
+        "img_id", "ph_hi", "ph_lo",
+        F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.ph_hi").bitwiseXOR(F.col("b.ph_hi")))
+        + F.bit_count(F.col("a.ph_lo").bitwiseXOR(F.col("b.ph_lo")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .filter(hamming <= PHASH_MAX_HAMMING)
+        .select(
+            F.col("a.img_id").alias("img_a"),
+            F.col("b.img_id").alias("img_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .orderBy("img_a", "img_b")
+    )
+
+
+def _phash_oracle_sql() -> str:
+    packs_lo = " + ".join(
+        f"(CASE WHEN i = {i} AND 64 * v > total THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    packs_hi = " + ".join(
+        f"(CASE WHEN i = {i} AND 64 * v > total THEN {1 << (i - 32)} ELSE 0 END)"
+        for i in range(32, 64)
+    )
+    return f"""
+WITH imgs AS (
+  SELECT doc_id, doc_id AS img_id, 0 AS is_twin,
+         {PHASH_W} AS w, {PHASH_H} AS h
+  FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id + {PHASH_TWIN_OFFSET} AS img_id, 1 AS is_twin,
+         {PHASH_W} AS w, {PHASH_H} AS h
+  FROM documents WHERE doc_id % {PHASH_TWIN_MOD} = 0
+),
+samples AS (
+  SELECT img_id, is_twin, doc_id, w, h,
+         unnest(range(0, 64)) AS i
+  FROM imgs
+),
+vals AS (
+  SELECT img_id, i,
+         CASE WHEN is_twin = 1 AND k % 17 = 0
+              THEN LEAST({PHASH_PX} + 3, 255)
+              ELSE {PHASH_PX} END AS v
+  FROM (
+    SELECT img_id, is_twin, doc_id, i,
+           ((i // 8) * h // 8) * w + ((i % 8) * w // 8) AS k
+    FROM samples
+  )
+),
+tot AS (SELECT img_id, SUM(v) AS total FROM vals GROUP BY img_id),
+hashes AS (
+  SELECT vals.img_id,
+         CAST(SUM({packs_lo}) AS BIGINT) AS ph_lo,
+         CAST(SUM({packs_hi}) AS BIGINT) AS ph_hi
+  FROM vals JOIN tot USING (img_id)
+  GROUP BY vals.img_id
+)
+SELECT a.img_id AS img_a, b.img_id AS img_b,
+       CAST(bit_count(xor(a.ph_hi, b.ph_hi))
+            + bit_count(xor(a.ph_lo, b.ph_lo)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo))
+      <= {PHASH_MAX_HAMMING}
+ORDER BY img_a, img_b
+"""
+
+
+MM_PHASH_ORACLE = _phash_oracle_sql()
+
+
 QUERIES = [
+    Query("mm_phash_dedup",
+          "image near-dup pairs: aHash over real-codec-decoded pixels + "
+          "pigeonhole Hamming banding",
+          mm_phash_dedup, MM_PHASH_ORACLE),
     Query("mm_payload_stats", "binary payload byte stats per source", mm_payload_stats,
           MM_PAYLOAD_ORACLE),
     Query("mm_png_resize_stats",

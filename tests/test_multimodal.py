@@ -80,3 +80,44 @@ def test_png_deadletter_decode_rows_not_task_failures(spark):
     assert not out[2].ok and "signature" in out[2].error
     assert not out[3].ok and out[3].error
     assert out[2].width is None
+
+
+def test_ahash_is_brightness_invariant_but_sees_structure():
+    from csv_2_db_pipeline_data_engineering_spark.operators.multimodal import (
+        _ahash_from_pixels,
+    )
+
+    w, h = 10, 8
+    base = bytes((7 * k * k + 3 * k) % 256 for k in range(w * h))
+    # constant brightness shift: aHash thresholds by its own mean -> equal
+    shifted = bytes(min(v + 40, 255) for v in base)
+    # structural change: zero out a quadrant -> bits must move
+    import itertools
+    changed = bytearray(base)
+    for y, x in itertools.product(range(h // 2), range(w // 2)):
+        changed[y * w + x] = 0
+    hb = _ahash_from_pixels(base, w, h)
+
+    # clipping at 255 can flip near-mean bits, so shift-invariance is
+    # asserted as small distance, not equality
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert ham(_ahash_from_pixels(shifted, w, h), hb) <= 3
+    assert ham(_ahash_from_pixels(bytes(changed), w, h), hb) >= 8
+
+
+def test_phash_dedup_recovers_exactly_the_planted_twins(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.multimodal import (
+        PHASH_TWIN_OFFSET,
+        mm_phash_dedup,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = mm_phash_dedup(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:  # every pair is a planted twin, never a false positive
+        assert r["img_b"] - r["img_a"] == PHASH_TWIN_OFFSET
+        assert r["hamming"] <= 3
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == (n_docs + 9) // 10  # every 10th doc has a twin
