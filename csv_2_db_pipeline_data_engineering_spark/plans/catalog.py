@@ -104,7 +104,10 @@ class Query:
 # in-window, and anti-join semantics stay exercised inside the dedup /
 # split families. The other r7 additions (line_dedup_incremental,
 # text_encoding_fix, mm_y4m_video_stats, the Q14/Q15/Q19 shapes) have
-# in-window family twins and stay locally checked.
+# in-window family twins and stay locally checked. Final r7 swap:
+# mm_phash_dedup in (new image-dedup family: aHash over decoded pixels
+# + pigeonhole banding, never checked) for price_percentiles (exact
+# percentile shape, driver-green four consecutive rounds r3-r6).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
@@ -150,6 +153,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_gif_decode_stats",  # rotated in late r7 (new, never checked)
     "mm_png_deadletter_stats",
     "mm_wav_vad_stats",
+    "mm_phash_dedup",  # rotated in late r7 (new image-dedup family)
     "hourly_rollup_serve",
     # LLM-pipeline: curation decisions (contamination / sampling / keep-drop).
     "contamination_ngram_overlap",
@@ -165,7 +169,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "part_brand_regex",
     "event_value_outliers",
     "range_join_followup_orders",
-    "price_percentiles",
     # Rotated in round 4, kept: still the only instances of their shapes.
     # (r7: cube_event_type_dow and parts_above_brand_avg rotated out —
     # driver-green r4-r6, family shapes still covered by pivot/top3.)
