@@ -786,7 +786,17 @@ def incremental_dedup_pairs(
         F.col("doc_id").alias("doc_delta"), "band", "bh"
     )
     if band_table is not None:
-        b_bands = delta_docs.sparkSession.table(band_table).select(
+        sess = delta_docs.sparkSession
+        # Refresh on the READING session, right before the read. The
+        # writer-side refresh in extend_banded_index_table is not
+        # enough: foreachBatch hands folds a CLONED SparkSession (the
+        # micro-batch's frames carry it), and a clone's relation cache
+        # is not invalidated by the outer session's refreshTable — the
+        # appended bucket files stayed invisible to later folds
+        # depending on which session's cache was populated first (the
+        # intermittent cross-batch near-dup miss in the stream e2e).
+        sess.catalog.refreshTable(band_table)
+        b_bands = sess.table(band_table).select(
             F.col("doc_id").alias("doc_base"), "band", "bh"
         )
     else:
