@@ -747,6 +747,10 @@ def incremental_candidates_banded(delta_docs: DataFrame, band_table: str) -> Dat
     d_bands = band_rows(build_signature_index(delta_docs)).select(
         F.col("doc_id").alias("doc_delta"), "band", "bh"
     )
+    # refresh-before-read on the reading session (see the same pattern
+    # in incremental_dedup_pairs: a cloned session's relation cache is
+    # not invalidated by the writer's refreshTable)
+    spark.catalog.refreshTable(band_table)
     b_bands = spark.table(band_table).select(
         F.col("doc_id").alias("doc_base"), "band", "bh"
     )

@@ -217,3 +217,28 @@ def test_boilerplate_lines_stripped_across_batches(spark, tmp_path):
         r["doc_id"]: r["reason"] for r in read_curated(spark, out, "dropped").collect()
     }
     assert 11 in dropped and dropped[11]
+
+
+def test_band_table_appends_visible_to_cloned_sessions(spark, tmp_path):
+    """Deterministic twin of the foreachBatch clone-session scenario:
+    micro-batch frames carry a CLONED SparkSession, whose relation
+    cache the writer-side refreshTable (outer session) does not touch.
+    The fold's read path must refresh on ITS OWN session, or bucket
+    files appended by earlier folds stay invisible and a cross-batch
+    near-dup sails through (the intermittent e2e miss this pins)."""
+    out = str(tmp_path / "curated")
+    clone = spark.newSession()
+
+    def cdocs(rows):
+        return clone.createDataFrame(rows, DOC_SCHEMA)
+
+    # batch 0 creates the band table (doc 2 only); batch 1 APPENDS
+    # doc 1's bands; batch 2's near-dup of doc 1 is only caught if the
+    # clone re-lists the table after the append.
+    fold_curation_batch(spark, cdocs([(2, _OTHER)]), out, 0)
+    fold_curation_batch(spark, cdocs([(1, _BASE)]), out, 1)
+    fold_curation_batch(spark, cdocs([(12, _VARIANT)]), out, 2)
+    dropped = {
+        r["doc_id"]: r["reason"] for r in read_curated(spark, out, "dropped").collect()
+    }
+    assert dropped.get(12) == "near_dup"
