@@ -121,3 +121,19 @@ def test_phash_dedup_recovers_exactly_the_planted_twins(spark):
         assert r["hamming"] <= 3
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert len(rows) == (n_docs + 9) // 10  # every 10th doc has a twin
+
+
+def test_audio_fp_dedup_recovers_exactly_the_planted_twins(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.multimodal import (
+        AFP_TWIN_OFFSET,
+        mm_audio_fp_dedup,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = mm_audio_fp_dedup(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:  # every pair is a planted twin, never a false positive
+        assert r["clip_b"] - r["clip_a"] == AFP_TWIN_OFFSET
+        assert r["hamming"] <= 3
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == (n_docs + 9) // 10
