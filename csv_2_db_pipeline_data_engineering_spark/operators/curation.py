@@ -644,6 +644,35 @@ ORDER BY split
 """
 
 
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops view of the decision layer: per (lang, reason) doc counts
+    with a drop rate — the LLM-pipeline twin of the reference's
+    ``rejection_reason_counts`` ops query (reference
+    ``docs/documentation.md:101-106``). The per-doc frame is the same
+    gate cascade as ``corpus_curation_decision``; this re-aggregates it
+    by the corpus' language column (synthetic salads, which have no
+    documents row, report lang='synthetic')."""
+    decisions = corpus_curation_decision(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        decisions.join(langs, "doc_id", "left")
+        .withColumn("lang", F.coalesce("lang", F.lit("synthetic")))
+        .groupBy("lang", "reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "reason")
+    )
+
+
+CURATION_REPORT_ORACLE = f"""
+WITH decisions AS ({CURATION_ORACLE.replace("ORDER BY doc_id", "")})
+SELECT coalesce(d2.lang, 'synthetic') AS lang, reason, COUNT(*) AS n_docs
+FROM decisions
+LEFT JOIN documents d2 ON d2.doc_id = decisions.doc_id
+GROUP BY 1, 2
+ORDER BY lang, reason
+"""
+
+
 QUERIES = [
     Query("contamination_ngram_overlap",
           "eval-set n-gram contamination check (broadcast eval index)",
@@ -654,6 +683,9 @@ QUERIES = [
     Query("corpus_curation_decision",
           "keep/drop decision per doc: dup gates + language + repetition",
           corpus_curation_decision, CURATION_ORACLE),
+    Query("corpus_curation_report",
+          "per-(lang, reason) ops rollup of the decision layer",
+          corpus_curation_report, CURATION_REPORT_ORACLE),
     Query("corpus_pack_plan",
           "shard-parallel concat-and-chunk sequence-packing plan",
           corpus_pack_plan, PACK_PLAN_ORACLE),
