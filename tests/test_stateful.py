@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import os
-
 import pytest
 
 pytest.importorskip(
@@ -13,7 +11,6 @@ pytest.importorskip(
 )
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
 from csv_2_db_pipeline_data_engineering_spark.streaming.stateful import (
@@ -62,6 +59,5 @@ def test_running_user_stats_converges_to_batch_aggregate(spark, tmp_path):
         assert r["g.n_events"] == r["e.n_events"]
         assert abs(r["g.value_sum"] - r["e.value_sum"]) < 1e-6
 
-    # updates per user are non-decreasing (running state, not per-batch)
-    w = Window.partitionBy("user_id").orderBy("n_events")
+    # at least one update per user was emitted (running state carried)
     assert got.count() >= exp.count()
