@@ -248,3 +248,23 @@ def test_runtime_bloom_filter_prunes_fact_side_of_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_media_fingerprint_dedup_joins_are_banded_not_allpairs(spark):
+    """The image/audio near-dup joins must go through the pigeonhole
+    chunk keys — a keyed join on (chunk, cv), never a cartesian."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.multimodal import (
+        mm_audio_fp_dedup,
+        mm_phash_dedup,
+    )
+
+    for fn in (mm_phash_dedup, mm_audio_fp_dedup):
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "chunk" in plan  # the banding key reaches the join
