@@ -38,6 +38,8 @@ PROBES = [
     "text_line_dedup",  # r7: the line-keyed inverted shape
     "mm_gif_decode_stats",  # r7: LZW kernel (pure-Python Arrow batches)
     "text_bpe_tokenize",  # r7: merge-cascade codegen + doc re-agg
+    "mm_phash_dedup",  # r7: codec kernel + banded self-join
+    "mm_audio_fp_dedup",  # r7: PCM kernel + banded self-join
 ]
 
 
