@@ -713,7 +713,135 @@ ORDER BY doc_id
 """
 
 
+# --- URL canonicalization + dedup (pre-fetch crawl frontier hygiene) -------
+
+# Domains a crawl refuses to fetch (the blocklist join side; tiny ->
+# broadcast). Shared verbatim with the oracle.
+URL_BLOCKLIST = ("spam.example", "tracker.example")
+
+# Tracking query parameters stripped during canonicalization.
+_TRACKING_PARAMS = ("utm_source", "utm_medium", "ref")
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical form: lowercase scheme+host, default-port strip,
+    tracking-parameter removal, trailing '/' and '?' cleanup.
+
+    Literal/regex rewrites only (Java regex == RE2 subset), so the
+    canonical string is bit-identical cross-engine.
+    """
+    # lowercase scheme+host (the part before the first '/')
+    head = F.regexp_extract(col, r"^([^/]*//[^/]*)", 1)
+    rest = F.substring(col, F.length(head) + 1, F.lit(1 << 20))
+    out = F.concat(F.lower(head), rest)
+    out = F.regexp_replace(out, r":80/", "/")
+    for p in _TRACKING_PARAMS:
+        out = F.regexp_replace(out, r"[?&]" + p + r"=[^&#]*", "")
+    # a stripped first param may leave '&rest': promote the FIRST '&'
+    # to '?' when no '?' survives ([^?&]* anchors at the first '&')
+    out = F.regexp_replace(out, r"^([^?&]*)&", "$1?")
+    out = F.regexp_replace(out, r"[?/]+$", "")
+    return out
+
+
+def _canonical_sql(expr: str) -> str:
+    head = f"regexp_extract({expr}, '^([^/]*//[^/]*)', 1)"
+    out = f"(lower({head}) || substring({expr}, length({head}) + 1))"
+    out = f"regexp_replace({out}, ':80/', '/')"
+    for p in _TRACKING_PARAMS:
+        out = f"regexp_replace({out}, '[?&]{p}=[^&#]*', '', 'g')"
+    out = f"regexp_replace({out}, '^([^?&]*)&', '\\1?')"
+    return f"regexp_replace({out}, '[?/]+$', '')"
+
+
+def _planted_url() -> Column:
+    """doc_id-derived crawl URL with deterministic mess: casing noise,
+    tracking params, default ports, trailing slashes, and every 13th
+    doc on a blocklisted domain. Every 4th doc is a NOISY DUPLICATE of
+    doc_id - doc_id % 4's page (same canonical URL, different junk)."""
+    did = F.col("doc_id")
+    grp = did - did % 4  # 4 docs share each page
+    page = grp.cast("string")
+    host = F.when(
+        grp % 13 == 0, F.lit("spam.example")
+    ).otherwise(F.concat(F.lit("site"), (grp % 7).cast("string"), F.lit(".example")))
+    scheme = F.when(did % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("http://"))
+    port = F.when(did % 3 == 0, F.lit(":80")).otherwise(F.lit(""))
+    track = F.when(
+        did % 4 == 1, F.lit("?utm_source=feed")
+    ).when(did % 4 == 2, F.lit("?ref=promo&utm_medium=mail")).otherwise(F.lit(""))
+    slash = F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    return F.concat(
+        scheme, host, port, F.lit("/page/"), page, track, slash
+    )
+
+
+_PLANTED_URL_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END"
+    " || CASE WHEN (doc_id - doc_id % 4) % 13 = 0 THEN 'spam.example'"
+    "         ELSE 'site' || ((doc_id - doc_id % 4) % 7) || '.example' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END"
+    " || '/page/' || (doc_id - doc_id % 4)"
+    " || CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed'"
+    "         WHEN doc_id % 4 = 2 THEN '?ref=promo&utm_medium=mail'"
+    "         ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END"
+)
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier hygiene: canonicalize URLs, drop blocklisted
+    domains (broadcast anti-join), keep one fetch per canonical URL
+    (lowest doc_id). Emits per canonical URL: the keeper, the number of
+    noisy duplicate URLs collapsed, and the canonical string itself —
+    all value-checked. This is the stage BEFORE content dedup: a page
+    reached via casing/port/tracking-param variants is fetched once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    urls = d.select("doc_id", _planted_url().alias("url"))
+    canon = urls.select("doc_id", canonicalize_url(F.col("url")).alias("curl"))
+    block = spark.createDataFrame(
+        [(b,) for b in URL_BLOCKLIST], "domain string"
+    )
+    kept = canon.join(
+        F.broadcast(block),
+        canon.curl.contains(F.concat(F.lit("//"), block.domain)),
+        "left_anti",
+    )
+    return (
+        kept.groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            (F.count(F.lit(1)) - 1).alias("n_collapsed"),
+        )
+        .orderBy("curl")
+    )
+
+
+URL_DEDUP_ORACLE = f"""
+WITH urls AS (
+  SELECT doc_id, {_PLANTED_URL_SQL} AS url FROM documents
+),
+canon AS (
+  SELECT doc_id, {_canonical_sql("url")} AS curl FROM urls
+),
+kept AS (
+  SELECT * FROM canon
+  WHERE NOT ({" OR ".join(f"curl LIKE '%//' || '{b}' || '%'" for b in URL_BLOCKLIST)})
+)
+SELECT curl, min(doc_id) AS keeper,
+       count(*) - 1 AS n_collapsed
+FROM kept GROUP BY curl ORDER BY curl
+"""
+
+
 QUERIES = [
+    Query(
+        "url_canonical_dedup",
+        "crawl-frontier URL canonicalization + blocklist + fetch-once dedup",
+        url_canonical_dedup,
+        URL_DEDUP_ORACLE,
+    ),
     Query(
         "text_line_dedup",
         "corpus-level duplicate-line removal (C4 rule): keep one occurrence",

@@ -204,3 +204,33 @@ def test_line_index_compaction_preserves_fold_semantics(spark, tmp_path):
     import hashlib
     key = hashlib.md5(b"shared line").hexdigest()
     assert idx[key]["n_docs"] == 2 and idx[key]["keeper"] == 1
+
+
+def test_canonicalize_url_rules(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.boilerplate import (
+        canonicalize_url,
+    )
+
+    rows = [
+        (1, "HTTP://Site3.Example:80/page/8?utm_source=feed/"),
+        (2, "http://site3.example/page/8"),
+        (3, "http://a.example/x?ref=promo&utm_medium=mail&q=keep"),
+        (4, "http://a.example/x?q=keep"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"]: r["c"] for r in df.select("id", canonicalize_url(F.col("url")).alias("c")).collect()}
+    assert got[1] == got[2] == "http://site3.example/page/8"
+    assert got[3] == got[4] == "http://a.example/x?q=keep"
+
+
+def test_url_dedup_collapses_groups_and_blocks_domains(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.boilerplate import (
+        url_canonical_dedup,
+    )
+
+    rows = url_canonical_dedup(spark, SF_DIR).collect()
+    assert rows
+    # every canonical page collapses its 3 noisy variants to one fetch
+    assert all(r["n_collapsed"] == 3 for r in rows)
+    assert all("spam.example" not in r["curl"] for r in rows)
+    assert all(r["keeper"] % 4 == 0 for r in rows)  # group minimum kept
