@@ -107,7 +107,10 @@ class Query:
 # in-window family twins and stay locally checked. Final r7 swap:
 # mm_phash_dedup in (new image-dedup family: aHash over decoded pixels
 # + pigeonhole banding, never checked) for price_percentiles (exact
-# percentile shape, driver-green four consecutive rounds r3-r6).
+# percentile shape, driver-green four consecutive rounds r3-r6);
+# url_canonical_dedup in (new URL-frontier-hygiene family) for
+# part_brand_regex (regex extraction, green r5-r6; the regex surface
+# keeps its in-window twin in text_pii_scrub's detect/redact chains).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
@@ -143,6 +146,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_line_dedup",
     "text_intradoc_dedup",
     "text_quality_logit",
+    "url_canonical_dedup",  # rotated in late r7 (new URL-hygiene family)
     # LLM-pipeline: multimodal + continuous aggregate.
     # (r7: resize + wav-decode rotated out after their r6 driver checks —
     # the rotated-in VAD exercises the same WAV decode path; the new
@@ -166,7 +170,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "user_event_gaps",
-    "part_brand_regex",
     "event_value_outliers",
     "range_join_followup_orders",
     # Rotated in round 4, kept: still the only instances of their shapes.
