@@ -216,3 +216,54 @@ def test_y4m_round_trip_property(w, h, n_frames, seed):
     frames = [bytes(rng.randrange(256) for _ in range(w * h)) for _ in range(n_frames)]
     dw, dh, dec = decode_y4m(encode_y4m(w, h, frames))
     assert (dw, dh, dec) == (w, h, frames)
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_url_canonicalization_is_idempotent(spark, seed):
+    """Canonicalization must be a projection: applying it twice equals
+    applying it once (otherwise dedup keys drift across passes)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.boilerplate import (
+        canonicalize_url,
+    )
+
+    rng = random.Random(seed)
+    urls = []
+    for _ in range(8):
+        scheme = rng.choice(["http://", "HTTP://", "https://", "HTTPS://"])
+        host = rng.choice(["A.Example", "b.example", "Site9.Example"])
+        port = rng.choice(["", ":80"])
+        path = rng.choice(["/x", "/page/7", "/a/b"])
+        params = rng.sample(
+            ["utm_source=f", "ref=p", "utm_medium=m", "q=keep", "id=3"],
+            rng.randrange(0, 4),
+        )
+        tail = ("?" + "&".join(params)) if params else ""
+        urls.append(scheme + host + port + path + tail + rng.choice(["", "/"]))
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonicalize_url(F.col("url"))
+    rows = df.select(once.alias("c1"), canonicalize_url(once).alias("c2")).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], r
+
+
+def test_mojibake_fix_is_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.scrub import fix_mojibake
+
+    texts = [
+        ("visit the cafÃ© and cafÃ© bar",),
+        ("a naÃ¯ve plan",),
+        ("plain ascii",),
+        ("mixed cafÃ© naÃ¯ve cafÃ©",),
+    ]
+    df = spark.createDataFrame(texts, "t string")
+    once = fix_mojibake(F.col("t"))
+    rows = df.select(once.alias("f1"), fix_mojibake(once).alias("f2")).collect()
+    for r in rows:
+        assert r["f1"] == r["f2"]
