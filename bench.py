@@ -60,10 +60,12 @@ HEADLINE = [
     # real-codec Arrow kernel (PNG decode round trip via mapInPandas)
     "text_bigram_logprob",
     "mm_png_decode_stats",
-    # round-7: boilerplate removal (line-keyed inverted shape) and
-    # classifier inference (zero-shuffle integer scoring)
+    # round-7: boilerplate removal (line-keyed inverted shape),
+    # classifier inference (zero-shuffle integer scoring), and the
+    # image-fingerprint dedup (codec kernel + banded self-join)
     "text_line_dedup",
     "text_quality_logit",
+    "mm_phash_dedup",
 ]
 
 
