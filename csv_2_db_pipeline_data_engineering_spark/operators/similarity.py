@@ -516,11 +516,13 @@ FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY query_id
 # the real data bounds (max |x| = 0.578 at sf0.1 -> |xq| <= 58,
 # 64 dims, 2k rows): dot <= 3.7e5, w <= 4.3e11, w*PCA_SCALE <= 4.3e13
 # (double-exact, < 2^53), and the Rayleigh path peaks at
-# 2*num*10^4 <= 5.5e18 — inside BIGINT with ~1.7x headroom. The
-# session runs ANSI mode, so exceeding these bounds at much larger N
-# fails LOUDLY instead of wrapping; past ~10x this row count the
-# renormalization divisor grows (or the iterate drops to float with a
-# tolerance certificate) — the demo keeps the exact-integer contract.
+# 2*num*10^4 <= 5.5e18 — inside BIGINT with ~1.7x headroom. NOTE the
+# repo session runs ANSI OFF (session.py), so an overflow past these
+# bounds would WRAP silently rather than fail — which is exactly why
+# the bounds are audited against the real data here; past ~10x this
+# row count the renormalization divisor must grow (or the iterate
+# drops to float with a tolerance certificate) before the audit
+# margin is spent. The demo keeps the exact-integer contract.
 PCA_SCALE = 100
 PCA_ITERS = 3
 
