@@ -735,16 +735,22 @@ def extend_banded_index_table(
     index.sparkSession.catalog.refreshTable(table)
 
 
-def incremental_candidates_banded(delta_docs: DataFrame, band_table: str) -> DataFrame:
+def incremental_candidates_banded(
+    delta_docs: DataFrame, band_table: str, gh: DataFrame | None = None
+) -> DataFrame:
     """Candidate (doc_delta, doc_base) pairs against a bucketed band table.
 
     Multiplicity (one row per shared band) is preserved — like
     ``lsh_candidate_pairs``, the caller collapses after its verify step.
     The stored side is read bucket-aligned (no Exchange); verify joins
     back to the signature index on doc_id as usual.
+
+    ``gh`` is the same lifecycle hook as ``incremental_dedup_pairs``:
+    a fold that already holds the delta's cached gram stream injects it
+    so daily maintenance does not register one scoped cache per call.
     """
     spark = delta_docs.sparkSession
-    d_bands = band_rows(build_signature_index(delta_docs)).select(
+    d_bands = band_rows(build_signature_index(delta_docs, gh=gh)).select(
         F.col("doc_id").alias("doc_delta"), "band", "bh"
     )
     # refresh-before-read on the reading session (see the same pattern

@@ -1,0 +1,364 @@
+"""Semantic (embedding-space) clustering + dedup — the SemDeDup family.
+
+SemDeDup (Abbas et al. 2023, arXiv:2303.09540) removes *semantic*
+duplicates from web-scale corpora by k-means-clustering the embedding
+space and keeping, per cluster, one representative of every group of
+high-cosine neighbors — candidate pairs are only searched WITHIN a
+cluster, so the pair search is keyed on the cluster id instead of an
+all-pairs join.  This module implements that shape Spark-first:
+
+- **k-means in exact integer arithmetic** (the ``embedding_pca_power``
+  pattern): embeddings are quantized once (``floor(x*S + 0.5)`` — the
+  identical IEEE ops on both engines), centroids live as scaled
+  integers, and squared distances / dot products are integer sums whose
+  value is independent of summation order.  Both engines therefore
+  compute bit-identical assignments at every Lloyd iteration, which is
+  what makes a *fixed-point iterative clustering algorithm* checkable
+  by the DuckDB oracle gate at all.
+- **Assignment is map-side**: the k centroids travel as ONE broadcast
+  row (an array of (cid, vector) structs) and each vector picks
+  ``array_min`` over the k integer distances — zero shuffle, no UDF,
+  whole-stage codegen.  The update step is a ``posexplode`` +
+  ``groupBy(cid, dim)`` partial aggregation (k*d = 512 groups), the
+  textbook scalable k-means step: at 100 TB the map-side combine means
+  the shuffle carries k*d partial sums per partition, never the
+  vectors.
+- **Dedup pairs are cluster-keyed**: the self-join key is the final
+  cluster id, so no pair of vectors in different clusters is ever
+  materialized (SemDeDup's express trade: recall bounded by clustering
+  locality in exchange for join keys that scale).  Within-cluster
+  cosine is verified exactly in integers: ``cos >= t``  ⇔
+  ``den²·dot² >= num²·|a|²·|b|²  ∧  dot > 0`` for ``t = num/den``.
+
+The natural corpus has no high-cosine pairs (max ≈ 0.51), so the
+registered dedup query plants the SAME deterministic twin vectors as
+``dedup_embedding_cosine`` (``dedup._with_planted_twins``) on both
+engines — the driver row value-checks ~20 recovered twin pairs instead
+of vacuously agreeing on the empty set.
+
+Reference parity note: the reference pipeline (pandas→Postgres ETL,
+``main.py:41-136``) has no embedding surface at all; this family is
+part of the driver-mandated LLM-data-pipeline extension (SURVEY.md
+§2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import Query
+from ..sources.tables import load_table
+from .lifecycle import scoped_cache
+
+#: quantization scale: |x| <= 0.56 on this corpus -> |xq| <= 560, so
+#: dot products are <= 64 * 560² ≈ 2.0e7 and every comparison below
+#: stays far inside int64 (worst term: 400·dot² ≈ 1.6e17 < 2⁶³).
+SEM_SCALE = 1000
+SEM_K = 8
+SEM_ITERS = 2
+#: cosine threshold as the exact rational 19/20 = 0.95
+SEM_COS_NUM = 19
+SEM_COS_DEN = 20
+
+
+def _sem_quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, xq: array<long>) — embeddings quantized to scaled ints.
+
+    ``floor(x*S + 0.5)`` instead of ``round``: the two engines disagree
+    on round-half tie semantics but agree bit-for-bit on floor (the
+    ``similarity._pca_xq`` precedent).
+    """
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * SEM_SCALE + F.lit(0.5)).cast("long"),
+        ).alias("xq"),
+    )
+
+
+def _sem_init_centroids(q: DataFrame, k: int = SEM_K) -> DataFrame:
+    """(cid, cq) — the k lowest-vec_id vectors, cid densely 0..k-1.
+
+    Deterministic seeding (k-means++ randomness would diverge between
+    engines); the single-partition window runs over exactly k rows.
+    """
+    ids = q.select("vec_id").orderBy("vec_id").limit(k)
+    w = Window.orderBy("vec_id")
+    ids = ids.select("vec_id", (F.row_number().over(w) - 1).cast("int").alias("cid"))
+    return ids.join(q, "vec_id").select("cid", F.col("xq").alias("cq"))
+
+
+def _sq_dist_q(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product between two long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sem_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, xq, cid, dist_q): nearest centroid per vector.
+
+    The centroid set is folded into ONE row (array of structs) and
+    broadcast, so assignment is a map-side ``array_min`` over k exact
+    integer distances — no shuffle, no UDF.  Ties break to the lowest
+    cid via the struct's (dist, cid) lexicographic order.
+    """
+    cs = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cq"))).alias("cs")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                _sq_dist_q(F.col("xq"), c["cq"]).alias("dist_q"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        q.crossJoin(F.broadcast(cs))
+        .withColumn("best", best)
+        .select("vec_id", "xq", F.col("best.cid").alias("cid"),
+                F.col("best.dist_q").alias("dist_q"))
+    )
+
+
+def _sem_update(assigned: DataFrame) -> DataFrame:
+    """New centroids: per-dimension floored mean, back in array form.
+
+    ``floor(sum/n)`` through double division is exact here: |sum| and n
+    are integers < 2⁵³, the true ratio is a rational with denominator n,
+    and a correctly-rounded double quotient can only cross an integer
+    boundary when the ratio IS that integer — so both engines floor to
+    the same long (the contract ``tests/test_semantic.py`` pins).
+    """
+    per_dim = (
+        assigned.select("cid", F.posexplode("xq").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cid", "dim",
+            F.floor(F.col("s") / F.col("n")).cast("long").alias("cq_d"),
+        )
+    )
+    return (
+        per_dim.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cq_d"))),
+                lambda s: s["cq_d"],
+            ).alias("cq")
+        )
+        # k-row iterate: eager checkpoint cuts the per-iteration replan
+        # of the whole lineage below it (the PCA power-iteration pattern)
+        .localCheckpoint(eager=True)
+    )
+
+
+def kmeans_assignments(
+    emb: DataFrame, k: int = SEM_K, iters: int = SEM_ITERS
+) -> DataFrame:
+    """Final (vec_id, xq, cid, dist_q) after ``iters`` Lloyd rounds.
+
+    Deterministic by construction: integer quantization + integer
+    distances + floored-mean centroids, seeded from the k lowest
+    vec_ids.  An empty cluster simply drops out of the centroid frame
+    (both engines derive that from the same arithmetic).
+    """
+    q = scoped_cache(_sem_quantized(emb))
+    cents = _sem_init_centroids(q, k)
+    for _ in range(iters):
+        cents = _sem_update(_sem_assign(q, cents))
+    return _sem_assign(q, cents)
+
+
+def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered clustering query: cluster sizes + exact integer SSE
+    after SEM_ITERS deterministic Lloyd iterations."""
+    fin = kmeans_assignments(load_table(spark, sf_dir, "embeddings"))
+    return (
+        fin.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist_q").alias("sse_q"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def semantic_dedup_pairs(emb: DataFrame) -> DataFrame:
+    """Within-cluster high-cosine pairs — the SemDeDup candidate+verify.
+
+    The self-join is keyed on the final cluster id (never all-pairs);
+    the verify is the exact integer-rational cosine test.  The reported
+    cosine is computed from the SAME integers on both engines (dot and
+    norms are < 2⁵³, so the doubles and the correctly-rounded sqrt /
+    divide are bit-identical), rounded to 6 places.
+    """
+    fin = kmeans_assignments(emb).withColumn("n2", _dot_q("xq", "xq"))
+    a = fin.select(
+        "cid", F.col("vec_id").alias("id_a"), F.col("xq").alias("xa"),
+        F.col("n2").alias("na2"),
+    )
+    b = fin.select(
+        "cid", F.col("vec_id").alias("id_b"), F.col("xq").alias("xb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = _dot_q("xa", "xb")
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(SEM_COS_DEN * SEM_COS_DEN) * F.col("dot") * F.col("dot")
+                >= F.lit(SEM_COS_NUM * SEM_COS_NUM) * F.col("na2") * F.col("nb2")
+            )
+        )
+        .select(
+            "id_a", "id_b",
+            F.col("cid").alias("cluster_id"),
+            F.round(
+                F.col("dot") / F.sqrt((F.col("na2") * F.col("nb2")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered SemDeDup query over corpus + planted deterministic
+    twins (``dedup._with_planted_twins`` — the same closed form on both
+    engines), so the driver row value-checks recovered twin pairs."""
+    from .dedup import _with_planted_twins
+
+    return semantic_dedup_pairs(
+        _with_planted_twins(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
+# --- DuckDB oracle ----------------------------------------------------------
+
+
+def _twins_sql() -> str:
+    from .dedup import PLANT_TWIN_EPS, PLANT_TWIN_ID_OFFSET, PLANT_TWIN_MOD
+
+    return (
+        f" UNION ALL SELECT vec_id + {PLANT_TWIN_ID_OFFSET} AS vec_id,"
+        f" list_transform(range(0, len(v)),"
+        f" j -> v[j + 1] + {PLANT_TWIN_EPS} * cos(j)) AS v FROM base"
+        f" WHERE vec_id % {PLANT_TWIN_MOD} = 0"
+    )
+
+
+def _kmeans_sql(with_twins: bool, final_select: str) -> str:
+    """The identical iteration unrolled as chained CTEs (long form).
+
+    Every SUM casts back to BIGINT (DuckDB widens to HUGEINT, which
+    pandas would surface as float64 — the PCA dtype-drift precedent).
+    """
+    twins = _twins_sql() if with_twins else ""
+    ctes = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"corpus AS (SELECT * FROM base{twins})",
+        "ql AS (SELECT vec_id,"
+        " unnest(range(len(v))) AS dim,"
+        f" unnest(list_transform(v,"
+        f" x -> CAST(floor(x * {SEM_SCALE} + 0.5) AS BIGINT))) AS xq"
+        " FROM corpus)",
+        f"seed_ids AS (SELECT vec_id,"
+        f" CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid"
+        f" FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT {SEM_K}))",
+        "c0 AS (SELECT i.cid, q.dim, q.xq AS cq"
+        " FROM seed_ids i JOIN ql q USING (vec_id))",
+    ]
+    for t in range(1, SEM_ITERS + 1):
+        ctes += [
+            # assignment vs c{t-1}: exact integer distances, tie -> min cid
+            f"d{t} AS (SELECT q.vec_id, c.cid,"
+            f" CAST(SUM((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS dist_q"
+            f" FROM ql q JOIN c{t-1} c USING (dim) GROUP BY q.vec_id, c.cid)",
+            f"a{t} AS (SELECT vec_id, cid, dist_q FROM d{t}"
+            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id"
+            f" ORDER BY dist_q, cid) = 1)",
+            # update: per-dimension floored mean (exact, see _sem_update)
+            f"c{t} AS (SELECT a.cid, q.dim,"
+            f" CAST(floor(CAST(SUM(q.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq"
+            f" FROM a{t} a JOIN ql q USING (vec_id) GROUP BY a.cid, q.dim)",
+        ]
+    t = SEM_ITERS + 1
+    ctes += [
+        f"d{t} AS (SELECT q.vec_id, c.cid,"
+        f" CAST(SUM((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS dist_q"
+        f" FROM ql q JOIN c{SEM_ITERS} c USING (dim) GROUP BY q.vec_id, c.cid)",
+        f"afinal AS (SELECT vec_id, cid, dist_q FROM d{t}"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id"
+        f" ORDER BY dist_q, cid) = 1)",
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + final_select
+
+
+KMEANS_ITER_ORACLE = _kmeans_sql(
+    with_twins=False,
+    final_select=(
+        "SELECT cid AS cluster_id, COUNT(*) AS n_members,"
+        " CAST(SUM(dist_q) AS BIGINT) AS sse_q\n"
+        "FROM afinal GROUP BY cid ORDER BY cluster_id"
+    ),
+)
+
+SEMANTIC_DEDUP_ORACLE = _kmeans_sql(
+    with_twins=True,
+    final_select=(
+        "SELECT id_a, id_b, cluster_id,"
+        " ROUND(dot / sqrt((na2 * nb2)::DOUBLE), 6) AS cosine\n"
+        "FROM (\n"
+        "  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid AS cluster_id,\n"
+        "         CAST(list_inner_product(qa.xs, qa.xs) AS BIGINT) AS na2,\n"
+        "         CAST(list_inner_product(qb.xs, qb.xs) AS BIGINT) AS nb2,\n"
+        "         CAST(list_inner_product(qa.xs, qb.xs) AS BIGINT) AS dot\n"
+        "  FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id\n"
+        "  JOIN (SELECT vec_id, list(xq ORDER BY dim) AS xs FROM ql GROUP BY vec_id) qa\n"
+        "    ON qa.vec_id = a.vec_id\n"
+        "  JOIN (SELECT vec_id, list(xq ORDER BY dim) AS xs FROM ql GROUP BY vec_id) qb\n"
+        "    ON qb.vec_id = b.vec_id\n"
+        ")\n"
+        f"WHERE dot > 0 AND {SEM_COS_DEN * SEM_COS_DEN} * dot * dot >="
+        f" {SEM_COS_NUM * SEM_COS_NUM} * na2 * nb2\n"
+        "ORDER BY id_a, id_b"
+    ),
+)
+
+
+QUERIES = [
+    Query(
+        "embedding_kmeans_iter",
+        "deterministic integer k-means (SemDeDup clustering step): "
+        "cluster sizes + exact SSE after fixed Lloyd iterations",
+        embedding_kmeans_iter,
+        KMEANS_ITER_ORACLE,
+    ),
+    Query(
+        "dedup_semantic_kmeans",
+        "SemDeDup: within-k-means-cluster high-cosine pairs over corpus "
+        "+ planted deterministic twins (cluster-keyed join, integer "
+        "cosine verify)",
+        dedup_semantic_kmeans,
+        SEMANTIC_DEDUP_ORACLE,
+    ),
+]

@@ -194,6 +194,7 @@ def get_catalog() -> dict[str, Query]:
         multimodal,
         rollup,
         scrub,
+        semantic,
         similarity,
         text,
     )
@@ -202,7 +203,8 @@ def get_catalog() -> dict[str, Query]:
     all_queries: dict[str, Query] = {}
     for module in (
         analytics, advanced, stats_windows, subqueries, quality, etl_queries,
-        dedup, similarity, text, scrub, boilerplate, multimodal, rollup, curation,
+        dedup, similarity, semantic, text, scrub, boilerplate, multimodal,
+        rollup, curation,
     ):
         for q in module.QUERIES:
             if q.name in all_queries:

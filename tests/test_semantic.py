@@ -1,0 +1,67 @@
+"""SemDeDup family: deterministic integer k-means + within-cluster dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+    PLANT_TWIN_ID_OFFSET,
+    PLANT_TWIN_MOD,
+    _with_planted_twins,
+)
+from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+    SEM_K,
+    dedup_semantic_kmeans,
+    embedding_kmeans_iter,
+    kmeans_assignments,
+    semantic_dedup_pairs,
+)
+from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_kmeans_partitions_the_corpus(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    fin = kmeans_assignments(emb)
+    sizes = fin.groupBy("cid").count().collect()
+    assert sum(r["count"] for r in sizes) == n  # every vector assigned once
+    assert 1 <= len(sizes) <= SEM_K
+    # isotropic corpus + deterministic seeding -> no degenerate cluster
+    assert min(r["count"] for r in sizes) >= n // (SEM_K * 4)
+
+
+def test_kmeans_is_deterministic(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = {r["vec_id"]: r["cid"] for r in kmeans_assignments(emb).collect()}
+    b = {r["vec_id"]: r["cid"] for r in kmeans_assignments(emb).collect()}
+    assert a == b
+
+
+def test_semantic_dedup_recovers_planted_twins(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pairs = dedup_semantic_kmeans(spark, SF_DIR).collect()
+    planted = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % PLANT_TWIN_MOD == 0).collect()
+    }
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every planted (orig, orig+OFFSET) twin must land in one cluster and
+    # survive the exact cosine verify; nothing else crosses the threshold
+    assert got == {(v, v + PLANT_TWIN_ID_OFFSET) for v in planted}
+    assert all(r["cosine"] > 0.98 for r in pairs)
+
+
+def test_semantic_pair_join_is_cluster_keyed(spark):
+    emb = _with_planted_twins(load_table(spark, SF_DIR, "embeddings"))
+    explained = semantic_dedup_pairs(emb)._jdf.queryExecution().executedPlan().toString()
+    # the only nested-loop join allowed is the 1-row broadcast of the
+    # centroid list; the pair self-join must be keyed on the cluster id
+    assert "CartesianProduct" not in explained
+    assert explained.count("BroadcastNestedLoopJoin") <= 4  # one per assignment pass
+
+
+def test_kmeans_iter_outputs_exact_ints(spark):
+    rows = embedding_kmeans_iter(spark, SF_DIR).collect()
+    assert all(isinstance(r["sse_q"], int) and r["sse_q"] > 0 for r in rows)
+    assert [r["cluster_id"] for r in rows] == sorted(r["cluster_id"] for r in rows)
