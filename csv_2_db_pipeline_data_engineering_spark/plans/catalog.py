@@ -198,13 +198,15 @@ def get_catalog() -> dict[str, Query]:
         similarity,
         text,
     )
-    from . import advanced, analytics, etl_queries, quality, stats_windows, subqueries
+    from . import (
+        advanced, analytics, etl_queries, graph, quality, stats_windows, subqueries,
+    )
 
     all_queries: dict[str, Query] = {}
     for module in (
         analytics, advanced, stats_windows, subqueries, quality, etl_queries,
-        dedup, similarity, semantic, text, scrub, boilerplate, multimodal,
-        rollup, curation,
+        graph, dedup, similarity, semantic, text, scrub, boilerplate,
+        multimodal, rollup, curation,
     ):
         for q in module.QUERIES:
             if q.name in all_queries:
