@@ -66,6 +66,10 @@ HEADLINE = [
     "text_line_dedup",
     "text_quality_logit",
     "mm_phash_dedup",
+    # round-8: iterative families — deterministic integer k-means
+    # (SemDeDup) and fixed-iteration integer PageRank
+    "dedup_semantic_kmeans",
+    "graph_pagerank_trade",
 ]
 
 

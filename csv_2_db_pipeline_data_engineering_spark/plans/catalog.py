@@ -95,6 +95,19 @@ class Query:
 # sampling, green r5-r6). All stay registered and locally
 # oracle-checked via tools/check_oracles.py.
 #
+# Round-8 rotation (new iterative families): in come
+# dedup_semantic_kmeans + embedding_kmeans_iter (SemDeDup: deterministic
+# integer k-means + within-cluster cosine dedup — a NEW semantic-dedup
+# family) and graph_pagerank_trade (fixed-iteration integer PageRank —
+# a NEW iterative-graph family). Out go dedup_containment (driver-green
+# r4-r6; seven dedup-family twins remain in-window), user_event_gaps
+# (lag/time-gap window, green r5-r6; ranked/lag window shapes stay via
+# top3_orders_per_priority, user_sessions registered) and
+# event_value_outliers (stddev filter, green r5-r6; profile/stats twins
+# registered). All three stay registered and locally oracle-checked.
+# NOTE: the r7 driver pass recorded no CORRECTNESS_r07.json, so the r7
+# rotations get their first driver check together with these.
+#
 # Round-7 late rotation: in come mm_gif_decode_stats (never checked:
 # real variable-width LZW decode) and embedding_pca_power (never
 # checked: exact integer power iteration — a new embedding-ops family
@@ -123,14 +136,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    "dedup_containment",
     "dedup_incremental",
     "dedup_simhash",  # rotated in r7 (locally green since r4)
+    "dedup_semantic_kmeans",  # NEW r8: SemDeDup (within-cluster cosine)
     # LLM-pipeline: similarity / embeddings.
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf",
     "embedding_pca_power",  # rotated in late r7 (new, never checked)
+    "embedding_kmeans_iter",  # NEW r8: deterministic integer k-means
     # LLM-pipeline: text analysis + hygiene.
     "text_token_stats",
     "text_tfidf",
@@ -169,8 +183,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "user_event_gaps",
-    "event_value_outliers",
+    "graph_pagerank_trade",  # NEW r8: iterative integer PageRank
     "range_join_followup_orders",
     # Rotated in round 4, kept: still the only instances of their shapes.
     # (r7: cube_event_type_dow and parts_above_brand_avg rotated out —
