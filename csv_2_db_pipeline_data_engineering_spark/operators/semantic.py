@@ -252,6 +252,52 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_keep_plan(emb: DataFrame) -> DataFrame:
+    """SemDeDup's prune step: per near-dup group, keep ONE representative.
+
+    The pair graph from ``semantic_dedup_pairs`` is closed into
+    components by min-label propagation (``dedup.connected_components``
+    — the shallow-graph iterative pattern), and the component's lowest
+    vec_id becomes every member's ``rep_id``; a vector is kept iff it IS
+    its representative.  Singletons (no near-dup) keep themselves.  This
+    is the decision frame a curation pipeline would anti-join against
+    the corpus — O(pairs) extra work on top of the cluster-keyed search.
+    """
+    from .dedup import connected_components
+
+    pairs = semantic_dedup_pairs(emb)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    rep = F.coalesce("grp_min", F.col("vec_id"))
+    return (
+        emb.select("vec_id")
+        .join(
+            labels.select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("cluster_id").alias("grp_min"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            rep.alias("rep_id"),
+            (rep == F.col("vec_id")).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered SemDeDup keep/drop plan over corpus + planted twins:
+    every twin group must collapse to its lowest id, everything else
+    keeps itself — all 520 rows value-checked."""
+    from .dedup import _with_planted_twins
+
+    return semantic_keep_plan(
+        _with_planted_twins(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
 # --- DuckDB oracle ----------------------------------------------------------
 
 
@@ -345,6 +391,44 @@ SEMANTIC_DEDUP_ORACLE = _kmeans_sql(
 )
 
 
+def _semantic_keep_sql() -> str:
+    """Close the semantic pair graph with a recursive CTE (the
+    ``dedup_clusters`` oracle pattern); the pair query nests as a
+    sub-``WITH`` inside the outer recursive chain."""
+    from .dedup import PLANT_TWIN_ID_OFFSET, PLANT_TWIN_MOD
+
+    pairs = SEMANTIC_DEDUP_ORACLE.replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH RECURSIVE
+pr AS ({pairs}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pr
+  UNION
+  SELECT id_b, id_a FROM pr
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+),
+labels AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS grp_min FROM reach GROUP BY a),
+ids AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_TWIN_ID_OFFSET} FROM embeddings
+  WHERE vec_id % {PLANT_TWIN_MOD} = 0
+)
+SELECT i.vec_id,
+       COALESCE(l.grp_min, i.vec_id) AS rep_id,
+       COALESCE(l.grp_min, i.vec_id) = i.vec_id AS keep
+FROM ids i LEFT JOIN labels l USING (vec_id)
+ORDER BY vec_id
+"""
+
+
+SEMANTIC_KEEP_ORACLE = _semantic_keep_sql()
+
+
 QUERIES = [
     Query(
         "embedding_kmeans_iter",
@@ -360,5 +444,12 @@ QUERIES = [
         "cosine verify)",
         dedup_semantic_kmeans,
         SEMANTIC_DEDUP_ORACLE,
+    ),
+    Query(
+        "dedup_semantic_keep",
+        "SemDeDup prune: one lowest-id representative per semantic "
+        "near-dup group, keep/drop decision per vector",
+        dedup_semantic_keep,
+        SEMANTIC_KEEP_ORACLE,
     ),
 ]

@@ -61,6 +61,23 @@ def test_semantic_pair_join_is_cluster_keyed(spark):
     assert explained.count("BroadcastNestedLoopJoin") <= 4  # one per assignment pass
 
 
+def test_keep_plan_drops_exactly_the_twins(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+        dedup_semantic_keep,
+    )
+
+    rows = dedup_semantic_keep(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n + n // PLANT_TWIN_MOD  # corpus + planted twins
+    dropped = {r["vec_id"]: r["rep_id"] for r in rows if not r["keep"]}
+    # every twin collapses onto its original; nothing else is dropped
+    assert dropped == {
+        v + PLANT_TWIN_ID_OFFSET: v for v in range(0, n, PLANT_TWIN_MOD)
+    }
+    kept = [r for r in rows if r["keep"]]
+    assert all(r["rep_id"] == r["vec_id"] for r in kept)
+
+
 def test_kmeans_iter_outputs_exact_ints(spark):
     rows = embedding_kmeans_iter(spark, SF_DIR).collect()
     assert all(isinstance(r["sse_q"], int) and r["sse_q"] > 0 for r in rows)
