@@ -60,6 +60,14 @@ SEM_ITERS = 2
 #: cosine threshold as the exact rational 19/20 = 0.95
 SEM_COS_NUM = 19
 SEM_COS_DEN = 20
+#: block-pair fan-out for the within-cluster self-join: joining on the
+#: cluster id alone gives only k distinct shuffle keys (8 active tasks
+#: on a 32-core box, and one hot cluster = one hot task at 100 TB).
+#: Splitting each cluster into B id-derived blocks and enumerating the
+#: B(B+1)/2 unordered block pairs turns the join key into
+#: (cid, block_b) — k·B keys, balanced work per key — while producing
+#: exactly the same pair set.
+SEM_PAIR_BLOCKS = 8
 
 
 def _sem_quantized(emb: DataFrame) -> DataFrame:
@@ -199,7 +207,9 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def semantic_dedup_pairs(emb: DataFrame) -> DataFrame:
+def semantic_dedup_pairs(
+    emb: DataFrame, k: int = SEM_K, iters: int = SEM_ITERS
+) -> DataFrame:
     """Within-cluster high-cosine pairs — the SemDeDup candidate+verify.
 
     The self-join is keyed on the final cluster id (never all-pairs);
@@ -207,20 +217,38 @@ def semantic_dedup_pairs(emb: DataFrame) -> DataFrame:
     cosine is computed from the SAME integers on both engines (dot and
     norms are < 2⁵³, so the doubles and the correctly-rounded sqrt /
     divide are bit-identical), rounded to 6 places.
+
+    Scaling law: the within-cluster verify is Θ(n²/k) pairs, so at a
+    FIXED k it grows quadratically.  The 100 TB path (and the published
+    SemDeDup configuration — 11k clusters for 100M+ docs) picks
+    ``k ∝ n`` to hold the cluster size constant, making the verify
+    linear; the registered query pins k=8 for the sf0.01 oracle, and
+    ``tools/scale_probe.py`` measures the k∝n regime at 10× data.
     """
-    fin = kmeans_assignments(emb).withColumn("n2", _dot_q("xq", "xq"))
-    a = fin.select(
-        "cid", F.col("vec_id").alias("id_a"), F.col("xq").alias("xa"),
-        F.col("n2").alias("na2"),
+    blocks = SEM_PAIR_BLOCKS
+    fin = (
+        kmeans_assignments(emb, k=k, iters=iters)
+        .withColumn("n2", _dot_q("xq", "xq"))
+        .withColumn("blk", F.pmod("vec_id", F.lit(blocks)).cast("int"))
     )
+    # a-side rows fan out to every partner block >= their own (each
+    # unordered block pair enumerated once); the equi key becomes
+    # (cid, partner block), so the shuffle has k·B balanced keys
+    # instead of k hot ones.
+    a = fin.select(
+        "cid", "blk", F.col("vec_id").alias("id_a"), F.col("xq").alias("xa"),
+        F.col("n2").alias("na2"),
+    ).withColumn("j", F.explode(F.sequence(F.col("blk"), F.lit(blocks - 1))))
     b = fin.select(
-        "cid", F.col("vec_id").alias("id_b"), F.col("xq").alias("xb"),
-        F.col("n2").alias("nb2"),
+        "cid", F.col("blk").alias("j"), F.col("vec_id").alias("id_b"),
+        F.col("xq").alias("xb"), F.col("n2").alias("nb2"),
     )
     dot = _dot_q("xa", "xb")
     return (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, ["cid", "j"])
+        # same-block pairs order by id; cross-block pairs appear exactly
+        # once (i < j) and are canonicalized to (lo, hi) on output
+        .filter((F.col("blk") != F.col("j")) | (F.col("id_a") < F.col("id_b")))
         .withColumn("dot", dot)
         .filter(
             (F.col("dot") > 0)
@@ -230,7 +258,8 @@ def semantic_dedup_pairs(emb: DataFrame) -> DataFrame:
             )
         )
         .select(
-            "id_a", "id_b",
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
             F.col("cid").alias("cluster_id"),
             F.round(
                 F.col("dot") / F.sqrt((F.col("na2") * F.col("nb2")).cast("double")),

@@ -40,17 +40,93 @@ PROBES = [
     "text_bpe_tokenize",  # r7: merge-cascade codegen + doc re-agg
     "mm_phash_dedup",  # r7: codec kernel + banded self-join
     "mm_audio_fp_dedup",  # r7: PCM kernel + banded self-join
+    "dedup_semantic_kmeans",  # r8: integer k-means + cluster-keyed pairs
+    "graph_pagerank_trade",  # r8: edge derivation + fixed-size iterate
 ]
 
 
-def generate(src: str, dst: str, copies: int) -> None:
-    """Materialize the scaled documents table (idempotent)."""
+def _semantic_kprop_builder(spark, sf_dir):
+    """SemDeDup in its scale regime: k ∝ n (constant cluster size), so
+    the within-cluster verify stays LINEAR in corpus size — the probe's
+    counterpart to the registered fixed-k=8 oracle query (whose pair
+    step is Θ(n²/k) by design; see ``semantic_dedup_pairs``)."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        _with_planted_twins,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+        semantic_dedup_pairs,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(8, emb.count() // 650)  # ~650 vectors per cluster at any scale
+    return semantic_dedup_pairs(_with_planted_twins(emb), k=k)
+
+
+CUSTOM_PROBES = {"dedup_semantic_kmeans": _semantic_kprop_builder}
+
+
+def generate_embeddings(src: str, dst: str, copies: int) -> None:
+    """Scaled embeddings: copy k applies a seeded PERMUTATION of the 64
+    dimensions (norm/distribution preserved, cosine-to-original destroyed
+    — the vector twin of the word-shuffle trick), so the near-dup pair
+    structure stays sparse instead of going quadratic in ``copies``."""
+    import numpy as np
     import pandas as pd
 
+    out = os.path.join(dst, "embeddings.parquet")
+    if os.path.exists(out):
+        return
+    df = pd.read_parquet(os.path.join(src, "embeddings.parquet"))
+    n = int(df["vec_id"].max()) + 1
+    arr = np.stack(df["embedding"].to_numpy())
+    frames = [df]
+    for k in range(1, copies):
+        perm = np.random.RandomState(k).permutation(arr.shape[1])
+        c = df.copy()
+        c["vec_id"] = c["vec_id"] + k * n
+        c["embedding"] = list(arr[:, perm])
+        frames.append(c)
+    pd.concat(frames, ignore_index=True).to_parquet(out, index=False)
+
+
+def generate_fact_tables(src: str, dst: str, copies: int) -> None:
+    """Scaled orders+lineitem (orderkeys offset per copy; the node set —
+    the 25 nations — stays fixed, so the graph gains edge WEIGHT, which
+    is exactly how a bigger corpus grows a host graph) plus straight
+    copies of the dimension tables the probes join against."""
+    import shutil
+
+    import duckdb
+
+    out = os.path.join(dst, "lineitem.parquet")
+    if os.path.exists(out):
+        return
+    con = duckdb.connect()
+    base = con.sql(
+        f"SELECT MAX(o_orderkey) + 1 FROM '{src}/orders.parquet'"
+    ).fetchone()[0]
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        con.sql(
+            f"COPY (SELECT t.* REPLACE ({key} + k.k * {base} AS {key})"
+            f" FROM '{src}/{tbl}.parquet' t"
+            f" CROSS JOIN (SELECT UNNEST(range({copies})) AS k) k)"
+            f" TO '{dst}/{tbl}.parquet' (FORMAT parquet)"
+        )
+    for tbl in ("customer", "supplier", "nation"):
+        shutil.copy(f"{src}/{tbl}.parquet", f"{dst}/{tbl}.parquet")
+
+
+def generate(src: str, dst: str, copies: int) -> None:
+    """Materialize the scaled tables (idempotent per table)."""
+    import pandas as pd
+
+    os.makedirs(dst, exist_ok=True)
+    generate_embeddings(src, dst, copies)
+    generate_fact_tables(src, dst, copies)
     out = os.path.join(dst, "documents.parquet")
     if os.path.exists(out):
         return
-    os.makedirs(dst, exist_ok=True)
     df = pd.read_parquet(os.path.join(src, "documents.parquet"))
     n = int(df["doc_id"].max()) + 1
     frames = [df]
@@ -104,7 +180,8 @@ def main() -> None:
         for name in PROBES:
             for label, sf_dir in (("sf0.1", SRC_SF_DIR), ("sf1", GEN_DIR)):
                 t = time.monotonic()
-                catalog[name].builder(spark, sf_dir).write.format("noop").mode(
+                builder = CUSTOM_PROBES.get(name, catalog[name].builder)
+                builder(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 reps[name][label].append(round(time.monotonic() - t, 3))
