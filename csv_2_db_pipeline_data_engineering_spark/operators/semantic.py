@@ -230,6 +230,9 @@ def semantic_dedup_pairs(
         kmeans_assignments(emb, k=k, iters=iters)
         .withColumn("n2", _dot_q("xq", "xq"))
         .withColumn("blk", F.pmod("vec_id", F.lit(blocks)).cast("int"))
+        # pin the assignment: BOTH self-join sides read this small
+        # materialized frame instead of re-running the Lloyd chain
+        .localCheckpoint(eager=True)
     )
     # a-side rows fan out to every partner block >= their own (each
     # unordered block pair enumerated once); the equi key becomes
@@ -243,14 +246,27 @@ def semantic_dedup_pairs(
         "cid", F.col("blk").alias("j"), F.col("vec_id").alias("id_b"),
         F.col("xq").alias("xb"), F.col("n2").alias("nb2"),
     )
-    dot = _dot_q("xa", "xb")
-    return (
+    # Score in a PROJECTION behind a checkpoint barrier: without the
+    # barrier Catalyst folds the threshold filter back through the
+    # project and pushes the 64-element integer fold INTO the join
+    # condition, where it is evaluated up to three times per candidate
+    # pair (once per comparison that mentions ``dot``).  The barrier
+    # pins the plan to one fold per pair and drops the vectors before
+    # anything wide; the checkpointed frame is O(candidate pairs) of
+    # scalar columns.
+    scored = (
         a.join(b, ["cid", "j"])
         # same-block pairs order by id; cross-block pairs appear exactly
         # once (i < j) and are canonicalized to (lo, hi) on output
         .filter((F.col("blk") != F.col("j")) | (F.col("id_a") < F.col("id_b")))
-        .withColumn("dot", dot)
-        .filter(
+        .select(
+            "cid", "id_a", "id_b", "na2", "nb2",
+            _dot_q("xa", "xb").alias("dot"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return (
+        scored.filter(
             (F.col("dot") > 0)
             & (
                 F.lit(SEM_COS_DEN * SEM_COS_DEN) * F.col("dot") * F.col("dot")
