@@ -207,6 +207,43 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pair_sides(
+    fin: DataFrame, blocks: int = SEM_PAIR_BLOCKS
+) -> tuple[DataFrame, DataFrame]:
+    """The two self-join sides over a pinned assignment frame.
+
+    The a-side fans out to every partner block >= its own (each
+    unordered block pair enumerated once); the equi key becomes
+    (cid, partner block) — k·B balanced keys instead of k hot ones.
+    """
+    a = fin.select(
+        "cid", "blk", F.col("vec_id").alias("id_a"), F.col("xq").alias("xa"),
+        F.col("n2").alias("na2"),
+    ).withColumn("j", F.explode(F.sequence(F.col("blk"), F.lit(blocks - 1))))
+    b = fin.select(
+        "cid", F.col("blk").alias("j"), F.col("vec_id").alias("id_b"),
+        F.col("xq").alias("xb"), F.col("n2").alias("nb2"),
+    )
+    return a, b
+
+
+def _scored_candidate_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Candidate pairs with their exact integer dot, fold-free join.
+
+    Same-block pairs order by id; cross-block pairs appear exactly once
+    (i < j) and are canonicalized to (lo, hi) by the caller's output
+    projection.
+    """
+    return (
+        a.join(b, ["cid", "j"])
+        .filter((F.col("blk") != F.col("j")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            "cid", "id_a", "id_b", "na2", "nb2",
+            _dot_q("xa", "xb").alias("dot"),
+        )
+    )
+
+
 def semantic_dedup_pairs(
     emb: DataFrame, k: int = SEM_K, iters: int = SEM_ITERS
 ) -> DataFrame:
@@ -234,18 +271,7 @@ def semantic_dedup_pairs(
         # materialized frame instead of re-running the Lloyd chain
         .localCheckpoint(eager=True)
     )
-    # a-side rows fan out to every partner block >= their own (each
-    # unordered block pair enumerated once); the equi key becomes
-    # (cid, partner block), so the shuffle has k·B balanced keys
-    # instead of k hot ones.
-    a = fin.select(
-        "cid", "blk", F.col("vec_id").alias("id_a"), F.col("xq").alias("xa"),
-        F.col("n2").alias("na2"),
-    ).withColumn("j", F.explode(F.sequence(F.col("blk"), F.lit(blocks - 1))))
-    b = fin.select(
-        "cid", F.col("blk").alias("j"), F.col("vec_id").alias("id_b"),
-        F.col("xq").alias("xb"), F.col("n2").alias("nb2"),
-    )
+    a, b = _pair_sides(fin, blocks)
     # Score in a PROJECTION behind a checkpoint barrier: without the
     # barrier Catalyst folds the threshold filter back through the
     # project and pushes the 64-element integer fold INTO the join
@@ -253,18 +279,9 @@ def semantic_dedup_pairs(
     # pair (once per comparison that mentions ``dot``).  The barrier
     # pins the plan to one fold per pair and drops the vectors before
     # anything wide; the checkpointed frame is O(candidate pairs) of
-    # scalar columns.
-    scored = (
-        a.join(b, ["cid", "j"])
-        # same-block pairs order by id; cross-block pairs appear exactly
-        # once (i < j) and are canonicalized to (lo, hi) on output
-        .filter((F.col("blk") != F.col("j")) | (F.col("id_a") < F.col("id_b")))
-        .select(
-            "cid", "id_a", "id_b", "na2", "nb2",
-            _dot_q("xa", "xb").alias("dot"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    # scalar columns.  (``_scored_candidate_pairs`` stays a separate
+    # function so the plan test can assert the fold-free join.)
+    scored = _scored_candidate_pairs(a, b).localCheckpoint(eager=False)
     return (
         scored.filter(
             (F.col("dot") > 0)

@@ -78,6 +78,40 @@ def test_keep_plan_drops_exactly_the_twins(spark):
     assert all(r["rep_id"] == r["vec_id"] for r in kept)
 
 
+def test_pair_scoring_fold_stays_out_of_the_join(spark):
+    """The integer dot fold must live in the post-join projection, not
+    the join condition — Catalyst would otherwise inline it into every
+    comparison that mentions it (up to 3 evaluations per candidate
+    pair, the plan defect this pin guards against)."""
+    from pyspark.sql import functions as SF
+    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+        SEM_PAIR_BLOCKS,
+        _dot_q,
+        _pair_sides,
+        _scored_candidate_pairs,
+        kmeans_assignments,
+    )
+
+    emb = _with_planted_twins(load_table(spark, SF_DIR, "embeddings"))
+    fin = (
+        kmeans_assignments(emb)
+        .withColumn("n2", _dot_q("xq", "xq"))
+        .withColumn("blk", SF.pmod("vec_id", SF.lit(SEM_PAIR_BLOCKS)).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = _pair_sides(fin)
+    plan = _scored_candidate_pairs(a, b)._jdf.queryExecution().executedPlan().toString()
+    join_lines = [
+        l for l in plan.splitlines()
+        if "SortMergeJoin" in l or "ShuffledHashJoin" in l
+        or "BroadcastHashJoin" in l  # planner's pick at tiny scale
+    ]
+    assert join_lines, "expected a keyed pair join in the plan"
+    assert all("zip_with" not in l for l in join_lines)
+    # exactly ONE fold site in the whole scored plan (the projection)
+    assert plan.count("zip_with") == 1
+
+
 def test_kmeans_iter_outputs_exact_ints(spark):
     rows = embedding_kmeans_iter(spark, SF_DIR).collect()
     assert all(isinstance(r["sse_q"], int) and r["sse_q"] > 0 for r in rows)
