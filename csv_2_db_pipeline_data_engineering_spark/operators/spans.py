@@ -1,0 +1,257 @@
+"""Exact-substring (verbatim span) dedup — the suffix-array family.
+
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better", arXiv:2107.06499) deduplicate corpora by finding VERBATIM
+token spans repeated across documents (suffix-array ExactSubstr, 50-BPE
+-token threshold) — near-dup scoring misses these, and repeated spans
+are what models memorize.  A suffix array is a single-machine
+construction; the Spark-first equivalent used here:
+
+1. shingle every document into overlapping L-token windows keyed by an
+   md5 of the window text (md5 so DuckDB computes the identical key —
+   the ``dedup_simhash`` precedent);
+2. inverted-index join on the shingle key (document-frequency capped,
+   like every inverted join in ``operators/dedup.py``) to get matching
+   position pairs;
+3. collapse runs of consecutive matches along each alignment DIAGONAL
+   (pos_a - pos_b) with the gaps-and-islands window trick: a maximal
+   island of c consecutive shingle matches is a verbatim span of
+   c + L - 1 tokens.  Every step is integer/string-exact, so the DuckDB
+   oracle reproduces the result bit-for-bit.
+
+Scale shape (100 TB): tokenize/shingle is map-side behind one
+doc_id-keyed window; the candidate join shuffles 16-byte-ish keys with
+a hard df cap (no quadratic bucket); island collapse is keyed on
+(doc_a, doc_b, diag) — co-partitioned with the join output; the final
+per-pair aggregate is a struct-min.  No UDFs, no driver collection.
+
+The natural corpus is word salad (no cross-doc 8-gram repeats except
+exact-duplicate documents), so the registered query plants a fixed
+boilerplate phrase on every 17th document IN-PLAN, identically on both
+engines (the ``text_pii_scrub`` planting pattern): planted groups must
+surface with the exact span, start offsets, and span-text md5, and
+exact-duplicate documents surface their full text as one span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import Query
+from ..sources.tables import load_table
+
+#: shingle width (tokens); an island of c matches = span of c + L - 1
+SPAN_SHINGLE = 8
+#: minimum reported verbatim span length (tokens)
+MIN_SPAN_TOKENS = 10
+#: drop shingles present in more than this many documents (corpus-hot
+#: boilerplate carries no pair-discriminating signal and would explode
+#: the join bucket — same contract as the Jaccard inverted index)
+SPAN_DF_CAP = 64
+
+#: deterministic planted boilerplate (12 tokens each, chosen from the
+#: corpus vocabulary so tokenization stays trivial)
+SPAN_PHRASES = (
+    "the scan can merge the table and the hash can batch value",
+    "a row value will sort by key and then spark can scan",
+    "this part is a fast line for the batch window merge plan",
+)
+SPAN_PLANT_MOD = 17
+
+
+def plant_boilerplate(docs: DataFrame) -> DataFrame:
+    """Append a phrase (selected by doc_id % 3) to every 17th doc."""
+    variant = F.col("doc_id") % len(SPAN_PHRASES)
+    phrase = F.when(variant == 0, F.lit(SPAN_PHRASES[0])).when(
+        variant == 1, F.lit(SPAN_PHRASES[1])
+    ).otherwise(F.lit(SPAN_PHRASES[2]))
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SPAN_PLANT_MOD == 0,
+            F.concat("text", F.lit(" "), phrase),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _shingles(docs: DataFrame, L: int = SPAN_SHINGLE) -> DataFrame:
+    """(doc_id, pos, sh): md5 key per L-token window, df-capped."""
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(win).alias(f"t{i}") for i in range(1, L)]
+    sh = (
+        words.select("doc_id", "pos", F.col("tok").alias("t0"), *leads)
+        .filter(F.col(f"t{L-1}").isNotNull())
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", *[f"t{i}" for i in range(L)])).alias("sh"),
+        )
+    )
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > SPAN_DF_CAP)
+        .select("sh")
+    )
+    return sh.join(hot, "sh", "left_anti")
+
+
+def verbatim_span_pairs(
+    docs: DataFrame,
+    L: int = SPAN_SHINGLE,
+    min_span: int = MIN_SPAN_TOKENS,
+) -> DataFrame:
+    """Per document pair: the longest verbatim span and the island count.
+
+    Diagonal-island collapse: matches of pair (a, b) that continue a
+    verbatim run share ``diag = pos_a - pos_b`` and consecutive
+    ``pos_a``; subtracting ``row_number`` over (pair, diag, pos_a)
+    yields a constant per maximal run — the classic gaps-and-islands
+    key, exact in integers on both engines.
+    """
+    sh = _shingles(docs, L)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "sh"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "sh"
+    )
+    m = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b",
+                (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    islands = (
+        m.withColumn("isl", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(L - 1)).alias("span_tokens"),
+            F.min("pos_a").alias("a_start"),
+            F.min("pos_b").alias("b_start"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+    )
+    best = F.min(F.struct(
+        (-F.col("span_tokens")).alias("neg_len"),
+        F.col("a_start").alias("a_start"),
+        F.col("b_start").alias("b_start"),
+    ))
+    return (
+        islands.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            best.alias("best"),
+        )
+        .select(
+            "doc_a", "doc_b", "n_spans",
+            (-F.col("best.neg_len")).alias("span_tokens"),
+            F.col("best.a_start").alias("a_start"),
+            F.col("best.b_start").alias("b_start"),
+        )
+    )
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: verbatim spans over corpus + planted
+    boilerplate, with the longest span's text md5-verified by slicing
+    it back out of doc_a (no explode — ``slice`` on the split array)."""
+    docs = plant_boilerplate(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    spans = verbatim_span_pairs(docs)
+    return (
+        spans.join(docs.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select(
+            "doc_a", "doc_b", "n_spans", "span_tokens", "a_start", "b_start",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.split("text", " "),
+                        (F.col("a_start") + 1).cast("int"),
+                        F.col("span_tokens").cast("int"),
+                    ),
+                    " ",
+                )
+            ).alias("span_md5"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+EXACT_SUBSTRING_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {SPAN_PLANT_MOD} = 0 THEN
+           text || ' ' || (CASE doc_id % {len(SPAN_PHRASES)}
+             WHEN 0 THEN '{SPAN_PHRASES[0]}'
+             WHEN 1 THEN '{SPAN_PHRASES[1]}'
+             ELSE '{SPAN_PHRASES[2]}' END)
+         ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
+sh0 AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(w[i : i + {SPAN_SHINGLE - 1}], ' ')) AS sh
+  FROM toks, UNNEST(range(1, len(w) - {SPAN_SHINGLE} + 2)) AS t(i)
+),
+hot AS (
+  SELECT sh FROM sh0 GROUP BY sh
+  HAVING COUNT(DISTINCT doc_id) > {SPAN_DF_CAP}
+),
+sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, diag,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island,
+         pos_a, pos_b
+  FROM m
+),
+spans AS (
+  SELECT doc_a, doc_b,
+         CAST(COUNT(*) + {SPAN_SHINGLE - 1} AS BIGINT) AS span_tokens,
+         MIN(pos_a) AS a_start, MIN(pos_b) AS b_start
+  FROM isl GROUP BY doc_a, doc_b, diag, island
+  HAVING COUNT(*) + {SPAN_SHINGLE - 1} >= {MIN_SPAN_TOKENS}
+),
+ranked AS (
+  SELECT doc_a, doc_b, span_tokens, a_start, b_start,
+         CAST(COUNT(*) OVER (PARTITION BY doc_a, doc_b) AS BIGINT) AS n_spans,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_a, doc_b
+           ORDER BY span_tokens DESC, a_start, b_start) AS rn
+  FROM spans
+)
+SELECT g.doc_a, g.doc_b, g.n_spans, g.span_tokens, g.a_start, g.b_start,
+       md5(array_to_string(
+         t.w[g.a_start + 1 : g.a_start + g.span_tokens], ' '
+       )) AS span_md5
+FROM ranked g JOIN toks t ON t.doc_id = g.doc_a
+WHERE g.rn = 1
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = [
+    Query(
+        "dedup_exact_substring",
+        "verbatim cross-document token spans (suffix-array ExactSubstr "
+        "semantics via shingle diagonal islands): longest span, island "
+        "count, offsets, and span-text md5 per pair",
+        dedup_exact_substring,
+        EXACT_SUBSTRING_ORACLE,
+    ),
+]

@@ -209,6 +209,7 @@ def get_catalog() -> dict[str, Query]:
         scrub,
         semantic,
         similarity,
+        spans,
         text,
     )
     from . import (
@@ -218,7 +219,7 @@ def get_catalog() -> dict[str, Query]:
     all_queries: dict[str, Query] = {}
     for module in (
         analytics, advanced, stats_windows, subqueries, quality, etl_queries,
-        graph, dedup, similarity, semantic, text, scrub, boilerplate,
+        graph, dedup, similarity, semantic, spans, text, scrub, boilerplate,
         multimodal, rollup, curation,
     ):
         for q in module.QUERIES:

@@ -1,0 +1,93 @@
+"""Verbatim-span (exact-substring) dedup over shingle diagonal islands."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from csv_2_db_pipeline_data_engineering_spark.operators.spans import (
+    MIN_SPAN_TOKENS,
+    SPAN_PHRASES,
+    SPAN_PLANT_MOD,
+    dedup_exact_substring,
+    verbatim_span_pairs,
+)
+from tests.conftest import SF_DIR
+
+
+def test_planted_boilerplate_pairs_surface(spark):
+    rows = dedup_exact_substring(spark, SF_DIR).collect()
+    assert rows, "planted spans must produce pairs"
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    phrase_md5 = {hashlib.md5(p.encode()).hexdigest() for p in SPAN_PHRASES}
+    # every same-variant planted pair shares the 12-token phrase; the
+    # reported longest span is at least that phrase
+    planted = [
+        i for i in range(0, 500, SPAN_PLANT_MOD)
+    ]
+    seen_phrase_pairs = 0
+    for i in planted:
+        for j in planted:
+            if i < j and i % 3 == j % 3:
+                r = by_pair.get((i, j))
+                assert r is not None, f"missing planted pair {(i, j)}"
+                assert r["span_tokens"] >= 12
+                seen_phrase_pairs += 1
+                if r["span_tokens"] == 12:
+                    assert r["span_md5"] in phrase_md5
+    assert seen_phrase_pairs >= 10
+    assert all(r["span_tokens"] >= MIN_SPAN_TOKENS for r in rows)
+
+
+def test_island_collapse_reports_exact_span(spark):
+    """Two hand-built docs sharing one verbatim 15-token run -> exactly
+    one island of exactly 15 tokens at the right offsets."""
+    shared = " ".join(f"s{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 " + shared + " z1 z2"),
+            (2, "b1 " + shared + " y1 y2 y3 y4"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = verbatim_span_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["n_spans"] == 1
+    assert r["span_tokens"] == 15
+    assert (r["a_start"], r["b_start"]) == (3, 1)
+
+
+def test_disjoint_runs_stay_separate_islands(spark):
+    """Two shared runs separated by noise -> two islands, not one."""
+    run1 = " ".join(f"p{i}" for i in range(11))
+    run2 = " ".join(f"q{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [
+            (1, run1 + " mid1 mid2 mid3 " + run2),
+            (2, run2 + " other1 other2 " + run1),
+        ],
+        "doc_id long, text string",
+    )
+    rows = verbatim_span_pairs(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_spans"] == 2
+    assert rows[0]["span_tokens"] == 13  # the longer run wins
+
+
+def test_span_join_is_keyed_not_cartesian(spark):
+    from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+    from csv_2_db_pipeline_data_engineering_spark.operators.spans import (
+        plant_boilerplate,
+    )
+
+    docs = plant_boilerplate(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    )
+    plan = (
+        verbatim_span_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
