@@ -102,12 +102,14 @@ def _shingles(docs: DataFrame, L: int = SPAN_SHINGLE) -> DataFrame:
     return sh.join(hot, "sh", "left_anti")
 
 
-def verbatim_span_pairs(
+def verbatim_span_islands(
     docs: DataFrame,
     L: int = SPAN_SHINGLE,
     min_span: int = MIN_SPAN_TOKENS,
 ) -> DataFrame:
-    """Per document pair: the longest verbatim span and the island count.
+    """All maximal verbatim spans (doc_a, doc_b, span_tokens, a_start,
+    b_start), one row per alignment island of at least ``min_span``
+    tokens.
 
     Diagonal-island collapse: matches of pair (a, b) that continue a
     verbatim run share ``diag = pos_a - pos_b`` and consecutive
@@ -129,7 +131,7 @@ def verbatim_span_pairs(
                 (F.col("pos_a") - F.col("pos_b")).alias("diag"))
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    islands = (
+    return (
         m.withColumn("isl", F.col("pos_a") - F.row_number().over(w))
         .groupBy("doc_a", "doc_b", "diag", "isl")
         .agg(
@@ -138,7 +140,17 @@ def verbatim_span_pairs(
             F.min("pos_b").alias("b_start"),
         )
         .filter(F.col("span_tokens") >= min_span)
+        .drop("diag", "isl")
     )
+
+
+def verbatim_span_pairs(
+    docs: DataFrame,
+    L: int = SPAN_SHINGLE,
+    min_span: int = MIN_SPAN_TOKENS,
+) -> DataFrame:
+    """Per document pair: the longest verbatim span and the island count."""
+    islands = verbatim_span_islands(docs, L, min_span)
     best = F.min(F.struct(
         (-F.col("span_tokens")).alias("neg_len"),
         F.col("a_start").alias("a_start"),
@@ -186,7 +198,101 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXACT_SUBSTRING_ORACLE = f"""
+def strip_verbatim_spans(docs: DataFrame) -> DataFrame:
+    """ExactSubstr's ACTION: delete every repeated span from all but its
+    lowest-doc_id occurrence, per-document summary frame.
+
+    The victim of every span is the pair's HIGHER doc_id, so transitive
+    groups keep exactly the first occurrence (the Lee et al. policy and
+    the same keep-lowest rule as ``text_line_dedup``).  A doc's victim
+    intervals are merged with the running-max-end interval-union window
+    (overlapping spans from different partners must not double-delete),
+    then tokens inside any merged interval are dropped by a doc-keyed
+    range anti-join and the survivor text is md5'd after positional
+    reassembly — all integer/string-exact on both engines.
+    """
+    # DISTINCT first: interval union is a set operation, and the same
+    # (victim, start, end) arrives once per partner doc sharing the
+    # span — deduping removes every fully-tied row from the union
+    # window (no reliance on tie behavior) and shrinks the frame.
+    iv = (
+        verbatim_span_islands(docs)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("b_start").alias("s"),
+            (F.col("b_start") + F.col("span_tokens")).alias("e"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        iv.withColumn(
+            "new_grp",
+            F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+        )
+        .withColumn(
+            "grp",
+            F.sum("new_grp").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
+    ).select("doc_id", F.col("p").cast("long").alias("p"), "tok")
+    kept = toks.alias("t").join(
+        merged.alias("m"),
+        (F.col("t.doc_id") == F.col("m.doc_id"))
+        & (F.col("t.p") >= F.col("m.s"))
+        & (F.col("t.p") < F.col("m.e")),
+        "left_anti",
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    totals = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    n_iv = merged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_intervals"))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .join(n_iv, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("n_intervals", F.lit(0)).alias("n_intervals"),
+            "clean_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: span removal over corpus + planted boilerplate
+    (every planted copy beyond the lowest doc_id loses its phrase)."""
+    return strip_verbatim_spans(
+        plant_boilerplate(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    )
+
+
+#: shared CTE chain through ``spans`` (all maximal islands); the two
+#: oracles append different tails
+_SPANS_CTE_PREFIX = f"""
 WITH planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % {SPAN_PLANT_MOD} = 0 THEN
@@ -226,7 +332,9 @@ spans AS (
          MIN(pos_a) AS a_start, MIN(pos_b) AS b_start
   FROM isl GROUP BY doc_a, doc_b, diag, island
   HAVING COUNT(*) + {SPAN_SHINGLE - 1} >= {MIN_SPAN_TOKENS}
-),
+)"""
+
+EXACT_SUBSTRING_ORACLE = _SPANS_CTE_PREFIX + f""",
 ranked AS (
   SELECT doc_a, doc_b, span_tokens, a_start, b_start,
          CAST(COUNT(*) OVER (PARTITION BY doc_a, doc_b) AS BIGINT) AS n_spans,
@@ -244,6 +352,55 @@ WHERE g.rn = 1
 ORDER BY doc_a, doc_b
 """
 
+SPAN_STRIP_ORACLE = _SPANS_CTE_PREFIX + """,
+iv AS (
+  SELECT DISTINCT doc_b AS doc_id, b_start AS s, b_start + span_tokens AS e
+  FROM spans
+),
+mg AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM iv
+),
+mg2 AS (
+  SELECT doc_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM mg
+),
+merged AS (
+  SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e FROM mg2 GROUP BY doc_id, grp
+),
+tk AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w[i] AS tok
+  FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+keptt AS (
+  SELECT t.doc_id, t.p, t.tok FROM tk t
+  WHERE NOT EXISTS (SELECT 1 FROM merged m
+                    WHERE m.doc_id = t.doc_id AND t.p >= m.s AND t.p < m.e)
+),
+pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+  FROM keptt GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+niv AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_intervals
+  FROM merged GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       t.n_tokens - COALESCE(p.n_kept, 0) AS n_removed,
+       COALESCE(n.n_intervals, 0) AS n_intervals,
+       p.clean_md5
+FROM tot t LEFT JOIN pd p USING (doc_id) LEFT JOIN niv n USING (doc_id)
+ORDER BY doc_id
+"""
+
 
 QUERIES = [
     Query(
@@ -253,5 +410,13 @@ QUERIES = [
         "count, offsets, and span-text md5 per pair",
         dedup_exact_substring,
         EXACT_SUBSTRING_ORACLE,
+    ),
+    Query(
+        "text_span_strip",
+        "ExactSubstr removal: delete repeated verbatim spans from all "
+        "but the lowest-doc_id occurrence (interval-union merge, "
+        "range anti-join, md5-verified survivor text)",
+        text_span_strip,
+        SPAN_STRIP_ORACLE,
     ),
 ]

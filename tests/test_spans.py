@@ -77,6 +77,61 @@ def test_disjoint_runs_stay_separate_islands(spark):
     assert rows[0]["span_tokens"] == 13  # the longer run wins
 
 
+def test_strip_keeps_first_occurrence_only(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.spans import (
+        strip_verbatim_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + shared),
+            (2, "b1 " + shared + " b2"),
+            (3, shared + " c1 c2 c3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_verbatim_spans(docs).collect()}
+    assert out[1]["n_removed"] == 0  # lowest doc_id keeps the span
+    assert out[2]["n_removed"] == 15 and out[2]["n_intervals"] == 1
+    assert out[3]["n_removed"] == 15 and out[3]["n_intervals"] == 1
+    assert out[2]["clean_md5"] == hashlib.md5(b"b1 b2").hexdigest()
+    assert out[3]["clean_md5"] == hashlib.md5(b"c1 c2 c3").hexdigest()
+
+
+def test_strip_merges_overlapping_victim_intervals(spark):
+    """Two partners sharing overlapping runs with a victim -> the union
+    is removed once (one merged interval, no double count)."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.spans import (
+        strip_verbatim_spans,
+    )
+
+    r = " ".join(f"t{i}" for i in range(20))  # t0..t19
+    left = " ".join(f"t{i}" for i in range(12))  # t0..t11
+    right = " ".join(f"t{i}" for i in range(8, 20))  # t8..t19
+    docs = spark.createDataFrame(
+        [(1, left), (2, right), (3, r + " tail1 tail2")],
+        "doc_id long, text string",
+    )
+    out = {x["doc_id"]: x for x in strip_verbatim_spans(docs).collect()}
+    # doc 3 is the victim of both doc1 (t0..t11) and doc2 (t8..t19):
+    # overlapping intervals merge to one 20-token removal
+    assert out[3]["n_intervals"] == 1
+    assert out[3]["n_removed"] == 20
+    assert out[3]["clean_md5"] == hashlib.md5(b"tail1 tail2").hexdigest()
+
+
+def test_registered_strip_is_consistent(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.spans import (
+        text_span_strip,
+    )
+
+    rows = text_span_strip(spark, SF_DIR).collect()
+    assert len(rows) == 500  # one summary row per document
+    assert all(0 <= r["n_removed"] <= r["n_tokens"] for r in rows)
+    assert any(r["n_removed"] >= 12 for r in rows)  # planted phrases stripped
+
+
 def test_span_join_is_keyed_not_cartesian(spark):
     from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
     from csv_2_db_pipeline_data_engineering_spark.operators.spans import (
