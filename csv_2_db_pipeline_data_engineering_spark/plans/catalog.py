@@ -139,6 +139,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_simhash",  # rotated in r7 (locally green since r4)
     "dedup_semantic_kmeans",  # NEW r8: SemDeDup (within-cluster cosine)
+    "dedup_exact_substring",  # NEW r8: verbatim-span (ExactSubstr) family
     # LLM-pipeline: similarity / embeddings.
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
@@ -185,10 +186,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q3_shipping_priority",
     "graph_pagerank_trade",  # NEW r8: iterative integer PageRank
     "range_join_followup_orders",
-    # Rotated in round 4, kept: still the only instances of their shapes.
+    # Rotated in round 4, kept: still the only ranked-window instance.
     # (r7: cube_event_type_dow and parts_above_brand_avg rotated out —
-    # driver-green r4-r6, family shapes still covered by pivot/top3.)
-    "pivot_status_by_priority",
+    # driver-green r4-r6; r8: pivot_status_by_priority out, green
+    # r1-r6, grouping family twins rollup/cube/grouping_sets all
+    # registered + locally checked — its slot goes to the NEW
+    # dedup_exact_substring so every LLM dedup family is in-window.)
     "top3_orders_per_priority",
 )
 
