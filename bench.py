@@ -67,9 +67,11 @@ HEADLINE = [
     "text_quality_logit",
     "mm_phash_dedup",
     # round-8: iterative families — deterministic integer k-means
-    # (SemDeDup) and fixed-iteration integer PageRank
+    # (SemDeDup), fixed-iteration integer PageRank, and verbatim-span
+    # dedup (shingle diagonal islands)
     "dedup_semantic_kmeans",
     "graph_pagerank_trade",
+    "dedup_exact_substring",
 ]
 
 

@@ -436,6 +436,136 @@ def _bpe_spaced_sql(expr: str) -> str:
     return out
 
 
+#: merges learned by the registered training query
+BPE_TRAIN_MERGES = 6
+
+
+def bpe_train_frame(docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
+    """LEARN a BPE merge table from the corpus (the training half the
+    frozen-table ``text_bpe_tokenize`` consumes; Sennrich et al. 2016).
+
+    Classic trainer shape, distributed: the corpus collapses once to
+    its word VOCABULARY with counts (pair statistics are
+    count-weighted vocab aggregations, never token-stream scans), then
+    each round (1) explodes adjacent symbol pairs per vocab word,
+    (2) sums counts and takes the global argmax (ties broken
+    lexicographically so both engines pick the same pair), and
+    (3) rewrites every vocab word with the won merge as a literal
+    left-to-right replace — the identical replace-all semantics on
+    Spark and DuckDB, which is what makes an ITERATIVE trainer
+    oracle-checkable.  The per-round iterate (the rewritten vocab and
+    the 1-row winner) is eagerly checkpointed: O(vocab) rows per round,
+    the standard lineage cut.
+
+    At web scale the vocab aggregation is the whole cost; production
+    trainers cap/sample the vocabulary first — that cap would slot in
+    between the vocab groupBy and round 1 without changing the shape.
+    """
+    from functools import reduce
+
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    rep = vocab.select(
+        "wc", F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("s")
+    ).localCheckpoint(eager=True)
+    picks = []
+    for r in range(1, n_merges + 1):
+        arr = F.split("s", " ")
+        pair_at = lambda i: F.struct(  # noqa: E731
+            F.element_at(arr, i).alias("lhs"),
+            F.element_at(arr, i + 1).alias("rhs"),
+        )
+        pairs = (
+            rep.filter(F.size(arr) >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - 1), pair_at
+                    )
+                ).alias("p"),
+            )
+            .select("wc", "p.lhs", "p.rhs")
+        )
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(
+            best.select(
+                F.lit(r).alias("merge_rank"), "lhs", "rhs",
+                F.concat("lhs", "rhs").alias("merged"), "pair_count",
+            )
+        )
+        rep = (
+            rep.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("lhs").alias("bx"), F.col("rhs").alias("by")
+                    )
+                )
+            )
+            .select(
+                "wc",
+                F.replace(
+                    F.col("s"),
+                    F.concat("bx", F.lit(" "), "by"),
+                    F.concat("bx", "by"),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return reduce(lambda x, y: x.unionByName(y), picks).orderBy("merge_rank")
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the first BPE_TRAIN_MERGES merges learned from
+    the documents corpus, with their selection-time weighted counts."""
+    return bpe_train_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """DuckDB twin: the same trainer unrolled as chained CTEs."""
+    ctes = [
+        "v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM"
+        " (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+        " GROUP BY w)",
+        "r0 AS (SELECT wc, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s"
+        " FROM v0)",
+    ]
+    for t in range(1, n_merges + 1):
+        ctes += [
+            f"p{t} AS (SELECT a[i] AS lhs, a[i + 1] AS rhs,"
+            f" CAST(SUM(wc) AS BIGINT) AS pair_count"
+            f" FROM (SELECT wc, string_split(s, ' ') AS a FROM r{t-1}) q,"
+            f" UNNEST(range(1, len(a))) AS t(i)"
+            f" GROUP BY lhs, rhs)",
+            f"b{t} AS (SELECT lhs, rhs, pair_count FROM p{t}"
+            f" ORDER BY pair_count DESC, lhs, rhs LIMIT 1)",
+            f"r{t} AS (SELECT wc, replace(s,"
+            f" (SELECT lhs || ' ' || rhs FROM b{t}),"
+            f" (SELECT lhs || rhs FROM b{t})) AS s FROM r{t-1})",
+        ]
+    unions = "\nUNION ALL ".join(
+        f"SELECT {t} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
+        f" pair_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT * FROM (\n" + unions + "\n) ORDER BY merge_rank"
+    )
+
+
+BPE_TRAIN_ORACLE = _bpe_train_sql()
+
+
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a frozen BPE merge table to every word; count subword
     tokens and hash the full tokenization.
@@ -490,6 +620,10 @@ QUERIES = [
     Query("text_bpe_tokenize",
           "frozen-merge BPE tokenization: subword counts + tokenization hash",
           text_bpe_tokenize, BPE_TOKENIZE_ORACLE),
+    Query("text_bpe_train",
+          "BPE merge-table TRAINING: iterative count-weighted pair argmax "
+          "over the vocab with lexicographic tie-break (Sennrich et al.)",
+          text_bpe_train, BPE_TRAIN_ORACLE),
     Query("text_bigram_logprob",
           "corpus-MLE bigram log-probability fluency score (perplexity-style "
           "quality proxy, CCNet-inspired)",

@@ -162,6 +162,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_intradoc_dedup",
     "text_quality_logit",
     "url_canonical_dedup",  # rotated in late r7 (new URL-hygiene family)
+    "text_bpe_train",  # NEW r8: BPE trainer (the tokenizer family's
+    # first in-window member; its apply twin text_bpe_tokenize stays
+    # registered + locally checked)
     # LLM-pipeline: multimodal + continuous aggregate.
     # (r7: resize + wav-decode rotated out after their r6 driver checks —
     # the rotated-in VAD exercises the same WAV decode path; the new
@@ -176,7 +179,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "hourly_rollup_serve",
     # LLM-pipeline: curation decisions (contamination / sampling / keep-drop).
     "contamination_ngram_overlap",
-    "corpus_sample_strata",
+    # (r8: corpus_sample_strata out — green r4-r6, the sampling shape
+    # keeps its registered twin deterministic_sample_stats — making
+    # room for the BPE trainer above.)
     "corpus_curation_decision",
     "corpus_pack_plan",
     "corpus_split_plan",

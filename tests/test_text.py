@@ -100,3 +100,37 @@ def test_bpe_tokenize_compresses_the_corpus(spark):
     assert any(
         r["n_bpe_tokens"] < len(docs[r["doc_id"]].replace(" ", "")) for r in rows
     )
+
+
+def test_bpe_train_learns_hand_computable_merges(spark):
+    """Tiny corpus where every round is computable by hand, including
+    the feedback property (round 3 merges a symbol round 1 created)."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.text import (
+        bpe_train_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab")], "doc_id long, text string"
+    )
+    rows = bpe_train_frame(docs, n_merges=3).collect()
+    got = [(r["lhs"], r["rhs"], r["merged"], r["pair_count"]) for r in rows]
+    # r1: (a,a) weight 4 beats (a,b) 3; greedy rewrite "a a a b"->"aa a b"
+    # r2: (a,b) 3 beats (aa,a) 2; r3: only (aa,ab) remains, weight 2 —
+    # round 3 consumes BOTH earlier merge products
+    assert got == [
+        ("a", "a", "aa", 4),
+        ("a", "b", "ab", 3),
+        ("aa", "ab", "aaab", 2),
+    ]
+
+
+def test_bpe_train_deterministic_tiebreak(spark):
+    """Equal-count pairs resolve lexicographically on both engines."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.text import (
+        bpe_train_frame,
+    )
+
+    docs = spark.createDataFrame([(1, "xy ba")], "doc_id long, text string")
+    rows = bpe_train_frame(docs, n_merges=1).collect()
+    # (b,a) and (x,y) both count 1 -> lexicographically smallest wins
+    assert (rows[0]["lhs"], rows[0]["rhs"]) == ("b", "a")
