@@ -9,7 +9,7 @@ below exist only to produce compact, oracle-checkable outputs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
@@ -405,6 +405,79 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def text_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail partition of the corpus by LM score
+    (Wenzek et al. 2020 split corpora into perplexity terciles; head
+    trains as-is, tail is dropped or reweighted).
+
+    Buckets come from ``ntile(3)`` over the UNROUNDED bigram
+    log-probability — bit-identical on both engines because the
+    per-doc average folds its logs in sorted order — with doc_id as
+    the total-order tie-break.  Output is the per-doc bucket label
+    plus the rounded score, all value-checked.
+
+    Scale note: ntile over the corpus is a global sort; at 100 TB the
+    production form computes two approximate quantile cutpoints
+    (``approxQuantile`` / t-digest, already in ``approx_aggregates``)
+    and buckets map-side against the broadcast cutpoints — same
+    contract, no total order.  The exact form is what the oracle gate
+    can value-check.
+    """
+    scored = bigram_logprob_frame(load_table(spark, sf_dir, "documents"))
+    w = Window.orderBy(F.col("avg_logprob").desc(), "doc_id")
+    bucket = F.ntile(3).over(w)
+    label = (
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            label.alias("bucket"),
+            F.round("avg_logprob", 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+FLUENCY_BUCKETS_ORACLE = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))]) AS b
+  FROM docs WHERE len(w) >= 2
+),
+bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+c2 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bb GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM bb GROUP BY w1),
+vs AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(w) AS tok FROM docs WHERE len(w) >= 2)
+),
+scored AS (
+  SELECT doc_id, ln((n12 + 1)::DOUBLE / (n1 + v)) AS lp
+  FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs
+),
+per_doc AS (
+  SELECT doc_id,
+         list_reduce(list(lp ORDER BY lp), (a, b) -> a + b) / COUNT(*)
+           AS raw_lp
+  FROM scored GROUP BY doc_id
+),
+bucketed AS (
+  SELECT doc_id, raw_lp,
+         NTILE(3) OVER (ORDER BY raw_lp DESC, doc_id) AS nt
+  FROM per_doc
+)
+SELECT doc_id,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       ROUND(raw_lp, 4) AS avg_logprob
+FROM bucketed ORDER BY doc_id
+"""
+
+
 # --- BPE tokenization with a frozen merge table ----------------------------
 
 # Frozen merge list in priority order (a trained BPE vocabulary is
@@ -620,6 +693,10 @@ QUERIES = [
     Query("text_bpe_tokenize",
           "frozen-merge BPE tokenization: subword counts + tokenization hash",
           text_bpe_tokenize, BPE_TOKENIZE_ORACLE),
+    Query("text_fluency_buckets",
+          "CCNet head/middle/tail corpus partition by bigram-LM score "
+          "(ntile over the engine-stable unrounded fluency)",
+          text_fluency_buckets, FLUENCY_BUCKETS_ORACLE),
     Query("text_bpe_train",
           "BPE merge-table TRAINING: iterative count-weighted pair argmax "
           "over the vocab with lexicographic tie-break (Sennrich et al.)",

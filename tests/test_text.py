@@ -134,3 +134,23 @@ def test_bpe_train_deterministic_tiebreak(spark):
     rows = bpe_train_frame(docs, n_merges=1).collect()
     # (b,a) and (x,y) both count 1 -> lexicographically smallest wins
     assert (rows[0]["lhs"], rows[0]["rhs"]) == ("b", "a")
+
+
+def test_fluency_buckets_partition_evenly(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.text import (
+        text_fluency_buckets,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = text_fluency_buckets(spark, SF_DIR).collect()
+    from collections import Counter
+
+    c = Counter(r["bucket"] for r in rows)
+    assert set(c) == {"head", "middle", "tail"}
+    assert max(c.values()) - min(c.values()) <= 1  # ntile balance
+    # heads really are more fluent than tails
+    import statistics
+
+    head = [r["avg_logprob"] for r in rows if r["bucket"] == "head"]
+    tail = [r["avg_logprob"] for r in rows if r["bucket"] == "tail"]
+    assert statistics.mean(head) > statistics.mean(tail)

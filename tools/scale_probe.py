@@ -42,6 +42,8 @@ PROBES = [
     "mm_audio_fp_dedup",  # r7: PCM kernel + banded self-join
     "dedup_semantic_kmeans",  # r8: integer k-means + cluster-keyed pairs
     "graph_pagerank_trade",  # r8: edge derivation + fixed-size iterate
+    "dedup_exact_substring",  # r8: df-capped shingle join + island collapse
+    "text_bpe_train",  # r8: iterative vocab-aggregation trainer
 ]
 
 
