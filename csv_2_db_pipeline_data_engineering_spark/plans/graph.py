@@ -207,6 +207,65 @@ def _pagerank_sql() -> str:
 PAGERANK_ORACLE = _pagerank_sql()
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the undirected trade graph — the other classic
+    graph primitive (clustering-coefficient numerator).
+
+    Canonical-edge enumeration: symmetrized edges keep only a < b, and
+    triangles join e(a,b) ⋈ e(b,c) ⋈ e(a,c) so every triangle is
+    counted exactly once.  At web scale this is the standard two-join
+    shape over an edge table pre-partitioned on its first key; counts
+    stay exact integers.
+    """
+    e0 = trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = (
+        e0.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    nodes = und.select(F.col("a").alias("n")).union(
+        und.select(F.col("b").alias("n"))
+    ).distinct()
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+TRIANGLE_ORACLE = """
+WITH e0 AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3
+    ON e3.a = e1.a AND e3.b = e2.b
+),
+nn AS (
+  SELECT COUNT(*) AS n_nodes
+  FROM (SELECT a AS n FROM und UNION SELECT b FROM und)
+)
+SELECT CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles
+FROM nn, tri
+"""
+
+
 QUERIES = [
     Query(
         "graph_pagerank_trade",
@@ -215,5 +274,12 @@ QUERIES = [
         "lineage-cut per round)",
         graph_pagerank_trade,
         PAGERANK_ORACLE,
+    ),
+    Query(
+        "graph_triangle_count",
+        "exact triangle count on the undirected trade graph "
+        "(canonical-edge two-join enumeration)",
+        graph_triangle_count,
+        TRIANGLE_ORACLE,
     ),
 ]

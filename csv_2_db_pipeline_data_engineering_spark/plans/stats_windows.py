@@ -315,6 +315,111 @@ FROM orders GROUP BY priority ORDER BY priority
 """
 
 
+def user_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per user, an hourly spine over
+    the user's active range, downsampled by max-value-per-hour, with
+    missing hours LINEARLY INTERPOLATED between the nearest observed
+    neighbors (edges extend the nearest observation).
+
+    All on integer hour buckets from ``ts_us`` (no timestamp
+    arithmetic): the spine is ``sequence(min_h, max_h)`` exploded
+    per user — driver-free — and the fill is two ignore-nulls window
+    passes (last-before, first-after) plus exact-ratio arithmetic on
+    identical doubles, so the interpolation is bit-identical on both
+    engines.  Shape at scale: one shuffle on user_id for the windows;
+    the spine explode is map-side.
+    """
+    return hourly_interpolate_frame(load_table(spark, sf_dir, "events"))
+
+
+def hourly_interpolate_frame(ev: DataFrame) -> DataFrame:
+    """Core of :func:`user_hourly_interpolate` over any (user_id,
+    ts_us, value) frame (split out for direct hand-case testing)."""
+    hour = F.floor(F.col("ts_us") / 3_600_000_000).cast("long")
+    hourly = ev.groupBy(F.col("user_id"), hour.alias("h")).agg(
+        F.max("value").alias("v")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select("user_id", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    g = spine.join(hourly, ["user_id", "h"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    pv = F.last("v", ignorenulls=True).over(wb)
+    ph = F.last(F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True).over(wb)
+    nv = F.first("v", ignorenulls=True).over(wf)
+    nh = F.first(F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True).over(wf)
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(
+            pv + (nv - pv) * ((F.col("h") - ph) / (nh - ph))
+        )
+    )
+    return (
+        g.select(
+            "user_id",
+            "h",
+            # floor(x*1e4 + 0.5), not round(x, 4): ROUND ties resolve
+            # differently across engines on boundary doubles, floor of
+            # the identical scaled double never does (the PCA pattern)
+            F.floor(filled * 10_000 + F.lit(0.5)).cast("long").alias("value_q4"),
+            F.col("v").isNotNull().alias("observed"),
+        )
+        .orderBy("user_id", "h")
+    )
+
+
+INTERPOLATE_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS h, MAX(value) AS v
+  FROM events GROUP BY user_id, h
+),
+bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds
+),
+g AS (
+  SELECT s.user_id, s.h, hh.v
+  FROM spine s LEFT JOIN hourly hh ON s.user_id = hh.user_id AND s.h = hh.h
+),
+f AS (
+  SELECT user_id, h, v,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY h
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY h
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM g
+)
+SELECT user_id, h,
+       CAST(floor((CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv) * ((h - ph)::DOUBLE / (nh - ph))
+       END) * 10000 + 0.5) AS BIGINT) AS value_q4,
+       v IS NOT NULL AS observed
+FROM f ORDER BY user_id, h
+"""
+
+
 QUERIES = [
     Query("lineitem_price_stats", "corr/covar/regression aggregates per flag",
           lineitem_price_stats, PRICE_STATS_ORACLE),
@@ -330,4 +435,8 @@ QUERIES = [
           deterministic_sample_stats, DET_SAMPLE_ORACLE),
     Query("large_volume_orders", "TPC-H Q18-style HAVING subquery join",
           large_volume_orders, LARGE_VOLUME_ORACLE),
+    Query("user_hourly_interpolate",
+          "hourly resample + linear gap interpolation between nearest "
+          "observed neighbors (ignore-nulls window passes)",
+          user_hourly_interpolate, INTERPOLATE_ORACLE),
 ]
