@@ -478,6 +478,51 @@ FROM bucketed ORDER BY doc_id
 """
 
 
+def text_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary rank-frequency statistics (Zipf's law): word
+    counts ranked by (count DESC, word) and the log-log regression
+    slope of frequency on rank — the standard corpus-health check (a
+    natural corpus slopes near -1; templated/duplicated corpora flatten
+    or step).  One vocab aggregation + one tiny window; the regression
+    is a single-pass ``regr_slope`` aggregate rounded on both engines.
+    """
+    words = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.orderBy(F.col("c").desc(), "w"))
+    ranked = vocab.select("w", "c", rk.cast("long").alias("rank"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_count"),
+        F.round(
+            F.regr_slope(F.log("c"), F.log("rank")), 4
+        ).alias("zipf_slope"),
+    )
+
+
+VOCAB_ZIPF_ORACLE = """
+WITH vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+ranked AS (
+  SELECT w, c,
+         CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank
+  FROM vocab
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       MAX(c) AS top_count,
+       ROUND(regr_slope(ln(c), ln(rank)), 4) AS zipf_slope
+FROM ranked
+"""
+
+
 # --- BPE tokenization with a frozen merge table ----------------------------
 
 # Frozen merge list in priority order (a trained BPE vocabulary is
@@ -693,6 +738,10 @@ QUERIES = [
     Query("text_bpe_tokenize",
           "frozen-merge BPE tokenization: subword counts + tokenization hash",
           text_bpe_tokenize, BPE_TOKENIZE_ORACLE),
+    Query("text_vocab_zipf",
+          "vocabulary rank-frequency stats + log-log Zipf slope "
+          "(corpus-health diagnostic)",
+          text_vocab_zipf, VOCAB_ZIPF_ORACLE),
     Query("text_fluency_buckets",
           "CCNet head/middle/tail corpus partition by bigram-LM score "
           "(ntile over the engine-stable unrounded fluency)",

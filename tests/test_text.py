@@ -154,3 +154,15 @@ def test_fluency_buckets_partition_evenly(spark):
     head = [r["avg_logprob"] for r in rows if r["bucket"] == "head"]
     tail = [r["avg_logprob"] for r in rows if r["bucket"] == "tail"]
     assert statistics.mean(head) > statistics.mean(tail)
+
+
+def test_vocab_zipf_shape(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.text import (
+        text_vocab_zipf,
+    )
+    from tests.conftest import SF_DIR
+
+    r = text_vocab_zipf(spark, SF_DIR).collect()[0]
+    assert r["vocab_size"] > 0 and r["n_tokens"] >= r["vocab_size"]
+    assert r["top_count"] <= r["n_tokens"]
+    assert r["zipf_slope"] < 0  # frequency falls with rank
