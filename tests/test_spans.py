@@ -146,3 +146,61 @@ def test_span_join_is_keyed_not_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- property: the island collapse vs a brute-force python model -----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _model_spans(ta, tb, L=8, min_span=10):
+    """Brute-force longest-common-run model over two token lists."""
+    best = {}
+    for i in range(len(ta)):
+        for j in range(len(tb)):
+            if ta[i] == tb[j] and (i == 0 or j == 0 or ta[i - 1] != tb[j - 1]):
+                k = 0
+                while i + k < len(ta) and j + k < len(tb) and ta[i + k] == tb[j + k]:
+                    k += 1
+                if k >= min_span:
+                    best[(i, j)] = k
+    return best
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
+    ],
+)
+@given(
+    seed=st.integers(0, 10**6),
+    span_len=st.integers(10, 25),
+    offset_a=st.integers(0, 12),
+    offset_b=st.integers(0, 12),
+)
+def test_planted_random_span_always_found(spark, seed, span_len, offset_a, offset_b):
+    """Recall property: a shared run of >= min_span tokens between two
+    otherwise-disjoint random docs is always reported at full length."""
+    import random
+
+    rng = random.Random(seed)
+    shared = [f"s{seed}_{i}" for i in range(span_len)]
+    noise_a = [f"a{rng.randrange(10**9)}" for _ in range(offset_a)]
+    noise_b = [f"b{rng.randrange(10**9)}" for _ in range(offset_b)]
+    tail_a = [f"at{rng.randrange(10**9)}" for _ in range(3)]
+    tail_b = [f"bt{rng.randrange(10**9)}" for _ in range(3)]
+    ta = noise_a + shared + tail_a
+    tb = noise_b + shared + tail_b
+    docs = spark.createDataFrame(
+        [(1, " ".join(ta)), (2, " ".join(tb))], "doc_id long, text string"
+    )
+    rows = verbatim_span_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    model = _model_spans(ta, tb)
+    want_len = max(model.values())
+    assert r["span_tokens"] == want_len == span_len
+    assert (r["a_start"], r["b_start"]) in model
