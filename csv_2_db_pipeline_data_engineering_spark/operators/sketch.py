@@ -1,0 +1,311 @@
+"""Mergeable-sketch operators: count-min heavy hitters and a Bloom-filter
+dedup pre-filter.
+
+A corpus-scale pipeline cannot afford exact global state for every
+frequency or membership question; the standard answers are fixed-size
+mergeable sketches (Cormode & Muthukrishnan's count-min for frequency,
+Bloom filters for membership).  Both operators here follow the repo's
+certificate pattern: the query runs the REAL sketch path end-to-end and
+emits exact engine-derivable columns alongside the sketch's answer plus
+in-query guarantee booleans, so the driver value-checks the sketch, not
+just row counts.
+
+Scale design (100 TB):
+- Both sketches aggregate to a FIXED-size state (``CMS_D``×``CMS_W``
+  counters; ``BLOOM_M`` bits) regardless of input size.  The Spark shape
+  is the mergeable-sketch shape: a map-side partial aggregate per
+  partition (hash-bucket partial counts / distinct bit positions)
+  followed by one tiny shuffle keyed on O(sketch-size) keys — the same
+  pattern Spark uses internally for ``approx_count_distinct`` partials.
+- The finished sketch is kilobytes, so the probe side is always a
+  ``broadcast()`` hash join: estimating a candidate's frequency or
+  testing a delta batch's membership never reshuffles the corpus.
+- Hashing is the repo's engine-portable idiom — first 32 bits of md5,
+  bit-identical in Spark and DuckDB (xxhash64 would be cheaper but has
+  no DuckDB twin; see ``dedup.simhash_df``).
+
+Reference parity note: the reference (pandas -> Postgres ETL,
+``main.py:41-136``) has no sketch surface; this is part of the
+driver-mandated large-scale-pipeline extension (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import Query
+from ..sources.tables import load_table
+from .lifecycle import scoped_cache
+
+# --- Count-min sketch over word 3-grams -----------------------------------
+
+#: sketch depth (independent hash rows) and width (counters per row).
+#: W=1024 against ~26k gram occurrences at sf0.01 keeps the sketch
+#: genuinely lossy (avg ~25 colliding occurrences per counter), so the
+#: overcount columns exercise the real estimate-vs-truth gap instead of
+#: a vacuous zero.
+CMS_D = 4
+CMS_W = 1024
+#: exact-frequency floor for the reported heavy-hitter candidates.
+CMS_HH_MIN = 5
+
+
+def _gram_stream(docs: DataFrame) -> DataFrame:
+    """One row per word-3-gram OCCURRENCE: (gram). Codegen-only shape:
+    split → slice windows via transform over an index array — no shuffle,
+    no Python. Matches the oracle's list-comprehension shingling."""
+    w = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - F.lit(3)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+        ),
+    )
+    return (
+        docs.filter(F.size(w) >= 3)
+        .select(F.explode(grams).alias("gram"))
+    )
+
+
+def _cms_bucket(d: Column, key: Column) -> Column:
+    """Row ``d``'s counter index for ``key``: first 32 md5 bits mod W."""
+    h = F.md5(F.concat(d.cast("string"), F.lit(":"), key))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(CMS_W))
+
+
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter word 3-grams with their count-min estimates.
+
+    The C4/RefinedWeb boilerplate-detection question — "which n-grams
+    are over-represented across the corpus?" — answered the way a
+    100 TB pipeline has to: a fixed-size count-min sketch built in one
+    pass (map-side partial counts into D×W counters, one tiny shuffle
+    on O(D·W) keys), then candidate grams probed against the broadcast
+    sketch.  The exact counts computed alongside exist to make the
+    estimate checkable; at production scale the exact branch is
+    replaced by the sketch alone (that is the point of the sketch).
+
+    Output per gram with exact count >= CMS_HH_MIN: the exact count,
+    the CMS estimate (min over the D rows), the overcount, and the two
+    CMS guarantees as booleans — estimates never undercount, and (with
+    high probability) overshoot by at most 2·N/W.
+    """
+    grams = scoped_cache(_gram_stream(load_table(spark, sf_dir, "documents")))
+
+    # The sketch: one partial-aggregated shuffle over D*W keys.
+    ds = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
+    cms = (
+        grams.select(ds, "gram")
+        .select("d", _cms_bucket(F.col("d"), F.col("gram")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    total = grams.select(F.count(F.lit(1)).alias("n_total"))
+
+    heavy = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .filter(F.col("exact_n") >= CMS_HH_MIN)
+    )
+
+    probed = (
+        heavy.select("gram", "exact_n", ds)
+        .withColumn("bucket", _cms_bucket(F.col("d"), F.col("gram")))
+        .join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("gram", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return (
+        probed.crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+            (F.col("est_n") >= F.col("exact_n")).alias("ok_no_undercount"),
+            (
+                F.col("est_n") - F.col("exact_n")
+                <= 2 * F.ceil(F.col("n_total") / F.lit(CMS_W))
+            ).alias("within_2n_over_w"),
+        )
+        .orderBy(F.desc("exact_n"), "gram")
+    )
+
+
+HEAVY_HITTERS_CMS_ORACLE = f"""
+WITH docs AS (SELECT string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+grams AS (
+  SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in range(1, len(w) - 1)]) AS gram
+  FROM docs
+),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cms AS (
+  SELECT d,
+         ('0x' || substr(md5(d::VARCHAR || ':' || gram), 1, 8))::BIGINT % {CMS_W} AS bucket,
+         COUNT(*) AS cnt
+  FROM grams CROSS JOIN ds
+  GROUP BY 1, 2
+),
+total AS (SELECT COUNT(*) AS n_total FROM grams),
+heavy AS (
+  SELECT gram, COUNT(*) AS exact_n FROM grams GROUP BY 1
+  HAVING COUNT(*) >= {CMS_HH_MIN}
+),
+probed AS (
+  SELECT h.gram, h.exact_n, MIN(c.cnt) AS est_n
+  FROM heavy h
+  CROSS JOIN ds
+  JOIN cms c
+    ON c.d = ds.d
+   AND c.bucket = ('0x' || substr(md5(ds.d::VARCHAR || ':' || h.gram), 1, 8))::BIGINT % {CMS_W}
+  GROUP BY 1, 2
+)
+SELECT gram, exact_n, est_n,
+       est_n - exact_n AS overcount,
+       est_n >= exact_n AS ok_no_undercount,
+       est_n - exact_n <= 2 * CEIL(n_total / {CMS_W}.0)::BIGINT AS within_2n_over_w
+FROM probed CROSS JOIN total
+ORDER BY exact_n DESC, gram
+"""
+
+
+# --- Bloom-filter dedup pre-filter -----------------------------------------
+
+#: filter size in bits and hash count. M=65536 holds the sf0.1 history
+#: (~4.5k keys × K=5 ≈ 22.5k set bits → 29% fill → ~0.2% fp); at
+#: production scale M grows with the corpus or the filter shards by
+#: key range — the 8 KiB bitset here is the broadcast-side story.
+BLOOM_M = 65536
+BLOOM_K = 5
+
+
+def _content_key(docs: DataFrame) -> DataFrame:
+    """(doc_id, key): md5 content digest, with deterministic planted
+    duplicates so the delta-vs-history membership test is non-vacuous
+    at every sf (the ``text_pii_scrub`` planted-witness pattern): docs
+    with doc_id % 7 == 0 share a key whenever they agree mod 21, which
+    guarantees cross-boundary duplicates (delta ids ≡ 0 mod 70 repeat
+    history keys)."""
+    key = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.md5(F.concat(F.lit("planted:"), (F.col("doc_id") % 21).cast("string"))),
+    ).otherwise(F.md5("text"))
+    return docs.select("doc_id", key.alias("key"))
+
+
+def _bloom_pos(k: Column, key: Column) -> Column:
+    """Hash ``k``'s bit position for ``key``: first 32 md5 bits mod M."""
+    h = F.md5(F.concat(k.cast("string"), F.lit(":"), key))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(BLOOM_M))
+
+
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-batch membership test against a Bloom filter of history keys.
+
+    The incremental-dedup accelerator: before the exact verify join
+    (``dedup_incremental``'s signature index), a delta batch is probed
+    against a fixed-size Bloom filter of every content key ever seen —
+    rows the filter rejects are PROVABLY new and skip the expensive
+    path entirely.  History = doc_id % 10 != 0, delta = % 10 == 0 (the
+    repo's incremental convention).
+
+    The filter is built as the distinct set-bit positions of the
+    history keys (map-side distinct, one tiny shuffle bounded by M)
+    and probed via broadcast: each delta key checks its K positions and
+    is "maybe seen" only if all K bits are set.  Alongside, the exact
+    answer (a semi-join on the key itself) makes two certificates
+    checkable per delta row: Bloom filters never false-negative
+    (``ok_no_false_negative`` must be universally true), and false
+    positives are the bounded price (``false_positive``).
+    """
+    docs = _content_key(load_table(spark, sf_dir, "documents"))
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+
+    ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("k")
+    bits = (
+        history.select(ks, "key")
+        .select("k", _bloom_pos(F.col("k"), F.col("key")).alias("pos"))
+        .distinct()
+        .withColumn("bit", F.lit(1))
+    )
+
+    probe = (
+        delta.select("doc_id", "key", ks)
+        .withColumn("pos", _bloom_pos(F.col("k"), F.col("key")))
+        .join(F.broadcast(bits), ["k", "pos"], "left")
+        .groupBy("doc_id", "key")
+        .agg(F.sum(F.coalesce("bit", F.lit(0))).alias("hits"))
+    )
+
+    seen_keys = history.select("key").distinct().withColumn("seen", F.lit(True))
+    maybe = F.col("hits") == BLOOM_K
+    actually = F.coalesce("seen", F.lit(False))
+    return (
+        probe.join(F.broadcast(seen_keys), "key", "left")
+        .select(
+            "doc_id",
+            "hits",
+            maybe.alias("maybe_seen"),
+            actually.alias("actually_seen"),
+            (maybe & ~actually).alias("false_positive"),
+            (maybe | ~actually).alias("ok_no_false_negative"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BLOOM_PREFILTER_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN md5('planted:' || (doc_id % 21)::VARCHAR)
+              ELSE md5(text) END AS key
+  FROM documents
+),
+history AS (SELECT * FROM keyed WHERE doc_id % 10 != 0),
+delta AS (SELECT * FROM keyed WHERE doc_id % 10 = 0),
+ks AS (SELECT unnest([0, 1, 2, 3, 4]) AS k),
+bits AS (
+  SELECT DISTINCT k,
+         ('0x' || substr(md5(k::VARCHAR || ':' || key), 1, 8))::BIGINT % {BLOOM_M} AS pos
+  FROM history CROSS JOIN ks
+),
+probe AS (
+  SELECT d.doc_id, d.key,
+         SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits
+  FROM delta d
+  CROSS JOIN ks
+  LEFT JOIN bits b
+    ON b.k = ks.k
+   AND b.pos = ('0x' || substr(md5(ks.k::VARCHAR || ':' || d.key), 1, 8))::BIGINT % {BLOOM_M}
+  GROUP BY 1, 2
+),
+seen AS (SELECT DISTINCT key FROM history)
+SELECT p.doc_id, p.hits,
+       p.hits = {BLOOM_K} AS maybe_seen,
+       s.key IS NOT NULL AS actually_seen,
+       (p.hits = {BLOOM_K}) AND s.key IS NULL AS false_positive,
+       (p.hits = {BLOOM_K}) OR s.key IS NULL AS ok_no_false_negative
+FROM probe p LEFT JOIN seen s ON s.key = p.key
+ORDER BY p.doc_id
+"""
+
+
+QUERIES = [
+    Query(
+        "text_heavy_hitters_cms",
+        "count-min sketch heavy-hitter 3-grams with guarantee certificate",
+        text_heavy_hitters_cms,
+        HEAVY_HITTERS_CMS_ORACLE,
+    ),
+    Query(
+        "dedup_bloom_prefilter",
+        "Bloom-filter delta membership pre-filter with no-false-negative certificate",
+        dedup_bloom_prefilter,
+        BLOOM_PREFILTER_ORACLE,
+    ),
+]

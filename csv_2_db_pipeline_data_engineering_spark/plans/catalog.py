@@ -217,6 +217,7 @@ def get_catalog() -> dict[str, Query]:
         scrub,
         semantic,
         similarity,
+        sketch,
         spans,
         text,
     )
@@ -227,8 +228,8 @@ def get_catalog() -> dict[str, Query]:
     all_queries: dict[str, Query] = {}
     for module in (
         analytics, advanced, stats_windows, subqueries, quality, etl_queries,
-        graph, dedup, similarity, semantic, spans, text, scrub, boilerplate,
-        multimodal, rollup, curation,
+        graph, dedup, similarity, semantic, sketch, spans, text, scrub,
+        boilerplate, multimodal, rollup, curation,
     ):
         for q in module.QUERIES:
             if q.name in all_queries:
