@@ -220,6 +220,7 @@ def get_catalog() -> dict[str, Query]:
         sketch,
         spans,
         text,
+        versioning,
     )
     from . import (
         advanced, analytics, etl_queries, graph, quality, stats_windows, subqueries,
@@ -229,7 +230,7 @@ def get_catalog() -> dict[str, Query]:
     for module in (
         analytics, advanced, stats_windows, subqueries, quality, etl_queries,
         graph, dedup, similarity, semantic, sketch, spans, text, scrub,
-        boilerplate, multimodal, rollup, curation,
+        boilerplate, multimodal, rollup, curation, versioning,
     ):
         for q in module.QUERIES:
             if q.name in all_queries:
