@@ -108,6 +108,22 @@ class Query:
 # NOTE: the r7 driver pass recorded no CORRECTNESS_r07.json, so the r7
 # rotations get their first driver check together with these.
 #
+# Round-8 mid-round rotation (new families): in come
+# text_heavy_hitters_cms + dedup_bloom_prefilter (NEW mergeable-sketch
+# family: count-min frequency certificate; Bloom membership pre-filter
+# with planted cross-boundary duplicates) and corpus_snapshot_diff (NEW
+# corpus-lifecycle family: digest-keyed release diff). Out go three
+# entries driver-green every round since at least r3, each with
+# in-window family twins: text_quality_score (quality family keeps
+# text_quality_logit in-window plus the fluency gate inside
+# corpus_curation_decision), ann_topk_bruteforce (ANN family keeps
+# ann_lsh_bucketed/ann_ivf/embedding_pca_power/embedding_kmeans_iter),
+# text_token_stats (token-count shapes stay via text_tfidf /
+# text_char_entropy / text_bigram_logprob). canary_contamination_scan
+# stays registered + locally checked (contamination family twin
+# contamination_ngram_overlap is in-window). All rotated-out queries
+# remain registered and locally oracle-checked.
+#
 # Round-7 late rotation: in come mm_gif_decode_stats (never checked:
 # real variable-width LZW decode) and embedding_pca_power (never
 # checked: exact integer power iteration — a new embedding-ops family
@@ -140,17 +156,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash",  # rotated in r7 (locally green since r4)
     "dedup_semantic_kmeans",  # NEW r8: SemDeDup (within-cluster cosine)
     "dedup_exact_substring",  # NEW r8: verbatim-span (ExactSubstr) family
+    "dedup_bloom_prefilter",  # NEW r8: Bloom membership pre-filter (sketch family)
     # LLM-pipeline: similarity / embeddings.
-    "ann_topk_bruteforce",
+    # (r8: ann_topk_bruteforce out — green r2-r6, four ANN/embedding
+    # family twins stay in-window.)
     "ann_lsh_bucketed",
     "ann_ivf",
     "embedding_pca_power",  # rotated in late r7 (new, never checked)
     "embedding_kmeans_iter",  # NEW r8: deterministic integer k-means
     # LLM-pipeline: text analysis + hygiene.
-    "text_token_stats",
+    # (r8: text_token_stats and text_quality_score out — green since
+    # r1; the token-count and quality shapes keep in-window twins in
+    # text_tfidf/text_char_entropy/text_bigram_logprob and
+    # text_quality_logit + the fluency gate.)
     "text_tfidf",
     "text_winnow_stats",
-    "text_quality_score",
+    "text_heavy_hitters_cms",  # NEW r8: count-min sketch (sketch family)
     "text_lang_id",
     "text_pii_scrub",
     "text_repetition_stats",
@@ -186,6 +207,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_pack_plan",
     "corpus_split_plan",
     "domain_mix_allocation",
+    "corpus_snapshot_diff",  # NEW r8: release-diff audit (lifecycle family)
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
     "q3_shipping_priority",
