@@ -72,6 +72,12 @@ HEADLINE = [
     "dedup_semantic_kmeans",
     "graph_pagerank_trade",
     "dedup_exact_substring",
+    # round-8 sketch + lifecycle families: fixed-size count-min build
+    # plus broadcast probe, Bloom membership pre-filter, digest-keyed
+    # snapshot diff
+    "text_heavy_hitters_cms",
+    "dedup_bloom_prefilter",
+    "corpus_snapshot_diff",
 ]
 
 

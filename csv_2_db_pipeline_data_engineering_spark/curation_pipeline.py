@@ -58,6 +58,7 @@ from .operators.dedup import (
     minhash_signatures,
 )
 from .operators.lifecycle import release_scoped_caches
+from .operators.sketch import bloom_screen
 from .operators.scrub import (
     CHUNK_STRIDE,
     CHUNK_TOKENS,
@@ -127,6 +128,7 @@ def curation_decisions(
     docs: DataFrame,
     near_losers: DataFrame | None = None,
     exact_fingerprints: DataFrame | None = None,
+    exact_bloom_bits: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc decision frame: (doc_id, fingerprint, text_redacted,
     n_tok, n_pii, reason, keep, n_chunks).
@@ -177,11 +179,20 @@ def curation_decisions(
         quality_ntok(F.col("text")).alias("clf_ntok"),
     )
     if exact_fingerprints is not None:
-        seen = (
-            exact_fingerprints.select("fingerprint")
-            .distinct()
-            .withColumn("seen_before", F.lit(True))
-        )
+        seen = exact_fingerprints.select("fingerprint").distinct()
+        if exact_bloom_bits is not None:
+            # Bloom pre-screen (operators/sketch.py): the O(corpus)
+            # fingerprint index is pruned map-side to just the keys this
+            # batch MIGHT contain (broadcast semi-join against the
+            # batch's bloom-passing keys) before it ever reaches a
+            # shuffle. No false negatives: the bits are maintained from
+            # the same kept fingerprints the index stores, so every
+            # true hit survives the screen.
+            maybe = bloom_screen(
+                base.select(F.col("fingerprint").alias("key")), exact_bloom_bits
+            ).select(F.col("key").alias("fingerprint"))
+            seen = seen.join(F.broadcast(maybe), "fingerprint", "left_semi")
+        seen = seen.withColumn("seen_before", F.lit(True))
         base = base.join(seen, "fingerprint", "left").withColumn(
             "exact_loser",
             F.col("exact_loser") | F.coalesce("seen_before", F.lit(False)),

@@ -226,12 +226,7 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % 10 == 0)
 
     ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("k")
-    bits = (
-        history.select(ks, "key")
-        .select("k", _bloom_pos(F.col("k"), F.col("key")).alias("pos"))
-        .distinct()
-        .withColumn("bit", F.lit(1))
-    )
+    bits = bloom_bit_rows(history, "key").withColumn("bit", F.lit(1))
 
     probe = (
         delta.select("doc_id", "key", ks)
@@ -255,6 +250,47 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (maybe | ~actually).alias("ok_no_false_negative"),
         )
         .orderBy("doc_id")
+    )
+
+
+def bloom_bit_rows(keys: DataFrame, key_col: str = "fingerprint") -> DataFrame:
+    """The Bloom filter as rows: distinct (k, pos) set-bit coordinates of
+    ``keys``.  Row form (instead of a packed bitset) keeps the filter a
+    plain DataFrame — append-extendable per delta batch, unionable
+    across shards, broadcastable (bounded by K·M rows regardless of
+    corpus size), and engine-portable for the oracles."""
+    ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("k")
+    return (
+        keys.select(F.col(key_col).alias("key"), ks)
+        .select("k", _bloom_pos(F.col("k"), F.col("key")).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_screen(candidates: DataFrame, bits: DataFrame) -> DataFrame:
+    """Distinct candidate keys that MAY be members (all K bits set).
+
+    Keys absent from the result are PROVABLY not in the indexed set (a
+    Bloom filter cannot false-negative), so callers can skip the exact
+    membership join for them entirely — the pre-filter contract.
+    Robust to duplicate bit rows (crash-replayed appends): the probe is
+    a semi-join, and each (key, k) probes exactly once.
+
+    ``candidates`` must have a ``key`` column.
+    """
+    ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("k")
+    probe = (
+        candidates.select("key")
+        .distinct()
+        .select("key", ks)
+        .withColumn("pos", _bloom_pos(F.col("k"), F.col("key")))
+    )
+    hit = probe.join(F.broadcast(bits), ["k", "pos"], "left_semi")
+    return (
+        hit.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("h"))
+        .filter(F.col("h") == BLOOM_K)
+        .select("key")
     )
 
 

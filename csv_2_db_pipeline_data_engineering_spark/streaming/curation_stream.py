@@ -14,7 +14,11 @@ Per batch:
    O(delta) per fold (``operators/boilerplate.write/extend_line_index``
    tagged-partition layout);
 1. exact-dup gate — within-batch (fingerprint window) AND against the
-   stored index's fingerprints (broadcast-sized join column);
+   stored index's fingerprints, pre-screened by a persisted Bloom bit
+   index (``operators/sketch``): history fingerprints are pruned
+   map-side to the batch's maybe-seen keys before any join, so
+   provably-new arrivals never pay the O(history) membership join;
+   the bit index extends O(delta) per fold like the other indexes;
 2. near-dup gate — within-batch MinHash-LSH plus
    ``incremental_dedup_pairs`` against the stored signature index
    (banded signature join + exact-Jaccard verify on stored gram-hash
@@ -69,6 +73,7 @@ from ..operators.dedup import (
     write_banded_index_table,
 )
 from ..operators.lifecycle import release_scoped_caches
+from ..operators.sketch import bloom_bit_rows
 
 #: minimal arriving-document schema (streaming sources require one)
 DOC_SCHEMA = T.StructType(
@@ -98,6 +103,33 @@ def _commit_manifest(out_dir: str, manifest: dict) -> None:
 
 
 LINE_INDEX_DIR = "line_index"
+BLOOM_INDEX_DIR = "bloom_index"
+
+
+def read_bloom_bits(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The accumulated Bloom bit rows (k, pos) across all fold tags.
+
+    Unlike the line index, a replayed fold may safely see its OWN tag:
+    extra set bits can only turn a provably-new key into a "maybe seen"
+    (it then flows to the exact index join, which the committed index
+    decides) — never the reverse. So this reads everything, and the
+    per-tag overwrite keeps replays idempotent.
+    """
+    base = os.path.join(out_dir, BLOOM_INDEX_DIR)
+    if not os.path.isdir(base):
+        return None
+    parts = [os.path.join(base, t) for t in os.listdir(base) if t.startswith("delta=")]
+    if not parts:
+        return None
+    return spark.read.option("basePath", base).parquet(*parts).drop("delta")
+
+
+def extend_bloom_index(keys: DataFrame, path: str, tag: str) -> None:
+    """Append ``keys``' set-bit rows as the (overwrite-idempotent)
+    ``delta=<tag>`` partition of the Bloom bit index."""
+    bloom_bit_rows(keys).write.mode("overwrite").parquet(
+        os.path.join(path, f"delta={tag}")
+    )
 
 
 def _line_index_excluding(
@@ -220,11 +252,17 @@ def fold_curation_batch(
         )
         losers = internal.select("doc_id").union(cross)
         fps = index.select("fingerprint")
+        # Bloom pre-screen for the exact gate: prune the O(history)
+        # fingerprint index to this batch's maybe-seen keys before the
+        # join (operators/sketch.bloom_screen; no false negatives — the
+        # bits are extended from the same kept fingerprints the index
+        # commits, below).
+        bloom = read_bloom_bits(spark, out_dir)
     else:
-        losers, fps = internal, None
+        losers, fps, bloom = internal, None, None
 
     decisions = curation_decisions(
-        docs, near_losers=losers, exact_fingerprints=fps
+        docs, near_losers=losers, exact_fingerprints=fps, exact_bloom_bits=bloom
     ).localCheckpoint(eager=True)  # pin: three writes + index derive from it
 
     kept = decisions.filter("keep")
@@ -272,6 +310,17 @@ def fold_curation_batch(
             band_table_name(out_dir),
             path=os.path.join(out_dir, "band_table"),
         )
+    # Extend the Bloom bit index with the batch's kept fingerprints —
+    # the exact-gate twin of the band-table append above, same
+    # pre-commit ordering (phantom bits from an uncommitted fold only
+    # cost a bloom false-positive; the committed index still decides).
+    extend_bloom_index(
+        spark.read.parquet(_batch_dir(out_dir, "index", batch_id)).select(
+            "fingerprint"
+        ),
+        os.path.join(out_dir, BLOOM_INDEX_DIR),
+        f"batch{batch_id}",
+    )
     # Accumulate the batch's RAW lines into the line index (dropped
     # docs included — boilerplate recurs in arrivals regardless of
     # their fate; stripping pre-indexing would keep counts below the

@@ -242,3 +242,25 @@ def test_band_table_appends_visible_to_cloned_sessions(spark, tmp_path):
         r["doc_id"]: r["reason"] for r in read_curated(spark, out, "dropped").collect()
     }
     assert dropped.get(12) == "near_dup"
+
+
+def test_bloom_bit_index_maintained_per_fold(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    fold_curation_batch(spark, _docs(spark, [(1, _BASE), (2, _OTHER)]), out, 0)
+    assert (Path(out) / "bloom_index" / "delta=batch0").is_dir()
+
+    fresh = (
+        "nine silver boats sailed past the white cliffs and it was a fine "
+        "day for the crews of the long ships to see the light of the tower"
+    )
+    # batch 1: one exact copy (must flow THROUGH the bloom screen to the
+    # exact gate) and one provably-new doc (screened out, still kept)
+    fold_curation_batch(spark, _docs(spark, [(10, _BASE), (13, fresh)]), out, 1)
+    dropped = {
+        r["doc_id"]: r["reason"]
+        for r in read_curated(spark, out, "dropped").collect()
+    }
+    assert dropped[10] == "exact_dup"
+    kept = {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
+    assert 13 in kept
+    assert (Path(out) / "bloom_index" / "delta=batch1").is_dir()

@@ -78,3 +78,81 @@ def test_bloom_probe_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_screen_no_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        bloom_bit_rows,
+        bloom_screen,
+    )
+
+    indexed = spark.range(200).select(F.md5(F.col("id").cast("string")).alias("key"))
+    bits = bloom_bit_rows(indexed, "key")
+    # candidates: 50 members + 150 non-members
+    members = spark.range(50).select(F.md5(F.col("id").cast("string")).alias("key"))
+    fresh = spark.range(1000, 1150).select(
+        F.md5(F.col("id").cast("string")).alias("key")
+    )
+    passed = {r["key"] for r in bloom_screen(members.union(fresh), bits).collect()}
+    member_keys = {r["key"] for r in members.collect()}
+    assert member_keys <= passed, "every true member must survive the screen"
+    # the screen must actually reject most genuinely-new keys
+    fresh_keys = {r["key"] for r in fresh.collect()}
+    assert len(passed & fresh_keys) <= len(fresh_keys) // 10
+
+
+def test_bloom_screen_robust_to_duplicate_bits(spark):
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        bloom_bit_rows,
+        bloom_screen,
+    )
+
+    indexed = spark.range(20).select(F.md5(F.col("id").cast("string")).alias("key"))
+    bits = bloom_bit_rows(indexed, "key")
+    doubled = bits.union(bits)  # crash-replayed append
+    a = {r["key"] for r in bloom_screen(indexed, bits).collect()}
+    b = {r["key"] for r in bloom_screen(indexed, doubled).collect()}
+    assert a == b == {r["key"] for r in indexed.collect()}
+
+
+def test_curation_decisions_identical_with_bloom_prescreen(spark):
+    from csv_2_db_pipeline_data_engineering_spark.curation_pipeline import (
+        curation_decisions,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        bloom_bit_rows,
+    )
+    from pyspark.sql import functions as F
+
+    text_a = (
+        "the quick brown fox jumps over a lazy dog and it runs to the old "
+        "barn of a quiet farm in the misty morning light while it is watching"
+    )
+    text_b = (
+        "a steady river flows through the green valley and it carries boats "
+        "of traders to the busy market in the stone city where it meets the sea"
+    )
+    docs = spark.createDataFrame(
+        [(1, text_a), (2, text_b)], "doc_id long, text string"
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    # history: doc 1's normalized content already indexed
+    fps = (
+        spark.createDataFrame([(0, text_a)], "doc_id long, text string")
+        .select(F.md5(norm).alias("fingerprint"))
+    )
+    bits = bloom_bit_rows(fps)
+    no_losers = docs.select("doc_id").filter("doc_id < 0")
+    without = curation_decisions(
+        docs, near_losers=no_losers, exact_fingerprints=fps
+    ).orderBy("doc_id")
+    with_bloom = curation_decisions(
+        docs, near_losers=no_losers, exact_fingerprints=fps, exact_bloom_bits=bits
+    ).orderBy("doc_id")
+    assert without.collect() == with_bloom.collect()
+    reasons = {r["doc_id"]: r["reason"] for r in with_bloom.collect()}
+    assert reasons[1] == "exact_dup" and reasons[2] == "keep"

@@ -44,6 +44,9 @@ PROBES = [
     "graph_pagerank_trade",  # r8: edge derivation + fixed-size iterate
     "dedup_exact_substring",  # r8: df-capped shingle join + island collapse
     "text_bpe_train",  # r8: iterative vocab-aggregation trainer
+    "text_heavy_hitters_cms",  # r8: fixed-size sketch build + broadcast probe
+    "dedup_bloom_prefilter",  # r8: Bloom bitset build + broadcast membership
+    "corpus_snapshot_diff",  # r8: digest-keyed full-outer release diff
 ]
 
 
