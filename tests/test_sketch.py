@@ -35,7 +35,7 @@ def test_cms_sketch_is_fixed_size(spark):
     sketch no wider than D*W counters (the fixed-size guarantee)."""
     from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
         CMS_D,
-        _cms_bucket,
+        _cms_buckets,
         _gram_stream,
     )
     from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
@@ -44,9 +44,8 @@ def test_cms_sketch_is_fixed_size(spark):
     grams = _gram_stream(load_table(spark, SF_DIR, "documents"))
     cms = (
         grams.select(
-            F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d"), "gram"
+            F.posexplode(F.array(*_cms_buckets(F.col("gram")))).alias("d", "bucket")
         )
-        .select("d", _cms_bucket(F.col("d"), F.col("gram")).alias("bucket"))
         .groupBy("d", "bucket")
         .count()
     )
