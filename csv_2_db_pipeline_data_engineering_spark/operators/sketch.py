@@ -157,7 +157,7 @@ grams AS (
   FROM docs
 ),
 gcounts AS (SELECT gram, COUNT(*)::BIGINT AS exact_n FROM grams GROUP BY 1),
-ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+ds AS (SELECT unnest([{', '.join(map(str, range(CMS_D)))}]) AS d),
 cms AS (
   SELECT d,
          ('0x' || substr(md5(gram), 1 + 8 * d, 8))::BIGINT % {CMS_W} AS bucket,
@@ -286,8 +286,11 @@ def bloom_screen(candidates: DataFrame, bits: DataFrame) -> DataFrame:
     Keys absent from the result are PROVABLY not in the indexed set (a
     Bloom filter cannot false-negative), so callers can skip the exact
     membership join for them entirely — the pre-filter contract.
-    Robust to duplicate bit rows (crash-replayed appends): the probe is
-    a semi-join, and each (key, k) probes exactly once.
+    Robust to duplicate bit rows (crash-replayed appends, per-delta-tag
+    unions): the probe is a semi-join, each (key, k) probes exactly
+    once, and the bits are ``distinct()``-ed before the broadcast so
+    the payload is capped at K·M rows no matter how many overlapping
+    fold tags the streaming index has accumulated.
 
     ``candidates`` must have a ``key`` column.
     """
@@ -298,7 +301,7 @@ def bloom_screen(candidates: DataFrame, bits: DataFrame) -> DataFrame:
         .select("key", ks)
         .withColumn("pos", _bloom_pos(F.col("k"), F.col("key")))
     )
-    hit = probe.join(F.broadcast(bits), ["k", "pos"], "left_semi")
+    hit = probe.join(F.broadcast(bits.distinct()), ["k", "pos"], "left_semi")
     return (
         hit.groupBy("key")
         .agg(F.count(F.lit(1)).alias("h"))
@@ -317,7 +320,7 @@ WITH keyed AS (
 ),
 history AS (SELECT * FROM keyed WHERE doc_id % 10 != 0),
 delta AS (SELECT * FROM keyed WHERE doc_id % 10 = 0),
-ks AS (SELECT unnest([0, 1, 2, 3, 4]) AS k),
+ks AS (SELECT unnest([{', '.join(map(str, range(BLOOM_K)))}]) AS k),
 bits AS (
   SELECT DISTINCT k,
          ('0x' || substr(md5(k::VARCHAR || ':' || key), 1, 8))::BIGINT % {BLOOM_M} AS pos

@@ -114,8 +114,26 @@ def read_bloom_bits(spark: SparkSession, out_dir: str) -> DataFrame | None:
     (it then flows to the exact index join, which the committed index
     decides) — never the reverse. So this reads everything, and the
     per-tag overwrite keeps replays idempotent.
+
+    Coverage gate: the screen's no-false-negative contract requires the
+    bits to cover EVERY fingerprint in the committed exact index, but a
+    committed batch can predate the bloom index (upgrade/migration, or
+    a partially deleted ``bloom_index``) — partial coverage would prune
+    genuinely-seen history keys and silently keep exact duplicates. So
+    any applied batch that wrote an index partition but has no
+    ``delta=`` tag gets its tag backfilled here from the committed
+    index batch (idempotent per-tag overwrite) before the bits are
+    read.
     """
     base = os.path.join(out_dir, BLOOM_INDEX_DIR)
+    for b in _read_manifest(out_dir)["applied"]:
+        idx = _batch_dir(out_dir, "index", b)
+        if os.path.isdir(idx) and not os.path.isdir(
+            os.path.join(base, f"delta=batch{b}")
+        ):
+            extend_bloom_index(
+                spark.read.parquet(idx).select("fingerprint"), base, f"batch{b}"
+            )
     if not os.path.isdir(base):
         return None
     parts = [os.path.join(base, t) for t in os.listdir(base) if t.startswith("delta=")]

@@ -264,3 +264,34 @@ def test_bloom_bit_index_maintained_per_fold(spark, tmp_path):
     kept = {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
     assert 13 in kept
     assert (Path(out) / "bloom_index" / "delta=batch1").is_dir()
+
+
+def test_bloom_coverage_backfilled_after_partial_index_loss(spark, tmp_path):
+    """A committed batch whose bloom tag is missing (migration / partial
+    deletion) must not let exact duplicates of its docs through: the
+    coverage gate backfills the tag from the committed index batch, so
+    the pre-screen keeps its no-false-negative contract."""
+    import shutil
+
+    out = str(tmp_path / "curated")
+    fold_curation_batch(spark, _docs(spark, [(1, _BASE), (2, _OTHER)]), out, 0)
+    fresh = (
+        "four red kites rose over the wide field and it was a good sign "
+        "for the children of the town to play by the mill in the warm sun"
+    )
+    fold_curation_batch(spark, _docs(spark, [(3, fresh)]), out, 1)
+    # Simulate a bloom index that predates batch 0 (partial coverage:
+    # batch1's tag survives, batch0's is gone).
+    shutil.rmtree(Path(out) / "bloom_index" / "delta=batch0")
+
+    # batch 2: exact copy of the batch-0 doc. Without the coverage
+    # gate the screen would prune doc 1's fingerprint (its bits are
+    # missing) and the copy would be silently kept.
+    fold_curation_batch(spark, _docs(spark, [(20, _BASE)]), out, 2)
+    dropped = {
+        r["doc_id"]: r["reason"]
+        for r in read_curated(spark, out, "dropped").collect()
+    }
+    assert dropped[20] == "exact_dup"
+    # the tag was backfilled on read
+    assert (Path(out) / "bloom_index" / "delta=batch0").is_dir()
