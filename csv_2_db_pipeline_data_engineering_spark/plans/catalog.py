@@ -140,6 +140,45 @@ class Query:
 # url_canonical_dedup in (new URL-frontier-hygiene family) for
 # part_brand_regex (regex extraction, green r5-r6; the regex surface
 # keeps its in-window twin in text_pii_scrub's detect/redact chains).
+#
+# Round-9 rotation (VERDICT r8 #1: drive the never-driver-checked tail
+# through the window). In come FOURTEEN oracle-backed queries that have
+# never had a driver hash-check (all locally green every round since
+# registration): dedup_clusters_lsh, dedup_semantic_keep,
+# dedup_embedding_cosine_block, line_dedup_incremental, text_span_strip,
+# text_bpe_tokenize, text_fluency_buckets, text_vocab_zipf,
+# graph_triangle_count, canary_contamination_scan,
+# user_hourly_interpolate, corpus_curation_report, mm_y4m_video_stats,
+# mm_audio_fp_dedup. Out go fourteen entries each driver-green >= 3
+# consecutive checked rounds, each with an in-window family twin:
+# dedup_minhash_lsh + dedup_clusters (green r3-r8; the LSH banding AND
+# the connected-components shape both run INSIDE the incoming
+# dedup_clusters_lsh, and dedup_simhash/dedup_exact_substring stay),
+# dedup_embedding_cosine (r3-r8; incoming blocked twin
+# dedup_embedding_cosine_block + dedup_semantic_kmeans stay),
+# dedup_incremental (r5-r8; incoming line_dedup_incremental exercises
+# the same tagged-partition O(delta) extend, dedup_bloom_prefilter
+# stays), ann_lsh_bucketed (r3-r8; ANN family keeps ann_ivf +
+# embedding_pca_power + embedding_kmeans_iter), text_tfidf +
+# text_winnow_stats + text_lang_id (r3-r8; token-frequency shape →
+# incoming text_vocab_zipf, fingerprint-span shape →
+# dedup_exact_substring + incoming text_span_strip, language/quality →
+# incoming text_fluency_buckets + text_quality_logit),
+# text_repetition_stats (r5-r8; repetition shape ~ text_intradoc_dedup),
+# hourly_rollup_serve (r3-r8; time-bucketed serve shape ~ incoming
+# user_hourly_interpolate + the rollup stream pytest),
+# contamination_ngram_overlap (r3-r8; incoming canary_contamination_scan
+# is the same n-gram containment family), corpus_pack_plan (r3-r8;
+# curation-planning family keeps corpus_split_plan +
+# corpus_curation_decision + incoming corpus_curation_report),
+# domain_mix_allocation (r4-r8; same family), q3_shipping_priority
+# (r1-r8; join-agg-topk analytics keep q1 + range_join +
+# top3_orders_per_priority). All rotated-out queries remain registered
+# and locally oracle-checked via tools/check_oracles.py. After this
+# rotation only five registered queries have never been driver-checked
+# (text_boilerplate_strip, text_encoding_fix, promo_revenue_share,
+# top_revenue_supplier, disjunctive_bracket_revenue) — they rotate in
+# next round.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
@@ -149,32 +188,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multiformat_date_parse",
     # LLM-pipeline: deduplication family.
     "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
+    "dedup_clusters_lsh",  # NEW r9 window: LSH-banded clustering (covers minhash+CC)
+    "dedup_embedding_cosine_block",  # NEW r9 window: blocked cosine dedup
+    "dedup_semantic_keep",  # NEW r9 window: SemDeDup keep-frame
+    "line_dedup_incremental",  # NEW r9 window: O(delta) line-index extend
     "dedup_simhash",  # rotated in r7 (locally green since r4)
     "dedup_semantic_kmeans",  # NEW r8: SemDeDup (within-cluster cosine)
     "dedup_exact_substring",  # NEW r8: verbatim-span (ExactSubstr) family
     "dedup_bloom_prefilter",  # NEW r8: Bloom membership pre-filter (sketch family)
     # LLM-pipeline: similarity / embeddings.
-    # (r8: ann_topk_bruteforce out — green r2-r6, four ANN/embedding
-    # family twins stay in-window.)
-    "ann_lsh_bucketed",
     "ann_ivf",
     "embedding_pca_power",  # rotated in late r7 (new, never checked)
     "embedding_kmeans_iter",  # NEW r8: deterministic integer k-means
     # LLM-pipeline: text analysis + hygiene.
-    # (r8: text_token_stats and text_quality_score out — green since
-    # r1; the token-count and quality shapes keep in-window twins in
-    # text_tfidf/text_char_entropy/text_bigram_logprob and
-    # text_quality_logit + the fluency gate.)
-    "text_tfidf",
-    "text_winnow_stats",
+    "text_vocab_zipf",  # NEW r9 window: vocabulary Zipf-law audit
+    "text_span_strip",  # NEW r9 window: ExactSubstr span removal
     "text_heavy_hitters_cms",  # NEW r8: count-min sketch (sketch family)
-    "text_lang_id",
+    "text_fluency_buckets",  # NEW r9 window: bigram-logprob fluency buckets
     "text_pii_scrub",
-    "text_repetition_stats",
     "doc_chunk_plan",
     "text_char_entropy",
     "text_bigram_logprob",
@@ -183,42 +214,30 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_intradoc_dedup",
     "text_quality_logit",
     "url_canonical_dedup",  # rotated in late r7 (new URL-hygiene family)
-    "text_bpe_train",  # NEW r8: BPE trainer (the tokenizer family's
-    # first in-window member; its apply twin text_bpe_tokenize stays
-    # registered + locally checked)
+    "text_bpe_train",
+    "text_bpe_tokenize",  # NEW r9 window: BPE apply twin of the trainer
     # LLM-pipeline: multimodal + continuous aggregate.
-    # (r7: resize + wav-decode rotated out after their r6 driver checks —
-    # the rotated-in VAD exercises the same WAV decode path; the new
-    # JPEG codec, the dead-letter stored-payload decode, and the
-    # never-driver-checked VAD rotate in.)
     "mm_png_decode_stats",
     "mm_jpeg_decode_stats",
     "mm_gif_decode_stats",  # rotated in late r7 (new, never checked)
     "mm_png_deadletter_stats",
     "mm_wav_vad_stats",
     "mm_phash_dedup",  # rotated in late r7 (new image-dedup family)
-    "hourly_rollup_serve",
+    "mm_y4m_video_stats",  # NEW r9 window: Y4M frame-sample decode
+    "mm_audio_fp_dedup",  # NEW r9 window: audio fingerprint dedup
+    "user_hourly_interpolate",  # NEW r9 window: gap-fill interpolation
     # LLM-pipeline: curation decisions (contamination / sampling / keep-drop).
-    "contamination_ngram_overlap",
-    # (r8: corpus_sample_strata out — green r4-r6, the sampling shape
-    # keeps its registered twin deterministic_sample_stats — making
-    # room for the BPE trainer above.)
+    "canary_contamination_scan",  # NEW r9 window: canary-string scan
     "corpus_curation_decision",
-    "corpus_pack_plan",
+    "corpus_curation_report",  # NEW r9 window: per-reason curation audit
     "corpus_split_plan",
-    "domain_mix_allocation",
     "corpus_snapshot_diff",  # NEW r8: release-diff audit (lifecycle family)
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "graph_pagerank_trade",  # NEW r8: iterative integer PageRank
+    "graph_triangle_count",  # NEW r9 window: triangle counting
     "range_join_followup_orders",
     # Rotated in round 4, kept: still the only ranked-window instance.
-    # (r7: cube_event_type_dow and parts_above_brand_avg rotated out —
-    # driver-green r4-r6; r8: pivot_status_by_priority out, green
-    # r1-r6, grouping family twins rollup/cube/grouping_sets all
-    # registered + locally checked — its slot goes to the NEW
-    # dedup_exact_substring so every LLM dedup family is in-window.)
     "top3_orders_per_priority",
 )
 
