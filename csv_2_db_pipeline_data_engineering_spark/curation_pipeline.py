@@ -5,9 +5,9 @@
 One call takes a raw ``documents`` parquet directory to training-ready
 artifacts:
 
-    raw docs -> PII scrub -> gates (exact-dup, near-dup, language,
-    quality) -> kept/dropped split -> strided token chunks -> parquet
-    sinks + manifest
+    raw docs -> PII scrub -> gates (exact-dup, near-dup, semantic-dup,
+    language, quality) -> kept/dropped split -> ExactSubstr span strip
+    -> strided token chunks -> parquet sinks + manifest
 
 Design contracts (mirroring the reference's pipeline semantics):
 - **No silent drops**: every input doc lands in exactly one of
@@ -129,15 +129,16 @@ def curation_decisions(
     near_losers: DataFrame | None = None,
     exact_fingerprints: DataFrame | None = None,
     exact_bloom_bits: DataFrame | None = None,
+    semantic_losers: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc decision frame: (doc_id, fingerprint, text_redacted,
     n_tok, n_pii, reason, keep, n_chunks).
 
     Gate order (first failure wins, cheap-to-expensive):
-    exact_dup -> near_dup -> non_english -> low_quality ->
-    low_fluency -> low_classifier -> keep. The classifier gate serves
-    the frozen logistic quality model (``boilerplate.quality_nscaled``)
-    in pure integer arithmetic.
+    exact_dup -> near_dup -> semantic_dup -> non_english ->
+    low_quality -> low_fluency -> low_classifier -> keep. The
+    classifier gate serves the frozen logistic quality model
+    (``boilerplate.quality_nscaled``) in pure integer arithmetic.
 
     ``near_losers`` overrides the loser set (a ``doc_id`` frame) — the
     streaming fold passes batch-internal ∪ cross-index losers; batch
@@ -145,6 +146,13 @@ def curation_decisions(
     (a ``fingerprint`` frame, e.g. from a persisted index) marks docs
     whose normalized content already exists in an earlier corpus as
     ``exact_dup`` in addition to the in-frame window dedup.
+    ``semantic_losers`` (a ``doc_id`` frame, e.g.
+    ``operators.semantic.semantic_keep_plan``'s non-keep rows over the
+    corpus embeddings) drops SemDeDup group losers as ``semantic_dup``
+    directly after the lexical dedup gates — SemDeDup (Abbas et al.
+    2023) prunes the deduplicated corpus BEFORE quality filtering.
+    Omitted -> the gate passes everything (a corpus without an
+    embedding table skips it).
 
     The fluency gate (CCNet-style perplexity filter with the corpus's
     own bigram MLE as the LM) drops docs scoring > FLUENCY_MARGIN below
@@ -202,6 +210,18 @@ def curation_decisions(
     losers = near_losers.select("doc_id").distinct().withColumn(
         "near_loser", F.lit(True)
     )
+    if semantic_losers is None:
+        base = base.withColumn("sem_loser", F.lit(False))
+    else:
+        base = base.join(
+            F.broadcast(
+                semantic_losers.select("doc_id")
+                .distinct()
+                .withColumn("sem_loser", F.lit(True))
+            ),
+            "doc_id",
+            "left",
+        ).withColumn("sem_loser", F.coalesce("sem_loser", F.lit(False)))
     scores = bigram_logprob_frame(docs).select("doc_id", "avg_logprob")
     med = scores.agg(F.median("avg_logprob").alias("fluency_med"))
     w_, s_ = CHUNK_TOKENS, CHUNK_STRIDE
@@ -211,6 +231,7 @@ def curation_decisions(
     reason = (
         F.when(F.col("exact_loser"), "exact_dup")
         .when(F.col("near_loser"), "near_dup")
+        .when(F.col("sem_loser"), "semantic_dup")
         .when(F.col("stop_ratio") < LANG_STOP_RATIO, "non_english")
         .when(F.col("ttr") < LOW_QUALITY_TTR, "low_quality")
         .when(
@@ -241,21 +262,27 @@ def curation_decisions(
     )
 
 
-def chunk_kept(decisions: DataFrame) -> DataFrame:
-    """Materialized chunks for kept docs: (doc_id, chunk_idx, n_tok_chunk,
-    text). Slicing happens map-side before the write — no text shuffle."""
+def chunk_docs(docs: DataFrame) -> DataFrame:
+    """Strided chunks over a (doc_id, text) frame: (doc_id, chunk_idx,
+    n_tok_chunk, text). Chunk count derives from the frame's own token
+    count, so callers may pass text that was rewritten (span-stripped)
+    after the decision layer computed its estimates. Slicing happens
+    map-side before the write — no text shuffle."""
     w, s = CHUNK_TOKENS, CHUNK_STRIDE
-    kept = decisions.filter("keep")
-    toks = F.split(F.col("text_redacted"), " ")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    n_chunks = F.when(n_tok <= w, F.lit(1)).otherwise(
+        F.lit(1) + ((n_tok - w + s - 1) / s).cast("int")
+    )
+    toks = F.split(F.col("text"), " ")
     k = F.col("chunk_idx")
     start = (k * s).cast("int")
     end = F.least(start + w, F.col("n_tok"))
     return (
-        kept.select(
+        docs.select(
             "doc_id",
             toks.alias("t"),
-            "n_tok",
-            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+            n_tok.alias("n_tok"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
         )
         .select(
             "doc_id",
@@ -266,18 +293,41 @@ def chunk_kept(decisions: DataFrame) -> DataFrame:
     )
 
 
+def chunk_kept(decisions: DataFrame) -> DataFrame:
+    """Materialized chunks for kept docs (streaming-fold path: chunks
+    the decision frame's redacted text as-is)."""
+    return chunk_docs(
+        decisions.filter("keep").select(
+            "doc_id", F.col("text_redacted").alias("text")
+        )
+    )
+
+
 def run_curation_pipeline(
     spark: SparkSession,
     docs_path: str,
     out_dir: str,
+    embeddings_path: str | None = None,
 ) -> CurationSummary:
     """Curate a documents parquet directory into ``out_dir``.
 
     Writes three tables plus a manifest:
-      - ``kept_docs``:    doc_id, text (redacted), n_tok, n_pii
+      - ``kept_docs``:    doc_id, text (redacted, span-stripped), n_tok, n_pii
       - ``dropped_docs``: doc_id, reason
       - ``chunks``:       doc_id, chunk_idx, n_tok_chunk, text
       - ``manifest.json``: run metadata + all counts in the summary
+
+    ``embeddings_path`` (optional, parquet with ``vec_id``/``embedding``
+    matching the corpus doc_ids) enables the SemDeDup gate: per
+    semantic near-dup group the lowest-id representative survives and
+    every other member drops as ``semantic_dup``
+    (``operators.semantic.semantic_keep_plan``).
+
+    After the gates, surviving docs get ExactSubstr span removal
+    (``operators.spans.strip_verbatim_span_text``) before chunking —
+    the RefinedWeb order: doc-level dedup first, then verbatim-span
+    deletion on the survivors (Lee et al. 2022 apply it corpus-wide
+    before training).
     """
     run_id = uuid.uuid4().hex[:8]
     start = time.monotonic()
@@ -295,13 +345,43 @@ def run_curation_pipeline(
     # Run-scoped gram-stream cache (same lifecycle discipline as the
     # streaming fold): dropped after the last consumer below.
     gh = gram_hash_rows(docs).cache()
-    decisions = curation_decisions(docs, near_losers=near_dup_losers(docs, gh=gh)).cache()
+    semantic_losers = None
+    if embeddings_path is not None:
+        from .operators.semantic import semantic_keep_plan
 
-    kept = decisions.filter("keep").select(
-        "doc_id", F.col("text_redacted").alias("text"), "n_tok", "n_pii"
+        semantic_losers = (
+            semantic_keep_plan(
+                spark.read.parquet(embeddings_path).select("vec_id", "embedding")
+            )
+            .filter(~F.col("keep"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+    decisions = curation_decisions(
+        docs,
+        near_losers=near_dup_losers(docs, gh=gh),
+        semantic_losers=semantic_losers,
+    ).cache()
+
+    # ExactSubstr span removal on the SURVIVORS (RefinedWeb order);
+    # n_tok is recomputed from the stripped text so the kept table and
+    # the chunk plan agree with what actually ships.
+    from .operators.spans import strip_verbatim_span_text
+
+    kept_text = strip_verbatim_span_text(
+        decisions.filter("keep").select(
+            "doc_id", F.col("text_redacted").alias("text")
+        )
+    )
+    kept = kept_text.join(
+        decisions.filter("keep").select("doc_id", "n_pii"), "doc_id"
+    ).select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        "n_pii",
     )
     dropped = decisions.filter(~F.col("keep")).select("doc_id", "reason")
-    chunks = chunk_kept(decisions)
+    chunks = chunk_docs(kept.select("doc_id", "text"))
 
     kept.write.mode("overwrite").parquet(os.path.join(out_dir, "kept_docs"))
     dropped.write.mode("overwrite").parquet(os.path.join(out_dir, "dropped_docs"))
@@ -311,18 +391,21 @@ def run_curation_pipeline(
         decisions.groupBy("reason")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("n_chunks").alias("nc"),
             F.sum("n_pii").alias("np"),
         )
         .collect()
     )
     by_reason = {r["reason"]: r["n"] for r in stats}
+    # Chunk count reflects the POST-strip text, so it comes from the
+    # materialized table (a metadata-cheap count on the parquet just
+    # written), not the decision layer's pre-strip estimate.
+    n_chunks_total = spark.read.parquet(os.path.join(out_dir, "chunks")).count()
     summary = CurationSummary(
         run_id=run_id,
         input_docs=sum(by_reason.values()),
         kept_docs=by_reason.get("keep", 0),
         dropped={k: v for k, v in sorted(by_reason.items()) if k != "keep"},
-        n_chunks=sum(r["nc"] for r in stats),
+        n_chunks=n_chunks_total,
         pii_redactions=sum(r["np"] for r in stats),
         duration_sec=round(time.monotonic() - start, 2),
     )

@@ -88,6 +88,16 @@ SALAD_MOD = 100  # one salad per 100 doc_ids -> 5 at the 500-row sf
 SALAD_ID_OFFSET = 20_000_000
 SALAD_TOKENS = 40
 
+# Planted semantic-dup witnesses: lexically UNIQUE token runs (so the
+# exact and near-dup gates pass them) whose doc_id matches a planted
+# embedding twin (dedup._with_planted_twins: vec_id % PLANT_TWIN_MOD
+# == 0 -> twin at vec_id + PLANT_TWIN_ID_OFFSET within SemDeDup's
+# cosine threshold of the source). Only the semantic gate can catch
+# them — the SemDeDup integration witness (Abbas et al. 2023 apply
+# SemDeDup to the lexically deduplicated corpus BEFORE quality
+# filtering, which is exactly where the gate sits in the cascade).
+SEM_TWIN_TOKENS = 12
+
 
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥1 n-gram with the
@@ -238,12 +248,44 @@ def _with_planted_salads(docs: DataFrame) -> DataFrame:
     return base.unionByName(salads)
 
 
+def _semantic_twin_docs(docs: DataFrame) -> DataFrame:
+    """Semantic-dup witness docs (see SEM_TWIN_TOKENS note): one per
+    planted embedding twin, id = doc_id + PLANT_TWIN_ID_OFFSET, text a
+    closed-form run of corpus-unique tokens both engines generate
+    identically."""
+    from .dedup import PLANT_TWIN_ID_OFFSET, PLANT_TWIN_MOD
+
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(SEM_TWIN_TOKENS)),
+            lambda j: F.concat(
+                F.lit("sem"),
+                F.col("doc_id").cast("string"),
+                F.lit("x"),
+                j.cast("string"),
+            ),
+        ),
+    )
+    return docs.filter(F.col("doc_id") % PLANT_TWIN_MOD == 0).select(
+        (F.col("doc_id") + F.lit(PLANT_TWIN_ID_OFFSET)).alias("doc_id"),
+        text.alias("text"),
+    )
+
+
 def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keep/drop with the first failing gate as the reason.
 
     Gate order (cheapest-to-most-expensive is the production order; here
-    fixed for determinism): exact_dup → near_dup → non_english →
-    low_quality → low_fluency → low_classifier → keep. The classifier
+    fixed for determinism): exact_dup → near_dup → semantic_dup →
+    non_english → low_quality → low_fluency → low_classifier → keep.
+    The dedup gates run as a unit, lexical then semantic — SemDeDup
+    (Abbas et al. 2023) prunes the lexically deduplicated corpus before
+    any quality filtering, so the semantic gate sits directly after
+    near_dup: a doc whose embedding loses its SemDeDup group (a smaller
+    vec_id representative exists within the cosine threshold) drops as
+    ``semantic_dup`` even when its TEXT shares nothing with the
+    representative. The classifier
     gate serves the frozen logistic quality model
     (``boilerplate.quality_nscaled``) entirely in integer arithmetic —
     the decision is exact cross-engine. Exact-dup losers are non-minimum
@@ -255,10 +297,12 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops docs scoring > FLUENCY_MARGIN below the corpus-median bigram
     log-probability (``bigram_logprob_frame`` — the CCNet perplexity
     filter with the corpus's own bigram MLE standing in for the LM).
-    Runs over the corpus plus planted salad witnesses so the
-    low_fluency rows are value-checked, not vacuously absent.
+    Runs over the corpus plus planted salad witnesses (low_fluency)
+    and planted semantic-twin witnesses (semantic_dup), so both gate
+    families are value-checked, not vacuously absent.
     """
-    d = _with_planted_salads(load_table(spark, sf_dir, "documents"))
+    base_docs = load_table(spark, sf_dir, "documents")
+    d = _with_planted_salads(base_docs).unionByName(_semantic_twin_docs(base_docs))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     toks = F.split(F.col("text"), " ")
     stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / F.size(toks)
@@ -276,6 +320,21 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_losers = (
         dedup_ngram_jaccard(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
     )
+    # Semantic gate: SemDeDup losers over the corpus embeddings plus
+    # their planted twins — vec_id and doc_id share the id space, so
+    # the keep-frame anti-set joins straight onto the decision frame
+    # (broadcast: O(corpus / PLANT_TWIN_MOD + natural losers) rows).
+    from .dedup import _with_planted_twins
+    from .semantic import semantic_keep_plan
+
+    sem_losers = (
+        semantic_keep_plan(
+            _with_planted_twins(load_table(spark, sf_dir, "embeddings"))
+        )
+        .filter(~F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("sem_loser", F.lit(True))
+    )
     # Fluency: per-doc score over the SAME augmented corpus, median as a
     # 1-row broadcast (never a driver action).
     scores = bigram_logprob_frame(d).select("doc_id", "avg_logprob")
@@ -283,6 +342,7 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason = (
         F.when(F.col("exact_loser"), "exact_dup")
         .when(F.col("near_loser"), "near_dup")
+        .when(F.col("sem_loser"), "semantic_dup")
         .when(F.col("stop_ratio") < LANG_STOP_RATIO, "non_english")
         .when(F.col("ttr") < LOW_QUALITY_TTR, "low_quality")
         .when(
@@ -300,6 +360,8 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             near_losers.withColumn("near_loser", F.lit(True)), "doc_id", "left"
         )
         .withColumn("near_loser", F.coalesce("near_loser", F.lit(False)))
+        .join(F.broadcast(sem_losers), "doc_id", "left")
+        .withColumn("sem_loser", F.coalesce("sem_loser", F.lit(False)))
         .join(scores, "doc_id", "left")
         .crossJoin(F.broadcast(med))
         .select("doc_id", reason.alias("reason"))
@@ -308,8 +370,13 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CURATION_ORACLE = f"""
-WITH aug AS (
+def _curation_oracle_sql() -> str:
+    from .dedup import PLANT_TWIN_ID_OFFSET, PLANT_TWIN_MOD
+    from .semantic import SEMANTIC_DEDUP_ORACLE
+
+    spr = SEMANTIC_DEDUP_ORACLE.replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH RECURSIVE aug AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {SALAD_ID_OFFSET} AS doc_id,
@@ -317,9 +384,28 @@ WITH aug AS (
                                ELSE 'zz' || doc_id || 'x' || j END
                           for j in range(1, {SALAD_TOKENS} + 1)], ' ') AS text
   FROM documents WHERE doc_id % {SALAD_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {PLANT_TWIN_ID_OFFSET} AS doc_id,
+         array_to_string(['sem' || doc_id || 'x' || j
+                          for j in range(1, {SEM_TWIN_TOKENS} + 1)], ' ') AS text
+  FROM documents WHERE doc_id % {PLANT_TWIN_MOD} = 0
 ),
 jac AS ({NGRAM_JACCARD_CAPPED_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
 losers AS (SELECT DISTINCT doc_b FROM jac),
+spr AS ({spr}),
+sedges AS (
+  SELECT id_a AS a, id_b AS b FROM spr
+  UNION
+  SELECT id_b, id_a FROM spr
+),
+sreach(a, b) AS (
+  SELECT a, b FROM sedges
+  UNION
+  SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a WHERE e.b <> r.a
+),
+semlosers AS (
+  SELECT a AS doc_id FROM sreach GROUP BY a HAVING LEAST(a, MIN(b)) < a
+),
 bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
 bi AS (
   SELECT doc_id,
@@ -359,6 +445,7 @@ SELECT doc_id, reason, reason = 'keep' AS keep FROM (
   SELECT fp.doc_id,
          CASE WHEN exact_loser THEN 'exact_dup'
               WHEN losers.doc_b IS NOT NULL THEN 'near_dup'
+              WHEN semlosers.doc_id IS NOT NULL THEN 'semantic_dup'
               WHEN stop_ratio < {LANG_STOP_RATIO} THEN 'non_english'
               WHEN ttr < {LOW_QUALITY_TTR} THEN 'low_quality'
               WHEN med.m - scored.lp > {FLUENCY_MARGIN} THEN 'low_fluency'
@@ -367,11 +454,15 @@ SELECT doc_id, reason, reason = 'keep' AS keep FROM (
               ELSE 'keep' END AS reason
   FROM fp
   LEFT JOIN losers ON losers.doc_b = fp.doc_id
+  LEFT JOIN semlosers ON semlosers.doc_id = fp.doc_id
   LEFT JOIN scored ON scored.doc_id = fp.doc_id
   CROSS JOIN med
 )
 ORDER BY doc_id
 """
+
+
+CURATION_ORACLE = _curation_oracle_sql()
 
 
 CONTEXT_LEN = 512  # packing target (tokens per training sequence)

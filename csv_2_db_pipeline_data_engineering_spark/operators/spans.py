@@ -198,23 +198,16 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def strip_verbatim_spans(docs: DataFrame) -> DataFrame:
-    """ExactSubstr's ACTION: delete every repeated span from all but its
-    lowest-doc_id occurrence, per-document summary frame.
+def merged_victim_intervals(docs: DataFrame) -> DataFrame:
+    """Per-victim merged token intervals to delete: (doc_id, grp, s, e).
 
-    The victim of every span is the pair's HIGHER doc_id, so transitive
-    groups keep exactly the first occurrence (the Lee et al. policy and
-    the same keep-lowest rule as ``text_line_dedup``).  A doc's victim
-    intervals are merged with the running-max-end interval-union window
-    (overlapping spans from different partners must not double-delete),
-    then tokens inside any merged interval are dropped by a doc-keyed
-    range anti-join and the survivor text is md5'd after positional
-    reassembly — all integer/string-exact on both engines.
+    DISTINCT first: interval union is a set operation, and the same
+    (victim, start, end) arrives once per partner doc sharing the
+    span — deduping removes every fully-tied row from the union
+    window (no reliance on tie behavior) and shrinks the frame. Then
+    the running-max-end gaps-and-islands window merges overlapping
+    intervals so no token is double-deleted.
     """
-    # DISTINCT first: interval union is a set operation, and the same
-    # (victim, start, end) arrives once per partner doc sharing the
-    # span — deduping removes every fully-tied row from the union
-    # window (no reliance on tie behavior) and shrinks the frame.
     iv = (
         verbatim_span_islands(docs)
         .select(
@@ -228,7 +221,7 @@ def strip_verbatim_spans(docs: DataFrame) -> DataFrame:
     prev_max_e = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    merged = (
+    return (
         iv.withColumn(
             "new_grp",
             F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
@@ -240,6 +233,73 @@ def strip_verbatim_spans(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "grp")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
     )
+
+
+def strip_verbatim_span_text(docs: DataFrame) -> DataFrame:
+    """ExactSubstr span removal returning the survivor TEXT: the
+    curation pipeline's pre-chunking hook (RefinedWeb order: doc-level
+    dedup first, then exact-substring removal on the survivors).
+
+    Victim-only rebuild: only docs that actually lose an interval are
+    exploded and reassembled; every other doc passes through its
+    original ``text`` byte-identical (no tokenize/rejoin round trip).
+    The rebuilt text is exactly the string ``strip_verbatim_spans``
+    fingerprints as ``clean_md5`` — the md5-verified survivor contract.
+    """
+    merged = merged_victim_intervals(docs)
+    victims = merged.select("doc_id").distinct()
+    toks = (
+        docs.join(victims, "doc_id", "left_semi")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok"))
+        .select("doc_id", F.col("p").cast("long").alias("p"), "tok")
+    )
+    kept = toks.alias("t").join(
+        merged.alias("m"),
+        (F.col("t.doc_id") == F.col("m.doc_id"))
+        & (F.col("t.p") >= F.col("m.s"))
+        & (F.col("t.p") < F.col("m.e")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    # A victim whose whole text is one span has NO kept tokens (it is
+    # absent from ``rebuilt``) — it becomes the empty string, never its
+    # original text.
+    return (
+        docs.join(victims.withColumn("is_victim", F.lit(True)), "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("is_victim"), F.coalesce("clean_text", F.lit(""))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
+def strip_verbatim_spans(docs: DataFrame) -> DataFrame:
+    """ExactSubstr's ACTION: delete every repeated span from all but its
+    lowest-doc_id occurrence, per-document summary frame.
+
+    The victim of every span is the pair's HIGHER doc_id, so transitive
+    groups keep exactly the first occurrence (the Lee et al. policy and
+    the same keep-lowest rule as ``text_line_dedup``).  A doc's victim
+    intervals are merged with the running-max-end interval-union window
+    (overlapping spans from different partners must not double-delete),
+    then tokens inside any merged interval are dropped by a doc-keyed
+    range anti-join and the survivor text is md5'd after positional
+    reassembly — all integer/string-exact on both engines.
+    """
+    merged = merged_victim_intervals(docs)
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
     ).select("doc_id", F.col("p").cast("long").alias("p"), "tok")

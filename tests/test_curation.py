@@ -62,6 +62,10 @@ def test_curation_decision_partitions_corpus(spark):
         SALAD_ID_OFFSET,
         SALAD_MOD,
     )
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        PLANT_TWIN_ID_OFFSET,
+        PLANT_TWIN_MOD,
+    )
     from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
 
     out = corpus_curation_decision(spark, SF_DIR)
@@ -69,8 +73,10 @@ def test_curation_decision_partitions_corpus(spark):
     docs = load_table(spark, SF_DIR, "documents")
     n_docs = docs.count()
     n_salads = docs.filter(F.col("doc_id") % SALAD_MOD == 0).count()
-    # corpus + planted salad witnesses, nothing dropped silently
-    assert total == n_docs + n_salads
+    n_semtwins = docs.filter(F.col("doc_id") % PLANT_TWIN_MOD == 0).count()
+    # corpus + planted salad + semantic-twin witnesses, nothing dropped
+    # silently
+    assert total == n_docs + n_salads + n_semtwins
     bad = out.filter(F.col("keep") != (F.col("reason") == "keep")).count()
     assert bad == 0
     # every planted salad falls to the fluency gate; no real doc does
@@ -80,6 +86,22 @@ def test_curation_decision_partitions_corpus(spark):
     assert (
         out.filter(
             (F.col("doc_id") < SALAD_ID_OFFSET) & (F.col("reason") == "low_fluency")
+        ).count()
+        == 0
+    )
+    # every planted semantic twin falls to the SemDeDup gate (its text
+    # shares nothing with its source — only the embedding ties them)
+    twins = out.filter(
+        (F.col("doc_id") >= PLANT_TWIN_ID_OFFSET)
+        & (F.col("doc_id") < SALAD_ID_OFFSET)
+    )
+    assert twins.count() == n_semtwins
+    assert twins.filter(F.col("reason") != "semantic_dup").count() == 0
+    # and no real doc falls to it on this corpus (no natural twins)
+    assert (
+        out.filter(
+            (F.col("doc_id") < PLANT_TWIN_ID_OFFSET)
+            & (F.col("reason") == "semantic_dup")
         ).count()
         == 0
     )

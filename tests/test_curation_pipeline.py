@@ -199,3 +199,115 @@ def test_batch_pre_clean_strips_recurring_boilerplate_lines(spark, tmp_path):
     survivors = kept.filter(F.col("doc_id") % 7 == 0)
     assert survivors.count() > 0
     assert survivors.filter(F.length("text") > 50).count() == survivors.count()
+
+
+_FLUENT = [
+    "the quick brown fox jumps over a lazy dog and it runs to the old barn "
+    "of a quiet farm in the misty morning light while it is watching birds",
+    "a steady river flows through the green valley and it carries boats of "
+    "traders to the busy market in the stone city where it meets the sea",
+    "seven golden apples fell from the tall tree and it was a sign of "
+    "the good harvest to come for the people of the small village inn",
+    "nine silver boats sailed past the white cliffs and it was a fine "
+    "day for the crews of the long ships to see the light of the tower",
+]
+
+
+def test_semantic_gate_drops_planted_embedding_twin(spark, tmp_path):
+    """Two lexically unrelated docs whose EMBEDDINGS are near-identical:
+    the higher doc_id must fall to the SemDeDup gate with reason
+    semantic_dup; without an embeddings table the gate is off and both
+    survive."""
+    rows = list(enumerate(_FLUENT, start=1))
+    docs_p = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs_p)
+    # doc 3's embedding matches doc 1's within the SemDeDup quantizer
+    # (a re-encoded copy); the others are mutually near-orthogonal.
+    # With n docs <= SEM_K every vector seeds its own cluster, so only
+    # a quantizer-exact twin ties into its source's cluster — larger
+    # corpora (the registered dedup_semantic_kmeans query) exercise the
+    # near-but-not-equal case.
+    vecs = {
+        1: [1.0, 0.0, 0.0, 0.0, 0.1, 0.0, 0.0, 0.2],
+        2: [0.0, 1.0, 0.0, 0.0, 0.0, 0.3, 0.0, 0.0],
+        3: [1.0001, 0.0, 0.0, 0.0, 0.1, 0.0, 0.0, 0.2001],
+        4: [0.0, 0.0, 1.0, 0.2, 0.0, 0.0, 0.4, 0.0],
+    }
+    emb_p = str(tmp_path / "emb_in")
+    spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<float>"
+    ).write.parquet(emb_p)
+
+    out = str(tmp_path / "curated_sem")
+    s = run_curation_pipeline(spark, docs_p, out, embeddings_path=emb_p)
+    dropped = {
+        r["doc_id"]: r["reason"]
+        for r in spark.read.parquet(os.path.join(out, "dropped_docs")).collect()
+    }
+    assert dropped == {3: "semantic_dup"}
+    assert s.dropped == {"semantic_dup": 1}
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "kept_docs")).collect()
+    }
+    assert kept == {1, 2, 4}
+
+    # gate off without embeddings: everything survives
+    out2 = str(tmp_path / "curated_nosem")
+    s2 = run_curation_pipeline(spark, docs_p, out2)
+    assert s2.kept_docs == 4 and s2.dropped == {}
+
+
+def test_span_strip_removes_verbatim_boilerplate_from_kept_docs(spark, tmp_path):
+    """ExactSubstr pre-chunk clean: a >=10-token verbatim phrase shared
+    by two otherwise-unrelated kept docs survives only in the lowest
+    doc_id; the survivor text matches strip_verbatim_spans' md5
+    contract and the chunks are built from the stripped text."""
+    import hashlib
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.spans import (
+        strip_verbatim_spans,
+    )
+
+    phrase = (
+        "please read the full terms of the service before you use this site"
+    )
+    rows = [
+        (1, _FLUENT[0] + " " + phrase),
+        (2, _FLUENT[1] + " " + phrase),
+        (3, _FLUENT[2]),
+        (4, _FLUENT[3]),
+    ]
+    docs_p = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs_p)
+    out = str(tmp_path / "curated")
+    s = run_curation_pipeline(spark, docs_p, out)
+    assert s.kept_docs == 4  # the shared span alone is not a near-dup
+
+    kept = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(os.path.join(out, "kept_docs")).collect()
+    }
+    assert phrase in kept[1]["text"]  # lowest occurrence survives intact
+    assert phrase not in kept[2]["text"]  # victim loses exactly the span
+    assert kept[2]["text"] == _FLUENT[1]
+    assert kept[2]["n_tok"] == len(_FLUENT[1].split(" "))
+
+    # md5-verified survivor contract: the pipeline's kept text is the
+    # exact string strip_verbatim_spans fingerprints
+    pre_strip = spark.createDataFrame(
+        [(d, r) for d, r in ((1, rows[0][1]), (2, rows[1][1]), (3, rows[2][1]), (4, rows[3][1]))],
+        "doc_id long, text string",
+    )
+    md5s = {
+        r["doc_id"]: r["clean_md5"]
+        for r in strip_verbatim_spans(pre_strip).collect()
+    }
+    for d in (1, 2, 3, 4):
+        assert hashlib.md5(kept[d]["text"].encode()).hexdigest() == md5s[d]
+
+    # chunks come from the stripped text
+    chunks = spark.read.parquet(os.path.join(out, "chunks"))
+    assert chunks.filter(
+        (F.col("doc_id") == 2) & F.col("text").contains("terms of the service")
+    ).count() == 0
