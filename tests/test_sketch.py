@@ -155,3 +155,58 @@ def test_curation_decisions_identical_with_bloom_prescreen(spark):
     assert without.collect() == with_bloom.collect()
     reasons = {r["doc_id"]: r["reason"] for r in with_bloom.collect()}
     assert reasons[1] == "exact_dup" and reasons[2] == "keep"
+
+
+def test_cms_index_fold_extend_refold(spark, tmp_path):
+    """The persisted CMS index: fold batch 1, extend with batch 2, and
+    the read-back merge must equal a from-scratch sketch of both
+    batches; a crash-replayed extend (same tag) must not double-count."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        cms_rows,
+        extend_cms_index,
+        read_cms_index,
+    )
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the cat sat again"),
+            (2, "a dog ran to the park and a dog ran back"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (3, "the cat sat on the mat near a dog ran path"),
+            (4, "rain fell on the roof while the cat sat still"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "cms_index")
+    assert read_cms_index(spark, path) is None
+    extend_cms_index(b1, path, "batch1")
+    extend_cms_index(b2, path, "batch2")
+
+    def as_map(df):
+        return {(r["d"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+    folded = as_map(read_cms_index(spark, path))
+    scratch = as_map(cms_rows(b1.unionByName(b2)))
+    assert folded == scratch
+
+    # replay: overwriting the same tag is idempotent, never additive
+    extend_cms_index(b2, path, "batch2")
+    assert as_map(read_cms_index(spark, path)) == scratch
+
+
+def test_incremental_cms_certificate_holds(spark):
+    """Every heavy hitter's merged-sketch estimate equals the rebuild's
+    (mergeability is exact), and never undercounts."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        text_heavy_hitters_incremental,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = text_heavy_hitters_incremental(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["ok_merge_exact"] for r in rows)
+    assert all(r["ok_no_undercount"] for r in rows)
