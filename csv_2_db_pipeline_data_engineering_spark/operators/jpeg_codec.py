@@ -470,7 +470,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 if sampling != 0x11:
                     raise ValueError("only 4:4:4 (no subsampling) supported")
                 comps.append((cid, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2: progressive frame -> sibling decoder
+            from .jpeg_progressive import decode_jpeg_progressive
+
+            return decode_jpeg_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential JPEG supported")
         elif marker == 0xDD:

@@ -387,6 +387,7 @@ JPEG_STATS_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_components", T.IntegerType()),
+        T.StructField("progressive", T.BooleanType()),
         T.StructField("mean_pixel", T.DoubleType()),
     ]
 )
@@ -399,13 +400,20 @@ def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per doc_id a grayscale image of 8x8-constant blocks (block (bx,by)
     value = (doc_id*17 + by*7 + bx*13) % 256) is encoded with the flat
-    quantization table — the regime where baseline JPEG is lossless —
-    and decoded with the full marker+entropy+IDCT pipeline; features
-    come from the DECODED pixels, so the oracle match certifies the
-    whole round trip. Lossy-regime behavior (AC coefficients, coarse
-    qtables, color) is value-bounded in ``tests/test_jpeg_codec.py``.
+    quantization table — the regime where JPEG is lossless — and
+    decoded with the full marker+entropy+IDCT pipeline; features come
+    from the DECODED pixels, so the oracle match certifies the whole
+    round trip. EVEN doc_ids take the PROGRESSIVE (SOF2) path — encoded
+    with the libjpeg-style successive-approximation scan script and
+    decoded through the multi-scan spectral/approximation accumulator
+    (``jpeg_progressive``) — odd doc_ids the baseline path, so one
+    oracle row-set value-checks both entropy pipelines against the same
+    closed form. Lossy-regime behavior (AC coefficients, coarse
+    qtables, color) is value-bounded in ``tests/test_jpeg_codec.py`` /
+    ``tests/test_jpeg_progressive.py``.
     """
     from .jpeg_codec import decode_jpeg, encode_jpeg
+    from .jpeg_progressive import encode_jpeg_progressive
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -419,11 +427,14 @@ def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for y in range(h)
                     for x in range(w)
                 )
-                dw, dh, dc, dpx = decode_jpeg(encode_jpeg(w, h, px, channels=1))
+                prog = doc_id % 2 == 0
+                enc = encode_jpeg_progressive if prog else encode_jpeg
+                dw, dh, dc, dpx = decode_jpeg(enc(w, h, px, channels=1))
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(dw)
                 rows["height"].append(dh)
                 rows["n_components"].append(dc)
+                rows["progressive"].append(prog)
                 rows["mean_pixel"].append(float(sum(dpx)) / len(dpx))
             yield pd.DataFrame(
                 {
@@ -431,6 +442,7 @@ def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "width": pd.array(rows["width"], dtype="int32"),
                     "height": pd.array(rows["height"], dtype="int32"),
                     "n_components": pd.array(rows["n_components"], dtype="int32"),
+                    "progressive": pd.array(rows["progressive"], dtype="bool"),
                     "mean_pixel": rows["mean_pixel"],
                 }
             )
@@ -441,7 +453,7 @@ def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(decode_batches, JPEG_STATS_SCHEMA)
     )
     return feats.select(
-        "doc_id", "width", "height", "n_components",
+        "doc_id", "width", "height", "n_components", "progressive",
         F.round("mean_pixel", 4).alias("mean_pixel"),
     ).orderBy("doc_id")
 
@@ -453,7 +465,8 @@ v AS (SELECT doc_id, bwn, bhn,
              (doc_id * 17 + (bi // bwn) * 7 + (bi % bwn) * 13) % 256 AS v
       FROM b)
 SELECT doc_id, CAST(bwn * 8 AS INT) AS width, CAST(bhn * 8 AS INT) AS height,
-       1 AS n_components, ROUND(AVG(v), 4) AS mean_pixel
+       1 AS n_components, doc_id % 2 = 0 AS progressive,
+       ROUND(AVG(v), 4) AS mean_pixel
 FROM v GROUP BY doc_id, bwn, bhn ORDER BY doc_id
 """
 

@@ -94,10 +94,13 @@ def test_rejects_unsupported_capabilities():
     good = bytearray(encode_jpeg(8, 8, bytes(64), channels=1))
     sof = good.find(b"\xff\xc0")
     assert sof > 0
-    progressive = bytearray(good)
-    progressive[sof + 1] = 0xC2  # SOF2: progressive
+    # SOF2 now dispatches to the progressive decoder (which then rejects
+    # this baseline-coded scan as malformed rather than unsupported);
+    # a genuinely unsupported frame kind still names the capability.
+    lossless = bytearray(good)
+    lossless[sof + 1] = 0xC3  # SOF3: lossless sequential
     with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(bytes(progressive))
+        decode_jpeg(bytes(lossless))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"JUNK" + bytes(good[2:]))
     with pytest.raises(ValueError):

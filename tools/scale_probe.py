@@ -11,8 +11,20 @@ a bigger one) and times the probe queries at sf0.1 vs the generated
 sf1, min-of-N interleaved reps through the noop sink (the ``bench.py``
 estimator).
 
-Usage: python tools/scale_probe.py [--reps 3]
-Writes SCALE_PROBE.json and prints one JSON line.
+Usage: python tools/scale_probe.py [--reps 3] [--copies 10]
+                                   [--probes name1,name2] [--tables docs,emb,facts]
+Writes SCALE_PROBE.json (10x) / SCALE_PROBE_{copies}X.json (other
+scales) and prints one JSON line.
+
+The 100x run (VERDICT r8 #6) probes the two heaviest families plus the
+semantic family's linear-scale path:
+  python tools/scale_probe.py --copies 100 --reps 2 --tables docs,emb \\
+      --probes dedup_exact_substring,dedup_semantic_kmeans,dedup_embedding_cosine
+dedup_semantic_kmeans runs its k ∝ n regime, whose assignment term is
+O(n·k) = O(n²/650) — measured here so the law is on record, with the
+sign-LSH routed dedup_embedding_cosine measured alongside as the
+linear path a 100 TB corpus actually takes (same family, ~99.9% recall
+contract).
 """
 
 from __future__ import annotations
@@ -27,10 +39,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC_SF_DIR = "/root/testdata/sf0.1"
-GEN_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaleprobe", "sf1"
+_SCALEPROBE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaleprobe"
 )
-COPIES = 10  # sf0.1 -> sf1 equivalent
+DEFAULT_COPIES = 10  # sf0.1 -> sf1 equivalent
+
+
+def gen_dir(copies: int) -> str:
+    return os.path.join(_SCALEPROBE_ROOT, f"sf{copies / 10:g}")
 PROBES = [
     "dedup_minhash_lsh",
     "text_bigram_logprob",
@@ -68,7 +84,36 @@ def _semantic_kprop_builder(spark, sf_dir):
     return semantic_dedup_pairs(_with_planted_twins(emb), k=k)
 
 
-CUSTOM_PROBES = {"dedup_semantic_kmeans": _semantic_kprop_builder}
+def _semantic_lsh_builder(spark, sf_dir):
+    """The semantic family's LINEAR scale path, in its scale regime:
+    sign-LSH routed near-dup pairs at the SemDeDup threshold (0.95).
+
+    Why the registered defaults don't scale-probe: at threshold 0.88
+    the registered 12-plane/48-table family has a per-pair false-bucket
+    rate of (1/2)^12 on isotropic data — a CONSTANT — so candidates
+    grow Θ(n²)/4096 and the verify join explodes at 100x (measured:
+    spill-to-disk OOM). At 0.95 the angular gap supports 24 planes
+    (false-bucket rate (1/2)^24, candidates ~n²/1.7e7 — negligible at
+    this n) and 64 tables keep planted-twin recall ≥ 1-1e-8. Hash cost
+    is Θ(n · tables · planes) — the linear term that should dominate."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        _with_planted_twins,
+        embedding_near_dup_pairs,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+
+    return embedding_near_dup_pairs(
+        _with_planted_twins(load_table(spark, sf_dir, "embeddings")),
+        threshold=0.95,
+        n_tables=64,
+        n_planes=24,
+    )
+
+
+CUSTOM_PROBES = {
+    "dedup_semantic_kmeans": _semantic_kprop_builder,
+    "emb_neardup_lsh_sem095": _semantic_lsh_builder,
+}
 
 
 def generate_embeddings(src: str, dst: str, copies: int) -> None:
@@ -122,13 +167,17 @@ def generate_fact_tables(src: str, dst: str, copies: int) -> None:
         shutil.copy(f"{src}/{tbl}.parquet", f"{dst}/{tbl}.parquet")
 
 
-def generate(src: str, dst: str, copies: int) -> None:
+def generate(src: str, dst: str, copies: int, tables: set[str]) -> None:
     """Materialize the scaled tables (idempotent per table)."""
     import pandas as pd
 
     os.makedirs(dst, exist_ok=True)
-    generate_embeddings(src, dst, copies)
-    generate_fact_tables(src, dst, copies)
+    if "emb" in tables:
+        generate_embeddings(src, dst, copies)
+    if "facts" in tables:
+        generate_fact_tables(src, dst, copies)
+    if "docs" not in tables:
+        return
     out = os.path.join(dst, "documents.parquet")
     if os.path.exists(out):
         return
@@ -152,10 +201,17 @@ def generate(src: str, dst: str, copies: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--copies", type=int, default=DEFAULT_COPIES)
+    ap.add_argument("--probes", type=str, default=None,
+                    help="comma-separated probe names (default: full list)")
+    ap.add_argument("--tables", type=str, default="docs,emb,facts",
+                    help="which scaled tables to generate")
     args = ap.parse_args()
+    probes = args.probes.split(",") if args.probes else PROBES
+    target_dir = gen_dir(args.copies)
 
     t0 = time.monotonic()
-    generate(SRC_SF_DIR, GEN_DIR, COPIES)
+    generate(SRC_SF_DIR, target_dir, args.copies, set(args.tables.split(",")))
     gen_sec = round(time.monotonic() - t0, 1)
 
     from csv_2_db_pipeline_data_engineering_spark.operators.lifecycle import (
@@ -172,21 +228,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm up shared JVM paths on the small scale before timing anything
-    catalog[PROBES[0]].builder(spark, SRC_SF_DIR).write.format("noop").mode(
+    big_label = f"sf{args.copies / 10:g}"
+    def resolve(name):
+        return (
+            CUSTOM_PROBES[name] if name in CUSTOM_PROBES else catalog[name].builder
+        )
+
+    resolve(probes[0])(spark, SRC_SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
     release_scoped_caches()
     spark.catalog.clearCache()
 
     reps: dict[str, dict[str, list[float]]] = {
-        name: {"sf0.1": [], "sf1": []} for name in PROBES
+        name: {"sf0.1": [], big_label: []} for name in probes
     }
     for _ in range(args.reps):
-        for name in PROBES:
-            for label, sf_dir in (("sf0.1", SRC_SF_DIR), ("sf1", GEN_DIR)):
+        for name in probes:
+            for label, sf_dir in (("sf0.1", SRC_SF_DIR), (big_label, target_dir)):
                 t = time.monotonic()
-                builder = CUSTOM_PROBES.get(name, catalog[name].builder)
-                builder(spark, sf_dir).write.format("noop").mode(
+                resolve(name)(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 reps[name][label].append(round(time.monotonic() - t, 3))
@@ -194,23 +255,43 @@ def main() -> None:
                 spark.catalog.clearCache()
 
     summary = {
-        "metric": "scale_probe_10x",
-        "copies": COPIES,
+        "metric": f"scale_probe_{args.copies}x",
+        "copies": args.copies,
         "reps": args.reps,
         "generate_sec": gen_sec,
         "queries": {
             name: {
                 "sf0.1_sec": min(r["sf0.1"]),
-                "sf1_sec": min(r["sf1"]),
-                "ratio": round(min(r["sf1"]) / min(r["sf0.1"]), 2),
+                f"{big_label}_sec": min(r[big_label]),
+                "ratio": round(min(r[big_label]) / min(r["sf0.1"]), 2),
             }
             for name, r in reps.items()
         },
     }
-    with open(
-        os.path.join(os.path.dirname(GEN_DIR), "..", "SCALE_PROBE.json"), "w"
-    ) as f:
-        json.dump({**summary, "all_reps": reps}, f, indent=1)
+    out_name = (
+        "SCALE_PROBE.json"
+        if args.copies == DEFAULT_COPIES
+        else f"SCALE_PROBE_{args.copies}X.json"
+    )
+    out_path = os.path.join(os.path.dirname(_SCALEPROBE_ROOT), out_name)
+    # merge with prior runs at the same scale so probe families can be
+    # measured one invocation at a time
+    prior_q, prior_r = {}, {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        prior_q = prior.get("queries", {})
+        prior_r = prior.get("all_reps", {})
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                **summary,
+                "queries": {**prior_q, **summary["queries"]},
+                "all_reps": {**prior_r, **reps},
+            },
+            f,
+            indent=1,
+        )
     print(json.dumps(summary), flush=True)
     spark.stop()
 
