@@ -78,6 +78,11 @@ HEADLINE = [
     "text_heavy_hitters_cms",
     "dedup_bloom_prefilter",
     "corpus_snapshot_diff",
+    # round-9: mergeable-sketch persistence (history+delta counter merge
+    # certified against a rebuild) and the dual-path JPEG kernel (even
+    # doc_ids now decode through the progressive multi-scan accumulator)
+    "text_heavy_hitters_incremental",
+    "mm_jpeg_decode_stats",
 ]
 
 
