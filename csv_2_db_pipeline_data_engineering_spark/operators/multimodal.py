@@ -946,6 +946,124 @@ FROM s ORDER BY doc_id
 """
 
 
+# --- AVI/MJPEG: real COMPRESSED-video decode -------------------------------
+
+AVI_W, AVI_H = 16, 16
+AVI_FRAMES = "1 + doc_id % 3"
+
+AVI_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_progressive", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def mm_avi_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode: synthesize → per-frame JPEG encode
+    → AVI/MJPG wrap → container parse → per-frame entropy decode →
+    featurize, all with the repo's from-spec codecs (``avi_codec`` +
+    ``jpeg_codec``/``jpeg_progressive``).
+
+    Per doc_id an AVI of ``1 + doc_id % 3`` grayscale 16x16 frames of
+    8x8-constant blocks (frame k, block (bx,by) value =
+    ``(doc_id*11 + k*29 + by*5 + bx*3) % 256``) is built with frames
+    alternating baseline/progressive JPEG entropy coding (progressive
+    when ``(doc_id + k)`` is even) at the flat quantization table — the
+    lossless regime — then decoded end-to-end. Features come from the
+    DECODED frames (mean luma across all frames; the SOF2 marker count
+    value-checks which entropy path each frame really took), so the
+    oracle match certifies RIFF walk + avih agreement + both JPEG
+    pipelines at once. Inter-frame codecs (H.264-class) stay honestly
+    stubbed — MJPEG is the compressed-video format a stdlib-only engine
+    can own.
+    """
+    from .avi_codec import decode_avi_mjpeg, encode_avi_mjpeg
+    from .jpeg_codec import decode_jpeg, encode_jpeg
+    from .jpeg_progressive import encode_jpeg_progressive
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in AVI_STATS_SCHEMA}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 1 + doc_id % 3
+                payloads = []
+                for k in range(n):
+                    px = bytes(
+                        (doc_id * 11 + k * 29 + (y // 8) * 5 + (x // 8) * 3)
+                        % 256
+                        for y in range(AVI_H)
+                        for x in range(AVI_W)
+                    )
+                    enc = (
+                        encode_jpeg_progressive
+                        if (doc_id + k) % 2 == 0
+                        else encode_jpeg
+                    )
+                    payloads.append(enc(AVI_W, AVI_H, px, channels=1))
+                w, h, frames = decode_avi_mjpeg(
+                    encode_avi_mjpeg(AVI_W, AVI_H, payloads)
+                )
+                luma = n_prog = 0
+                for f in frames:
+                    fw, fh, _c, px = decode_jpeg(f)
+                    if (fw, fh) != (w, h):
+                        raise ValueError("AVI frame dims disagree with header")
+                    luma += sum(px)
+                    n_prog += int(b"\xff\xc2" in f)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(len(frames))
+                rows["n_progressive"].append(n_prog)
+                rows["mean_luma"].append(float(luma) / (len(frames) * w * h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "n_frames": pd.array(rows["n_frames"], dtype="int32"),
+                    "n_progressive": pd.array(
+                        rows["n_progressive"], dtype="int32"
+                    ),
+                    "mean_luma": rows["mean_luma"],
+                }
+            )
+
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(decode_batches, AVI_STATS_SCHEMA)
+    )
+    return feats.select(
+        "doc_id", "width", "height", "n_frames", "n_progressive",
+        F.round("mean_luma", 4).alias("mean_luma"),
+    ).orderBy("doc_id")
+
+
+MM_AVI_ORACLE = f"""
+WITH d AS (SELECT doc_id, {AVI_FRAMES} AS n FROM documents),
+f AS (SELECT doc_id, n, unnest(range(n)) AS k FROM d),
+b AS (SELECT doc_id, n, k, unnest(range(4)) AS bi FROM f),
+v AS (
+  SELECT doc_id, n, k,
+         (doc_id * 11 + k * 29 + (bi // 2) * 5 + (bi % 2) * 3) % 256 AS v
+  FROM b
+)
+SELECT doc_id, {AVI_W} AS width, {AVI_H} AS height,
+       CAST(n AS INT) AS n_frames,
+       CAST(SUM(CASE WHEN (doc_id + k) % 2 = 0 THEN 1 ELSE 0 END) / 4 AS INT)
+         AS n_progressive,
+       ROUND(AVG(v), 4) AS mean_luma
+FROM v GROUP BY doc_id, n ORDER BY doc_id
+"""
+
+
 # --- GIF: real LZW decode + animation frame stats --------------------------
 
 GIF_W = "6 + doc_id % 5"   # 6..10
@@ -1450,6 +1568,10 @@ QUERIES = [
           "REAL uncompressed-video decode (YUV4MPEG2 parse + frame "
           "sampling) via mapInPandas",
           mm_y4m_video_stats, MM_Y4M_ORACLE),
+    Query("mm_avi_mjpeg_stats",
+          "REAL compressed-video decode (AVI RIFF walk + per-frame "
+          "baseline/progressive JPEG entropy decode) via mapInPandas",
+          mm_avi_mjpeg_stats, MM_AVI_ORACLE),
     Query("mm_decode_features", "Arrow-batched decode/feature-extract (stub kernel)",
           mm_decode_features, MM_DECODE_ORACLE),
     Query("mm_frame_sample_stats", "fan-out frame sampling via mapInPandas",

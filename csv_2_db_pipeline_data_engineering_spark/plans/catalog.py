@@ -175,10 +175,11 @@ class Query:
 # (r1-r8; join-agg-topk analytics keep q1 + range_join +
 # top3_orders_per_priority). All rotated-out queries remain registered
 # and locally oracle-checked via tools/check_oracles.py. After this
-# rotation only five registered queries have never been driver-checked
+# rotation only five pre-r9 queries have never been driver-checked
 # (text_boilerplate_strip, text_encoding_fix, promo_revenue_share,
 # top_revenue_supplier, disjunctive_bracket_revenue) — they rotate in
-# next round.
+# next round together with round 9's own additions
+# (text_heavy_hitters_incremental, mm_avi_mjpeg_stats).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
