@@ -256,11 +256,19 @@ def semantic_dedup_pairs(
     divide are bit-identical), rounded to 6 places.
 
     Scaling law: the within-cluster verify is Θ(n²/k) pairs, so at a
-    FIXED k it grows quadratically.  The 100 TB path (and the published
-    SemDeDup configuration — 11k clusters for 100M+ docs) picks
-    ``k ∝ n`` to hold the cluster size constant, making the verify
-    linear; the registered query pins k=8 for the sf0.01 oracle, and
-    ``tools/scale_probe.py`` measures the k∝n regime at 10× data.
+    FIXED k it grows quadratically.  Picking ``k ∝ n`` (the published
+    SemDeDup configuration — 11k clusters for 100M+ docs) holds the
+    cluster size constant and makes the VERIFY linear — but moves the
+    quadratic term into the exact ASSIGNMENT step, O(n·k) = O(n²/650).
+    Measured (``SCALE_PROBE_100X.json``): the k∝n regime is fine at 10×
+    data (5.15×) and decisively super-linear at 100× (did not complete
+    in an hour); SemDeDup itself pays that term with GPU brute-force
+    assignment.  The engine's linear 100 TB path for the semantic
+    family is sign-LSH routing at the 0.95 regime
+    (``dedup.embedding_near_dup_pairs`` with threshold-matched plane
+    counts — measured 8.26× wall at 100× data, same probe file); this
+    exact k-means operator is the mid-scale/oracle-checkable tool.
+    The registered query pins k=8 for the sf0.01 oracle.
     """
     blocks = SEM_PAIR_BLOCKS
     fin = (
