@@ -120,16 +120,20 @@ def read_bloom_bits(spark: SparkSession, out_dir: str) -> DataFrame | None:
     committed batch can predate the bloom index (upgrade/migration, or
     a partially deleted ``bloom_index``) — partial coverage would prune
     genuinely-seen history keys and silently keep exact duplicates. So
-    any applied batch that wrote an index partition but has no
-    ``delta=`` tag gets its tag backfilled here from the committed
-    index batch (idempotent per-tag overwrite) before the bits are
-    read.
+    any applied batch that wrote an index partition but has neither a
+    ``delta=`` tag nor membership in a compacted base tag
+    (``_COMPACTED.json``, written by ``compact_bloom_index``) gets its
+    tag backfilled here from the committed index batch (idempotent
+    per-tag overwrite) before the bits are read.
     """
     base = os.path.join(out_dir, BLOOM_INDEX_DIR)
+    covered = _read_compacted(base)
     for b in _read_manifest(out_dir)["applied"]:
         idx = _batch_dir(out_dir, "index", b)
-        if os.path.isdir(idx) and not os.path.isdir(
-            os.path.join(base, f"delta=batch{b}")
+        if (
+            b not in covered
+            and os.path.isdir(idx)
+            and not os.path.isdir(os.path.join(base, f"delta=batch{b}"))
         ):
             extend_bloom_index(
                 spark.read.parquet(idx).select("fingerprint"), base, f"batch{b}"
@@ -148,6 +152,57 @@ def extend_bloom_index(keys: DataFrame, path: str, tag: str) -> None:
     bloom_bit_rows(keys).write.mode("overwrite").parquet(
         os.path.join(path, f"delta={tag}")
     )
+
+
+_COMPACTED = "_COMPACTED.json"
+
+
+def _read_compacted(base: str) -> set[int]:
+    p = os.path.join(base, _COMPACTED)
+    if not os.path.exists(p):
+        return set()
+    with open(p, encoding="utf-8") as fh:
+        return set(json.load(fh)["covered"])
+
+
+def compact_bloom_index(spark: SparkSession, out_dir: str, tag: str = "base") -> None:
+    """Merge every delta partition into one DISTINCT ``delta=<tag>``
+    partition — the ``compact_line_index`` LSM move for the Bloom bits.
+
+    Long streams accumulate one tag per fold with heavy (k, pos)
+    duplication across tags; ``bloom_screen`` caps its broadcast with a
+    ``distinct()`` regardless, but compaction makes the on-disk index
+    itself O(K·M) again and the per-fold read one partition instead of
+    hundreds. The batch ids folded into the base tag are recorded in
+    ``_COMPACTED.json`` so ``read_bloom_bits``' coverage gate knows they
+    are covered without per-batch tags (and does not re-backfill them).
+    Run on the maintenance cadence, amortized O(K·M) against many
+    O(delta) folds.
+    """
+    import shutil
+
+    base = os.path.join(out_dir, BLOOM_INDEX_DIR)
+    bits = read_bloom_bits(spark, out_dir)  # backfills any coverage gap first
+    if bits is None:
+        return
+    applied = sorted(
+        set(_read_manifest(out_dir)["applied"]) | _read_compacted(base)
+    )
+    tmp_tag = f"__compact_{tag}"
+    bits.distinct().write.mode("overwrite").parquet(
+        os.path.join(base, f"delta={tmp_tag}")
+    )
+    for t in os.listdir(base):
+        if t.startswith("delta=") and t != f"delta={tmp_tag}":
+            shutil.rmtree(os.path.join(base, t))
+    os.replace(
+        os.path.join(base, f"delta={tmp_tag}"), os.path.join(base, f"delta={tag}")
+    )
+    fd, tmp = tempfile.mkstemp(prefix="._compacted_", dir=base)
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        json.dump({"covered": applied}, fh)
+    os.replace(tmp, os.path.join(base, _COMPACTED))
+    spark.catalog.refreshByPath(base)
 
 
 def _line_index_excluding(

@@ -295,3 +295,39 @@ def test_bloom_coverage_backfilled_after_partial_index_loss(spark, tmp_path):
     assert dropped[20] == "exact_dup"
     # the tag was backfilled on read
     assert (Path(out) / "bloom_index" / "delta=batch0").is_dir()
+
+
+def test_bloom_compaction_preserves_coverage_without_tag_rebuild(spark, tmp_path):
+    """After compact_bloom_index the on-disk index is one base tag +
+    marker; the coverage gate must treat compacted batches as covered
+    (no per-batch tag backfill) and the exact gate must still catch
+    duplicates of pre-compaction docs."""
+    from csv_2_db_pipeline_data_engineering_spark.streaming.curation_stream import (
+        compact_bloom_index,
+    )
+
+    out = str(tmp_path / "curated")
+    fold_curation_batch(spark, _docs(spark, [(1, _BASE), (2, _OTHER)]), out, 0)
+    fresh = (
+        "six bright stars rose over the dark hills and it was a clear "
+        "night for the folk of the valley farms to walk by the old road"
+    )
+    fold_curation_batch(spark, _docs(spark, [(3, fresh)]), out, 1)
+    compact_bloom_index(spark, out)
+
+    bloom = Path(out) / "bloom_index"
+    tags = sorted(t.name for t in bloom.iterdir() if t.name.startswith("delta="))
+    assert tags == ["delta=base"]
+    assert (bloom / "_COMPACTED.json").is_dir() is False
+    assert (bloom / "_COMPACTED.json").exists()
+
+    # a post-compaction fold still catches an exact dup of a batch-0 doc
+    fold_curation_batch(spark, _docs(spark, [(30, _BASE)]), out, 2)
+    dropped = {
+        r["doc_id"]: r["reason"]
+        for r in read_curated(spark, out, "dropped").collect()
+    }
+    assert dropped[30] == "exact_dup"
+    # the compacted batches were NOT re-backfilled as per-batch tags
+    tags = sorted(t.name for t in bloom.iterdir() if t.name.startswith("delta="))
+    assert tags == ["delta=base", "delta=batch2"]
