@@ -83,6 +83,11 @@ HEADLINE = [
     # doc_ids now decode through the progressive multi-scan accumulator)
     "text_heavy_hitters_incremental",
     "mm_jpeg_decode_stats",
+    # round-9 late: ExactSubstr incremental fold (digest-keyed inverted
+    # probe vs the shingle index) and compressed-video decode (AVI RIFF
+    # walk + per-frame dual-path JPEG entropy decode)
+    "span_strip_incremental",
+    "mm_avi_mjpeg_stats",
 ]
 
 

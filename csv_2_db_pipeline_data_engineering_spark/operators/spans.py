@@ -77,14 +77,16 @@ def plant_boilerplate(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingles(docs: DataFrame, L: int = SPAN_SHINGLE) -> DataFrame:
-    """(doc_id, pos, sh): md5 key per L-token window, df-capped."""
+def _raw_shingles(docs: DataFrame, L: int = SPAN_SHINGLE) -> DataFrame:
+    """(doc_id, pos, sh): md5 key per L-token window, UNCAPPED — the
+    persistable form (``write_span_index``); the df cap is a read-time
+    decision because document frequency is a corpus-global statistic."""
     words = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", i).over(win).alias(f"t{i}") for i in range(1, L)]
-    sh = (
+    return (
         words.select("doc_id", "pos", F.col("tok").alias("t0"), *leads)
         .filter(F.col(f"t{L-1}").isNotNull())
         .select(
@@ -93,6 +95,11 @@ def _shingles(docs: DataFrame, L: int = SPAN_SHINGLE) -> DataFrame:
             F.md5(F.concat_ws(" ", *[f"t{i}" for i in range(L)])).alias("sh"),
         )
     )
+
+
+def _shingles(docs: DataFrame, L: int = SPAN_SHINGLE) -> DataFrame:
+    """(doc_id, pos, sh): md5 key per L-token window, df-capped."""
+    sh = _raw_shingles(docs, L)
     hot = (
         sh.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -198,8 +205,9 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def merged_victim_intervals(docs: DataFrame) -> DataFrame:
-    """Per-victim merged token intervals to delete: (doc_id, grp, s, e).
+def _union_intervals(iv: DataFrame) -> DataFrame:
+    """Merge overlapping (doc_id, s, e) token intervals: (doc_id, grp,
+    s, e).
 
     DISTINCT first: interval union is a set operation, and the same
     (victim, start, end) arrives once per partner doc sharing the
@@ -208,15 +216,7 @@ def merged_victim_intervals(docs: DataFrame) -> DataFrame:
     the running-max-end gaps-and-islands window merges overlapping
     intervals so no token is double-deleted.
     """
-    iv = (
-        verbatim_span_islands(docs)
-        .select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("b_start").alias("s"),
-            (F.col("b_start") + F.col("span_tokens")).alias("e"),
-        )
-        .distinct()
-    )
+    iv = iv.distinct()
     w = Window.partitionBy("doc_id").orderBy("s", "e")
     prev_max_e = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -232,6 +232,17 @@ def merged_victim_intervals(docs: DataFrame) -> DataFrame:
         )
         .groupBy("doc_id", "grp")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+
+
+def merged_victim_intervals(docs: DataFrame) -> DataFrame:
+    """Per-victim merged token intervals to delete: (doc_id, grp, s, e)."""
+    return _union_intervals(
+        verbatim_span_islands(docs).select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("b_start").alias("s"),
+            (F.col("b_start") + F.col("span_tokens")).alias("e"),
+        )
     )
 
 
@@ -299,7 +310,13 @@ def strip_verbatim_spans(docs: DataFrame) -> DataFrame:
     range anti-join and the survivor text is md5'd after positional
     reassembly — all integer/string-exact on both engines.
     """
-    merged = merged_victim_intervals(docs)
+    return _strip_summary(docs, merged_victim_intervals(docs))
+
+
+def _strip_summary(docs: DataFrame, merged: DataFrame) -> DataFrame:
+    """Per-doc removal summary for merged victim intervals: (doc_id,
+    n_tokens, n_removed, n_intervals, clean_md5) — the shared tail of
+    the batch and incremental strip paths."""
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
     ).select("doc_id", F.col("p").cast("long").alias("p"), "tok")
@@ -348,6 +365,152 @@ def text_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents").select("doc_id", "text")
         )
     )
+
+
+# --- persisted span index + incremental strip ------------------------------
+
+
+def write_span_index(docs: DataFrame, path: str, tag: str = "base") -> None:
+    """Persist a corpus' shingle index under ``<path>/{shingles,stats}/
+    delta=<tag>/`` — the ExactSubstr twin of ``write_line_index``.
+
+    Two tagged tables: the raw (doc_id, pos, sh) shingle rows (what the
+    candidate join probes) and the per-shingle document-frequency
+    partials (what the read-time df cap merges — df is corpus-global,
+    so it cannot be baked into any one tag). Later deltas extend both
+    with new ``delta=<tag>`` directories: O(delta) per maintenance
+    step, history partitions never read or rewritten, same-tag replay
+    overwrites idempotently.
+    """
+    import os
+
+    sh = _raw_shingles(docs)
+    sh.write.mode("overwrite").parquet(
+        os.path.join(path, "shingles", f"delta={tag}")
+    )
+    sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("n_docs")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "stats", f"delta={tag}"))
+
+
+def extend_span_index(delta_docs: DataFrame, path: str, tag: str) -> None:
+    """Fold a delta's shingles INTO the persisted index: O(delta)."""
+    write_span_index(delta_docs, path, tag)
+
+
+def read_span_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """(shingle rows, merged df stats) across all delta partitions."""
+    import os
+
+    sh = (
+        spark.read.option("basePath", os.path.join(path, "shingles"))
+        .parquet(os.path.join(path, "shingles", "delta=*"))
+        .drop("delta")
+    )
+    stats = (
+        spark.read.option("basePath", os.path.join(path, "stats"))
+        .parquet(os.path.join(path, "stats", "delta=*"))
+        .drop("delta")
+        .groupBy("sh")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    return sh, stats
+
+
+def incremental_span_strip_frame(
+    delta_docs: DataFrame,
+    index_shingles: DataFrame,
+    index_stats: DataFrame,
+    L: int = SPAN_SHINGLE,
+    min_span: int = MIN_SPAN_TOKENS,
+) -> DataFrame:
+    """ExactSubstr span removal for NEW documents against an indexed
+    base corpus — the Lee et al. policy under the incremental
+    convention: history is first-seen, so EVERY delta occurrence of a
+    span already in the index is deleted (temporal order wins, not
+    doc_id order — a delta doc with a lower id than its history partner
+    is still the victim); among delta docs the lowest delta doc_id
+    keeps. Touches delta text + the stored index only; history text is
+    never rescanned, and the candidate join is keyed on the 16-byte
+    shingle digest with the corpus-global df cap re-derived by MERGING
+    the stored per-tag frequency partials with the delta's (document
+    frequency cannot be pre-capped per tag).
+
+    Per-doc output matches :func:`strip_verbatim_spans` (n_tokens,
+    n_removed, n_intervals, clean_md5), rows for delta docs only.
+    """
+    sd = _raw_shingles(delta_docs, L)
+    d_stats = sd.groupBy("sh").agg(F.countDistinct("doc_id").alias("n_docs"))
+    hot = (
+        index_stats.unionByName(d_stats)
+        .groupBy("sh")
+        .agg(F.sum("n_docs").alias("df"))
+        .filter(F.col("df") > SPAN_DF_CAP)
+        .select("sh")
+    )
+    sdc = sd.join(hot, "sh", "left_anti")
+    ih = index_shingles.join(hot, "sh", "left_anti")
+    mh = (
+        sdc.alias("d")
+        .join(ih.alias("h"), "sh")
+        .select(
+            F.col("h.doc_id").alias("src"),
+            F.col("d.doc_id").alias("doc_id"),
+            F.col("d.pos").alias("pos_b"),
+            (F.col("h.pos") - F.col("d.pos")).alias("diag"),
+        )
+    )
+    md = (
+        sdc.alias("a")
+        .join(sdc.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("b.pos").alias("pos_b"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    m = mh.unionByName(md)
+    w = Window.partitionBy("src", "doc_id", "diag").orderBy("pos_b")
+    islands = (
+        m.withColumn("isl", F.col("pos_b") - F.row_number().over(w))
+        .groupBy("src", "doc_id", "diag", "isl")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(L - 1)).alias("span_tokens"),
+            F.min("pos_b").alias("s"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+    )
+    merged = _union_intervals(
+        islands.select(
+            "doc_id", "s", (F.col("s") + F.col("span_tokens")).alias("e")
+        )
+    )
+    return _strip_summary(delta_docs, merged)
+
+
+def span_strip_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered incremental demo: planted corpus split into an
+    already-indexed base (doc_id % 10 != 0) and an arriving delta
+    (doc_id % 10 == 0); the delta's spans strip against the base's
+    shingle index built in-plan. The planted boilerplate phrase lands
+    on every 17th doc, so base and delta genuinely share verbatim
+    spans across the split — including delta doc 0, whose id is LOWER
+    than its history partners but which still loses its phrase
+    (first-seen-in-history wins under the incremental convention; the
+    batch ``text_span_strip`` would have kept it). The disk
+    persistence path — write, extend, fold against the read-back — is
+    exercised in ``tests/test_spans.py``.
+    """
+    docs = plant_boilerplate(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    ish = _raw_shingles(base)
+    istats = ish.groupBy("sh").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return incremental_span_strip_frame(delta, ish, istats)
 
 
 #: shared CTE chain through ``spans`` (all maximal islands); the two
@@ -462,6 +625,78 @@ ORDER BY doc_id
 """
 
 
+SPAN_STRIP_INCREMENTAL_ORACLE = _SPANS_CTE_PREFIX + f""",
+ih AS (SELECT * FROM sh WHERE doc_id % 10 != 0),
+dh AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+im AS (
+  SELECT h.doc_id AS src, d.doc_id AS doc_id, d.pos AS pos_b,
+         h.pos - d.pos AS diag
+  FROM dh d JOIN ih h ON d.sh = h.sh
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, b.pos, a.pos - b.pos
+  FROM dh a JOIN dh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+iisl AS (
+  SELECT src, doc_id, diag,
+         pos_b - ROW_NUMBER() OVER (
+           PARTITION BY src, doc_id, diag ORDER BY pos_b) AS island,
+         pos_b
+  FROM im
+),
+ispans AS (
+  SELECT doc_id,
+         CAST(COUNT(*) + {SPAN_SHINGLE - 1} AS BIGINT) AS span_tokens,
+         MIN(pos_b) AS s
+  FROM iisl GROUP BY src, doc_id, diag, island
+  HAVING COUNT(*) + {SPAN_SHINGLE - 1} >= {MIN_SPAN_TOKENS}
+),
+iv AS (SELECT DISTINCT doc_id, s, s + span_tokens AS e FROM ispans),
+mg AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM iv
+),
+mg2 AS (
+  SELECT doc_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM mg
+),
+merged AS (
+  SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e FROM mg2 GROUP BY doc_id, grp
+),
+dtoks AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+tk AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w[i] AS tok
+  FROM dtoks, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+keptt AS (
+  SELECT t.doc_id, t.p, t.tok FROM tk t
+  WHERE NOT EXISTS (SELECT 1 FROM merged m
+                    WHERE m.doc_id = t.doc_id AND t.p >= m.s AND t.p < m.e)
+),
+pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+  FROM keptt GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM dtoks),
+niv AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_intervals
+  FROM merged GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       t.n_tokens - COALESCE(p.n_kept, 0) AS n_removed,
+       COALESCE(n.n_intervals, 0) AS n_intervals,
+       p.clean_md5
+FROM tot t LEFT JOIN pd p USING (doc_id) LEFT JOIN niv n USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query(
         "dedup_exact_substring",
@@ -478,5 +713,13 @@ QUERIES = [
         "range anti-join, md5-verified survivor text)",
         text_span_strip,
         SPAN_STRIP_ORACLE,
+    ),
+    Query(
+        "span_strip_incremental",
+        "ExactSubstr for arriving docs vs a persisted shingle index: "
+        "history-first-seen victim policy, merged df cap, md5-verified "
+        "survivor text (O(delta) fold, history text never rescanned)",
+        span_strip_incremental,
+        SPAN_STRIP_INCREMENTAL_ORACLE,
     ),
 ]

@@ -179,7 +179,8 @@ class Query:
 # (text_boilerplate_strip, text_encoding_fix, promo_revenue_share,
 # top_revenue_supplier, disjunctive_bracket_revenue) — they rotate in
 # next round together with round 9's own additions
-# (text_heavy_hitters_incremental, mm_avi_mjpeg_stats).
+# (text_heavy_hitters_incremental, mm_avi_mjpeg_stats,
+# span_strip_incremental).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",

@@ -204,3 +204,92 @@ def test_planted_random_span_always_found(spark, seed, span_len, offset_a, offse
     want_len = max(model.values())
     assert r["span_tokens"] == want_len == span_len
     assert (r["a_start"], r["b_start"]) in model
+
+
+def test_span_index_write_extend_fold_round_trip(spark, tmp_path):
+    """Persisted shingle index: fold a delta against the read-back of
+    write+extend and get exactly the in-plan result; a replayed extend
+    (same tag) stays idempotent."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.spans import (
+        _raw_shingles,
+        extend_span_index,
+        incremental_span_strip_frame,
+        read_span_index,
+        write_span_index,
+    )
+    from pyspark.sql import functions as F
+
+    phrase = "the quick brown fox jumps over the lazy dog near the river bank"
+    base1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " + phrase), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    base2 = spark.createDataFrame(
+        [(3, "red green blue cyan magenta yellow black white gray pink teal")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10, "zz yy xx ww vv " + phrase), (11, "uu tt ss rr qq pp oo nn mm ll")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "span_index")
+    write_span_index(base1, path, "base")
+    extend_span_index(base2, path, "batch2")
+    extend_span_index(base2, path, "batch2")  # replay: overwrite, not append
+
+    ish, istats = read_span_index(spark, path)
+    folded = incremental_span_strip_frame(delta, ish, istats).collect()
+
+    allbase = base1.unionByName(base2)
+    inplan = incremental_span_strip_frame(
+        delta,
+        _raw_shingles(allbase),
+        _raw_shingles(allbase)
+        .groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("n_docs")),
+    ).collect()
+    assert folded == inplan
+
+    out = {r["doc_id"]: r for r in folded}
+    # doc 10 loses exactly the 12-token phrase first seen in history
+    assert out[10]["n_removed"] == len(phrase.split(" "))
+    assert out[10]["n_intervals"] == 1
+    import hashlib
+
+    assert out[10]["clean_md5"] == hashlib.md5(b"zz yy xx ww vv").hexdigest()
+    # doc 11 shares nothing: untouched
+    assert out[11]["n_removed"] == 0 and out[11]["n_intervals"] == 0
+
+
+def test_incremental_first_seen_beats_doc_id_order(spark):
+    """A delta doc with a LOWER id than its history partner is still
+    the victim (temporal first-seen wins) — the semantics that
+    distinguish the incremental fold from batch text_span_strip."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.spans import (
+        _raw_shingles,
+        incremental_span_strip_frame,
+        strip_verbatim_spans,
+    )
+    from pyspark.sql import functions as F
+
+    phrase = "please read the full terms of the service before you use this"
+    hist = spark.createDataFrame(
+        [(100, "aa bb cc dd ee " + phrase)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(5, "ff gg hh ii jj " + phrase)], "doc_id long, text string"
+    )
+    inc = incremental_span_strip_frame(
+        delta,
+        _raw_shingles(hist),
+        _raw_shingles(hist)
+        .groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("n_docs")),
+    ).collect()
+    assert inc[0]["doc_id"] == 5 and inc[0]["n_removed"] == len(phrase.split(" "))
+    # the batch policy would have kept doc 5 (lowest id wins there)
+    batch = {
+        r["doc_id"]: r
+        for r in strip_verbatim_spans(hist.unionByName(delta)).collect()
+    }
+    assert batch[5]["n_removed"] == 0 and batch[100]["n_removed"] > 0
