@@ -257,7 +257,12 @@ def strip_verbatim_span_text(docs: DataFrame) -> DataFrame:
     The rebuilt text is exactly the string ``strip_verbatim_spans``
     fingerprints as ``clean_md5`` — the md5-verified survivor contract.
     """
-    merged = merged_victim_intervals(docs)
+    return _rebuild_text(docs, merged_victim_intervals(docs))
+
+
+def _rebuild_text(docs: DataFrame, merged: DataFrame) -> DataFrame:
+    """(doc_id, text) with merged victim intervals deleted — victim-only
+    rebuild, shared by the batch and incremental strip-text paths."""
     victims = merged.select("doc_id").distinct()
     toks = (
         docs.join(victims, "doc_id", "left_semi")
@@ -439,6 +444,39 @@ def incremental_span_strip_frame(
     Per-doc output matches :func:`strip_verbatim_spans` (n_tokens,
     n_removed, n_intervals, clean_md5), rows for delta docs only.
     """
+    return _strip_summary(
+        delta_docs,
+        _incremental_victim_intervals(
+            delta_docs, index_shingles, index_stats, L, min_span
+        ),
+    )
+
+
+def incremental_span_strip_text(
+    delta_docs: DataFrame,
+    index_shingles: DataFrame,
+    index_stats: DataFrame,
+    L: int = SPAN_SHINGLE,
+    min_span: int = MIN_SPAN_TOKENS,
+) -> DataFrame:
+    """(doc_id, text) for the delta with indexed spans deleted — the
+    streaming fold's pre-chunk hook (same victim policy as
+    :func:`incremental_span_strip_frame`, returning survivor text)."""
+    return _rebuild_text(
+        delta_docs,
+        _incremental_victim_intervals(
+            delta_docs, index_shingles, index_stats, L, min_span
+        ),
+    )
+
+
+def _incremental_victim_intervals(
+    delta_docs: DataFrame,
+    index_shingles: DataFrame,
+    index_stats: DataFrame,
+    L: int = SPAN_SHINGLE,
+    min_span: int = MIN_SPAN_TOKENS,
+) -> DataFrame:
     sd = _raw_shingles(delta_docs, L)
     d_stats = sd.groupBy("sh").agg(F.countDistinct("doc_id").alias("n_docs"))
     hot = (
@@ -482,12 +520,11 @@ def incremental_span_strip_frame(
         )
         .filter(F.col("span_tokens") >= min_span)
     )
-    merged = _union_intervals(
+    return _union_intervals(
         islands.select(
             "doc_id", "s", (F.col("s") + F.col("span_tokens")).alias("e")
         )
     )
-    return _strip_summary(delta_docs, merged)
 
 
 def span_strip_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

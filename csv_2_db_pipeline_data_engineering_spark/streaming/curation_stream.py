@@ -25,7 +25,14 @@ Per batch:
    sets — history text is never re-shingled, the property proven in
    ``tests/test_dedup_incremental.py``);
 3. language/quality gates + PII scrub (map-side);
-4. kept docs, their chunks, their dropped siblings, and the kept docs'
+4. ExactSubstr span strip — verbatim spans already SHIPPED by a
+   committed batch are deleted from this batch's kept text before
+   chunking (``operators/spans.incremental_span_strip_text`` against
+   the kept-corpus shingle index; first-seen-in-history wins; the
+   index extends O(delta) per fold and is read committed-tags-only so
+   an uncommitted fold's phantom tag can never strip a later first
+   occurrence);
+5. kept docs, their chunks, their dropped siblings, and the kept docs'
    NEW index rows land in per-batch directories; a manifest commit
    makes the batch visible.
 
@@ -64,7 +71,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from ..curation_pipeline import chunk_kept, curation_decisions, near_dup_losers
+from ..curation_pipeline import chunk_docs, curation_decisions, near_dup_losers
 from ..operators.boilerplate import extend_line_index, strip_boilerplate_lines
 from ..operators.dedup import (
     build_signature_index,
@@ -74,6 +81,7 @@ from ..operators.dedup import (
 )
 from ..operators.lifecycle import release_scoped_caches
 from ..operators.sketch import bloom_bit_rows
+from ..operators.spans import extend_span_index, incremental_span_strip_text
 
 #: minimal arriving-document schema (streaming sources require one)
 DOC_SCHEMA = T.StructType(
@@ -104,6 +112,43 @@ def _commit_manifest(out_dir: str, manifest: dict) -> None:
 
 LINE_INDEX_DIR = "line_index"
 BLOOM_INDEX_DIR = "bloom_index"
+SPAN_INDEX_DIR = "span_index"
+
+
+def _span_index_committed(
+    spark: SparkSession, out_dir: str, batch_id: int
+) -> tuple[DataFrame, DataFrame] | None:
+    """The kept-corpus shingle index restricted to COMMITTED batches,
+    excluding the current batch's own tag.
+
+    Committed-only (unlike the line/bloom reads): a span-index tag from
+    an uncommitted fold would strip a FIRST occurrence from a later
+    batch — for spans the phantom costs data, not just a false
+    positive, so the read resolves the manifest first. Own-tag
+    exclusion gives crash replays the exact index they saw originally
+    (the ``_line_index_excluding`` contract).
+    """
+    base = os.path.join(out_dir, SPAN_INDEX_DIR)
+    applied = _read_manifest(out_dir)["applied"]
+    tags = [
+        f"delta=batch{b}"
+        for b in applied
+        if b != batch_id
+        and os.path.isdir(os.path.join(base, "shingles", f"delta=batch{b}"))
+    ]
+    if not tags:
+        return None
+    sh = spark.read.option(
+        "basePath", os.path.join(base, "shingles")
+    ).parquet(*[os.path.join(base, "shingles", t) for t in tags]).drop("delta")
+    stats = (
+        spark.read.option("basePath", os.path.join(base, "stats"))
+        .parquet(*[os.path.join(base, "stats", t) for t in tags])
+        .drop("delta")
+        .groupBy("sh")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    return sh, stats
 
 
 def read_bloom_bits(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -353,16 +398,42 @@ def fold_curation_batch(
         "left",
     )
 
+    # ExactSubstr pre-chunk clean against the KEPT-history span index
+    # (the batch pipeline's RefinedWeb order, made incremental): any
+    # verbatim span already shipped by a committed batch is deleted
+    # from this batch's kept text — first-seen-in-history wins — and
+    # kept n_tok is recomputed from the shipped text.
+    kept_text = kept.select("doc_id", F.col("text_redacted").alias("text"))
+    span_idx = _span_index_committed(spark, out_dir, batch_id)
+    if span_idx is not None:
+        kept_text = incremental_span_strip_text(kept_text, *span_idx)
+    shipped = kept_text.join(kept.select("doc_id", "n_pii"), "doc_id").select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        "n_pii",
+    )
+
     writes = {
-        "kept": kept.select(
-            "doc_id", F.col("text_redacted").alias("text"), "n_tok", "n_pii"
-        ),
-        "chunks": chunk_kept(decisions),
+        "kept": shipped,
+        "chunks": chunk_docs(kept_text),
         "dropped": decisions.filter(~F.col("keep")).select("doc_id", "reason"),
         "index": new_index,
     }
     for table, df in writes.items():
         df.write.mode("overwrite").parquet(_batch_dir(out_dir, table, batch_id))
+    # Extend the span index with this batch's SHIPPED kept text (the
+    # spans that survived are exactly the ones later batches must not
+    # repeat) — written pre-commit like the other indexes, but READ
+    # committed-only (_span_index_committed), so an uncommitted fold's
+    # tag can never strip a first occurrence from a later batch.
+    extend_span_index(
+        spark.read.parquet(_batch_dir(out_dir, "kept", batch_id)).select(
+            "doc_id", "text"
+        ),
+        os.path.join(out_dir, SPAN_INDEX_DIR),
+        f"batch{batch_id}",
+    )
     # Maintain the bucketed band accelerator BEFORE the manifest commit:
     # a crash between commit and append would silently lose history
     # coverage, while append-then-no-commit only leaves phantom rows the

@@ -331,3 +331,36 @@ def test_bloom_compaction_preserves_coverage_without_tag_rebuild(spark, tmp_path
     # the compacted batches were NOT re-backfilled as per-batch tags
     tags = sorted(t.name for t in bloom.iterdir() if t.name.startswith("delta="))
     assert tags == ["delta=base", "delta=batch2"]
+
+
+def test_cross_batch_span_strip_on_kept_docs(spark, tmp_path):
+    """A verbatim phrase shipped with a batch-0 kept doc is deleted
+    from a later batch's kept doc (first-seen-in-history wins), while
+    the rest of the later doc's text survives; the chunks are built
+    from the stripped text; a replayed fold stays idempotent."""
+    phrase = "please read the full terms of the service before you use this site"
+    a = _BASE + " " + phrase
+    b = _OTHER + " " + phrase
+    out = str(tmp_path / "curated")
+    fold_curation_batch(spark, _docs(spark, [(1, a)]), out, 0)
+    kept0 = {r["doc_id"]: r["text"] for r in read_curated(spark, out, "kept").collect()}
+    assert phrase in kept0[1]  # first occurrence ships intact
+
+    fold_curation_batch(spark, _docs(spark, [(2, b)]), out, 1)
+    kept = {r["doc_id"]: r for r in read_curated(spark, out, "kept").collect()}
+    assert set(kept) == {1, 2}
+    assert phrase in kept[1]["text"]
+    assert phrase not in kept[2]["text"]
+    assert kept[2]["text"] == _OTHER
+    assert kept[2]["n_tok"] == len(_OTHER.split(" "))
+    chunks = read_curated(spark, out, "chunks")
+    assert chunks.filter(
+        (F.col("doc_id") == 2) & F.col("text").contains("terms of the service")
+    ).count() == 0
+
+    # crash-replay of batch 1: manifest gate no-ops, outputs unchanged
+    fold_curation_batch(spark, _docs(spark, [(2, b)]), out, 1)
+    kept_again = {
+        r["doc_id"]: r["text"] for r in read_curated(spark, out, "kept").collect()
+    }
+    assert kept_again == {d: r["text"] for d, r in kept.items()}
