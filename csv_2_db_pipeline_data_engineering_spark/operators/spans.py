@@ -422,12 +422,40 @@ def read_span_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFram
     return sh, stats
 
 
+def write_bucketed_shingle_table(
+    sh: DataFrame, table: str, n_buckets: int = 64, path: str | None = None
+) -> None:
+    """Persist shingle rows as a table bucketed on ``sh`` — the span
+    twin of ``dedup.write_banded_index_table``: the candidate join's
+    big side (history's shingles) lives bucketed on exactly the join
+    key, so each fold reads its buckets in place and shuffles ONLY the
+    delta side into the bucket scheme — O(delta) network, zero movement
+    of the stored index regardless of corpus size."""
+    w = sh.write.bucketBy(n_buckets, "sh").sortBy("sh")
+    if path is not None:
+        w = w.option("path", path)
+    w.mode("overwrite").saveAsTable(table)
+
+
+def extend_bucketed_shingle_table(
+    sh: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """APPEND a delta's shingle rows to the bucketed table (O(delta);
+    the explicit ``refreshTable`` invalidates the session's cached file
+    listing — the ``extend_banded_index_table`` lesson)."""
+    sh.write.bucketBy(n_buckets, "sh").sortBy("sh").mode("append").saveAsTable(
+        table
+    )
+    sh.sparkSession.catalog.refreshTable(table)
+
+
 def incremental_span_strip_frame(
     delta_docs: DataFrame,
     index_shingles: DataFrame,
     index_stats: DataFrame,
     L: int = SPAN_SHINGLE,
     min_span: int = MIN_SPAN_TOKENS,
+    index_src_ids: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr span removal for NEW documents against an indexed
     base corpus — the Lee et al. policy under the incremental
@@ -447,7 +475,7 @@ def incremental_span_strip_frame(
     return _strip_summary(
         delta_docs,
         _incremental_victim_intervals(
-            delta_docs, index_shingles, index_stats, L, min_span
+            delta_docs, index_shingles, index_stats, L, min_span, index_src_ids
         ),
     )
 
@@ -458,14 +486,23 @@ def incremental_span_strip_text(
     index_stats: DataFrame,
     L: int = SPAN_SHINGLE,
     min_span: int = MIN_SPAN_TOKENS,
+    index_src_ids: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, text) for the delta with indexed spans deleted — the
     streaming fold's pre-chunk hook (same victim policy as
-    :func:`incremental_span_strip_frame`, returning survivor text)."""
+    :func:`incremental_span_strip_frame`, returning survivor text).
+
+    ``index_src_ids`` (optional doc_id frame) restricts which index
+    docs may claim spans — the streaming fold passes the COMMITTED kept
+    ids so a bucketed accelerator table carrying phantom rows from an
+    uncommitted fold can never strip a later first occurrence. The
+    filter applies AFTER the shingle join, on the (small) candidate
+    set, so the bucketed read stays exchange-free.
+    """
     return _rebuild_text(
         delta_docs,
         _incremental_victim_intervals(
-            delta_docs, index_shingles, index_stats, L, min_span
+            delta_docs, index_shingles, index_stats, L, min_span, index_src_ids
         ),
     )
 
@@ -476,6 +513,7 @@ def _incremental_victim_intervals(
     index_stats: DataFrame,
     L: int = SPAN_SHINGLE,
     min_span: int = MIN_SPAN_TOKENS,
+    index_src_ids: DataFrame | None = None,
 ) -> DataFrame:
     sd = _raw_shingles(delta_docs, L)
     d_stats = sd.groupBy("sh").agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -498,6 +536,10 @@ def _incremental_victim_intervals(
             (F.col("h.pos") - F.col("d.pos")).alias("diag"),
         )
     )
+    if index_src_ids is not None:
+        mh = mh.join(
+            index_src_ids.select(F.col("doc_id").alias("src")), "src", "left_semi"
+        )
     md = (
         sdc.alias("a")
         .join(sdc.alias("b"), "sh")
@@ -509,7 +551,11 @@ def _incremental_victim_intervals(
             (F.col("a.pos") - F.col("b.pos")).alias("diag"),
         )
     )
-    m = mh.unionByName(md)
+    # DISTINCT is load-bearing: a crash-replayed bucketed append leaves
+    # duplicate index rows, and a duplicated (src, doc, diag, pos)
+    # match would break the row_number gaps-and-islands arithmetic
+    # (pos_b - rn stops being constant along a run).
+    m = mh.unionByName(md).distinct()
     w = Window.partitionBy("src", "doc_id", "diag").orderBy("pos_b")
     islands = (
         m.withColumn("isl", F.col("pos_b") - F.row_number().over(w))

@@ -81,7 +81,12 @@ from ..operators.dedup import (
 )
 from ..operators.lifecycle import release_scoped_caches
 from ..operators.sketch import bloom_bit_rows
-from ..operators.spans import extend_span_index, incremental_span_strip_text
+from ..operators.spans import (
+    extend_bucketed_shingle_table,
+    extend_span_index,
+    incremental_span_strip_text,
+    write_bucketed_shingle_table,
+)
 
 #: minimal arriving-document schema (streaming sources require one)
 DOC_SCHEMA = T.StructType(
@@ -127,6 +132,14 @@ def _span_index_committed(
     positive, so the read resolves the manifest first. Own-tag
     exclusion gives crash replays the exact index they saw originally
     (the ``_line_index_excluding`` contract).
+
+    The fold's candidate join does NOT probe these tagged parquet
+    partitions (that would reshuffle the whole index on ``sh`` every
+    fold) — it probes the bucketed accelerator table
+    (``ensure_span_table``), with the committed-kept-ids semi-filter
+    supplying the committed-only guarantee post-join. This tagged read
+    is the durable fallback: stats for the df cap, and the
+    table-rebuild source for a fresh session.
     """
     base = os.path.join(out_dir, SPAN_INDEX_DIR)
     applied = _read_manifest(out_dir)["applied"]
@@ -283,6 +296,28 @@ def band_table_name(out_dir: str) -> str:
     return "spark_graft_bands_" + hashlib.md5(out_dir.encode()).hexdigest()[:10]
 
 
+def span_table_name(out_dir: str) -> str:
+    """Session-catalog name of this stream's bucketed shingle table."""
+    return "spark_graft_spans_" + hashlib.md5(out_dir.encode()).hexdigest()[:10]
+
+
+def ensure_span_table(
+    spark: SparkSession, out_dir: str, committed_shingles: DataFrame
+) -> str:
+    """Make the bucketed shingle table exist for this stream, returning
+    its name — the span twin of ``ensure_band_table``: a pure JOIN
+    ACCELERATOR bucketed on ``sh`` (the committed-kept-ids semi-filter
+    in the fold prunes any phantom rows from uncommitted appends), with
+    the manifest-gated tagged parquet as the durable source of truth a
+    fresh session rebuilds from (one O(history) pass per process)."""
+    tbl = span_table_name(out_dir)
+    if not spark.catalog.tableExists(tbl):
+        write_bucketed_shingle_table(
+            committed_shingles, tbl, path=os.path.join(out_dir, "span_table")
+        )
+    return tbl
+
+
 def ensure_band_table(spark: SparkSession, out_dir: str, index: DataFrame) -> str:
     """Make the bucketed band table exist for this stream, returning its
     name. The table is a pure JOIN ACCELERATOR (the verify join prunes
@@ -406,7 +441,18 @@ def fold_curation_batch(
     kept_text = kept.select("doc_id", F.col("text_redacted").alias("text"))
     span_idx = _span_index_committed(spark, out_dir, batch_id)
     if span_idx is not None:
-        kept_text = incremental_span_strip_text(kept_text, *span_idx)
+        _ish_tagged, istats = span_idx
+        span_tbl = ensure_span_table(spark, out_dir, _ish_tagged)
+        # Probe the bucketed table (stored side read in place, only the
+        # batch's shingles shuffle); committed kept ids filter the
+        # candidates so phantom rows from an uncommitted append never
+        # claim a span.
+        kept_text = incremental_span_strip_text(
+            kept_text,
+            spark.table(span_tbl),
+            istats,
+            index_src_ids=read_curated(spark, out_dir, "kept").select("doc_id"),
+        )
     shipped = kept_text.join(kept.select("doc_id", "n_pii"), "doc_id").select(
         "doc_id",
         "text",
@@ -425,15 +471,29 @@ def fold_curation_batch(
     # Extend the span index with this batch's SHIPPED kept text (the
     # spans that survived are exactly the ones later batches must not
     # repeat) — written pre-commit like the other indexes, but READ
-    # committed-only (_span_index_committed), so an uncommitted fold's
-    # tag can never strip a first occurrence from a later batch.
+    # committed-only (_span_index_committed + the kept-ids candidate
+    # filter), so an uncommitted fold's tag can never strip a first
+    # occurrence from a later batch. Both forms extend O(delta): the
+    # tagged parquet (durable truth) and the bucketed accelerator the
+    # candidate join actually probes.
+    shipped_kept = spark.read.parquet(
+        _batch_dir(out_dir, "kept", batch_id)
+    ).select("doc_id", "text")
     extend_span_index(
-        spark.read.parquet(_batch_dir(out_dir, "kept", batch_id)).select(
-            "doc_id", "text"
-        ),
-        os.path.join(out_dir, SPAN_INDEX_DIR),
-        f"batch{batch_id}",
+        shipped_kept, os.path.join(out_dir, SPAN_INDEX_DIR), f"batch{batch_id}"
     )
+    from ..operators.spans import _raw_shingles
+
+    if spark.catalog.tableExists(span_table_name(out_dir)):
+        extend_bucketed_shingle_table(
+            _raw_shingles(shipped_kept), span_table_name(out_dir)
+        )
+    else:
+        write_bucketed_shingle_table(
+            _raw_shingles(shipped_kept),
+            span_table_name(out_dir),
+            path=os.path.join(out_dir, "span_table"),
+        )
     # Maintain the bucketed band accelerator BEFORE the manifest commit:
     # a crash between commit and append would silently lose history
     # coverage, while append-then-no-commit only leaves phantom rows the

@@ -143,3 +143,73 @@ def test_banded_index_join_shuffles_only_delta(spark, tmp_path):
             spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS banddemo.bands_b")
         spark.sql("DROP DATABASE IF EXISTS banddemo")
+
+
+def test_span_shingle_join_shuffles_only_delta(spark, tmp_path):
+    """Incremental span-strip candidate join against a shingle table
+    bucketed on sh: the stored side must be read bucket-aligned (no
+    Exchange in its subtree) while the batch's shingles shuffle into
+    the bucket scheme — O(delta) network at any history size."""
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.spans import (
+        _incremental_victim_intervals,
+        _raw_shingles,
+        write_bucketed_shingle_table,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS spandemo LOCATION '{tmp_path}'")
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight again"),
+            (2, "pack my box with five dozen liquor jugs right now please"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(100, "zz yy the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        write_bucketed_shingle_table(
+            _raw_shingles(base), "spandemo.spans_b", n_buckets=4
+        )
+        stats = (
+            _raw_shingles(base)
+            .groupBy("sh")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+        )
+        iv = _incremental_victim_intervals(
+            delta, spark.table("spandemo.spans_b"), stats
+        )
+        plan = iv._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # The history-vs-delta shingle join must not reshuffle the
+        # stored table: every hashpartitioning(sh...) Exchange in the
+        # plan feeds a NON-bucketed frame (delta shingles / the stats
+        # aggregates), and the bucketed scan appears with no Exchange
+        # between it and its join.
+        import re
+
+        scan_idx = plan.find("spandemo.spans_b")
+        assert scan_idx > 0
+        # walk upward from the bucketed scan: its subtree (the text
+        # after the scan line up to the enclosing join input boundary)
+        # must not contain an Exchange on sh
+        bucket_subtree = plan[scan_idx - 400 : scan_idx]
+        assert "Exchange hashpartitioning(sh" not in bucket_subtree, (
+            f"bucketed shingle side reshuffled:\n{plan}"
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS spandemo.spans_b")
+        spark.sql("DROP DATABASE IF EXISTS spandemo")
