@@ -364,3 +364,25 @@ def test_cross_batch_span_strip_on_kept_docs(spark, tmp_path):
         r["doc_id"]: r["text"] for r in read_curated(spark, out, "kept").collect()
     }
     assert kept_again == {d: r["text"] for d, r in kept.items()}
+
+
+def test_span_table_rebuilds_from_committed_tags(spark, tmp_path):
+    """A session whose catalog lost the bucketed shingle table (fresh
+    process) must rebuild it from the committed tagged parquet and keep
+    stripping cross-batch spans."""
+    from csv_2_db_pipeline_data_engineering_spark.streaming.curation_stream import (
+        span_table_name,
+    )
+
+    phrase = "please read the full terms of the service before you use this site"
+    out = str(tmp_path / "curated")
+    fold_curation_batch(spark, _docs(spark, [(1, _BASE + " " + phrase)]), out, 0)
+    # simulate a fresh process: the catalog entry is gone, tags remain
+    spark.sql(f"DROP TABLE IF EXISTS {span_table_name(out)}")
+    import shutil
+
+    shutil.rmtree(Path(out) / "span_table")
+
+    fold_curation_batch(spark, _docs(spark, [(2, _OTHER + " " + phrase)]), out, 1)
+    kept = {r["doc_id"]: r["text"] for r in read_curated(spark, out, "kept").collect()}
+    assert phrase in kept[1] and phrase not in kept[2]
