@@ -24,7 +24,11 @@ Per batch:
    (banded signature join + exact-Jaccard verify on stored gram-hash
    sets — history text is never re-shingled, the property proven in
    ``tests/test_dedup_incremental.py``);
-3. language/quality gates + PII scrub (map-side);
+3. language/quality gates + PII scrub (map-side). (The batch
+   pipeline's optional SemDeDup gate has no streaming twin yet: the
+   arriving-document schema carries no embedding column — adding one
+   would slot its keep-frame anti-join between the near-dup and
+   language gates exactly as in ``curation_decisions``);
 4. ExactSubstr span strip — verbatim spans already SHIPPED by a
    committed batch are deleted from this batch's kept text before
    chunking (``operators/spans.incremental_span_strip_text`` against
