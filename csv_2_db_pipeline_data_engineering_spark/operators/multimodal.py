@@ -948,7 +948,7 @@ FROM s ORDER BY doc_id
 
 # --- AVI/MJPEG: real COMPRESSED-video decode -------------------------------
 
-AVI_W, AVI_H = 16, 16
+AVI_W, AVI_H = 8, 8
 AVI_FRAMES = "1 + doc_id % 3"
 
 AVI_STATS_SCHEMA = T.StructType(
@@ -969,9 +969,9 @@ def mm_avi_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     featurize, all with the repo's from-spec codecs (``avi_codec`` +
     ``jpeg_codec``/``jpeg_progressive``).
 
-    Per doc_id an AVI of ``1 + doc_id % 3`` grayscale 16x16 frames of
-    8x8-constant blocks (frame k, block (bx,by) value =
-    ``(doc_id*11 + k*29 + by*5 + bx*3) % 256``) is built with frames
+    Per doc_id an AVI of ``1 + doc_id % 3`` grayscale 8x8 constant
+    frames (frame k value = ``(doc_id*11 + k*29) % 256``) is built with
+    frames
     alternating baseline/progressive JPEG entropy coding (progressive
     when ``(doc_id + k)`` is even) at the flat quantization table — the
     lossless regime — then decoded end-to-end. Features come from the
@@ -994,11 +994,8 @@ def mm_avi_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = 1 + doc_id % 3
                 payloads = []
                 for k in range(n):
-                    px = bytes(
-                        (doc_id * 11 + k * 29 + (y // 8) * 5 + (x // 8) * 3)
-                        % 256
-                        for y in range(AVI_H)
-                        for x in range(AVI_W)
+                    px = bytes([(doc_id * 11 + k * 29) % 256]) * (
+                        AVI_W * AVI_H
                     )
                     enc = (
                         encode_jpeg_progressive
@@ -1049,15 +1046,10 @@ def mm_avi_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_AVI_ORACLE = f"""
 WITH d AS (SELECT doc_id, {AVI_FRAMES} AS n FROM documents),
 f AS (SELECT doc_id, n, unnest(range(n)) AS k FROM d),
-b AS (SELECT doc_id, n, k, unnest(range(4)) AS bi FROM f),
-v AS (
-  SELECT doc_id, n, k,
-         (doc_id * 11 + k * 29 + (bi // 2) * 5 + (bi % 2) * 3) % 256 AS v
-  FROM b
-)
+v AS (SELECT doc_id, n, k, (doc_id * 11 + k * 29) % 256 AS v FROM f)
 SELECT doc_id, {AVI_W} AS width, {AVI_H} AS height,
        CAST(n AS INT) AS n_frames,
-       CAST(SUM(CASE WHEN (doc_id + k) % 2 = 0 THEN 1 ELSE 0 END) / 4 AS INT)
+       CAST(SUM(CASE WHEN (doc_id + k) % 2 = 0 THEN 1 ELSE 0 END) AS INT)
          AS n_progressive,
        ROUND(AVG(v), 4) AS mean_luma
 FROM v GROUP BY doc_id, n ORDER BY doc_id

@@ -455,7 +455,7 @@ def incremental_span_strip_frame(
     index_stats: DataFrame,
     L: int = SPAN_SHINGLE,
     min_span: int = MIN_SPAN_TOKENS,
-    index_src_ids: DataFrame | None = None,
+    exclude_src_ids: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr span removal for NEW documents against an indexed
     base corpus — the Lee et al. policy under the incremental
@@ -475,7 +475,7 @@ def incremental_span_strip_frame(
     return _strip_summary(
         delta_docs,
         _incremental_victim_intervals(
-            delta_docs, index_shingles, index_stats, L, min_span, index_src_ids
+            delta_docs, index_shingles, index_stats, L, min_span, exclude_src_ids
         ),
     )
 
@@ -486,23 +486,25 @@ def incremental_span_strip_text(
     index_stats: DataFrame,
     L: int = SPAN_SHINGLE,
     min_span: int = MIN_SPAN_TOKENS,
-    index_src_ids: DataFrame | None = None,
+    exclude_src_ids: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, text) for the delta with indexed spans deleted — the
     streaming fold's pre-chunk hook (same victim policy as
     :func:`incremental_span_strip_frame`, returning survivor text).
 
-    ``index_src_ids`` (optional doc_id frame) restricts which index
-    docs may claim spans — the streaming fold passes the COMMITTED kept
-    ids so a bucketed accelerator table carrying phantom rows from an
-    uncommitted fold can never strip a later first occurrence. The
-    filter applies AFTER the shingle join, on the (small) candidate
-    set, so the bucketed read stays exchange-free.
+    ``exclude_src_ids`` (optional doc_id frame) bars those index docs
+    from claiming spans. The streaming fold passes the CURRENT batch's
+    own ids: micro-batches commit serially, so the only rows a bucketed
+    accelerator table can carry beyond the committed corpus are a
+    crashed attempt of this very batch — excluding them restores
+    committed-only semantics with an O(batch) anti-join on the (small)
+    candidate set instead of an O(corpus) membership join, and the
+    bucketed read stays exchange-free.
     """
     return _rebuild_text(
         delta_docs,
         _incremental_victim_intervals(
-            delta_docs, index_shingles, index_stats, L, min_span, index_src_ids
+            delta_docs, index_shingles, index_stats, L, min_span, exclude_src_ids
         ),
     )
 
@@ -513,7 +515,7 @@ def _incremental_victim_intervals(
     index_stats: DataFrame,
     L: int = SPAN_SHINGLE,
     min_span: int = MIN_SPAN_TOKENS,
-    index_src_ids: DataFrame | None = None,
+    exclude_src_ids: DataFrame | None = None,
 ) -> DataFrame:
     sd = _raw_shingles(delta_docs, L)
     d_stats = sd.groupBy("sh").agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -536,9 +538,11 @@ def _incremental_victim_intervals(
             (F.col("h.pos") - F.col("d.pos")).alias("diag"),
         )
     )
-    if index_src_ids is not None:
+    if exclude_src_ids is not None:
         mh = mh.join(
-            index_src_ids.select(F.col("doc_id").alias("src")), "src", "left_semi"
+            F.broadcast(exclude_src_ids.select(F.col("doc_id").alias("src"))),
+            "src",
+            "left_anti",
         )
     md = (
         sdc.alias("a")

@@ -448,14 +448,17 @@ def fold_curation_batch(
         _ish_tagged, istats = span_idx
         span_tbl = ensure_span_table(spark, out_dir, _ish_tagged)
         # Probe the bucketed table (stored side read in place, only the
-        # batch's shingles shuffle); committed kept ids filter the
-        # candidates so phantom rows from an uncommitted append never
-        # claim a span.
+        # batch's shingles shuffle). Micro-batches commit serially, so
+        # the only rows the accelerator can carry beyond the committed
+        # corpus are a crashed attempt of THIS batch — excluding the
+        # batch's own ids restores committed-only semantics with an
+        # O(batch) broadcast anti-join, never an O(corpus) membership
+        # scan.
         kept_text = incremental_span_strip_text(
             kept_text,
             spark.table(span_tbl),
             istats,
-            index_src_ids=read_curated(spark, out_dir, "kept").select("doc_id"),
+            exclude_src_ids=batch_df.select("doc_id"),
         )
     shipped = kept_text.join(kept.select("doc_id", "n_pii"), "doc_id").select(
         "doc_id",
