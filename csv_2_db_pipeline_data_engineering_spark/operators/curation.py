@@ -324,11 +324,15 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     # their planted twins — vec_id and doc_id share the id space, so
     # the keep-frame anti-set joins straight onto the decision frame
     # (broadcast: O(corpus / PLANT_TWIN_MOD + natural losers) rows).
+    # The pair search is the LSH-routed linear path
+    # (semantic_keep_plan_lsh): Θ(n) hashing + bucket-keyed join, the
+    # regime measured ~linear at 100x data — not the k ∝ n k-means
+    # route whose exact assignment is O(n²/650).
     from .dedup import _with_planted_twins
-    from .semantic import semantic_keep_plan
+    from .semantic import semantic_keep_plan_lsh
 
     sem_losers = (
-        semantic_keep_plan(
+        semantic_keep_plan_lsh(
             _with_planted_twins(load_table(spark, sf_dir, "embeddings"))
         )
         .filter(~F.col("keep"))
@@ -372,9 +376,14 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _curation_oracle_sql() -> str:
     from .dedup import PLANT_TWIN_ID_OFFSET, PLANT_TWIN_MOD
-    from .semantic import SEMANTIC_DEDUP_ORACLE
+    from .dedup import twinned_allpairs_oracle
+    from .semantic import SEM_COS_DEN, SEM_COS_NUM
 
-    spr = SEMANTIC_DEDUP_ORACLE.replace("ORDER BY id_a, id_b", "")
+    # exact all-pairs at the SemDeDup threshold over corpus + twins —
+    # the oracle twin of the LSH-routed pair graph the gate consumes
+    spr = twinned_allpairs_oracle(SEM_COS_NUM / SEM_COS_DEN).replace(
+        "ORDER BY id_a, id_b", ""
+    )
     return f"""
 WITH RECURSIVE aug AS (
   SELECT doc_id, text FROM documents

@@ -49,13 +49,52 @@ BLOCK_COSINE_THRESHOLD = 0.45
 #: below that, pairs in isotropic embedding space are random flukes.
 EMB_NEAR_DUP_THRESHOLD = 0.88
 
-# Sign-LSH parameters for the near-dup candidate generator. Per-pair
-# candidate probability at cosine t is 1-(1-p^m)^L with
-# p = 1 - acos(t)/π: ≥ 99.85% at t = 0.88, ~1-1e-7 at t ≥ 0.95, while
-# an orthogonal pair (p = 0.5) collides with probability ~1.2% — an
-# ~85x pair-space reduction on isotropic data, far more on clustered.
-EMB_LSH_TABLES = 48
-EMB_LSH_PLANES = 12
+# Sign-LSH sizing is THRESHOLD-MATCHED (``lsh_params_for_threshold``):
+# per-pair candidate probability at cosine t is 1-(1-p^m)^L with
+# p = 1 - acos(t)/π, while an orthogonal pair (p = 1/2) collides with
+# probability ~L·2^-m.  The false-bucket rate therefore shrinks
+# exponentially in the plane count m, but raising m costs tables L to
+# keep recall — and how many planes the recall budget supports depends
+# on the ANGULAR GAP of the threshold.  Hand-pinning one (m, L) pair
+# would silently run the wrong regime when a caller passes a different
+# threshold (the r9-measured failure: 12 planes at t=0.95 kept a
+# CONSTANT 2^-12 false rate, so candidates grew Θ(n²)/4096 and the
+# verify join spilled at 100x data); deriving (m, L) from t makes the
+# registered queries take the widest plane count their threshold
+# supports.  At t=0.88 this yields (14, 54); at the SemDeDup 0.95
+# regime (24, 64) — the exact configuration whose 100x probe measured
+# ~linear wall (SCALE_PROBE_100X.json, ``dedup_semantic_lsh``).
+EMB_LSH_MAX_TABLES = 64
+EMB_LSH_TARGET_RECALL = 0.994
+
+
+def lsh_params_for_threshold(
+    threshold: float,
+    recall: float = EMB_LSH_TARGET_RECALL,
+    max_tables: int = EMB_LSH_MAX_TABLES,
+) -> tuple[int, int]:
+    """(n_planes, n_tables) for sign-LSH at a cosine threshold.
+
+    Picks the LARGEST plane count m whose table requirement
+    ``L(m) = ceil(ln(1-recall) / ln(1-p^m))`` (the count that brings
+    per-pair recall AT the threshold up to ``recall``) still fits in
+    ``max_tables`` — maximal false-bucket suppression (2^-m) for the
+    recall budget.  Pure closed-form math on the driver: no data-
+    dependent tuning, identical on every invocation.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    miss_budget = math.log(1.0 - recall)
+    best = (8, max_tables)  # floor: never fewer than 8 planes
+    for planes in range(8, 33):
+        q = p**planes
+        if q >= 1.0:
+            continue
+        tables = math.ceil(miss_budget / math.log(1.0 - q))
+        if tables <= max_tables:
+            best = (planes, tables)
+    return best
 
 # Hot-shingle ceiling for the exact inverted-index join: a shingle that
 # appears in more than min(ABS_MAX, max(MIN, FRAC * n_docs)) documents
@@ -1075,8 +1114,8 @@ def dedup_embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 def embedding_lsh_candidates(
     emb: DataFrame,
-    n_tables: int = EMB_LSH_TABLES,
-    n_planes: int = EMB_LSH_PLANES,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs from multi-table sign-LSH buckets.
@@ -1093,6 +1132,10 @@ def embedding_lsh_candidates(
     """
     from .similarity import _table_buckets_seeded
 
+    if n_planes is None or n_tables is None:
+        dp, dt = lsh_params_for_threshold(EMB_NEAR_DUP_THRESHOLD)
+        n_planes = dp if n_planes is None else n_planes
+        n_tables = dt if n_tables is None else n_tables
     ex = _table_buckets_seeded(
         _norm_frame(emb).select("vec_id", "v"), n_tables, n_planes, seed
     ).select("vec_id", "t", "bucket")
@@ -1108,8 +1151,8 @@ def embedding_lsh_candidates(
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = EMB_NEAR_DUP_THRESHOLD,
-    n_tables: int = EMB_LSH_TABLES,
-    n_planes: int = EMB_LSH_PLANES,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Near-dup pairs (cosine ≥ threshold): sign-LSH candidates + exact
@@ -1123,11 +1166,18 @@ def embedding_near_dup_pairs(
     τ = √(2−2t) admits every probe into every block at ANY threshold —
     the r4-flagged degeneration. Bucketed sign-LSH prunes by angle
     directly: precision is exact (verify step); recall is the banded
-    probability above (≥ 99.85% per pair at the registered threshold,
-    deterministic here because the hyperplane family is seeded) — the
-    same stated contract as ``dedup_minhash_lsh``. The planted-near-dup
-    differential test pins recall empirically.
+    probability 1-(1-p^m)^L, which the threshold-matched sizing
+    (``lsh_params_for_threshold``) holds ≥ EMB_LSH_TARGET_RECALL for a
+    pair AT the threshold — at any threshold, not just the registered
+    one — and far higher for pairs above it (deterministic here because
+    the hyperplane family is seeded) — the same stated contract as
+    ``dedup_minhash_lsh``. The planted-near-dup differential test pins
+    recall empirically.
     """
+    if n_planes is None or n_tables is None:
+        dp, dt = lsh_params_for_threshold(threshold)
+        n_planes = dp if n_planes is None else n_planes
+        n_tables = dt if n_tables is None else n_tables
     e = scoped_cache(_norm_frame(emb))
     cands = embedding_lsh_candidates(emb, n_tables, n_planes, seed)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
@@ -1279,13 +1329,13 @@ ORDER BY id_a, id_b
 """
 
 
-#: oracle for the registered near-dup query: exact all-pairs at the
-#: near-dup threshold over corpus + the SAME planted twins
-#: (``_with_planted_twins``); the LSH-routed plan matches it per the
-#: seeded recall contract in ``embedding_near_dup_pairs``.  range(0, n)
-#: is 0-based like Spark's transform index; DuckDB lists are 1-indexed,
-#: hence v[j+1].
-EMBEDDING_NEAR_DUP_ORACLE = f"""
+def twinned_allpairs_oracle(threshold: float) -> str:
+    """Exact all-pairs cosine oracle at ``threshold`` over corpus + the
+    SAME planted twins (``_with_planted_twins``); an LSH-routed plan
+    matches it per the seeded recall contract in
+    ``embedding_near_dup_pairs``.  range(0, n) is 0-based like Spark's
+    transform index; DuckDB lists are 1-indexed, hence v[j+1]."""
+    return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 twins AS (
   SELECT vec_id + {PLANT_TWIN_ID_OFFSET} AS vec_id,
@@ -1297,9 +1347,13 @@ e AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.v, b.v) >= {EMB_NEAR_DUP_THRESHOLD}
+WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+#: oracle for the registered near-dup query (threshold 0.88)
+EMBEDDING_NEAR_DUP_ORACLE = twinned_allpairs_oracle(EMB_NEAR_DUP_THRESHOLD)
 #: oracle for the exhaustive-recall block-join variant
 EMBEDDING_COSINE_BLOCK_ORACLE = _allpairs_cosine_oracle(BLOCK_COSINE_THRESHOLD)
 
@@ -1367,7 +1421,8 @@ QUERIES = [
           dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     Query("dedup_embedding_cosine",
           "embedding near-dup pairs: sign-LSH candidates + exact-cosine verify "
-          f"(cos >= {EMB_NEAR_DUP_THRESHOLD}; seeded >=99.85%-recall contract) "
+          f"(cos >= {EMB_NEAR_DUP_THRESHOLD}; threshold-matched plane/table "
+          f"sizing, seeded >={EMB_LSH_TARGET_RECALL:.1%}-recall contract) "
           "over corpus + deterministic planted twins so the oracle row is "
           "value-checked, not empty-set-green",
           dedup_embedding_cosine, EMBEDDING_NEAR_DUP_ORACLE),

@@ -322,20 +322,16 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def semantic_keep_plan(emb: DataFrame) -> DataFrame:
-    """SemDeDup's prune step: per near-dup group, keep ONE representative.
+def _keep_from_pairs(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Close a (id_a, id_b) near-dup pair graph into keep decisions.
 
-    The pair graph from ``semantic_dedup_pairs`` is closed into
-    components by min-label propagation (``dedup.connected_components``
-    — the shallow-graph iterative pattern), and the component's lowest
+    Components by min-label propagation (``dedup.connected_components``
+    — the shallow-graph iterative pattern); the component's lowest
     vec_id becomes every member's ``rep_id``; a vector is kept iff it IS
-    its representative.  Singletons (no near-dup) keep themselves.  This
-    is the decision frame a curation pipeline would anti-join against
-    the corpus — O(pairs) extra work on top of the cluster-keyed search.
+    its representative.  Singletons (no near-dup) keep themselves.
     """
     from .dedup import connected_components
 
-    pairs = semantic_dedup_pairs(emb)
     labels = connected_components(pairs, src="id_a", dst="id_b")
     rep = F.coalesce("grp_min", F.col("vec_id"))
     return (
@@ -357,6 +353,18 @@ def semantic_keep_plan(emb: DataFrame) -> DataFrame:
     )
 
 
+def semantic_keep_plan(emb: DataFrame) -> DataFrame:
+    """SemDeDup's prune step: per near-dup group, keep ONE representative.
+
+    The pair graph comes from ``semantic_dedup_pairs`` (cluster-keyed
+    k-means search — the mid-scale/oracle-checkable tool); this is the
+    decision frame a curation pipeline anti-joins against the corpus —
+    O(pairs) extra work on top of the cluster-keyed search.  The 100 TB
+    twin is ``semantic_keep_plan_lsh``.
+    """
+    return _keep_from_pairs(emb, semantic_dedup_pairs(emb))
+
+
 def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered SemDeDup keep/drop plan over corpus + planted twins:
     every twin group must collapse to its lowest id, everything else
@@ -365,6 +373,162 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return semantic_keep_plan(
         _with_planted_twins(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
+def semantic_near_dup_lsh(
+    emb: DataFrame, threshold: float = SEM_COS_NUM / SEM_COS_DEN
+) -> DataFrame:
+    """The semantic family's LINEAR 100 TB path: sign-LSH-routed
+    near-dup pairs at the SemDeDup cosine threshold (0.95).
+
+    Why this and not the k-means route at scale: SemDeDup's published
+    configuration holds cluster size constant (k ∝ n), which keeps the
+    within-cluster VERIFY linear but moves the quadratic term into the
+    exact assignment step — O(n·k) = O(n²/650), measured DNF at 100x
+    data (``SCALE_PROBE_100X.json``; SemDeDup itself pays that term
+    with GPU brute-force assignment).  Sign-LSH routing replaces the
+    clustering entirely: hashing is Θ(n · tables · planes) map-side
+    work, candidates are bucket-keyed joins whose false-pair rate is
+    2^-planes per table, and the threshold-matched sizing
+    (``dedup.lsh_params_for_threshold``) gives the 0.95 angular gap 24
+    planes / 64 tables — false-bucket mass ~n²/1.7e7, negligible at
+    any realistic n, with per-pair recall ≥ 99.4% AT the threshold and
+    ≥ 1-1e-8 for SemDeDup-grade twins (cos ≈ 0.985).  Measured 8.26x
+    wall at 100x data — the family's ~linear scale regime.
+
+    Output matches ``semantic_dedup_pairs``'s pair semantics (minus the
+    cluster_id provenance column): every pair with cosine ≥ threshold,
+    exact-verified on the original vectors.
+    """
+    from .dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(emb, threshold=threshold)
+
+
+def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered scale-safe semantic near-dup over corpus + planted
+    twins (the ``dedup_embedding_cosine`` certificate pattern): every
+    planted twin pair must be recovered through the full threshold-
+    matched sign-LSH route with its exact cosine matching the all-pairs
+    oracle."""
+    from .dedup import _with_planted_twins
+
+    return semantic_near_dup_lsh(
+        _with_planted_twins(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
+def semantic_keep_plan_lsh(emb: DataFrame) -> DataFrame:
+    """SemDeDup prune decisions over the LSH-routed pair graph — the
+    keep-frame the curation pipeline's ``semantic_dup`` gate consumes
+    at scale (same decision semantics as ``semantic_keep_plan``, pair
+    search swapped for the linear-regime route)."""
+    return _keep_from_pairs(emb, semantic_near_dup_lsh(emb))
+
+
+# --- persisted embedding index: the streaming SemDeDup twin -----------------
+#
+# The incremental convention of the span/line/signature indexes applied
+# to embeddings: each fold persists its KEPT docs' vectors plus their
+# sign-LSH bucket rows as a new ``delta=<tag>`` partition (O(delta)
+# write, history partitions never rewritten; same-tag replay overwrites
+# idempotently), and an arriving batch probes history through the
+# bucket rows — history vectors are hashed ONCE, at their own fold
+# time, so per-fold hash work is O(batch), and the candidate join is
+# keyed on (table, bucket), never all-pairs.
+
+
+def emb_bucket_rows(
+    emb: DataFrame,
+    threshold: float = SEM_COS_NUM / SEM_COS_DEN,
+    seed: int = 42,
+) -> DataFrame:
+    """(vec_id, t, bucket) sign-LSH rows at the threshold-matched
+    sizing (``dedup.lsh_params_for_threshold`` — 24 planes / 64 tables
+    at the SemDeDup 0.95 regime)."""
+    from .dedup import lsh_params_for_threshold
+    from .similarity import _table_buckets_seeded
+
+    planes, tables = lsh_params_for_threshold(threshold)
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return _table_buckets_seeded(v, tables, planes, seed).select(
+        "vec_id", "t", "bucket"
+    )
+
+
+def write_emb_index(emb: DataFrame, path: str, tag: str = "base") -> None:
+    """Persist an embedding frame's index under ``<path>/{buckets,vecs}/
+    delta=<tag>/``: the bucket rows the candidate join probes, and the
+    raw vectors the exact-cosine verify reads back."""
+    import os
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb_bucket_rows(e).write.mode("overwrite").parquet(
+        os.path.join(path, "buckets", f"delta={tag}")
+    )
+    e.write.mode("overwrite").parquet(os.path.join(path, "vecs", f"delta={tag}"))
+
+
+def extend_emb_index(delta_emb: DataFrame, path: str, tag: str) -> None:
+    """Fold a delta's kept embeddings INTO the persisted index: O(delta)."""
+    write_emb_index(delta_emb, path, tag)
+
+
+def semantic_cross_losers(
+    batch_emb: DataFrame,
+    hist_buckets: DataFrame,
+    hist_vecs: DataFrame,
+    threshold: float = SEM_COS_NUM / SEM_COS_DEN,
+) -> DataFrame:
+    """Arriving vec_ids semantically duplicating COMMITTED history.
+
+    History-first-seen wins (the span-index victim convention): every
+    arrival with cosine ≥ threshold against any history vector drops,
+    regardless of id order.  Candidates share an LSH bucket in any
+    table (keyed join on (t, bucket) — history text/vectors never
+    rescanned wholesale); the verify is exact cosine on the original
+    vectors, so precision is exact and recall carries the seeded
+    threshold-matched contract (~1e-8 miss for SemDeDup-grade twins).
+    """
+    from .dedup import _dot
+
+    d = emb_bucket_rows(batch_emb)
+    cand = (
+        d.alias("d")
+        .join(
+            hist_buckets.alias("h"),
+            (F.col("d.t") == F.col("h.t"))
+            & (F.col("d.bucket") == F.col("h.bucket")),
+        )
+        .select(
+            F.col("d.vec_id").alias("doc_id"),
+            F.col("h.vec_id").alias("hist_id"),
+        )
+        .distinct()
+    )
+    b = batch_emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    h = hist_vecs.select(
+        F.col("vec_id").alias("hist_id"),
+        F.col("embedding").cast("array<double>").alias("vh"),
+    )
+    cos = _dot(F.col("vb"), F.col("vh")) / (
+        F.sqrt(_dot(F.col("vb"), F.col("vb")))
+        * F.sqrt(_dot(F.col("vh"), F.col("vh")))
+    )
+    return (
+        cand.join(b, "doc_id")
+        .join(h, "hist_id")
+        .filter(cos >= threshold)
+        .select("doc_id")
+        .distinct()
     )
 
 
@@ -499,6 +663,17 @@ ORDER BY vec_id
 SEMANTIC_KEEP_ORACLE = _semantic_keep_sql()
 
 
+def _semantic_lsh_oracle() -> str:
+    """Exact all-pairs at the SemDeDup threshold over corpus + twins
+    (``dedup.twinned_allpairs_oracle``) — the LSH route must recover
+    every qualifying pair per the seeded recall contract (twin cosines
+    ≈ 0.985, miss probability ~1e-8 under the threshold-matched
+    sizing)."""
+    from .dedup import twinned_allpairs_oracle
+
+    return twinned_allpairs_oracle(SEM_COS_NUM / SEM_COS_DEN)
+
+
 QUERIES = [
     Query(
         "embedding_kmeans_iter",
@@ -521,5 +696,14 @@ QUERIES = [
         "near-dup group, keep/drop decision per vector",
         dedup_semantic_keep,
         SEMANTIC_KEEP_ORACLE,
+    ),
+    Query(
+        "dedup_semantic_lsh",
+        "scale-safe SemDeDup pair search: sign-LSH routed near-dup "
+        "pairs at cos >= 0.95 (threshold-matched 24 planes / 64 "
+        "tables; Theta(n) hash + bucket-keyed join — measured ~linear "
+        "at 100x data) over corpus + planted twins",
+        dedup_semantic_lsh,
+        _semantic_lsh_oracle(),
     ),
 ]

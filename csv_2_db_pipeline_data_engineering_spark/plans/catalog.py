@@ -181,6 +181,35 @@ class Query:
 # next round together with round 9's own additions
 # (text_heavy_hitters_incremental, mm_avi_mjpeg_stats,
 # span_strip_incremental).
+# Round-10 rotation (VERDICT r9 #1/#2): in come the EIGHT remaining
+# never-driver-checked oracle-backed queries (all locally green every
+# round since registration) — text_heavy_hitters_incremental,
+# span_strip_incremental, mm_avi_mjpeg_stats (the three r9 additions),
+# text_encoding_fix, text_boilerplate_strip, promo_revenue_share,
+# top_revenue_supplier, disjunctive_bracket_revenue (the r8 tail) —
+# plus round 10's NEW dedup_semantic_lsh (the scale-safe sign-LSH
+# SemDeDup pair search promoted from the 100x probe config; closes the
+# r9 perf-weak grade). Out go nine entries each driver-green >= 3
+# consecutive checked rounds, each with an in-window family twin:
+# dedup_exact_hash (green r3-r9; the digest-groupBy exact-dedup shape
+# runs INSIDE line_dedup_incremental's line digests and
+# corpus_curation_decision's exact_dup gate, both in-window),
+# dedup_simhash (r3-r9; pigeonhole-banded fingerprint joins stay via
+# mm_phash_dedup + mm_audio_fp_dedup + dedup_clusters_lsh), ann_ivf
+# (r3-r9; ANN family keeps embedding_pca_power + embedding_kmeans_iter,
+# and the planted-certificate pattern is exercised by the incoming
+# dedup_semantic_lsh), text_pii_scrub (r5-r9; regex detect/redact
+# chains ~ canary_contamination_scan + incoming text_encoding_fix),
+# doc_chunk_plan (r5-r9; chunk planning ~ corpus_curation_report
+# in-window + the curation-pipeline e2e pytests), text_char_entropy
+# (r6-r9; token-stat family ~ text_vocab_zipf), text_bigram_logprob
+# (r6-r9; fluency family keeps text_fluency_buckets, which is built on
+# the same bigram_logprob_frame), mm_png_decode_stats (r6-r9; the PNG
+# decode kernel runs INSIDE in-window mm_png_deadletter_stats, and the
+# decode family keeps jpeg/gif/y4m/avi/wav), corpus_split_plan (r6-r9;
+# lifecycle/planning family keeps corpus_snapshot_diff +
+# corpus_curation_report). All rotated-out queries remain registered
+# and locally oracle-checked via tools/check_oracles.py.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
@@ -189,28 +218,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "coerce_cast_semantics",
     "multiformat_date_parse",
     # LLM-pipeline: deduplication family.
-    "dedup_exact_hash",
     "dedup_clusters_lsh",  # NEW r9 window: LSH-banded clustering (covers minhash+CC)
     "dedup_embedding_cosine_block",  # NEW r9 window: blocked cosine dedup
     "dedup_semantic_keep",  # NEW r9 window: SemDeDup keep-frame
+    "dedup_semantic_lsh",  # NEW r10: scale-safe sign-LSH SemDeDup pair search
     "line_dedup_incremental",  # NEW r9 window: O(delta) line-index extend
-    "dedup_simhash",  # rotated in r7 (locally green since r4)
+    "span_strip_incremental",  # NEW r10 window: incremental ExactSubstr index
     "dedup_semantic_kmeans",  # NEW r8: SemDeDup (within-cluster cosine)
     "dedup_exact_substring",  # NEW r8: verbatim-span (ExactSubstr) family
     "dedup_bloom_prefilter",  # NEW r8: Bloom membership pre-filter (sketch family)
     # LLM-pipeline: similarity / embeddings.
-    "ann_ivf",
     "embedding_pca_power",  # rotated in late r7 (new, never checked)
     "embedding_kmeans_iter",  # NEW r8: deterministic integer k-means
     # LLM-pipeline: text analysis + hygiene.
     "text_vocab_zipf",  # NEW r9 window: vocabulary Zipf-law audit
     "text_span_strip",  # NEW r9 window: ExactSubstr span removal
     "text_heavy_hitters_cms",  # NEW r8: count-min sketch (sketch family)
+    "text_heavy_hitters_incremental",  # NEW r10 window: persisted CMS extends
     "text_fluency_buckets",  # NEW r9 window: bigram-logprob fluency buckets
-    "text_pii_scrub",
-    "doc_chunk_plan",
-    "text_char_entropy",
-    "text_bigram_logprob",
+    "text_encoding_fix",  # NEW r10 window: mojibake repair (r7 tail)
+    "text_boilerplate_strip",  # NEW r10 window: boilerplate line removal
     # LLM-pipeline: boilerplate removal + classifier inference (NEW r7).
     "text_line_dedup",
     "text_intradoc_dedup",
@@ -219,26 +246,28 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_bpe_train",
     "text_bpe_tokenize",  # NEW r9 window: BPE apply twin of the trainer
     # LLM-pipeline: multimodal + continuous aggregate.
-    "mm_png_decode_stats",
     "mm_jpeg_decode_stats",
     "mm_gif_decode_stats",  # rotated in late r7 (new, never checked)
     "mm_png_deadletter_stats",
     "mm_wav_vad_stats",
     "mm_phash_dedup",  # rotated in late r7 (new image-dedup family)
     "mm_y4m_video_stats",  # NEW r9 window: Y4M frame-sample decode
+    "mm_avi_mjpeg_stats",  # NEW r10 window: AVI/Motion-JPEG container decode
     "mm_audio_fp_dedup",  # NEW r9 window: audio fingerprint dedup
     "user_hourly_interpolate",  # NEW r9 window: gap-fill interpolation
     # LLM-pipeline: curation decisions (contamination / sampling / keep-drop).
     "canary_contamination_scan",  # NEW r9 window: canary-string scan
     "corpus_curation_decision",
     "corpus_curation_report",  # NEW r9 window: per-reason curation audit
-    "corpus_split_plan",
     "corpus_snapshot_diff",  # NEW r8: release-diff audit (lifecycle family)
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
     "graph_pagerank_trade",  # NEW r8: iterative integer PageRank
     "graph_triangle_count",  # NEW r9 window: triangle counting
     "range_join_followup_orders",
+    "promo_revenue_share",  # NEW r10 window: Q14-shape promo share (r8 tail)
+    "top_revenue_supplier",  # NEW r10 window: Q15-shape view-equivalent topk
+    "disjunctive_bracket_revenue",  # NEW r10 window: Q19-shape OR-bracket scan
     # Rotated in round 4, kept: still the only ranked-window instance.
     "top3_orders_per_priority",
 )

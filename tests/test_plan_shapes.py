@@ -268,3 +268,29 @@ def test_media_fingerprint_dedup_joins_are_banded_not_allpairs(spark):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "chunk" in plan  # the banding key reaches the join
+
+
+def test_embedding_lsh_sizing_is_threshold_matched(spark):
+    """The registered embedding near-dup queries derive (planes, tables)
+    from their cosine threshold (``lsh_params_for_threshold``), so a
+    high-threshold caller can never silently run a low-plane
+    constant-false-rate regime (the r9-measured Θ(n²)/2^planes blowup
+    at 100x).  The SemDeDup 0.95 regime must resolve to the
+    100x-probe-proven 24 planes / 64 tables, plane counts must grow
+    monotonically with the threshold, and both registered plans must be
+    keyed bucket joins — never cartesian."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        lsh_params_for_threshold,
+    )
+
+    assert lsh_params_for_threshold(0.95) == (24, 64)
+    planes = [
+        lsh_params_for_threshold(t)[0] for t in (0.85, 0.88, 0.92, 0.95, 0.98)
+    ]
+    assert planes == sorted(planes), "planes must widen with the angular gap"
+    assert all(lsh_params_for_threshold(t)[1] <= 64 for t in (0.85, 0.88, 0.95))
+    for name in ("dedup_embedding_cosine", "dedup_semantic_lsh"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "bucket" in plan  # the LSH bucket key reaches the join

@@ -116,3 +116,32 @@ def test_kmeans_iter_outputs_exact_ints(spark):
     rows = embedding_kmeans_iter(spark, SF_DIR).collect()
     assert all(isinstance(r["sse_q"], int) and r["sse_q"] > 0 for r in rows)
     assert [r["cluster_id"] for r in rows] == sorted(r["cluster_id"] for r in rows)
+
+
+def test_lsh_route_agrees_with_kmeans_route_on_pairs_and_keeps(spark):
+    """The scale-safe sign-LSH route (``dedup_semantic_lsh`` /
+    ``semantic_keep_plan_lsh``) must produce the same pair set (modulo
+    the cluster_id provenance column) and the same keep decisions as
+    the k-means route on this corpus — both recover exactly the
+    planted twin groups."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+        dedup_semantic_keep,
+        dedup_semantic_lsh,
+        semantic_keep_plan_lsh,
+    )
+
+    lsh_pairs = {
+        (r["id_a"], r["id_b"]) for r in dedup_semantic_lsh(spark, SF_DIR).collect()
+    }
+    km_pairs = {
+        (r["id_a"], r["id_b"]) for r in dedup_semantic_kmeans(spark, SF_DIR).collect()
+    }
+    assert lsh_pairs == km_pairs and lsh_pairs  # non-vacuous agreement
+
+    lsh_keep = sorted(
+        semantic_keep_plan_lsh(
+            _with_planted_twins(load_table(spark, SF_DIR, "embeddings"))
+        ).collect()
+    )
+    km_keep = sorted(dedup_semantic_keep(spark, SF_DIR).collect())
+    assert lsh_keep == km_keep

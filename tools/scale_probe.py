@@ -84,30 +84,17 @@ def _semantic_kprop_builder(spark, sf_dir):
     return semantic_dedup_pairs(_with_planted_twins(emb), k=k)
 
 
+# r10: the sign-LSH SemDeDup-0.95 probe config was promoted to the
+# registered catalog query ``dedup_semantic_lsh`` (threshold-matched
+# 24 planes / 64 tables derived by ``dedup.lsh_params_for_threshold``)
+# — probe it by its catalog name; ``emb_neardup_lsh_sem095`` stays as
+# an alias so prior probe JSONs remain comparable.
 def _semantic_lsh_builder(spark, sf_dir):
-    """The semantic family's LINEAR scale path, in its scale regime:
-    sign-LSH routed near-dup pairs at the SemDeDup threshold (0.95).
-
-    Why the registered defaults don't scale-probe: at threshold 0.88
-    the registered 12-plane/48-table family has a per-pair false-bucket
-    rate of (1/2)^12 on isotropic data — a CONSTANT — so candidates
-    grow Θ(n²)/4096 and the verify join explodes at 100x (measured:
-    spill-to-disk OOM). At 0.95 the angular gap supports 24 planes
-    (false-bucket rate (1/2)^24, candidates ~n²/1.7e7 — negligible at
-    this n) and 64 tables keep planted-twin recall ≥ 1-1e-8. Hash cost
-    is Θ(n · tables · planes) — the linear term that should dominate."""
-    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
-        _with_planted_twins,
-        embedding_near_dup_pairs,
+    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+        dedup_semantic_lsh,
     )
-    from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
 
-    return embedding_near_dup_pairs(
-        _with_planted_twins(load_table(spark, sf_dir, "embeddings")),
-        threshold=0.95,
-        n_tables=64,
-        n_planes=24,
-    )
+    return dedup_semantic_lsh(spark, sf_dir)
 
 
 CUSTOM_PROBES = {
