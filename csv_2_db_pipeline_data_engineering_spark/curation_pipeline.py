@@ -262,14 +262,27 @@ def curation_decisions(
     )
 
 
+def n_tok_expr(col: str = "text") -> F.Column:
+    """Whitespace token count that treats empty/blank text as 0 tokens.
+
+    ``F.split('', ' ')`` yields ``['']`` (size 1), so a doc whose whole
+    text was span-stripped away would otherwise report one phantom
+    token — wrong accounting, and a zero-content training chunk if it
+    reached ``chunk_docs``."""
+    return F.when(
+        F.trim(F.col(col)) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.col(col), " ")))
+
+
 def chunk_docs(docs: DataFrame) -> DataFrame:
     """Strided chunks over a (doc_id, text) frame: (doc_id, chunk_idx,
     n_tok_chunk, text). Chunk count derives from the frame's own token
     count, so callers may pass text that was rewritten (span-stripped)
-    after the decision layer computed its estimates. Slicing happens
-    map-side before the write — no text shuffle."""
+    after the decision layer computed its estimates — zero-token docs
+    (fully stripped) produce NO chunks. Slicing happens map-side before
+    the write — no text shuffle."""
     w, s = CHUNK_TOKENS, CHUNK_STRIDE
-    n_tok = F.size(F.split(F.col("text"), " "))
+    n_tok = n_tok_expr("text")
     n_chunks = F.when(n_tok <= w, F.lit(1)).otherwise(
         F.lit(1) + ((n_tok - w + s - 1) / s).cast("int")
     )
@@ -278,7 +291,8 @@ def chunk_docs(docs: DataFrame) -> DataFrame:
     start = (k * s).cast("int")
     end = F.least(start + w, F.col("n_tok"))
     return (
-        docs.select(
+        docs.filter(n_tok > 0)
+        .select(
             "doc_id",
             toks.alias("t"),
             n_tok.alias("n_tok"),
@@ -289,16 +303,6 @@ def chunk_docs(docs: DataFrame) -> DataFrame:
             "chunk_idx",
             (end - start).alias("n_tok_chunk"),
             F.concat_ws(" ", F.slice(F.col("t"), start + 1, end - start)).alias("text"),
-        )
-    )
-
-
-def chunk_kept(decisions: DataFrame) -> DataFrame:
-    """Materialized chunks for kept docs (streaming-fold path: chunks
-    the decision frame's redacted text as-is)."""
-    return chunk_docs(
-        decisions.filter("keep").select(
-            "doc_id", F.col("text_redacted").alias("text")
         )
     )
 
@@ -377,10 +381,12 @@ def run_curation_pipeline(
     ).select(
         "doc_id",
         "text",
-        F.size(F.split("text", " ")).alias("n_tok"),
+        n_tok_expr("text").alias("n_tok"),
         "n_pii",
     )
     dropped = decisions.filter(~F.col("keep")).select("doc_id", "reason")
+    # fully-stripped docs (n_tok = 0) stay in kept_docs for accounting
+    # but ship no chunks (chunk_docs filters them)
     chunks = chunk_docs(kept.select("doc_id", "text"))
 
     kept.write.mode("overwrite").parquet(os.path.join(out_dir, "kept_docs"))

@@ -410,6 +410,41 @@ def encode_jpeg(
     return bytes(out)
 
 
+def jpeg_sof_marker(payload: bytes) -> int:
+    """The frame-type (SOFn) marker byte of a JPEG, by walking marker
+    segments — NOT a payload-wide substring scan, which would
+    false-positive on real-world files whose APPn/EXIF/comment bodies
+    (or entropy data under a different byte-stuffing discipline)
+    happen to contain ``FF C2``.
+
+    Returns the marker byte (0xC0 baseline, 0xC2 progressive, ...);
+    raises ``ValueError`` on malformed streams or when SOS/EOI arrives
+    before any SOF.
+    """
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any frame header
+            raise ValueError("JPEG missing SOF frame header")
+        if pos + 2 > len(payload):
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        if seg_len < 2 or pos + seg_len > len(payload):
+            raise ValueError("bad JPEG segment length")
+        # SOF0-SOF15 are 0xC0-0xCF minus DHT (0xC4), JPG (0xC8), DAC (0xCC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return marker
+        pos += seg_len
+    raise ValueError("truncated JPEG segment")
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG to (width, height, channels, pixels).
 

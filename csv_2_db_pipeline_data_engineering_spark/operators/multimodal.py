@@ -983,7 +983,7 @@ def mm_avi_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     can own.
     """
     from .avi_codec import decode_avi_mjpeg, encode_avi_mjpeg
-    from .jpeg_codec import decode_jpeg, encode_jpeg
+    from .jpeg_codec import decode_jpeg, encode_jpeg, jpeg_sof_marker
     from .jpeg_progressive import encode_jpeg_progressive
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1012,7 +1012,11 @@ def mm_avi_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if (fw, fh) != (w, h):
                         raise ValueError("AVI frame dims disagree with header")
                     luma += sum(px)
-                    n_prog += int(b"\xff\xc2" in f)
+                    # SOF2 detected by walking marker segments (the
+                    # decode_jpeg discipline) — a payload-wide
+                    # substring scan would false-positive on APPn/
+                    # comment bodies containing FF C2
+                    n_prog += int(jpeg_sof_marker(f) == 0xC2)
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)

@@ -24,19 +24,25 @@ Per batch:
    (banded signature join + exact-Jaccard verify on stored gram-hash
    sets — history text is never re-shingled, the property proven in
    ``tests/test_dedup_incremental.py``);
-3. language/quality gates + PII scrub (map-side). (The batch
-   pipeline's optional SemDeDup gate has no streaming twin yet: the
-   arriving-document schema carries no embedding column — adding one
-   would slot its keep-frame anti-join between the near-dup and
-   language gates exactly as in ``curation_decisions``);
-4. ExactSubstr span strip — verbatim spans already SHIPPED by a
+3. semantic-dup gate (when the arriving schema carries an
+   ``embedding`` column — ``DOC_EMB_SCHEMA``): within-batch SemDeDup
+   losers via the LSH-routed keep frame
+   (``operators/semantic.semantic_keep_plan_lsh``) plus cross-history
+   losers against the persisted embedding index
+   (``semantic_cross_losers`` — history vectors hashed once at their
+   own fold time, candidates keyed on (table, bucket),
+   history-first-seen wins); kept docs' embeddings extend the index
+   O(delta) per fold. The gate sits between near_dup and the language
+   gates exactly as in the batch ``curation_decisions``;
+4. language/quality gates + PII scrub (map-side);
+5. ExactSubstr span strip — verbatim spans already SHIPPED by a
    committed batch are deleted from this batch's kept text before
    chunking (``operators/spans.incremental_span_strip_text`` against
    the kept-corpus shingle index; first-seen-in-history wins; the
    index extends O(delta) per fold and is read committed-tags-only so
    an uncommitted fold's phantom tag can never strip a later first
    occurrence);
-5. kept docs, their chunks, their dropped siblings, and the kept docs'
+6. kept docs, their chunks, their dropped siblings, and the kept docs'
    NEW index rows land in per-batch directories; a manifest commit
    makes the batch visible.
 
@@ -75,7 +81,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from ..curation_pipeline import chunk_docs, curation_decisions, near_dup_losers
+from ..curation_pipeline import (
+    chunk_docs,
+    curation_decisions,
+    n_tok_expr,
+    near_dup_losers,
+)
 from ..operators.boilerplate import extend_line_index, strip_boilerplate_lines
 from ..operators.dedup import (
     build_signature_index,
@@ -97,6 +108,17 @@ DOC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
+    ]
+)
+
+#: arriving-document schema WITH an embedding column — enables the
+#: incremental SemDeDup gate (pass as ``run_curation_stream(...,
+#: schema=DOC_EMB_SCHEMA)``); the fold detects the column's presence.
+DOC_EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -122,6 +144,7 @@ def _commit_manifest(out_dir: str, manifest: dict) -> None:
 LINE_INDEX_DIR = "line_index"
 BLOOM_INDEX_DIR = "bloom_index"
 SPAN_INDEX_DIR = "span_index"
+EMB_INDEX_DIR = "emb_index"
 
 
 def _span_index_committed(
@@ -166,6 +189,38 @@ def _span_index_committed(
         .agg(F.sum("n_docs").alias("n_docs"))
     )
     return sh, stats
+
+
+def _emb_index_committed(
+    spark: SparkSession, out_dir: str, batch_id: int
+) -> tuple[DataFrame, DataFrame] | None:
+    """(bucket rows, vectors) of the kept-corpus embedding index across
+    COMMITTED batches, excluding the current batch's own tag — the
+    ``_span_index_committed`` contract: a phantom tag from an
+    uncommitted fold must never drop an arrival against a batch that
+    never became visible, and a crash replay sees exactly the index it
+    saw originally."""
+    base = os.path.join(out_dir, EMB_INDEX_DIR)
+    applied = _read_manifest(out_dir)["applied"]
+    tags = [
+        f"delta=batch{b}"
+        for b in applied
+        if b != batch_id
+        and os.path.isdir(os.path.join(base, "buckets", f"delta=batch{b}"))
+    ]
+    if not tags:
+        return None
+    buckets = (
+        spark.read.option("basePath", os.path.join(base, "buckets"))
+        .parquet(*[os.path.join(base, "buckets", t) for t in tags])
+        .drop("delta")
+    )
+    vecs = (
+        spark.read.option("basePath", os.path.join(base, "vecs"))
+        .parquet(*[os.path.join(base, "vecs", t) for t in tags])
+        .drop("delta")
+    )
+    return buckets, vecs
 
 
 def read_bloom_bits(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -418,8 +473,41 @@ def fold_curation_batch(
     else:
         losers, fps, bloom = internal, None, None
 
+    # Semantic-dup gate (only when the arriving schema carries an
+    # embedding column): within-batch SemDeDup losers via the LSH keep
+    # frame, plus arrivals duplicating COMMITTED history through the
+    # persisted embedding index (history-first-seen wins). Embedding
+    # rows never touch the text gates — only the loser id-frame flows
+    # into the decision layer, matching the batch pipeline's wiring.
+    sem_losers = None
+    batch_emb = None
+    if "embedding" in batch_df.columns:
+        from ..operators.semantic import (
+            semantic_cross_losers,
+            semantic_keep_plan_lsh,
+        )
+
+        batch_emb = batch_df.select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).filter(F.col("embedding").isNotNull())
+        within = (
+            semantic_keep_plan_lsh(batch_emb)
+            .filter(~F.col("keep"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        emb_hist = _emb_index_committed(spark, out_dir, batch_id)
+        sem_losers = (
+            within.union(semantic_cross_losers(batch_emb, *emb_hist)).distinct()
+            if emb_hist is not None
+            else within
+        )
+
     decisions = curation_decisions(
-        docs, near_losers=losers, exact_fingerprints=fps, exact_bloom_bits=bloom
+        docs,
+        near_losers=losers,
+        exact_fingerprints=fps,
+        exact_bloom_bits=bloom,
+        semantic_losers=sem_losers,
     ).localCheckpoint(eager=True)  # pin: three writes + index derive from it
 
     kept = decisions.filter("keep")
@@ -460,10 +548,24 @@ def fold_curation_batch(
             istats,
             exclude_src_ids=batch_df.select("doc_id"),
         )
+    else:
+        # First batch (no committed tags): no history to strip against,
+        # but the delta self-join path must still run so spans repeated
+        # WITHIN this batch get the same treatment later batches apply
+        # intra-batch — empty index frames leave only that path active.
+        empty_sh = kept_text.sparkSession.createDataFrame(
+            [], "doc_id long, pos long, sh string"
+        )
+        empty_stats = kept_text.sparkSession.createDataFrame(
+            [], "sh string, n_docs long"
+        )
+        kept_text = incremental_span_strip_text(kept_text, empty_sh, empty_stats)
     shipped = kept_text.join(kept.select("doc_id", "n_pii"), "doc_id").select(
         "doc_id",
         "text",
-        F.size(F.split("text", " ")).alias("n_tok"),
+        # blank-safe count: a fully-stripped doc reports 0 tokens (and
+        # ships no chunks — chunk_docs filters zero-token docs)
+        n_tok_expr("text").alias("n_tok"),
         "n_pii",
     )
 
@@ -489,6 +591,22 @@ def fold_curation_batch(
     extend_span_index(
         shipped_kept, os.path.join(out_dir, SPAN_INDEX_DIR), f"batch{batch_id}"
     )
+    # Embedding index: KEPT docs' vectors + their LSH bucket rows extend
+    # the persisted index O(delta) — written pre-commit, READ
+    # committed-only (_emb_index_committed), same replay discipline as
+    # the span index. Only kept embeddings enter: the gate defends the
+    # SHIPPED corpus, and a dropped arrival must not block a future
+    # better copy of itself.
+    if batch_emb is not None:
+        from ..operators.semantic import extend_emb_index
+
+        extend_emb_index(
+            batch_emb.join(
+                kept.select(F.col("doc_id").alias("vec_id")), "vec_id"
+            ),
+            os.path.join(out_dir, EMB_INDEX_DIR),
+            f"batch{batch_id}",
+        )
     from ..operators.spans import _raw_shingles
 
     if spark.catalog.tableExists(span_table_name(out_dir)):

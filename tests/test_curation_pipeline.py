@@ -311,3 +311,38 @@ def test_span_strip_removes_verbatim_boilerplate_from_kept_docs(spark, tmp_path)
     assert chunks.filter(
         (F.col("doc_id") == 2) & F.col("text").contains("terms of the service")
     ).count() == 0
+
+
+def test_fully_stripped_doc_ships_zero_tokens_and_no_chunks(spark, tmp_path):
+    """A kept doc whose ENTIRE text is a stripped verbatim span must
+    report n_tok = 0 (F.split('', ' ') would claim 1 phantom token)
+    and ship NO training chunks — empty chunks are corpus poison."""
+    phrase = (
+        "please read the full terms of the service before you use this site "
+        "and then sign the short form at the desk"
+    )
+    rows = [
+        # span keeper (lowest doc_id); long enough that doc 2's capped
+        # Jaccard vs it stays below the near-dup threshold
+        (1, _FLUENT[0] + " " + _FLUENT[1] + " " + phrase),
+        (2, phrase),                     # entire text is the span
+        (3, _FLUENT[1]),
+        (4, _FLUENT[2]),
+        (5, _FLUENT[3]),
+    ]
+    docs_p = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs_p)
+    out = str(tmp_path / "curated")
+    s = run_curation_pipeline(spark, docs_p, out)
+
+    kept = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(os.path.join(out, "kept_docs")).collect()
+    }
+    assert 2 in kept, "doc 2 must survive the gates and reach the span strip"
+    assert kept[2]["text"] == ""
+    assert kept[2]["n_tok"] == 0
+    chunks = spark.read.parquet(os.path.join(out, "chunks"))
+    assert chunks.filter(F.col("doc_id") == 2).count() == 0
+    # token accounting: no doc contributes phantom tokens
+    assert all(r["n_tok"] == len(r["text"].split(" ")) for r in kept.values() if r["n_tok"] > 0)

@@ -386,3 +386,94 @@ def test_span_table_rebuilds_from_committed_tags(spark, tmp_path):
     fold_curation_batch(spark, _docs(spark, [(2, _OTHER + " " + phrase)]), out, 1)
     kept = {r["doc_id"]: r["text"] for r in read_curated(spark, out, "kept").collect()}
     assert phrase in kept[1] and phrase not in kept[2]
+
+
+def test_batch_zero_strips_intra_batch_spans(spark, tmp_path):
+    """Victim policy must be consistent across batches: a verbatim
+    phrase repeated WITHIN the very first batch (no committed index
+    yet) gets the same intra-batch ExactSubstr treatment later batches
+    apply via the delta self-join — lowest doc_id keeps, the other
+    batch-0 doc loses exactly the span."""
+    phrase = "please read the full terms of the service before you use this site"
+    out = str(tmp_path / "curated")
+    fold_curation_batch(
+        spark, _docs(spark, [(1, _BASE + " " + phrase), (2, _OTHER + " " + phrase)]), out, 0
+    )
+    kept = {r["doc_id"]: r for r in read_curated(spark, out, "kept").collect()}
+    assert set(kept) == {1, 2}
+    assert phrase in kept[1]["text"]
+    assert phrase not in kept[2]["text"]
+    assert kept[2]["text"] == _OTHER
+    assert kept[2]["n_tok"] == len(_OTHER.split(" "))
+
+
+def test_streaming_semantic_gate_drops_embedding_twin_across_batches(spark, tmp_path):
+    """Incremental SemDeDup: an arrival whose EMBEDDING nearly equals a
+    committed kept doc's embedding drops as semantic_dup even though
+    its TEXT shares nothing with the history doc (the batch pipeline's
+    gate, made incremental via the persisted embedding index); an
+    unrelated-embedding arrival in the same batch is kept, and a
+    replayed fold stays idempotent."""
+    emb_schema = "doc_id long, text string, embedding array<double>"
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    twin = [1.0, 0.05] + [0.0] * (dim - 2)  # cosine(e1, twin) ~ 0.9988
+    e3 = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    fresh = (
+        "twelve bright lanterns hung above the narrow street and it was a "
+        "warm night for the people of the town to walk by the calm water"
+    )
+    later = (
+        "five old wagons rolled along the dusty road and it was a long "
+        "journey for the traders to reach the far hills before the rain"
+    )
+
+    out = str(tmp_path / "curated")
+    b0 = spark.createDataFrame(
+        [(1, _BASE, e1), (2, _OTHER, e2)], emb_schema
+    )
+    fold_curation_batch(spark, b0, out, 0)
+    assert {r["doc_id"] for r in read_curated(spark, out, "kept").collect()} == {1, 2}
+
+    b1 = spark.createDataFrame(
+        [(10, fresh, twin), (12, later, e3)], emb_schema
+    )
+    fold_curation_batch(spark, b1, out, 1)
+    kept = {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
+    dropped = {
+        r["doc_id"]: r["reason"]
+        for r in read_curated(spark, out, "dropped").collect()
+    }
+    assert kept == {1, 2, 12}
+    assert dropped[10] == "semantic_dup"
+
+    # replay of committed batch 1: manifest gate no-ops
+    fold_curation_batch(spark, b1, out, 1)
+    assert {r["doc_id"] for r in read_curated(spark, out, "kept").collect()} == kept
+
+
+def test_streaming_semantic_gate_within_batch_and_embeddingless_path(spark, tmp_path):
+    """Within-batch embedding twins collapse to the lowest doc_id in
+    the very first fold, and a schema WITHOUT an embedding column keeps
+    flowing through the unchanged path (gate disabled)."""
+    emb_schema = "doc_id long, text string, embedding array<double>"
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    twin = [1.0, 0.05] + [0.0] * (dim - 2)
+    out = str(tmp_path / "curated")
+    b0 = spark.createDataFrame(
+        [(1, _BASE, e1), (2, _OTHER, twin)], emb_schema
+    )
+    fold_curation_batch(spark, b0, out, 0)
+    kept = {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
+    dropped = {
+        r["doc_id"]: r["reason"]
+        for r in read_curated(spark, out, "dropped").collect()
+    }
+    assert kept == {1}
+    assert dropped[2] == "semantic_dup"
+
+    out2 = str(tmp_path / "curated2")
+    fold_curation_batch(spark, _docs(spark, [(1, _BASE), (2, _OTHER)]), out2, 0)
+    assert {r["doc_id"] for r in read_curated(spark, out2, "kept").collect()} == {1, 2}
