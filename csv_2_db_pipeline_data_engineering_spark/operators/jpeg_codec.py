@@ -34,7 +34,9 @@ dead-letter into rows instead of killing tasks.
 
 from __future__ import annotations
 
+import functools
 import math
+import re
 import struct
 
 # --- constant tables (ITU-T T.81 / Annex K, public spec) ---------------------
@@ -112,11 +114,43 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for the bit-at-a-time decoder."""
-    return {
-        (length, code): sym for sym, (code, length) in _canonical_codes(bits, vals).items()
-    }
+@functools.lru_cache(maxsize=64)
+def _peek_table(bits: tuple[int, ...], vals: tuple[int, ...]) -> list[tuple[int, int]]:
+    """16-bit peek table: index by the NEXT 16 bits of the stream, get
+    (symbol, code length) in one lookup — the classic fast Huffman
+    decode (every ≤16-bit canonical code owns the 2^(16-len) slots it
+    prefixes).  Cached per table spec: the Annex-K tables shared by
+    every frame build the 65536-entry list once per process, not once
+    per image.  Uncovered slots hold length 0 → invalid code.
+    """
+    tbl: list[tuple[int, int]] = [(0, 0)] * 65536
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = vals[k]
+            k += 1
+            start = code << (16 - length)
+            tbl[start : start + (1 << (16 - length))] = [(sym, length)] * (
+                1 << (16 - length)
+            )
+            code += 1
+        code <<= 1
+    return tbl
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> list[tuple[int, int]]:
+    """Decoder-side table for a DHT segment: the cached 16-bit peek
+    table (see ``_peek_table``); consumed via ``_read_huff_symbol``."""
+    return _peek_table(tuple(bits), tuple(vals))
+
+
+def _read_huff_symbol(br: "_BitReader", tab: list[tuple[int, int]]) -> int:
+    """One Huffman symbol via a single peek-table lookup + bit skip."""
+    sym, ln = tab[br.peek16()]
+    if ln == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    br.skip(ln)
+    return sym
 
 
 try:  # numpy matmul runs the 8x8 basis products ~20x faster than the
@@ -187,37 +221,100 @@ class _BitWriter:
             self.write(0x7F, 8 - self._n)  # pad with 1s per spec
 
 
+_ENTROPY_END_RE = re.compile(rb"\xff[^\x00]", re.DOTALL)
+
+
 class _BitReader:
+    """Entropy-stream bit reader over one scan's segment.
+
+    Fast path without changing the spec semantics: the segment is
+    located ONCE (first ``FF xx`` with xx != 00 terminates it — restart
+    markers are rejected upstream) and unstuffed ONCE with C-level
+    ``bytes.replace``; bits then come out of a small integer
+    accumulator instead of a per-bit byte-loading loop, and
+    ``peek16``/``skip`` let the Huffman decoder resolve a whole symbol
+    from one table lookup (``_peek_table``).  ``pos`` keeps the
+    original contract — the SOURCE offset just past the last consumed
+    byte (stuffed zeros counted as consumed with their FF) — because
+    both decoders resume marker parsing there.
+    """
+
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
-        self.pos = pos
+        self._start = pos
+        m = _ENTROPY_END_RE.search(data, pos)
+        self._end = m.start() if m else len(data)
+        seg = data[pos : self._end]
+        # unstuffed indices whose source byte was FF + stuffed 00
+        stuffed = []
+        j = seg.find(b"\xff\x00")
+        k = 0
+        while j != -1:
+            stuffed.append(j - k)  # each prior pair removed one byte
+            k += 1
+            j = seg.find(b"\xff\x00", j + 2)
+        self._stuffed = stuffed
+        self._buf = seg.replace(b"\xff\x00", b"\xff")
+        self._bytepos = 0  # next unstuffed byte to load
         self._acc = 0
-        self._n = 0
+        self._accn = 0  # bits currently in the accumulator
+
+    def _out_of_data(self) -> ValueError:
+        if self._end >= len(self.data):
+            return ValueError("truncated JPEG entropy stream")
+        return ValueError("unexpected marker inside entropy stream")
+
+    def _fill(self, k: int) -> None:
+        buf = self._buf
+        while self._accn < k:
+            i = self._bytepos
+            if i >= len(buf):
+                raise self._out_of_data()
+            self._acc = (self._acc << 8) | buf[i]
+            self._bytepos = i + 1
+            self._accn += 8
+
+    def peek16(self) -> int:
+        """The next 16 bits, zero-padded past the segment end (a code
+        needing padded bits fails in ``skip``'s budget check)."""
+        buf = self._buf
+        while self._accn < 16 and self._bytepos < len(buf):
+            self._acc = (self._acc << 8) | buf[self._bytepos]
+            self._bytepos += 1
+            self._accn += 8
+        if self._accn >= 16:
+            return (self._acc >> (self._accn - 16)) & 0xFFFF
+        return (self._acc << (16 - self._accn)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        if self._accn < k:
+            raise self._out_of_data()
+        self._accn -= k
+        self._acc &= (1 << self._accn) - 1
 
     def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("truncated JPEG entropy stream")
-                marker = self.data[self.pos]
-                if marker == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError("unexpected marker inside entropy stream")
-            self._acc = byte
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+        if self._accn == 0:
+            self._fill(1)
+        self._accn -= 1
+        return (self._acc >> self._accn) & 1
 
     def receive(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.read_bit()
+        if length == 0:
+            return 0
+        if self._accn < length:
+            self._fill(length)
+        self._accn -= length
+        v = (self._acc >> self._accn) & ((1 << length) - 1)
+        self._acc &= (1 << self._accn) - 1
         return v
+
+    @property
+    def pos(self) -> int:
+        """Source offset just past the last consumed byte."""
+        consumed_bits = self._bytepos * 8 - self._accn
+        consumed = (consumed_bits + 7) // 8
+        extra = sum(1 for i in self._stuffed if i < consumed)
+        return self._start + consumed + extra
 
 
 def _extend(v: int, s: int) -> int:
@@ -268,19 +365,12 @@ def _encode_block(
 def _decode_block(
     br: _BitReader,
     qtable: list[int],
-    dc_tab: dict[tuple[int, int], int],
-    ac_tab: dict[tuple[int, int], int],
+    dc_tab: list[tuple[int, int]],
+    ac_tab: list[tuple[int, int]],
     pred_dc: int,
 ) -> tuple[list[int], int]:
-    def read_symbol(tab: dict[tuple[int, int], int]) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | br.read_bit()
-            length += 1
-            sym = tab.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+    def read_symbol(tab: list[tuple[int, int]]) -> int:
+        return _read_huff_symbol(br, tab)
 
     zz = [0] * 64
     s = read_symbol(dc_tab)

@@ -55,6 +55,7 @@ from .jpeg_codec import (
     _canonical_codes,
     _category,
     _decode_table,
+    _read_huff_symbol,
     _extend,
     _fdct,
     _idct,
@@ -324,15 +325,9 @@ def encode_jpeg_progressive(
 # --- decoder -----------------------------------------------------------------
 
 
-def _read_symbol(br: _BitReader, tab: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | br.read_bit()
-        length += 1
-        sym = tab.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+def _read_symbol(br: _BitReader, tab: list[tuple[int, int]]) -> int:
+    """One symbol via the cached 16-bit peek table (``_peek_table``)."""
+    return _read_huff_symbol(br, tab)
 
 
 def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -345,8 +340,8 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
     qtables: dict[int, list[int]] = {}
-    dc_tabs: dict[int, dict[tuple[int, int], int]] = {}
-    ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    dc_tabs: dict[int, list[tuple[int, int]]] = {}
+    ac_tabs: dict[int, list[tuple[int, int]]] = {}
     width = height = None
     comps: list[tuple[int, int]] = []  # (component id, qtable id)
     coefs: list[list[list[int]]] = []  # per comp, per block, zigzag coefs
@@ -505,8 +500,8 @@ def _decode_scan(
     ah: int,
     al: int,
     coefs: list[list[list[int]]],
-    dc_tabs: dict[int, dict[tuple[int, int], int]],
-    ac_tabs: dict[int, dict[tuple[int, int], int]],
+    dc_tabs: dict[int, list[tuple[int, int]]],
+    ac_tabs: dict[int, list[tuple[int, int]]],
     nblocks: int,
 ) -> None:
     try:

@@ -133,6 +133,23 @@ def _fake_decode(payload: bytes) -> tuple[int, float]:
     return n_frames, mean_byte
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan the tiny id/payload frame across the cluster BEFORE an Arrow
+    decode kernel.
+
+    A single-file scan yields one input partition, which would serialize
+    an embarrassingly-parallel decode onto one Python worker regardless
+    of core count (measured: the sf0.1 documents scan is 1 partition, so
+    mm_jpeg/mm_avi ran 1-way). The repartition shuffles ONLY the ids (a
+    few bytes/row) — decode cost per row dwarfs it at any scale, and the
+    explicit partition count is respected (not AQE-coalesced away for
+    being byte-tiny, which it is precisely because the heavy work
+    happens AFTER the exchange).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Arrow-batched feature extraction over ``mapInPandas``.
 
@@ -157,7 +174,7 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(decode_batches, FEATURES_SCHEMA)
+    return media.select("doc_id", "payload").transform(_spread).mapInPandas(decode_batches, FEATURES_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -199,7 +216,7 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(resize_batches, RESIZED_SCHEMA)
+    return media.select("doc_id", "payload").transform(_spread).mapInPandas(resize_batches, RESIZED_SCHEMA)
 
 
 FRAMES_SCHEMA = T.StructType(
@@ -240,7 +257,7 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(frame_batches, FRAMES_SCHEMA)
+    return media.select("doc_id", "payload").transform(_spread).mapInPandas(frame_batches, FRAMES_SCHEMA)
 
 
 def mm_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,6 +374,7 @@ def mm_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(_spread)
         .mapInPandas(decode_batches, PNG_STATS_SCHEMA)
     )
     return feats.select(
@@ -450,6 +468,7 @@ def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(_spread)
         .mapInPandas(decode_batches, JPEG_STATS_SCHEMA)
     )
     return feats.select(
@@ -528,6 +547,7 @@ def mm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(_spread)
         .mapInPandas(decode_batches, WAV_STATS_SCHEMA)
     )
     return feats.select(
@@ -600,7 +620,7 @@ def png_features_with_deadletter(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(safe_batches, PNG_SAFE_SCHEMA)
+    return media.select("doc_id", "payload").transform(_spread).mapInPandas(safe_batches, PNG_SAFE_SCHEMA)
 
 
 # Dead-letter corruption plan, derivable from doc_id alone so the DuckDB
@@ -638,7 +658,7 @@ def _planted_png_payloads(docs: DataFrame) -> DataFrame:
                 payloads.append(payload)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return docs.select("doc_id").transform(_spread).mapInPandas(
         make_batches, "doc_id long, payload binary"
     )
 
@@ -747,6 +767,7 @@ def mm_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(_spread)
         .mapInPandas(resize_batches, PNG_RESIZE_SCHEMA)
     )
     return feats.select(
@@ -820,6 +841,7 @@ def mm_wav_vad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(_spread)
         .mapInPandas(vad_batches, WAV_VAD_SCHEMA)
     )
     return feats.select(
@@ -916,6 +938,7 @@ def mm_y4m_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(_spread)
         .mapInPandas(decode_batches, Y4M_STATS_SCHEMA)
     )
     return feats.select(
@@ -1039,6 +1062,7 @@ def mm_avi_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(_spread)
         .mapInPandas(decode_batches, AVI_STATS_SCHEMA)
     )
     return feats.select(
@@ -1126,6 +1150,7 @@ def mm_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(_spread)
         .mapInPandas(decode_batches, GIF_STATS_SCHEMA)
     )
     return feats.select(
@@ -1247,6 +1272,7 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = scoped_cache(
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(_spread)
         .mapInPandas(hash_batches, PHASH_SCHEMA)
     )
     return _hamming_band_pairs(
@@ -1461,6 +1487,7 @@ def mm_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = scoped_cache(
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(_spread)
         .mapInPandas(fp_batches, AFP_SCHEMA)
     )
     return _hamming_band_pairs(
