@@ -717,6 +717,29 @@ def extend_signature_index(delta_docs: DataFrame, path: str, tag: str) -> None:
     write_signature_index(delta_docs, path, tag)
 
 
+def compact_signature_index(
+    spark: SparkSession, path: str, tag: str = "base"
+) -> None:
+    """Merge every delta partition into one ``delta=<tag>`` partition —
+    the ``boilerplate.compact_line_index`` LSM move for the signature
+    index. Rows are per-doc and immutable, so compaction is a pure
+    rewrite (no re-aggregation): its value is bounding the partition
+    count a long stream's reads must list and union. Run on the
+    maintenance cadence, amortized O(index) against many O(delta)
+    extends.
+    """
+    import shutil
+
+    merged = read_signature_index(spark, path)
+    tmp = f"delta=__compact_{tag}"
+    merged.write.mode("overwrite").parquet(os.path.join(path, tmp))
+    for t in os.listdir(path):
+        if t.startswith("delta=") and t != tmp:
+            shutil.rmtree(os.path.join(path, t))
+    os.replace(os.path.join(path, tmp), os.path.join(path, f"delta={tag}"))
+    spark.catalog.refreshByPath(path)
+
+
 def read_signature_index(spark: SparkSession, path: str) -> DataFrame:
     """Read the full signature index (all delta partitions) back.
 

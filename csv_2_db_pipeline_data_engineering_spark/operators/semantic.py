@@ -479,6 +479,34 @@ def extend_emb_index(delta_emb: DataFrame, path: str, tag: str) -> None:
     write_emb_index(delta_emb, path, tag)
 
 
+def compact_emb_index(spark: SparkSession, path: str, tag: str = "base") -> None:
+    """Merge every delta partition of both sub-tables into one
+    ``delta=<tag>`` partition — the LSM move for the embedding index.
+    Rows are per-vector and immutable (bucket rows are a pure function
+    of the stored vector under the seeded family), so compaction is a
+    rewrite that bounds the partition count long streams accumulate.
+    """
+    import os
+    import shutil
+
+    for sub in ("buckets", "vecs"):
+        base = os.path.join(path, sub)
+        if not os.path.isdir(base):
+            continue
+        df = (
+            spark.read.option("basePath", base)
+            .parquet(os.path.join(base, "delta=*"))
+            .drop("delta")
+        )
+        tmp = f"delta=__compact_{tag}"
+        df.write.mode("overwrite").parquet(os.path.join(base, tmp))
+        for t in os.listdir(base):
+            if t.startswith("delta=") and t != tmp:
+                shutil.rmtree(os.path.join(base, t))
+        os.replace(os.path.join(base, tmp), os.path.join(base, f"delta={tag}"))
+        spark.catalog.refreshByPath(base)
+
+
 def semantic_cross_losers(
     batch_emb: DataFrame,
     hist_buckets: DataFrame,

@@ -227,6 +227,30 @@ def extend_cms_index(docs: DataFrame, path: str, tag: str) -> None:
     )
 
 
+def compact_cms_index(spark: SparkSession, path: str, tag: str = "base") -> None:
+    """Merge every delta partition into one ``delta=<tag>`` partition —
+    the ``boilerplate.compact_line_index`` LSM move for the persisted
+    count-min sketch. Counter addition over tags IS the merge (the
+    sketch's defining property), so the compacted index answers every
+    estimate identically to the tag pile while bounding the per-read
+    aggregation input back to D·W rows. Run on the maintenance
+    cadence, amortized O(D·W) against many O(delta) extends.
+    """
+    import os
+    import shutil
+
+    merged = read_cms_index(spark, path)
+    if merged is None:
+        return
+    tmp = f"delta=__compact_{tag}"
+    merged.write.mode("overwrite").parquet(os.path.join(path, tmp))
+    for t in os.listdir(path):
+        if t.startswith("delta=") and t != tmp:
+            shutil.rmtree(os.path.join(path, t))
+    os.replace(os.path.join(path, tmp), os.path.join(path, f"delta={tag}"))
+    spark.catalog.refreshByPath(path)
+
+
 def read_cms_index(spark: SparkSession, path: str) -> DataFrame | None:
     """The merged counters across all committed delta tags (None if the
     index does not exist yet).  Addition over tags IS the merge, so the

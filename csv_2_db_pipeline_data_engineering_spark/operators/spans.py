@@ -403,6 +403,35 @@ def extend_span_index(delta_docs: DataFrame, path: str, tag: str) -> None:
     write_span_index(delta_docs, path, tag)
 
 
+def compact_span_index(spark: SparkSession, path: str, tag: str = "base") -> None:
+    """Merge every delta partition into one ``delta=<tag>`` partition —
+    the ``boilerplate.compact_line_index`` LSM move for the span index.
+
+    The win is the stats table: df is corpus-global, so the per-tag
+    frequency PARTIALS are re-aggregated by ``read_span_index`` on
+    EVERY read — O(tags) growth on a long stream. Compaction
+    re-aggregates them once to one row per shingle (and rewrites the
+    shingle rows, immutable per doc, into one partition), after which
+    reads cost one partition until the next extends accumulate. Run on
+    the maintenance cadence, amortized O(index) against many O(delta)
+    folds. Results are identical by construction: summing partials IS
+    the merge.
+    """
+    import os
+    import shutil
+
+    sh, stats = read_span_index(spark, path)
+    for sub, df in (("shingles", sh), ("stats", stats)):
+        base = os.path.join(path, sub)
+        tmp = f"delta=__compact_{tag}"
+        df.write.mode("overwrite").parquet(os.path.join(base, tmp))
+        for t in os.listdir(base):
+            if t.startswith("delta=") and t != tmp:
+                shutil.rmtree(os.path.join(base, t))
+        os.replace(os.path.join(base, tmp), os.path.join(base, f"delta={tag}"))
+        spark.catalog.refreshByPath(base)
+
+
 def read_span_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """(shingle rows, merged df stats) across all delta partitions."""
     import os

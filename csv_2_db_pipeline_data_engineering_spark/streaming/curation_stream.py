@@ -169,13 +169,7 @@ def _span_index_committed(
     table-rebuild source for a fresh session.
     """
     base = os.path.join(out_dir, SPAN_INDEX_DIR)
-    applied = _read_manifest(out_dir)["applied"]
-    tags = [
-        f"delta=batch{b}"
-        for b in applied
-        if b != batch_id
-        and os.path.isdir(os.path.join(base, "shingles", f"delta=batch{b}"))
-    ]
+    tags = _committed_tags(base, out_dir, batch_id, "shingles")
     if not tags:
         return None
     sh = spark.read.option(
@@ -191,6 +185,34 @@ def _span_index_committed(
     return sh, stats
 
 
+_COMPACT_TAG = "base"
+
+
+def _committed_tags(
+    index_base: str, out_dir: str, batch_id: int, probe_sub: str | None = None
+) -> list[str]:
+    """``delta=`` directory names carrying COMMITTED index rows: the
+    compacted base tag (batches folded by a stream compactor, recorded
+    in ``_COMPACTED.json``) plus per-batch tags for applied batches not
+    yet folded — excluding the current batch's own tag (crash-replay
+    sees exactly the index it saw originally)."""
+    applied = _read_manifest(out_dir)["applied"]
+    covered = _read_compacted(index_base)
+    probe = (
+        index_base if probe_sub is None else os.path.join(index_base, probe_sub)
+    )
+    tags = [
+        f"delta=batch{b}"
+        for b in applied
+        if b != batch_id
+        and b not in covered
+        and os.path.isdir(os.path.join(probe, f"delta=batch{b}"))
+    ]
+    if covered and os.path.isdir(os.path.join(probe, f"delta={_COMPACT_TAG}")):
+        tags.insert(0, f"delta={_COMPACT_TAG}")
+    return tags
+
+
 def _emb_index_committed(
     spark: SparkSession, out_dir: str, batch_id: int
 ) -> tuple[DataFrame, DataFrame] | None:
@@ -201,13 +223,7 @@ def _emb_index_committed(
     never became visible, and a crash replay sees exactly the index it
     saw originally."""
     base = os.path.join(out_dir, EMB_INDEX_DIR)
-    applied = _read_manifest(out_dir)["applied"]
-    tags = [
-        f"delta=batch{b}"
-        for b in applied
-        if b != batch_id
-        and os.path.isdir(os.path.join(base, "buckets", f"delta=batch{b}"))
-    ]
+    tags = _committed_tags(base, out_dir, batch_id, "buckets")
     if not tags:
         return None
     buckets = (
@@ -320,6 +336,84 @@ def compact_bloom_index(spark: SparkSession, out_dir: str, tag: str = "base") ->
         json.dump({"covered": applied}, fh)
     os.replace(tmp, os.path.join(base, _COMPACTED))
     spark.catalog.refreshByPath(base)
+
+
+def _compact_stream_index(
+    spark: SparkSession,
+    out_dir: str,
+    index_dir: str,
+    subs: dict[str, bool],
+    tag: str = _COMPACT_TAG,
+) -> None:
+    """Shared LSM move for the stream-managed multi-table indexes:
+    fold all COMMITTED per-batch tags (plus a previous base) of every
+    sub-table into one ``delta=<tag>`` partition, record the covered
+    batch ids in ``_COMPACTED.json`` so ``_committed_tags`` keeps
+    resolving them, and leave any UNCOMMITTED (crashed-attempt) tag
+    untouched — committed-only read semantics survive compaction
+    exactly. ``subs`` maps sub-table name -> whether its rows are df
+    PARTIALS to re-aggregate (the span stats table) or immutable rows
+    to rewrite."""
+    import shutil
+
+    base = os.path.join(out_dir, index_dir)
+    applied = set(_read_manifest(out_dir)["applied"])
+    covered = _read_compacted(base)
+    probe_sub = next(iter(subs))
+    fold = sorted(
+        b
+        for b in applied - covered
+        if os.path.isdir(os.path.join(base, probe_sub, f"delta=batch{b}"))
+    )
+    src_tags = [f"delta=batch{b}" for b in fold]
+    if covered and os.path.isdir(
+        os.path.join(base, probe_sub, f"delta={tag}")
+    ):
+        src_tags.insert(0, f"delta={tag}")
+    if not src_tags:
+        return
+    for sub, is_partials in subs.items():
+        b2 = os.path.join(base, sub)
+        df = (
+            spark.read.option("basePath", b2)
+            .parquet(*[os.path.join(b2, t) for t in src_tags])
+            .drop("delta")
+        )
+        if is_partials:
+            df = df.groupBy("sh").agg(F.sum("n_docs").alias("n_docs"))
+        tmp = f"delta=__compact_{tag}"
+        df.write.mode("overwrite").parquet(os.path.join(b2, tmp))
+        for t in src_tags:
+            shutil.rmtree(os.path.join(b2, t), ignore_errors=True)
+        os.replace(os.path.join(b2, tmp), os.path.join(b2, f"delta={tag}"))
+        spark.catalog.refreshByPath(b2)
+    fd, tmp = tempfile.mkstemp(prefix="._compacted_", dir=base)
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        json.dump({"covered": sorted(covered | set(fold))}, fh)
+    os.replace(tmp, os.path.join(base, _COMPACTED))
+
+
+def compact_span_index_stream(
+    spark: SparkSession, out_dir: str, tag: str = _COMPACT_TAG
+) -> None:
+    """LSM-compact the stream's span index (the ``compact_bloom_index``
+    move): the per-tag df PARTIALS — otherwise re-aggregated by every
+    fold's read, O(tags) growth on a long stream — collapse to one row
+    per shingle, and the shingle rows rewrite into one partition. The
+    bucketed accelerator table is untouched (it is already one table)."""
+    _compact_stream_index(
+        spark, out_dir, SPAN_INDEX_DIR, {"shingles": False, "stats": True}, tag
+    )
+
+
+def compact_emb_index_stream(
+    spark: SparkSession, out_dir: str, tag: str = _COMPACT_TAG
+) -> None:
+    """LSM-compact the stream's embedding index (bucket rows + vectors,
+    both immutable per vector — a pure partition-count bound)."""
+    _compact_stream_index(
+        spark, out_dir, EMB_INDEX_DIR, {"buckets": False, "vecs": False}, tag
+    )
 
 
 def _line_index_excluding(

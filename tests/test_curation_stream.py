@@ -477,3 +477,70 @@ def test_streaming_semantic_gate_within_batch_and_embeddingless_path(spark, tmp_
     out2 = str(tmp_path / "curated2")
     fold_curation_batch(spark, _docs(spark, [(1, _BASE), (2, _OTHER)]), out2, 0)
     assert {r["doc_id"] for r in read_curated(spark, out2, "kept").collect()} == {1, 2}
+
+
+def test_stream_span_and_emb_compaction_preserve_fold_semantics(spark, tmp_path):
+    """Fold-compact-refold for the stream's span + embedding indexes:
+    after compacting committed tags into one base partition (with
+    coverage recorded), a later fold still strips history spans and
+    drops embedding twins exactly as an uncompacted twin run does."""
+    import os
+
+    from csv_2_db_pipeline_data_engineering_spark.streaming.curation_stream import (
+        EMB_INDEX_DIR,
+        SPAN_INDEX_DIR,
+        compact_emb_index_stream,
+        compact_span_index_stream,
+    )
+
+    emb_schema = "doc_id long, text string, embedding array<double>"
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    twin = [1.0, 0.05] + [0.0] * (dim - 2)
+    e3 = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    e4 = [0.0, 0.0, 0.0, 1.0] + [0.0] * (dim - 4)
+    phrase = "please read the full terms of the service before you use this site"
+    fresh = (
+        "twelve bright lanterns hung above the narrow street and it was a "
+        "warm night for the people of the town to walk by the calm water"
+    )
+    later = (
+        "five old wagons rolled along the dusty road and it was a long "
+        "journey for the traders to reach the far hills before the rain"
+    )
+    b0 = [(1, _BASE + " " + phrase, e1)]
+    b1 = [(2, _OTHER, e2)]
+    b2 = [(10, fresh, twin), (12, later + " " + phrase, e4)]
+
+    def run(out, compact):
+        fold_curation_batch(spark, spark.createDataFrame(b0, emb_schema), out, 0)
+        fold_curation_batch(spark, spark.createDataFrame(b1, emb_schema), out, 1)
+        if compact:
+            compact_span_index_stream(spark, out)
+            compact_emb_index_stream(spark, out)
+            for idx, sub in ((SPAN_INDEX_DIR, "shingles"), (EMB_INDEX_DIR, "buckets")):
+                tags = [
+                    t
+                    for t in os.listdir(os.path.join(out, idx, sub))
+                    if t.startswith("delta=")
+                ]
+                assert tags == ["delta=base"], (idx, tags)
+        fold_curation_batch(spark, spark.createDataFrame(b2, emb_schema), out, 2)
+        kept = {
+            r["doc_id"]: (r["text"], r["n_tok"])
+            for r in read_curated(spark, out, "kept").collect()
+        }
+        dropped = {
+            r["doc_id"]: r["reason"]
+            for r in read_curated(spark, out, "dropped").collect()
+        }
+        return kept, dropped
+
+    plain = run(str(tmp_path / "plain"), compact=False)
+    compacted = run(str(tmp_path / "compacted"), compact=True)
+    assert compacted == plain
+    kept, dropped = compacted
+    assert dropped[10] == "semantic_dup"  # twin caught through compacted emb index
+    assert phrase not in kept[12][0]  # span stripped through compacted span index
+    assert kept[12][0] == later

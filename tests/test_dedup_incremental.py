@@ -123,3 +123,44 @@ def test_index_is_text_free(spark):
     # signature columns + hash set + size + id — nothing else
     assert {"doc_id", "sh", "ns"} <= set(idx.columns)
     assert sum(c.startswith("m") for c in idx.columns) == 64
+
+
+def test_signature_index_compaction_preserves_folds(spark, tmp_path):
+    """compact_signature_index rewrites every tag into ONE base
+    partition; folds against the compacted index find the same pairs,
+    and later extends keep folding on top of the compacted base."""
+    import os
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        compact_signature_index,
+    )
+
+    index_path = str(tmp_path / "sig_index")
+    write_signature_index(_docs(spark, BASE), index_path, tag="base")
+    extend_signature_index(_docs(spark, DELTA), index_path, tag="d1")
+
+    delta2 = _docs(
+        spark, [(400, "the quick brown fox jumps over the lazy dog forever")]
+    )
+    pre = {
+        (r.doc_delta, r.doc_base)
+        for r in incremental_dedup_pairs(
+            delta2, read_signature_index(spark, index_path)
+        ).collect()
+    }
+    pre_rows = read_signature_index(spark, index_path).count()
+
+    compact_signature_index(spark, index_path)
+    tags = [t for t in os.listdir(index_path) if t.startswith("delta=")]
+    assert tags == ["delta=base"]
+    assert read_signature_index(spark, index_path).count() == pre_rows
+    post = {
+        (r.doc_delta, r.doc_base)
+        for r in incremental_dedup_pairs(
+            delta2, read_signature_index(spark, index_path)
+        ).collect()
+    }
+    assert post == pre and pre  # non-vacuous
+
+    extend_signature_index(delta2, index_path, "d2")
+    assert read_signature_index(spark, index_path).count() == pre_rows + 1

@@ -210,3 +210,46 @@ def test_incremental_cms_certificate_holds(spark):
     assert rows
     assert all(r["ok_merge_exact"] for r in rows)
     assert all(r["ok_no_undercount"] for r in rows)
+
+
+def test_cms_index_compaction_preserves_estimates(spark, tmp_path):
+    """compact_cms_index folds every tag into ONE base partition whose
+    read-back answers identically (counter addition IS the merge), and
+    later extends keep folding on top of the compacted base."""
+    import os
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        cms_rows,
+        compact_cms_index,
+        extend_cms_index,
+        read_cms_index,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the cat sat again")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "a dog ran to the park and a dog ran back")],
+        "doc_id long, text string",
+    )
+    b3 = spark.createDataFrame(
+        [(3, "rain fell on the roof while the cat sat still")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "cms_index")
+    extend_cms_index(b1, path, "batch1")
+    extend_cms_index(b2, path, "batch2")
+
+    def as_map(df):
+        return {(r["d"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+    pre = as_map(read_cms_index(spark, path))
+    compact_cms_index(spark, path)
+    tags = [t for t in os.listdir(path) if t.startswith("delta=")]
+    assert tags == ["delta=base"]
+    assert as_map(read_cms_index(spark, path)) == pre
+
+    extend_cms_index(b3, path, "batch3")
+    scratch = as_map(cms_rows(b1.unionByName(b2).unionByName(b3)))
+    assert as_map(read_cms_index(spark, path)) == scratch

@@ -293,3 +293,61 @@ def test_incremental_first_seen_beats_doc_id_order(spark):
         for r in strip_verbatim_spans(hist.unionByName(delta)).collect()
     }
     assert batch[5]["n_removed"] == 0 and batch[100]["n_removed"] > 0
+
+
+def test_span_index_compaction_preserves_strip_results(spark, tmp_path):
+    """compact_span_index collapses the per-tag df partials (otherwise
+    re-merged on EVERY read) and the shingle rows into one base tag;
+    the incremental strip over the compacted index is identical, and
+    later extends fold on top of the compacted base."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.spans import (
+        compact_span_index,
+        extend_span_index,
+        incremental_span_strip_frame,
+        read_span_index,
+        write_span_index,
+    )
+
+    phrase = "the quick brown fox jumps over the lazy dog near the river bank"
+    base1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " + phrase)], "doc_id long, text string"
+    )
+    base2 = spark.createDataFrame(
+        [(2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10, "zz yy xx ww vv " + phrase)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "span_index")
+    write_span_index(base1, path, "batch1")
+    extend_span_index(base2, path, "batch2")
+
+    ish, istats = read_span_index(spark, path)
+    pre = sorted(incremental_span_strip_frame(delta, ish, istats).collect())
+    pre_stats = {
+        r["sh"]: r["n_docs"]
+        for r in istats.collect()
+    }
+
+    compact_span_index(spark, path)
+    for sub in ("shingles", "stats"):
+        tags = [
+            t for t in os.listdir(os.path.join(path, sub)) if t.startswith("delta=")
+        ]
+        assert tags == ["delta=base"], sub
+    ish2, istats2 = read_span_index(spark, path)
+    assert {r["sh"]: r["n_docs"] for r in istats2.collect()} == pre_stats
+    # the compacted stats table is ALREADY one row per shingle on disk
+    raw = spark.read.parquet(os.path.join(path, "stats", "delta=base"))
+    assert raw.groupBy("sh").count().filter(F.col("count") > 1).count() == 0
+    assert sorted(incremental_span_strip_frame(delta, ish2, istats2).collect()) == pre
+
+    # extends keep working on top of the compacted base
+    extend_span_index(delta, path, "batch3")
+    ish3, _ = read_span_index(spark, path)
+    assert ish3.select("doc_id").distinct().count() == 3
