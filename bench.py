@@ -88,6 +88,13 @@ HEADLINE = [
     # walk + per-frame dual-path JPEG entropy decode)
     "span_strip_incremental",
     "mm_avi_mjpeg_stats",
+    # round-10: the scale-safe semantic near-dup (threshold-matched
+    # sign-LSH at the SemDeDup 0.95 regime — the family's measured
+    # ~linear 100x path, now a registered oracle-checked query) and
+    # the inter-frame MPEG-1 decode (motion compensation + skipped-MB
+    # propagation — the last media-decode class)
+    "dedup_semantic_lsh",
+    "mm_mpeg1_video_stats",
 ]
 
 

@@ -210,6 +210,15 @@ class Query:
 # lifecycle/planning family keeps corpus_snapshot_diff +
 # corpus_curation_report). All rotated-out queries remain registered
 # and locally oracle-checked via tools/check_oracles.py.
+#
+# Round-10 late swap: mm_mpeg1_video_stats in (NEW: from-spec MPEG-1
+# inter-frame decode — motion compensation, skipped-macroblock
+# propagation, intra refresh — the media class r9's verdict listed as
+# the remaining gap) for range_join_followup_orders (driver-green
+# EIGHT consecutive rounds r1-r9; custom-join semantics keep
+# user_hourly_interpolate's gap-fill ranges + top3's ranked window
+# in-window, and asof_last_order_per_event stays registered and
+# locally checked).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
@@ -253,6 +262,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_phash_dedup",  # rotated in late r7 (new image-dedup family)
     "mm_y4m_video_stats",  # NEW r9 window: Y4M frame-sample decode
     "mm_avi_mjpeg_stats",  # NEW r10 window: AVI/Motion-JPEG container decode
+    "mm_mpeg1_video_stats",  # NEW r10: inter-frame (motion-compensated) MPEG-1
     "mm_audio_fp_dedup",  # NEW r9 window: audio fingerprint dedup
     "user_hourly_interpolate",  # NEW r9 window: gap-fill interpolation
     # LLM-pipeline: curation decisions (contamination / sampling / keep-drop).
@@ -264,7 +274,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "graph_pagerank_trade",  # NEW r8: iterative integer PageRank
     "graph_triangle_count",  # NEW r9 window: triangle counting
-    "range_join_followup_orders",
     "promo_revenue_share",  # NEW r10 window: Q14-shape promo share (r8 tail)
     "top_revenue_supplier",  # NEW r10 window: Q15-shape view-equivalent topk
     "disjunctive_bracket_revenue",  # NEW r10 window: Q19-shape OR-bracket scan
