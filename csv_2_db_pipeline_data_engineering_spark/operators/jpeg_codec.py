@@ -114,7 +114,7 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=8)  # ~4 MB/table; real streams carry <= 4-8
 def _peek_table(bits: tuple[int, ...], vals: tuple[int, ...]) -> list[tuple[int, int]]:
     """16-bit peek table: index by the NEXT 16 bits of the stream, get
     (symbol, code length) in one lookup — the classic fast Huffman

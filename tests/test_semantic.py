@@ -145,3 +145,67 @@ def test_lsh_route_agrees_with_kmeans_route_on_pairs_and_keeps(spark):
     )
     km_keep = sorted(dedup_semantic_keep(spark, SF_DIR).collect())
     assert lsh_keep == km_keep
+
+
+def test_emb_index_fold_extend_compact_refold(spark, tmp_path):
+    """The persisted embedding index (streaming SemDeDup twin) at the
+    operator level: extends are O(delta) tagged partitions, cross-
+    history losers are found through the bucket rows + exact-cosine
+    verify, and compact_emb_index folds every tag into one base
+    partition with identical results."""
+    import os
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+        compact_emb_index,
+        extend_emb_index,
+        semantic_cross_losers,
+        write_emb_index,
+    )
+
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    twin = [1.0, 0.05] + [0.0] * (dim - 2)
+    e3 = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    path = str(tmp_path / "emb_index")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    write_emb_index(mk([(1, e1)]), path, "batch0")
+    extend_emb_index(mk([(2, e2)]), path, "batch1")
+
+    def read(sub):
+        return (
+            spark.read.option("basePath", os.path.join(path, sub))
+            .parquet(os.path.join(path, sub, "delta=*"))
+            .drop("delta")
+        )
+
+    probe = mk([(10, twin), (12, e3)])
+    pre = sorted(
+        r["doc_id"]
+        for r in semantic_cross_losers(probe, read("buckets"), read("vecs")).collect()
+    )
+    assert pre == [10]  # the twin matches history, the orthogonal one doesn't
+
+    compact_emb_index(spark, path)
+    for sub in ("buckets", "vecs"):
+        tags = [
+            t
+            for t in os.listdir(os.path.join(path, sub))
+            if t.startswith("delta=")
+        ]
+        assert tags == ["delta=base"], sub
+    post = sorted(
+        r["doc_id"]
+        for r in semantic_cross_losers(probe, read("buckets"), read("vecs")).collect()
+    )
+    assert post == pre
+
+    # extends keep folding on top of the compacted base
+    extend_emb_index(mk([(3, e3)]), path, "batch2")
+    post2 = sorted(
+        r["doc_id"]
+        for r in semantic_cross_losers(probe, read("buckets"), read("vecs")).collect()
+    )
+    assert post2 == [10, 12]  # the new history vector now catches doc 12
