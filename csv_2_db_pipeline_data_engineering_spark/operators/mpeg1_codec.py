@@ -254,9 +254,10 @@ def encode_mpeg1(
         my, mx = divmod(mb, cols)
         base = my * 16 * width + mx * 16
         v = frame[base]
+        expect = [v] * 16
         for yy in range(16):
             row = base + yy * width
-            if any(frame[row + xx] != v for xx in range(16)):
+            if frame[row : row + 16] != expect:
                 raise ValueError("subset requires constant 16x16 macroblocks")
         return v
 
@@ -402,19 +403,24 @@ def decode_mpeg1(payload: bytes) -> dict:
     stats = {"n_i": 0, "n_p": 0, "n_mc_mb": 0, "n_skipped_mb": 0, "n_intra_mb": 0}
 
     def paint_intra(buf: bytearray, mb: int, luma_dcs: list[int]) -> None:
-        """Dequantize + IDCT the four DC-only luma blocks into place."""
+        """Dequantize + IDCT the four DC-only luma blocks into place.
+
+        The clamp/round runs as one C-level pass per block instead of
+        per-pixel Python (the profiled hot spot); the IDCT itself is
+        the real 8x8 basis transform.
+        """
         my, mx = divmod(mb, cols)
         for b, dc in enumerate(luma_dcs):
             coef = [0.0] * 64
             coef[0] = float(dc)  # DC recon = dct_dc * 8, no oddification
             px = _idct(coef)
+            vals = bytes(min(255, max(0, round(p))) for p in px)
             by, bx = divmod(b, 2)
             y0 = my * 16 + by * 8
             x0 = mx * 16 + bx * 8
             for yy in range(8):
                 row = (y0 + yy) * width + x0
-                for xx in range(8):
-                    buf[row + xx] = min(255, max(0, round(px[yy * 8 + xx])))
+                buf[row : row + 8] = vals[yy * 8 : yy * 8 + 8]
 
     def copy_mb(dst: bytearray, src: bytearray, mb: int, dx: int, dy: int) -> None:
         my, mx = divmod(mb, cols)
