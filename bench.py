@@ -95,6 +95,8 @@ HEADLINE = [
     # propagation — the last media-decode class)
     "dedup_semantic_lsh",
     "mm_mpeg1_video_stats",
+    # round-10 late: iterative-ML training loop (integer GD probe)
+    "embedding_linear_probe",
 ]
 
 

@@ -427,6 +427,175 @@ def semantic_keep_plan_lsh(emb: DataFrame) -> DataFrame:
     return _keep_from_pairs(emb, semantic_near_dup_lsh(emb))
 
 
+# --- linear-probe classifier training (deterministic integer GD) ------------
+#
+# The quality-classifier TRAINING step of an LLM data pipeline
+# (fastText-style: fit a lightweight linear scorer on embeddings +
+# labels, then use it to score the corpus — the inference half already
+# exists as ``boilerplate.quality_nscaled``). Trained Spark-first as
+# full-batch gradient descent on the SQUARED loss in exact integer
+# arithmetic (the ``embedding_kmeans_iter``/``graph_pagerank_trade``
+# pattern): squared loss keeps the update polynomial — no sigmoid/exp,
+# whose floating evaluation the two engines could disagree on — so
+# every iterate is bit-identical and the driver can value-check a
+# fixed-point ITERATIVE TRAINING LOOP, which is what makes distributed
+# training oracle-checkable at all.
+#
+# Exactness argument: features quantize to xq = floor(x·S + 0.5)
+# (|xq| <= 560 on this corpus), weights live as integers at scale
+# SW = 1e5, so scores P = Σ wq·xq and errors e = P - y·SW·S are exact
+# int64 (measured |e| <= 1.9e8, |g| <= 7.5e11 over the run — far under
+# 2^53, so the engine-portable floor division below is exact). The
+# gradient step wq -= floor_div(g, PROBE_LR_DIV) uses pmod-based floor
+# division because Spark's `div` truncates toward zero while DuckDB's
+# `//` floors — they disagree on negative gradients otherwise.
+
+PROBE_WSCALE = 100_000
+PROBE_LR_DIV = 20_000_000  # eta ~ 1/20 against the summed gradient
+PROBE_ITERS = 3
+PROBE_POS_LABELS = 5  # label < 5 -> +1, else -1
+
+
+def _floor_div(col: Column, d: int) -> Column:
+    """Exact floor division for possibly-negative int64 columns.
+
+    ``col - pmod(col, d)`` is the largest multiple of ``d`` <= col;
+    dividing an exact multiple is exact in double for |col| < 2^53
+    (the ``_sem_update`` argument)."""
+    return ((col - F.pmod(col, F.lit(d))) / F.lit(d)).cast("long")
+
+
+def linear_probe_metrics(emb: DataFrame, iters: int = PROBE_ITERS) -> DataFrame:
+    """(iter, sse_q, n_correct) per GD iteration: the training curve.
+
+    Per step: scores are a map-side broadcast dot product (the weight
+    vector travels as ONE row — zero shuffle), the gradient is a
+    ``posexplode`` + ``groupBy(dim)`` partial aggregation (d = 64
+    groups — the map-side combine means the shuffle carries d partial
+    sums per partition, never the vectors), and the new weight frame
+    is eagerly checkpointed (the k-means centroid pattern) so the
+    lineage stays one-iteration deep. SSE strictly decreasing across
+    rows is the convergence certificate; a single wrong weight in any
+    iteration shifts every later row.
+    """
+    q = scoped_cache(
+        emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * SEM_SCALE + F.lit(0.5)).cast("long"),
+            ).alias("xq"),
+            F.when(F.col("label") < PROBE_POS_LABELS, 1)
+            .otherwise(-1)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    # zero weight vector derived in-plan (no driver-side dim probe)
+    w = q.limit(1).select(
+        F.transform("xq", lambda _: F.lit(0).cast("long")).alias("wq")
+    ).localCheckpoint(eager=True)
+    target = PROBE_WSCALE * SEM_SCALE
+    metrics = []
+    for t in range(iters + 1):
+        scored = (
+            q.crossJoin(F.broadcast(w))
+            .select(
+                "vec_id", "xq", "y",
+                _dot_q(F.col("xq"), F.col("wq")).alias("p"),
+            )
+            .withColumn("e", F.col("p") - F.col("y") * F.lit(target))
+        )
+        pred = F.when(F.col("p") > 0, 1).otherwise(-1)
+        metrics.append(
+            scored.agg(
+                F.lit(t).alias("iter"),
+                F.sum(_floor_div(F.col("e") * F.col("e"), 1_000_000)).alias(
+                    "sse_q"
+                ),
+                F.sum(
+                    F.when(pred == F.col("y"), 1).otherwise(0)
+                ).alias("n_correct"),
+            )
+        )
+        if t == iters:
+            break
+        g = (
+            scored.select("e", F.posexplode("xq").alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("e") * F.col("x")).alias("g"))
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "g"))),
+                    lambda s: s["g"],
+                ).alias("garr")
+            )
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                F.zip_with(
+                    "wq", "garr", lambda wv, gv: wv - _floor_div(gv, PROBE_LR_DIV)
+                ).alias("wq")
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = metrics[0]
+    for m in metrics[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("iter")
+
+
+def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered trainer query: the per-iteration training curve of
+    the integer linear probe on the embeddings + labels table."""
+    return linear_probe_metrics(load_table(spark, sf_dir, "embeddings"))
+
+
+def _linear_probe_sql(iters: int = PROBE_ITERS) -> str:
+    """The identical GD loop unrolled as chained CTEs (the
+    ``_kmeans_sql`` long form); every SUM casts back to BIGINT."""
+    d = PROBE_LR_DIV
+    target = PROBE_WSCALE * SEM_SCALE
+    ctes = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)",
+        "ql AS (SELECT vec_id, unnest(range(len(v))) AS dim,"
+        f" unnest(list_transform(v, x -> CAST(floor(x * {SEM_SCALE} + 0.5)"
+        " AS BIGINT))) AS xq FROM base)",
+        f"yy AS (SELECT vec_id, CAST(CASE WHEN label < {PROBE_POS_LABELS}"
+        " THEN 1 ELSE -1 END AS BIGINT) AS y FROM base)",
+        "w0 AS (SELECT DISTINCT dim, CAST(0 AS BIGINT) AS wq FROM ql)",
+    ]
+    for t in range(iters + 1):
+        ctes += [
+            f"p{t} AS (SELECT q.vec_id, CAST(SUM(q.xq * w.wq) AS BIGINT) AS p"
+            f" FROM ql q JOIN w{t} w USING (dim) GROUP BY q.vec_id)",
+            f"e{t} AS (SELECT p.vec_id, p.p, y.y,"
+            f" p.p - y.y * {target} AS e"
+            f" FROM p{t} p JOIN yy y USING (vec_id))",
+            f"m{t} AS (SELECT {t} AS iter,"
+            f" CAST(SUM((e * e) // 1000000) AS BIGINT) AS sse_q,"
+            f" CAST(SUM(CASE WHEN (CASE WHEN p > 0 THEN 1 ELSE -1 END) = y"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS n_correct FROM e{t})",
+        ]
+        if t == iters:
+            break
+        ctes += [
+            f"g{t} AS (SELECT q.dim, CAST(SUM(e.e * q.xq) AS BIGINT) AS g"
+            f" FROM ql q JOIN e{t} e USING (vec_id) GROUP BY q.dim)",
+            # pmod-based floor division (matches Spark's _floor_div)
+            f"w{t + 1} AS (SELECT w.dim,"
+            f" w.wq - (g.g - ((g.g % {d}) + {d}) % {d}) // {d} AS wq"
+            f" FROM w{t} w JOIN g{t} g USING (dim))",
+        ]
+    union = "\nUNION ALL\n".join(f"SELECT * FROM m{t}" for t in range(iters + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union + "\nORDER BY iter"
+
+
+LINEAR_PROBE_ORACLE = _linear_probe_sql()
+
+
 # --- persisted embedding index: the streaming SemDeDup twin -----------------
 #
 # The incremental convention of the span/line/signature indexes applied
@@ -724,6 +893,14 @@ QUERIES = [
         "near-dup group, keep/drop decision per vector",
         dedup_semantic_keep,
         SEMANTIC_KEEP_ORACLE,
+    ),
+    Query(
+        "embedding_linear_probe",
+        "linear-probe classifier TRAINING on embeddings (full-batch "
+        "integer gradient descent on squared loss, fixed iterations): "
+        "per-iteration SSE + accuracy curve, bit-identical cross-engine",
+        embedding_linear_probe,
+        LINEAR_PROBE_ORACLE,
     ),
     Query(
         "dedup_semantic_lsh",

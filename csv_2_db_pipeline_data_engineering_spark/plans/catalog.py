@@ -219,6 +219,13 @@ class Query:
 # user_hourly_interpolate's gap-fill ranges + top3's ranked window
 # in-window, and asof_last_order_per_event stays registered and
 # locally checked).
+#
+# Round-10 final swap: embedding_linear_probe in (NEW: deterministic
+# integer-GD linear-probe TRAINING curve — a new iterative-ML family
+# member beside kmeans/pagerank/pca) for top3_orders_per_priority
+# (driver-green seven rounds r1-r9 minus r3; the ranked-window plan
+# shape stays pinned by tests/test_plan_shapes.py's WindowGroupLimit
+# assertion and the query remains registered + locally checked).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_reason_counts",
@@ -239,6 +246,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # LLM-pipeline: similarity / embeddings.
     "embedding_pca_power",  # rotated in late r7 (new, never checked)
     "embedding_kmeans_iter",  # NEW r8: deterministic integer k-means
+    "embedding_linear_probe",  # NEW r10: integer-GD classifier training curve
     # LLM-pipeline: text analysis + hygiene.
     "text_vocab_zipf",  # NEW r9 window: vocabulary Zipf-law audit
     "text_span_strip",  # NEW r9 window: ExactSubstr span removal
@@ -277,8 +285,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "promo_revenue_share",  # NEW r10 window: Q14-shape promo share (r8 tail)
     "top_revenue_supplier",  # NEW r10 window: Q15-shape view-equivalent topk
     "disjunctive_bracket_revenue",  # NEW r10 window: Q19-shape OR-bracket scan
-    # Rotated in round 4, kept: still the only ranked-window instance.
-    "top3_orders_per_priority",
 )
 
 

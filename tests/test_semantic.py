@@ -209,3 +209,40 @@ def test_emb_index_fold_extend_compact_refold(spark, tmp_path):
         for r in semantic_cross_losers(probe, read("buckets"), read("vecs")).collect()
     )
     assert post2 == [10, 12]  # the new history vector now catches doc 12
+
+
+def test_linear_probe_training_curve_and_determinism(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+        embedding_linear_probe,
+    )
+
+    rows = embedding_linear_probe(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert [r["iter"] for r in rows] == [0, 1, 2, 3]
+    sses = [r["sse_q"] for r in rows]
+    assert sses == sorted(sses, reverse=True) and len(set(sses)) == 4, (
+        "squared loss must strictly decrease every GD step"
+    )
+    accs = [r["n_correct"] for r in rows]
+    assert accs[-1] > accs[0], "training must beat the zero-weight baseline"
+    assert all(0 <= a <= n for a in accs)
+    assert all(isinstance(r["sse_q"], int) for r in rows)  # exact ints
+    # bit-identical re-run (deterministic integer arithmetic)
+    assert embedding_linear_probe(spark, SF_DIR).collect() == rows
+
+
+def test_linear_probe_floor_div_matches_python_floor(spark):
+    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+        _floor_div,
+    )
+    from pyspark.sql import functions as SF
+
+    vals = [-(10**12) - 7, -21, -20, -1, 0, 1, 19, 20, 10**12 + 7]
+    df = spark.createDataFrame([(v,) for v in vals], "g long")
+    got = [
+        r["fd"]
+        for r in df.select(_floor_div(SF.col("g"), 20).alias("fd"))
+        .orderBy("g")
+        .collect()
+    ]
+    assert got == [v // 20 for v in sorted(vals)]  # Python floor semantics
