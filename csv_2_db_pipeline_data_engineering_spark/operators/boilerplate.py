@@ -223,43 +223,41 @@ def extend_line_index(
 
 
 def read_line_index(spark: SparkSession, path: str) -> DataFrame:
-    """All delta partitions as one logical (line_md5, n_docs, keeper)
-    table. Per-line stats may span partitions; the fold merges them
-    (SUM / MIN are the mergeable partials, rollup-style)."""
-    return (
-        spark.read.option("basePath", path)
-        .parquet(os.path.join(path, "delta=*"))
-        .drop("delta")
-    )
+    """All visible delta partitions as one logical (line_md5, n_docs,
+    keeper) table (the ``lsm`` versioned view: active base + unfolded
+    extend tags). Per-line stats may span partitions; the fold merges
+    them (SUM / MIN are the mergeable partials, rollup-style)."""
+    from . import lsm
+
+    out = lsm.read_visible(spark, path)
+    if out is None:
+        raise FileNotFoundError(f"no line-index partitions under {path}")
+    return out
 
 
-def compact_line_index(spark: SparkSession, path: str, tag: str = "base") -> None:
-    """Merge every delta partition into one ``delta=<tag>`` partition.
+def compact_line_index(spark: SparkSession, path: str) -> None:
+    """Merge every visible delta partition into one base version.
 
     The LSM move: folds read the whole index to derive per-line totals,
     so after many O(delta) extends the per-fold aggregation input is
     one row per (line, tag-it-appeared-in). Compaction re-aggregates to
-    one row per line and swaps the directory set atomically enough for
-    this layout (write the merged partition to a temp tag, then remove
-    the old tags) — run it on the maintenance cadence, amortized
-    O(index) against many O(delta) folds.
+    one row per line under the crash-safe versioned commit
+    (``lsm.compact`` — at every crash point readers see exactly the old
+    tag set or exactly the new base, never a double-counting mix) —
+    run on the maintenance cadence, amortized O(index) against many
+    O(delta) folds.
     """
-    import shutil
+    from . import lsm
 
-    merged = (
-        read_line_index(spark, path)
-        .groupBy("line_md5")
-        .agg(F.sum("n_docs").alias("n_docs"), F.min("keeper").alias("keeper"))
+    lsm.compact(
+        spark,
+        path,
+        {
+            "": lambda df: df.groupBy("line_md5").agg(
+                F.sum("n_docs").alias("n_docs"), F.min("keeper").alias("keeper")
+            )
+        },
     )
-    tmp_tag = f"__compact_{tag}"
-    merged.write.mode("overwrite").parquet(os.path.join(path, f"delta={tmp_tag}"))
-    for t in os.listdir(path):
-        if t.startswith("delta=") and t != f"delta={tmp_tag}":
-            shutil.rmtree(os.path.join(path, t))
-    os.replace(
-        os.path.join(path, f"delta={tmp_tag}"), os.path.join(path, f"delta={tag}")
-    )
-    spark.catalog.refreshByPath(path)
 
 
 def incremental_line_dedup_frame(

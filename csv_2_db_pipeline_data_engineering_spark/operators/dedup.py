@@ -86,7 +86,7 @@ def lsh_params_for_threshold(
 
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     miss_budget = math.log(1.0 - recall)
-    best = (8, max_tables)  # floor: never fewer than 8 planes
+    best = None
     for planes in range(8, 33):
         q = p**planes
         if q >= 1.0:
@@ -94,6 +94,16 @@ def lsh_params_for_threshold(
         tables = math.ceil(miss_budget / math.log(1.0 - q))
         if tables <= max_tables:
             best = (planes, tables)
+    if best is None:
+        # even 8 planes cannot reach the recall budget within the table
+        # budget — silently degrading would void the documented recall
+        # contract, so refuse: a threshold this low has no subquadratic
+        # sign-LSH regime; the exhaustive block-join variant
+        # (dedup_embedding_cosine_block) is the honest tool there.
+        raise ValueError(
+            f"no sign-LSH sizing reaches recall {recall} at cosine "
+            f"threshold {threshold} within {max_tables} tables"
+        )
     return best
 
 # Hot-shingle ceiling for the exact inverted-index join: a shingle that
@@ -717,40 +727,32 @@ def extend_signature_index(delta_docs: DataFrame, path: str, tag: str) -> None:
     write_signature_index(delta_docs, path, tag)
 
 
-def compact_signature_index(
-    spark: SparkSession, path: str, tag: str = "base"
-) -> None:
-    """Merge every delta partition into one ``delta=<tag>`` partition —
-    the ``boilerplate.compact_line_index`` LSM move for the signature
+def compact_signature_index(spark: SparkSession, path: str) -> None:
+    """Merge every visible delta partition into one base version — the
+    ``lsm.compact`` crash-safe versioned commit for the signature
     index. Rows are per-doc and immutable, so compaction is a pure
     rewrite (no re-aggregation): its value is bounding the partition
     count a long stream's reads must list and union. Run on the
     maintenance cadence, amortized O(index) against many O(delta)
     extends.
     """
-    import shutil
+    from . import lsm
 
-    merged = read_signature_index(spark, path)
-    tmp = f"delta=__compact_{tag}"
-    merged.write.mode("overwrite").parquet(os.path.join(path, tmp))
-    for t in os.listdir(path):
-        if t.startswith("delta=") and t != tmp:
-            shutil.rmtree(os.path.join(path, t))
-    os.replace(os.path.join(path, tmp), os.path.join(path, f"delta={tag}"))
-    spark.catalog.refreshByPath(path)
+    lsm.compact(spark, path, {"": None})
 
 
 def read_signature_index(spark: SparkSession, path: str) -> DataFrame:
-    """Read the full signature index (all delta partitions) back.
+    """Read the signature index (all visible delta partitions) back.
 
     The ``delta`` partition tag is dropped: consumers treat the index as
     one logical table regardless of how many maintenance steps built it.
     """
-    return (
-        spark.read.option("basePath", path)
-        .parquet(os.path.join(path, "delta=*"))
-        .drop("delta")
-    )
+    from . import lsm
+
+    out = lsm.read_visible(spark, path)
+    if out is None:
+        raise FileNotFoundError(f"no signature-index partitions under {path}")
+    return out
 
 
 def write_banded_index_table(

@@ -518,6 +518,9 @@ def jpeg_sof_marker(payload: bytes) -> int:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers carry no length

@@ -135,6 +135,8 @@ class _Bits:
         self.n += len(bits)
 
     def put_uint(self, v: int, width: int) -> None:
+        if not 0 <= v < (1 << width):
+            raise ValueError(f"value {v} does not fit in {width} bits")
         self.put(format(v, f"0{width}b"))
 
     def align(self) -> None:
@@ -247,6 +249,8 @@ def encode_mpeg1(
     """
     if width % 16 or height % 16:
         raise ValueError("MPEG-1 subset requires 16-aligned dimensions")
+    if not (0 < width < 4096 and 0 < height < 4096):
+        raise ValueError("MPEG-1 dimensions are 12-bit fields (1..4095)")
     cols, rows_mb = width // 16, height // 16
     n_mb = cols * rows_mb
 
@@ -285,7 +289,7 @@ def encode_mpeg1(
         vals = [mb_value(frame, m) for m in range(n_mb)]
         is_i = k == 0
         bw.start_code(0x00)  # picture
-        bw.put_uint(k, 10)  # temporal reference
+        bw.put_uint(k % 1024, 10)  # temporal reference (10-bit, wraps)
         bw.put_uint(1 if is_i else 2, 3)  # coding type
         bw.put_uint(0xFFFF, 16)  # vbv delay
         if not is_i:
@@ -490,7 +494,7 @@ def decode_mpeg1(payload: bytes) -> dict:
                     r.uint(5)
                 if "coded" in mtype:
                     raise ValueError("non-intra residual blocks outside subset")
-                intra = mtype == "intra"
+                intra = mtype.endswith("intra")
                 if mtype == "mc":
                     cx = r.vlc(_MOTION_DEC, "motion code")
                     if cx and r.take(1) == "1":

@@ -628,52 +628,67 @@ def emb_bucket_rows(
     )
 
 
-def write_emb_index(emb: DataFrame, path: str, tag: str = "base") -> None:
+def write_emb_index(
+    emb: DataFrame,
+    path: str,
+    tag: str = "base",
+    threshold: float = SEM_COS_NUM / SEM_COS_DEN,
+) -> None:
     """Persist an embedding frame's index under ``<path>/{buckets,vecs}/
     delta=<tag>/``: the bucket rows the candidate join probes, and the
-    raw vectors the exact-cosine verify reads back."""
+    raw vectors the exact-cosine verify reads back.
+
+    ``threshold`` fixes the sign-LSH family the bucket rows are hashed
+    with; every extend AND every probe (``semantic_cross_losers``) of
+    one index must use the SAME threshold — mismatched plane counts
+    would make the bucket join meaningless.
+    """
     import os
 
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    emb_bucket_rows(e).write.mode("overwrite").parquet(
+    emb_bucket_rows(e, threshold).write.mode("overwrite").parquet(
         os.path.join(path, "buckets", f"delta={tag}")
     )
     e.write.mode("overwrite").parquet(os.path.join(path, "vecs", f"delta={tag}"))
 
 
-def extend_emb_index(delta_emb: DataFrame, path: str, tag: str) -> None:
+def extend_emb_index(
+    delta_emb: DataFrame,
+    path: str,
+    tag: str,
+    threshold: float = SEM_COS_NUM / SEM_COS_DEN,
+) -> None:
     """Fold a delta's kept embeddings INTO the persisted index: O(delta)."""
-    write_emb_index(delta_emb, path, tag)
+    write_emb_index(delta_emb, path, tag, threshold)
 
 
-def compact_emb_index(spark: SparkSession, path: str, tag: str = "base") -> None:
-    """Merge every delta partition of both sub-tables into one
-    ``delta=<tag>`` partition — the LSM move for the embedding index.
-    Rows are per-vector and immutable (bucket rows are a pure function
-    of the stored vector under the seeded family), so compaction is a
-    rewrite that bounds the partition count long streams accumulate.
+def read_emb_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """(bucket rows, vectors) across all visible delta partitions (the
+    ``lsm`` versioned view); None if the index does not exist yet."""
+    from . import lsm
+
+    buckets = lsm.read_visible(spark, path, "buckets")
+    vecs = lsm.read_visible(spark, path, "vecs")
+    if buckets is None or vecs is None:
+        return None
+    return buckets, vecs
+
+
+def compact_emb_index(spark: SparkSession, path: str) -> None:
+    """Merge every visible delta partition of both sub-tables into one
+    base version — the ``lsm.compact`` crash-safe versioned commit for
+    the embedding index. Rows are per-vector and immutable (bucket rows
+    are a pure function of the stored vector under the seeded family),
+    so compaction is a rewrite that bounds the partition count long
+    streams accumulate.
     """
-    import os
-    import shutil
+    from . import lsm
 
-    for sub in ("buckets", "vecs"):
-        base = os.path.join(path, sub)
-        if not os.path.isdir(base):
-            continue
-        df = (
-            spark.read.option("basePath", base)
-            .parquet(os.path.join(base, "delta=*"))
-            .drop("delta")
-        )
-        tmp = f"delta=__compact_{tag}"
-        df.write.mode("overwrite").parquet(os.path.join(base, tmp))
-        for t in os.listdir(base):
-            if t.startswith("delta=") and t != tmp:
-                shutil.rmtree(os.path.join(base, t))
-        os.replace(os.path.join(base, tmp), os.path.join(base, f"delta={tag}"))
-        spark.catalog.refreshByPath(base)
+    lsm.compact(spark, path, {"buckets": None, "vecs": None})
 
 
 def semantic_cross_losers(
@@ -691,10 +706,15 @@ def semantic_cross_losers(
     rescanned wholesale); the verify is exact cosine on the original
     vectors, so precision is exact and recall carries the seeded
     threshold-matched contract (~1e-8 miss for SemDeDup-grade twins).
+
+    ``threshold`` must equal the threshold the index was WRITTEN with
+    (``write_emb_index``): it selects the seeded hyperplane family for
+    the batch side, and bucket ids from different families never
+    match.
     """
     from .dedup import _dot
 
-    d = emb_bucket_rows(batch_emb)
+    d = emb_bucket_rows(batch_emb, threshold)
     cand = (
         d.alias("d")
         .join(

@@ -227,44 +227,40 @@ def extend_cms_index(docs: DataFrame, path: str, tag: str) -> None:
     )
 
 
-def compact_cms_index(spark: SparkSession, path: str, tag: str = "base") -> None:
-    """Merge every delta partition into one ``delta=<tag>`` partition —
-    the ``boilerplate.compact_line_index`` LSM move for the persisted
-    count-min sketch. Counter addition over tags IS the merge (the
-    sketch's defining property), so the compacted index answers every
-    estimate identically to the tag pile while bounding the per-read
-    aggregation input back to D·W rows. Run on the maintenance
-    cadence, amortized O(D·W) against many O(delta) extends.
+def compact_cms_index(spark: SparkSession, path: str) -> None:
+    """Merge every visible delta partition into one base version — the
+    ``lsm.compact`` crash-safe versioned commit for the persisted
+    count-min sketch (the double-counting a naive in-namespace tmp
+    write risks under a crash is fatal precisely here: doubled
+    counters answer every estimate wrong with no error). Counter
+    addition over tags IS the merge (the sketch's defining property),
+    so the compacted index answers identically while bounding the
+    per-read aggregation input back to D·W rows. Run on the
+    maintenance cadence, amortized O(D·W) against many O(delta)
+    extends.
     """
-    import os
-    import shutil
+    from . import lsm
 
-    merged = read_cms_index(spark, path)
-    if merged is None:
-        return
-    tmp = f"delta=__compact_{tag}"
-    merged.write.mode("overwrite").parquet(os.path.join(path, tmp))
-    for t in os.listdir(path):
-        if t.startswith("delta=") and t != tmp:
-            shutil.rmtree(os.path.join(path, t))
-    os.replace(os.path.join(path, tmp), os.path.join(path, f"delta={tag}"))
-    spark.catalog.refreshByPath(path)
+    lsm.compact(
+        spark,
+        path,
+        {
+            "": lambda df: df.groupBy("d", "bucket").agg(
+                F.sum("cnt").alias("cnt")
+            )
+        },
+    )
 
 
 def read_cms_index(spark: SparkSession, path: str) -> DataFrame | None:
-    """The merged counters across all committed delta tags (None if the
+    """The merged counters across all visible delta tags (None if the
     index does not exist yet).  Addition over tags IS the merge, so the
     read is one O(D·W·tags -> D·W) aggregate, never a corpus rescan."""
-    import os
+    from . import lsm
 
-    if not os.path.isdir(path):
+    raw = lsm.read_visible(spark, path)
+    if raw is None:
         return None
-    parts = [
-        os.path.join(path, t) for t in os.listdir(path) if t.startswith("delta=")
-    ]
-    if not parts:
-        return None
-    raw = spark.read.option("basePath", path).parquet(*parts).drop("delta")
     return raw.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 

@@ -403,9 +403,9 @@ def extend_span_index(delta_docs: DataFrame, path: str, tag: str) -> None:
     write_span_index(delta_docs, path, tag)
 
 
-def compact_span_index(spark: SparkSession, path: str, tag: str = "base") -> None:
-    """Merge every delta partition into one ``delta=<tag>`` partition —
-    the ``boilerplate.compact_line_index`` LSM move for the span index.
+def compact_span_index(spark: SparkSession, path: str) -> None:
+    """Merge every visible delta partition into one base version — the
+    ``lsm.compact`` crash-safe versioned commit for the span index.
 
     The win is the stats table: df is corpus-global, so the per-tag
     frequency PARTIALS are re-aggregated by ``read_span_index`` on
@@ -417,38 +417,30 @@ def compact_span_index(spark: SparkSession, path: str, tag: str = "base") -> Non
     folds. Results are identical by construction: summing partials IS
     the merge.
     """
-    import os
-    import shutil
+    from . import lsm
 
-    sh, stats = read_span_index(spark, path)
-    for sub, df in (("shingles", sh), ("stats", stats)):
-        base = os.path.join(path, sub)
-        tmp = f"delta=__compact_{tag}"
-        df.write.mode("overwrite").parquet(os.path.join(base, tmp))
-        for t in os.listdir(base):
-            if t.startswith("delta=") and t != tmp:
-                shutil.rmtree(os.path.join(base, t))
-        os.replace(os.path.join(base, tmp), os.path.join(base, f"delta={tag}"))
-        spark.catalog.refreshByPath(base)
+    lsm.compact(
+        spark,
+        path,
+        {
+            "shingles": None,
+            "stats": lambda df: df.groupBy("sh").agg(
+                F.sum("n_docs").alias("n_docs")
+            ),
+        },
+    )
 
 
 def read_span_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
-    """(shingle rows, merged df stats) across all delta partitions."""
-    import os
+    """(shingle rows, merged df stats) across all visible delta
+    partitions (the ``lsm`` versioned view)."""
+    from . import lsm
 
-    sh = (
-        spark.read.option("basePath", os.path.join(path, "shingles"))
-        .parquet(os.path.join(path, "shingles", "delta=*"))
-        .drop("delta")
-    )
-    stats = (
-        spark.read.option("basePath", os.path.join(path, "stats"))
-        .parquet(os.path.join(path, "stats", "delta=*"))
-        .drop("delta")
-        .groupBy("sh")
-        .agg(F.sum("n_docs").alias("n_docs"))
-    )
-    return sh, stats
+    sh = lsm.read_visible(spark, path, "shingles")
+    stats = lsm.read_visible(spark, path, "stats")
+    if sh is None or stats is None:
+        raise FileNotFoundError(f"no span-index partitions under {path}")
+    return sh, stats.groupBy("sh").agg(F.sum("n_docs").alias("n_docs"))
 
 
 def write_bucketed_shingle_table(

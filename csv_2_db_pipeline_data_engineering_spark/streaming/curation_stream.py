@@ -185,19 +185,20 @@ def _span_index_committed(
     return sh, stats
 
 
-_COMPACT_TAG = "base"
-
-
 def _committed_tags(
     index_base: str, out_dir: str, batch_id: int, probe_sub: str | None = None
 ) -> list[str]:
     """``delta=`` directory names carrying COMMITTED index rows: the
-    compacted base tag (batches folded by a stream compactor, recorded
-    in ``_COMPACTED.json``) plus per-batch tags for applied batches not
-    yet folded — excluding the current batch's own tag (crash-replay
-    sees exactly the index it saw originally)."""
+    active compacted base version (batches folded by a stream
+    compactor, per ``lsm``'s ``_BASE.json``) plus per-batch tags for
+    applied batches not yet folded — excluding the current batch's own
+    tag (crash-replay sees exactly the index it saw originally)."""
+    from ..operators import lsm
+
+    state = lsm.read_state(index_base)
+    folded = set(state["folded"]) if state else set()
+    base_tag = state["base"] if state else None
     applied = _read_manifest(out_dir)["applied"]
-    covered = _read_compacted(index_base)
     probe = (
         index_base if probe_sub is None else os.path.join(index_base, probe_sub)
     )
@@ -205,11 +206,11 @@ def _committed_tags(
         f"delta=batch{b}"
         for b in applied
         if b != batch_id
-        and b not in covered
+        and f"batch{b}" not in folded
         and os.path.isdir(os.path.join(probe, f"delta=batch{b}"))
     ]
-    if covered and os.path.isdir(os.path.join(probe, f"delta={_COMPACT_TAG}")):
-        tags.insert(0, f"delta={_COMPACT_TAG}")
+    if base_tag and os.path.isdir(os.path.join(probe, f"delta={base_tag}")):
+        tags.insert(0, f"delta={base_tag}")
     return tags
 
 
@@ -338,81 +339,43 @@ def compact_bloom_index(spark: SparkSession, out_dir: str, tag: str = "base") ->
     spark.catalog.refreshByPath(base)
 
 
-def _compact_stream_index(
-    spark: SparkSession,
-    out_dir: str,
-    index_dir: str,
-    subs: dict[str, bool],
-    tag: str = _COMPACT_TAG,
-) -> None:
-    """Shared LSM move for the stream-managed multi-table indexes:
-    fold all COMMITTED per-batch tags (plus a previous base) of every
-    sub-table into one ``delta=<tag>`` partition, record the covered
-    batch ids in ``_COMPACTED.json`` so ``_committed_tags`` keeps
-    resolving them, and leave any UNCOMMITTED (crashed-attempt) tag
-    untouched — committed-only read semantics survive compaction
-    exactly. ``subs`` maps sub-table name -> whether its rows are df
-    PARTIALS to re-aggregate (the span stats table) or immutable rows
-    to rewrite."""
-    import shutil
+def compact_span_index_stream(spark: SparkSession, out_dir: str) -> None:
+    """LSM-compact the stream's span index via the crash-safe versioned
+    commit (``operators.lsm``): the per-tag df PARTIALS — otherwise
+    re-aggregated by every fold's read, O(tags) growth on a long
+    stream — collapse to one row per shingle, the shingle rows rewrite
+    into one base version, and only COMMITTED batch tags fold (a
+    crashed uncommitted tag is left alone, so committed-only read
+    semantics survive compaction at every crash point). The bucketed
+    accelerator table is untouched (it is already one table)."""
+    from ..operators import lsm
 
-    base = os.path.join(out_dir, index_dir)
     applied = set(_read_manifest(out_dir)["applied"])
-    covered = _read_compacted(base)
-    probe_sub = next(iter(subs))
-    fold = sorted(
-        b
-        for b in applied - covered
-        if os.path.isdir(os.path.join(base, probe_sub, f"delta=batch{b}"))
-    )
-    src_tags = [f"delta=batch{b}" for b in fold]
-    if covered and os.path.isdir(
-        os.path.join(base, probe_sub, f"delta={tag}")
-    ):
-        src_tags.insert(0, f"delta={tag}")
-    if not src_tags:
-        return
-    for sub, is_partials in subs.items():
-        b2 = os.path.join(base, sub)
-        df = (
-            spark.read.option("basePath", b2)
-            .parquet(*[os.path.join(b2, t) for t in src_tags])
-            .drop("delta")
-        )
-        if is_partials:
-            df = df.groupBy("sh").agg(F.sum("n_docs").alias("n_docs"))
-        tmp = f"delta=__compact_{tag}"
-        df.write.mode("overwrite").parquet(os.path.join(b2, tmp))
-        for t in src_tags:
-            shutil.rmtree(os.path.join(b2, t), ignore_errors=True)
-        os.replace(os.path.join(b2, tmp), os.path.join(b2, f"delta={tag}"))
-        spark.catalog.refreshByPath(b2)
-    fd, tmp = tempfile.mkstemp(prefix="._compacted_", dir=base)
-    with os.fdopen(fd, "w", encoding="utf-8") as fh:
-        json.dump({"covered": sorted(covered | set(fold))}, fh)
-    os.replace(tmp, os.path.join(base, _COMPACTED))
-
-
-def compact_span_index_stream(
-    spark: SparkSession, out_dir: str, tag: str = _COMPACT_TAG
-) -> None:
-    """LSM-compact the stream's span index (the ``compact_bloom_index``
-    move): the per-tag df PARTIALS — otherwise re-aggregated by every
-    fold's read, O(tags) growth on a long stream — collapse to one row
-    per shingle, and the shingle rows rewrite into one partition. The
-    bucketed accelerator table is untouched (it is already one table)."""
-    _compact_stream_index(
-        spark, out_dir, SPAN_INDEX_DIR, {"shingles": False, "stats": True}, tag
+    lsm.compact(
+        spark,
+        os.path.join(out_dir, SPAN_INDEX_DIR),
+        {
+            "shingles": None,
+            "stats": lambda df: df.groupBy("sh").agg(
+                F.sum("n_docs").alias("n_docs")
+            ),
+        },
+        only_tags={f"batch{b}" for b in applied},
     )
 
 
-def compact_emb_index_stream(
-    spark: SparkSession, out_dir: str, tag: str = _COMPACT_TAG
-) -> None:
+def compact_emb_index_stream(spark: SparkSession, out_dir: str) -> None:
     """LSM-compact the stream's embedding index (bucket rows + vectors,
-    both immutable per vector — a pure partition-count bound)."""
-    _compact_stream_index(
-        spark, out_dir, EMB_INDEX_DIR, {"buckets": False, "vecs": False}, tag
+    both immutable per vector — a pure partition-count bound), same
+    committed-only versioned commit as the span twin."""
+    from ..operators import lsm
+
+    applied = set(_read_manifest(out_dir)["applied"])
+    lsm.compact(
+        spark,
+        os.path.join(out_dir, EMB_INDEX_DIR),
+        {"buckets": None, "vecs": None},
+        only_tags={f"batch{b}" for b in applied},
     )
 
 
@@ -428,12 +391,14 @@ def _line_index_excluding(
     the stream's exactly-once mechanism).
     """
     base = os.path.join(out_dir, LINE_INDEX_DIR)
+    from ..operators import lsm
+
     if not os.path.isdir(base):
         return None
     parts = [
-        os.path.join(base, t)
-        for t in os.listdir(base)
-        if t.startswith("delta=") and t != f"delta=batch{batch_id}"
+        os.path.join(base, f"delta={t}")
+        for t in lsm.visible_tags(base)
+        if t != f"batch{batch_id}"
     ]
     if not parts:
         return None

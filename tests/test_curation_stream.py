@@ -525,7 +525,7 @@ def test_stream_span_and_emb_compaction_preserve_fold_semantics(spark, tmp_path)
                     for t in os.listdir(os.path.join(out, idx, sub))
                     if t.startswith("delta=")
                 ]
-                assert tags == ["delta=base"], (idx, tags)
+                assert tags == ["delta=base_v1"], (idx, tags)
         fold_curation_batch(spark, spark.createDataFrame(b2, emb_schema), out, 2)
         kept = {
             r["doc_id"]: (r["text"], r["n_tok"])

@@ -152,7 +152,7 @@ def test_signature_index_compaction_preserves_folds(spark, tmp_path):
 
     compact_signature_index(spark, index_path)
     tags = [t for t in os.listdir(index_path) if t.startswith("delta=")]
-    assert tags == ["delta=base"]
+    assert tags == ["delta=base_v1"]
     assert read_signature_index(spark, index_path).count() == pre_rows
     post = {
         (r.doc_delta, r.doc_base)

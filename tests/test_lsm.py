@@ -1,0 +1,103 @@
+"""Crash-consistency of the versioned-commit LSM compaction: at every
+crash point readers must see exactly the old tag set or exactly the
+new base — never a double-counting mix, never missing history."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from csv_2_db_pipeline_data_engineering_spark.operators import lsm
+from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+    cms_rows,
+    compact_cms_index,
+    extend_cms_index,
+    read_cms_index,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _counts(spark, path):
+    return {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in read_cms_index(spark, path).collect()
+    }
+
+
+def _setup(spark, tmp_path):
+    b1 = _docs(spark, [(1, "the cat sat on the mat and the cat sat again")])
+    b2 = _docs(spark, [(2, "a dog ran to the park and a dog ran back")])
+    path = str(tmp_path / "cms")
+    extend_cms_index(b1, path, "batch1")
+    extend_cms_index(b2, path, "batch2")
+    expected = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_rows(b1.unionByName(b2)).collect()
+    }
+    return path, expected
+
+
+def test_crash_before_commit_leaves_old_view_intact(spark, tmp_path):
+    """Pending base version on disk but no state commit: readers must
+    ignore it (no double counting) — the window the r10 review flagged
+    in the in-namespace-tmp choreography."""
+    path, expected = _setup(spark, tmp_path)
+    # simulate: merged partition fully written, then crash before the
+    # state-file commit
+    read_cms_index(spark, path).write.mode("overwrite").parquet(
+        os.path.join(path, "delta=base_v1")
+    )
+    assert _counts(spark, path) == expected  # pending version invisible
+    # the next compaction attempt completes normally over the old view
+    compact_cms_index(spark, path)
+    assert _counts(spark, path) == expected
+    assert lsm.visible_tags(path) == ["base_v1"]
+
+
+def test_crash_after_commit_before_deletes_hides_folded_tags(spark, tmp_path):
+    """State committed but source tag dirs still on disk: readers must
+    resolve ONLY the base (folded tags excluded), and a re-created
+    folded tag (crash-replayed extend) stays excluded."""
+    path, expected = _setup(spark, tmp_path)
+    compact_cms_index(spark, path)
+    # simulate the crash: resurrect a folded source tag's directory
+    b1 = _docs(spark, [(1, "the cat sat on the mat and the cat sat again")])
+    cms_rows(b1).write.mode("overwrite").parquet(
+        os.path.join(path, "delta=batch1")
+    )
+    assert lsm.visible_tags(path) == ["base_v1"]  # folded stays folded
+    assert _counts(spark, path) == expected  # no double counting
+    # a genuinely NEW tag is visible on top of the base
+    b3 = _docs(spark, [(3, "rain fell on the roof while the cat sat still")])
+    extend_cms_index(b3, path, "batch3")
+    assert set(lsm.visible_tags(path)) == {"base_v1", "batch3"}
+
+
+def test_recompaction_rolls_versions_and_cleans_stale(spark, tmp_path):
+    path, expected = _setup(spark, tmp_path)
+    compact_cms_index(spark, path)
+    b3 = _docs(spark, [(3, "rain fell on the roof while the cat sat still")])
+    extend_cms_index(b3, path, "batch3")
+    after = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in read_cms_index(spark, path).collect()
+    }
+    compact_cms_index(spark, path)
+    assert lsm.visible_tags(path) == ["base_v2"]
+    assert _counts(spark, path) == after
+    dirs = [t for t in os.listdir(path) if t.startswith("delta=")]
+    assert dirs == ["delta=base_v2"]  # v1 and batch tags cleaned up
+    state = lsm.read_state(path)
+    assert set(state["folded"]) >= {"batch1", "batch2", "batch3"}
+
+
+def test_compact_with_no_new_tags_is_a_noop(spark, tmp_path):
+    path, _ = _setup(spark, tmp_path)
+    compact_cms_index(spark, path)
+    v = lsm.read_state(path)["v"]
+    compact_cms_index(spark, path)  # nothing new to fold
+    assert lsm.read_state(path)["v"] == v

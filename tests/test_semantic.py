@@ -195,7 +195,7 @@ def test_emb_index_fold_extend_compact_refold(spark, tmp_path):
             for t in os.listdir(os.path.join(path, sub))
             if t.startswith("delta=")
         ]
-        assert tags == ["delta=base"], sub
+        assert tags == ["delta=base_v1"], sub
     post = sorted(
         r["doc_id"]
         for r in semantic_cross_losers(probe, read("buckets"), read("vecs")).collect()

@@ -247,7 +247,7 @@ def test_cms_index_compaction_preserves_estimates(spark, tmp_path):
     pre = as_map(read_cms_index(spark, path))
     compact_cms_index(spark, path)
     tags = [t for t in os.listdir(path) if t.startswith("delta=")]
-    assert tags == ["delta=base"]
+    assert tags == ["delta=base_v1"]
     assert as_map(read_cms_index(spark, path)) == pre
 
     extend_cms_index(b3, path, "batch3")
