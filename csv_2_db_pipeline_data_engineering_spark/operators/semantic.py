@@ -691,6 +691,35 @@ def compact_emb_index(spark: SparkSession, path: str) -> None:
     lsm.compact(spark, path, {"buckets": None, "vecs": None})
 
 
+def write_bucketed_emb_table(
+    buckets: DataFrame, table: str, n_buckets: int = 64, path: str | None = None
+) -> None:
+    """Persist embedding bucket rows as a table bucketed on
+    (t, bucket) — the embedding twin of
+    ``spans.write_bucketed_shingle_table``: the cross-history candidate
+    join's big side (history's LSH bucket rows) lives bucketed on
+    exactly the join key, so each fold reads its buckets in place and
+    shuffles ONLY the batch side into the bucket scheme — O(batch)
+    network, zero movement of the stored rows regardless of history
+    size."""
+    w = buckets.write.bucketBy(n_buckets, "t", "bucket").sortBy("t", "bucket")
+    if path is not None:
+        w = w.option("path", path)
+    w.mode("overwrite").saveAsTable(table)
+
+
+def extend_bucketed_emb_table(
+    buckets: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """APPEND a delta's bucket rows (O(delta); the explicit
+    ``refreshTable`` invalidates the session's cached file listing —
+    the ``extend_banded_index_table`` lesson)."""
+    buckets.write.bucketBy(n_buckets, "t", "bucket").sortBy(
+        "t", "bucket"
+    ).mode("append").saveAsTable(table)
+    buckets.sparkSession.catalog.refreshTable(table)
+
+
 def semantic_cross_losers(
     batch_emb: DataFrame,
     hist_buckets: DataFrame,

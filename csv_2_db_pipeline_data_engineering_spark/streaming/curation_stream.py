@@ -436,6 +436,31 @@ def ensure_span_table(
     return tbl
 
 
+def emb_table_name(out_dir: str) -> str:
+    """Session-catalog name of this stream's bucketed embedding table."""
+    return "spark_graft_embs_" + hashlib.md5(out_dir.encode()).hexdigest()[:10]
+
+
+def ensure_emb_table(
+    spark: SparkSession, out_dir: str, committed_buckets: DataFrame
+) -> str:
+    """Make the bucketed embedding-bucket table exist for this stream,
+    returning its name — the embedding twin of ``ensure_span_table``: a
+    pure JOIN ACCELERATOR bucketed on (t, bucket). Phantom rows from an
+    uncommitted (crashed-attempt) append prune automatically at the
+    verify step's inner join against the COMMITTED vectors, so no
+    exclusion pass is needed; the manifest-gated tagged parquet stays
+    the durable source of truth a fresh session rebuilds from."""
+    from ..operators.semantic import write_bucketed_emb_table
+
+    tbl = emb_table_name(out_dir)
+    if not spark.catalog.tableExists(tbl):
+        write_bucketed_emb_table(
+            committed_buckets, tbl, path=os.path.join(out_dir, "emb_table")
+        )
+    return tbl
+
+
 def ensure_band_table(spark: SparkSession, out_dir: str, index: DataFrame) -> str:
     """Make the bucketed band table exist for this stream, returning its
     name. The table is a pure JOIN ACCELERATOR (the verify join prunes
@@ -555,11 +580,19 @@ def fold_curation_batch(
             .select(F.col("vec_id").alias("doc_id"))
         )
         emb_hist = _emb_index_committed(spark, out_dir, batch_id)
-        sem_losers = (
-            within.union(semantic_cross_losers(batch_emb, *emb_hist)).distinct()
-            if emb_hist is not None
-            else within
-        )
+        if emb_hist is not None:
+            hist_buckets, hist_vecs = emb_hist
+            # Probe the bucketed accelerator (stored side read in
+            # place, only the batch's bucket rows shuffle); phantom
+            # rows from an uncommitted append prune at the inner join
+            # against the COMMITTED vectors inside the verify.
+            emb_tbl = ensure_emb_table(spark, out_dir, hist_buckets)
+            cross = semantic_cross_losers(
+                batch_emb, spark.table(emb_tbl), hist_vecs
+            )
+            sem_losers = within.union(cross).distinct()
+        else:
+            sem_losers = within
 
     decisions = curation_decisions(
         docs,
@@ -657,15 +690,31 @@ def fold_curation_batch(
     # SHIPPED corpus, and a dropped arrival must not block a future
     # better copy of itself.
     if batch_emb is not None:
-        from ..operators.semantic import extend_emb_index
-
-        extend_emb_index(
-            batch_emb.join(
-                kept.select(F.col("doc_id").alias("vec_id")), "vec_id"
-            ),
-            os.path.join(out_dir, EMB_INDEX_DIR),
-            f"batch{batch_id}",
+        from ..operators.semantic import (
+            emb_bucket_rows,
+            extend_bucketed_emb_table,
+            extend_emb_index,
+            write_bucketed_emb_table,
         )
+
+        kept_emb = batch_emb.join(
+            kept.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        extend_emb_index(
+            kept_emb, os.path.join(out_dir, EMB_INDEX_DIR), f"batch{batch_id}"
+        )
+        # Maintain the bucketed accelerator BEFORE the manifest commit
+        # (the band-table discipline): append-then-no-commit only
+        # leaves phantom rows the committed-vecs verify join prunes.
+        kept_buckets = emb_bucket_rows(kept_emb)
+        if spark.catalog.tableExists(emb_table_name(out_dir)):
+            extend_bucketed_emb_table(kept_buckets, emb_table_name(out_dir))
+        else:
+            write_bucketed_emb_table(
+                kept_buckets,
+                emb_table_name(out_dir),
+                path=os.path.join(out_dir, "emb_table"),
+            )
     from ..operators.spans import _raw_shingles
 
     if spark.catalog.tableExists(span_table_name(out_dir)):

@@ -544,3 +544,52 @@ def test_stream_span_and_emb_compaction_preserve_fold_semantics(spark, tmp_path)
     assert dropped[10] == "semantic_dup"  # twin caught through compacted emb index
     assert phrase not in kept[12][0]  # span stripped through compacted span index
     assert kept[12][0] == later
+
+
+def test_emb_cross_history_join_probes_bucketed_table(spark, tmp_path):
+    """The semantic gate's cross-history candidate join goes through
+    the maintained bucketed embedding table: the stored side reads
+    bucket-aligned (no Exchange in its subtree), only the batch's
+    bucket rows shuffle on (t, bucket) — the band/span-table discipline
+    applied to the embedding index."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+        semantic_cross_losers,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.streaming.curation_stream import (
+        _emb_index_committed,
+        emb_table_name,
+    )
+
+    emb_schema = "doc_id long, text string, embedding array<double>"
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    twin = [1.0, 0.05] + [0.0] * (dim - 2)
+    out = str(tmp_path / "curated")
+    fold_curation_batch(
+        spark, spark.createDataFrame([(1, _BASE, e1)], emb_schema), out, 0
+    )
+    tbl = emb_table_name(out)
+    assert spark.catalog.tableExists(tbl)  # batch 0 bootstrapped it
+
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        _hb, hist_vecs = _emb_index_committed(spark, out, 1)
+        probe = spark.createDataFrame(
+            [(10, twin)], "vec_id long, embedding array<double>"
+        )
+        losers = semantic_cross_losers(probe, spark.table(tbl), hist_vecs)
+        plan = losers._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE hash exchange on the (t, bucket) key: the batch side
+        assert plan.count("Exchange hashpartitioning(t") == 1, plan
+        assert "Bucketed: true" in plan
+        assert {r["doc_id"] for r in losers.collect()} == {10}
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
