@@ -465,6 +465,84 @@ def _floor_div(col: Column, d: int) -> Column:
     return ((col - F.pmod(col, F.lit(d))) / F.lit(d)).cast("long")
 
 
+def _probe_quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, xq, y): quantized features + the binary target."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * SEM_SCALE + F.lit(0.5)).cast("long"),
+        ).alias("xq"),
+        F.when(F.col("label") < PROBE_POS_LABELS, 1)
+        .otherwise(-1)
+        .cast("long")
+        .alias("y"),
+    )
+
+
+def trained_probe_weights(emb: DataFrame, iters: int = PROBE_ITERS) -> DataFrame:
+    """The 1-row weight frame after ``iters`` GD steps (see
+    ``linear_probe_metrics`` for the step mechanics) — the artifact the
+    SERVING side broadcasts."""
+    q = scoped_cache(_probe_quantized(emb))
+    w = (
+        q.limit(1)
+        .select(F.transform("xq", lambda _: F.lit(0).cast("long")).alias("wq"))
+        .localCheckpoint(eager=True)
+    )
+    target = PROBE_WSCALE * SEM_SCALE
+    for _ in range(iters):
+        scored = (
+            q.crossJoin(F.broadcast(w))
+            .select("xq", (_dot_q(F.col("xq"), F.col("wq"))).alias("p"), "y")
+            .withColumn("e", F.col("p") - F.col("y") * F.lit(target))
+        )
+        g = (
+            scored.select("e", F.posexplode("xq").alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("e") * F.col("x")).alias("g"))
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "g"))),
+                    lambda s: s["g"],
+                ).alias("garr")
+            )
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                F.zip_with(
+                    "wq", "garr", lambda wv, gv: wv - _floor_div(gv, PROBE_LR_DIV)
+                ).alias("wq")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w
+
+
+def embedding_probe_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered SERVING twin of the trainer: score every embedding
+    with the trained weights (one broadcast map-side dot product — the
+    shape a 100 TB corpus scoring pass takes) and emit the confusion
+    counts per (true label, predicted label). Every cell depends on
+    every trained weight, so the 4-row result value-checks the whole
+    train-then-serve path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = trained_probe_weights(emb)
+    q = _probe_quantized(emb)
+    pred = F.when(
+        _dot_q(F.col("xq"), F.col("wq")) > 0, 1
+    ).otherwise(-1).cast("long")
+    return (
+        q.crossJoin(F.broadcast(w))
+        .select("y", pred.alias("pred"))
+        .groupBy("y", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "pred")
+    )
+
+
 def linear_probe_metrics(emb: DataFrame, iters: int = PROBE_ITERS) -> DataFrame:
     """(iter, sse_q, n_correct) per GD iteration: the training curve.
 
@@ -478,19 +556,7 @@ def linear_probe_metrics(emb: DataFrame, iters: int = PROBE_ITERS) -> DataFrame:
     rows is the convergence certificate; a single wrong weight in any
     iteration shifts every later row.
     """
-    q = scoped_cache(
-        emb.select(
-            "vec_id",
-            F.transform(
-                F.col("embedding").cast("array<double>"),
-                lambda x: F.floor(x * SEM_SCALE + F.lit(0.5)).cast("long"),
-            ).alias("xq"),
-            F.when(F.col("label") < PROBE_POS_LABELS, 1)
-            .otherwise(-1)
-            .cast("long")
-            .alias("y"),
-        )
-    )
+    q = scoped_cache(_probe_quantized(emb))
     # zero weight vector derived in-plan (no driver-side dim probe)
     w = q.limit(1).select(
         F.transform("xq", lambda _: F.lit(0).cast("long")).alias("wq")
@@ -594,6 +660,28 @@ def _linear_probe_sql(iters: int = PROBE_ITERS) -> str:
 
 
 LINEAR_PROBE_ORACLE = _linear_probe_sql()
+
+
+def _probe_confusion_sql(iters: int = PROBE_ITERS) -> str:
+    """The trainer's unrolled chain up to ``w{iters}``, then one
+    scoring pass: confusion counts per (y, pred)."""
+    chain = _linear_probe_sql(iters)
+    # keep the CTE chain, swap the final metrics union for the scoring
+    # select (the chain defines p{iters}/e{iters} over the FINAL w)
+    head = chain.split("\nSELECT * FROM m0")[0]
+    return (
+        head
+        + f"""
+SELECT e.y AS y,
+       CAST(CASE WHEN e.p > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       COUNT(*) AS n
+FROM e{iters} e
+GROUP BY 1, 2
+ORDER BY y, pred"""
+    )
+
+
+PROBE_CONFUSION_ORACLE = _probe_confusion_sql()
 
 
 # --- persisted embedding index: the streaming SemDeDup twin -----------------
@@ -950,6 +1038,14 @@ QUERIES = [
         "per-iteration SSE + accuracy curve, bit-identical cross-engine",
         embedding_linear_probe,
         LINEAR_PROBE_ORACLE,
+    ),
+    Query(
+        "embedding_probe_confusion",
+        "linear-probe SERVING twin: corpus-wide scoring with the "
+        "trained weights (broadcast map-side dot product), confusion "
+        "counts per (true, predicted) label",
+        embedding_probe_confusion,
+        PROBE_CONFUSION_ORACLE,
     ),
     Query(
         "dedup_semantic_lsh",

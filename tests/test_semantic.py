@@ -246,3 +246,22 @@ def test_linear_probe_floor_div_matches_python_floor(spark):
         .collect()
     ]
     assert got == [v // 20 for v in sorted(vals)]  # Python floor semantics
+
+
+def test_probe_confusion_is_consistent_with_training_curve(spark):
+    """The serving twin's confusion counts must reconcile exactly with
+    the trainer's final-iteration accuracy (same weights, same data):
+    sum of diagonal cells == n_correct at the last iter, all cells sum
+    to the corpus size."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+        embedding_linear_probe,
+        embedding_probe_confusion,
+    )
+
+    conf = embedding_probe_confusion(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n"] for r in conf) == n
+    assert {(r["y"], r["pred"]) for r in conf} <= {(1, 1), (1, -1), (-1, 1), (-1, -1)}
+    diag = sum(r["n"] for r in conf if r["y"] == r["pred"])
+    curve = embedding_linear_probe(spark, SF_DIR).collect()
+    assert diag == curve[-1]["n_correct"]
