@@ -480,44 +480,66 @@ def _probe_quantized(emb: DataFrame) -> DataFrame:
     )
 
 
-def trained_probe_weights(emb: DataFrame, iters: int = PROBE_ITERS) -> DataFrame:
-    """The 1-row weight frame after ``iters`` GD steps (see
-    ``linear_probe_metrics`` for the step mechanics) — the artifact the
-    SERVING side broadcasts."""
-    q = scoped_cache(_probe_quantized(emb))
-    w = (
+def _probe_zero_weights(q: DataFrame) -> DataFrame:
+    """Zero weight vector derived in-plan (no driver-side dim probe)."""
+    return (
         q.limit(1)
         .select(F.transform("xq", lambda _: F.lit(0).cast("long")).alias("wq"))
         .localCheckpoint(eager=True)
     )
-    target = PROBE_WSCALE * SEM_SCALE
+
+
+def _probe_scored(q: DataFrame, w: DataFrame) -> DataFrame:
+    """(vec_id, xq, y, p, e): broadcast map-side scoring of the corpus
+    against the 1-row weight frame — zero shuffle."""
+    return (
+        q.crossJoin(F.broadcast(w))
+        .select(
+            "vec_id", "xq", "y",
+            _dot_q(F.col("xq"), F.col("wq")).alias("p"),
+        )
+        .withColumn(
+            "e", F.col("p") - F.col("y") * F.lit(PROBE_WSCALE * SEM_SCALE)
+        )
+    )
+
+
+def _probe_updated_weights(scored: DataFrame, w: DataFrame) -> DataFrame:
+    """One GD step: posexplode + groupBy(dim) partial-aggregated
+    gradient (d = 64 groups — the shuffle carries d partial sums per
+    partition, never the vectors), folded into a new eagerly
+    checkpointed weight frame (the k-means centroid pattern: lineage
+    stays one iteration deep)."""
+    g = (
+        scored.select("e", F.posexplode("xq").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("e") * F.col("x")).alias("g"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "g"))),
+                lambda s: s["g"],
+            ).alias("garr")
+        )
+    )
+    return (
+        w.crossJoin(F.broadcast(g))
+        .select(
+            F.zip_with(
+                "wq", "garr", lambda wv, gv: wv - _floor_div(gv, PROBE_LR_DIV)
+            ).alias("wq")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def trained_probe_weights(emb: DataFrame, iters: int = PROBE_ITERS) -> DataFrame:
+    """The 1-row weight frame after ``iters`` GD steps — the artifact
+    the SERVING side broadcasts."""
+    q = scoped_cache(_probe_quantized(emb))
+    w = _probe_zero_weights(q)
     for _ in range(iters):
-        scored = (
-            q.crossJoin(F.broadcast(w))
-            .select("xq", (_dot_q(F.col("xq"), F.col("wq"))).alias("p"), "y")
-            .withColumn("e", F.col("p") - F.col("y") * F.lit(target))
-        )
-        g = (
-            scored.select("e", F.posexplode("xq").alias("dim", "x"))
-            .groupBy("dim")
-            .agg(F.sum(F.col("e") * F.col("x")).alias("g"))
-            .groupBy()
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "g"))),
-                    lambda s: s["g"],
-                ).alias("garr")
-            )
-        )
-        w = (
-            w.crossJoin(F.broadcast(g))
-            .select(
-                F.zip_with(
-                    "wq", "garr", lambda wv, gv: wv - _floor_div(gv, PROBE_LR_DIV)
-                ).alias("wq")
-            )
-            .localCheckpoint(eager=True)
-        )
+        w = _probe_updated_weights(_probe_scored(q, w), w)
     return w
 
 
@@ -557,21 +579,10 @@ def linear_probe_metrics(emb: DataFrame, iters: int = PROBE_ITERS) -> DataFrame:
     iteration shifts every later row.
     """
     q = scoped_cache(_probe_quantized(emb))
-    # zero weight vector derived in-plan (no driver-side dim probe)
-    w = q.limit(1).select(
-        F.transform("xq", lambda _: F.lit(0).cast("long")).alias("wq")
-    ).localCheckpoint(eager=True)
-    target = PROBE_WSCALE * SEM_SCALE
+    w = _probe_zero_weights(q)
     metrics = []
     for t in range(iters + 1):
-        scored = (
-            q.crossJoin(F.broadcast(w))
-            .select(
-                "vec_id", "xq", "y",
-                _dot_q(F.col("xq"), F.col("wq")).alias("p"),
-            )
-            .withColumn("e", F.col("p") - F.col("y") * F.lit(target))
-        )
+        scored = _probe_scored(q, w)
         pred = F.when(F.col("p") > 0, 1).otherwise(-1)
         metrics.append(
             scored.agg(
@@ -586,27 +597,7 @@ def linear_probe_metrics(emb: DataFrame, iters: int = PROBE_ITERS) -> DataFrame:
         )
         if t == iters:
             break
-        g = (
-            scored.select("e", F.posexplode("xq").alias("dim", "x"))
-            .groupBy("dim")
-            .agg(F.sum(F.col("e") * F.col("x")).alias("g"))
-            .groupBy()
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "g"))),
-                    lambda s: s["g"],
-                ).alias("garr")
-            )
-        )
-        w = (
-            w.crossJoin(F.broadcast(g))
-            .select(
-                F.zip_with(
-                    "wq", "garr", lambda wv, gv: wv - _floor_div(gv, PROBE_LR_DIV)
-                ).alias("wq")
-            )
-            .localCheckpoint(eager=True)
-        )
+        w = _probe_updated_weights(scored, w)
     out = metrics[0]
     for m in metrics[1:]:
         out = out.unionByName(m)
