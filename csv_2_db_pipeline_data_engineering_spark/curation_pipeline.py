@@ -325,7 +325,8 @@ def run_curation_pipeline(
     matching the corpus doc_ids) enables the SemDeDup gate: per
     semantic near-dup group the lowest-id representative survives and
     every other member drops as ``semantic_dup``
-    (``operators.semantic.semantic_keep_plan``).
+    (``operators.semantic.semantic_keep_plan_lsh`` — the LSH-routed
+    linear-scale path, matching corpus_curation_decision's gate).
 
     After the gates, surviving docs get ExactSubstr span removal
     (``operators.spans.strip_verbatim_span_text``) before chunking —
@@ -351,10 +352,10 @@ def run_curation_pipeline(
     gh = gram_hash_rows(docs).cache()
     semantic_losers = None
     if embeddings_path is not None:
-        from .operators.semantic import semantic_keep_plan
+        from .operators.semantic import semantic_keep_plan_lsh
 
         semantic_losers = (
-            semantic_keep_plan(
+            semantic_keep_plan_lsh(
                 spark.read.parquet(embeddings_path).select("vec_id", "embedding")
             )
             .filter(~F.col("keep"))
