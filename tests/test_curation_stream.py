@@ -593,3 +593,39 @@ def test_emb_cross_history_join_probes_bucketed_table(spark, tmp_path):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_emb_table_rebuilds_from_committed_tags(spark, tmp_path):
+    """A session whose catalog lost the bucketed embedding table (fresh
+    process) must rebuild it from the committed tagged parquet and keep
+    dropping cross-batch embedding twins."""
+    import shutil
+
+    from csv_2_db_pipeline_data_engineering_spark.streaming.curation_stream import (
+        emb_table_name,
+    )
+
+    emb_schema = "doc_id long, text string, embedding array<double>"
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    twin = [1.0, 0.05] + [0.0] * (dim - 2)
+    fresh = (
+        "twelve bright lanterns hung above the narrow street and it was a "
+        "warm night for the people of the town to walk by the calm water"
+    )
+    out = str(tmp_path / "curated")
+    fold_curation_batch(
+        spark, spark.createDataFrame([(1, _BASE, e1)], emb_schema), out, 0
+    )
+    # simulate a fresh process: the catalog entry is gone, tags remain
+    spark.sql(f"DROP TABLE IF EXISTS {emb_table_name(out)}")
+    shutil.rmtree(Path(out) / "emb_table")
+
+    fold_curation_batch(
+        spark, spark.createDataFrame([(10, fresh, twin)], emb_schema), out, 1
+    )
+    dropped = {
+        r["doc_id"]: r["reason"]
+        for r in read_curated(spark, out, "dropped").collect()
+    }
+    assert dropped[10] == "semantic_dup"
