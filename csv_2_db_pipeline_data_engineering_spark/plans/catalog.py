@@ -299,6 +299,7 @@ def get_catalog() -> dict[str, Query]:
         boilerplate,
         curation,
         dedup,
+        gopher,
         multimodal,
         rollup,
         scrub,
@@ -317,7 +318,7 @@ def get_catalog() -> dict[str, Query]:
     for module in (
         analytics, advanced, stats_windows, subqueries, quality, etl_queries,
         graph, dedup, similarity, semantic, sketch, spans, text, scrub,
-        boilerplate, multimodal, rollup, curation, versioning,
+        gopher, boilerplate, multimodal, rollup, curation, versioning,
     ):
         for q in module.QUERIES:
             if q.name in all_queries:

@@ -1,0 +1,86 @@
+"""Gopher-rules quality gate: per-rule semantics on constructed docs."""
+
+from __future__ import annotations
+
+from csv_2_db_pipeline_data_engineering_spark.operators.gopher import (
+    RULE_ORDER,
+    gopher_rule_frame,
+    text_gopher_gate,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+GOOD = "the report is ready and we have reviewed it with care " * 6  # 66 words
+
+
+def test_clean_document_passes_every_rule(spark):
+    row = gopher_rule_frame(_docs(spark, [(1, GOOD.strip())])).first()
+    assert row["keep"] is True
+    assert row["n_failed"] == 0
+    assert row["first_fail"] == "none"
+    for r in RULE_ORDER:
+        assert row[r] is True, r
+
+
+def test_each_rule_fails_on_its_witness(spark):
+    cases = {
+        # 5 words -> word-count floor
+        1: ("tiny doc under the floor", "r_word_count"),
+        # mean word length < 3
+        2: (" ".join(["a"] * 60) + " the of", "r_mean_word_len"),
+        # 12 hashes over 66 words -> symbol ratio > 0.1
+        3: (GOOD.strip() + " # # # # # # # # # # # #", "r_symbol_ratio"),
+        # every line bulleted -> > 90%
+        4: ("\n".join("- " + w for w in GOOD.split()), "r_bullet_lines"),
+        # every line ends with ellipsis -> > 30%
+        5: ("\n".join(w + "..." for w in GOOD.split()[:55]), "r_ellipsis_lines"),
+        # 30 numeric tokens over 66 alpha -> alpha frac < 0.8
+        6: (GOOD.strip() + " " + " ".join(str(i) for i in range(30)),
+            "r_alpha_words"),
+        # no required stopwords at all
+        7: (" ".join(["word"] * 60), "r_stopwords"),
+        # one line repeated four times -> dup-line frac 0.75
+        8: ("\n".join([GOOD.strip()[:40]] * 4), "r_dup_lines"),
+    }
+    df = gopher_rule_frame(_docs(spark, [(k, t) for k, (t, _) in cases.items()]))
+    got = {r["doc_id"]: r for r in df.collect()}
+    for doc_id, (_, rule) in cases.items():
+        assert got[doc_id][rule] is False, (doc_id, rule)
+        assert got[doc_id]["keep"] is False
+        assert got[doc_id]["n_failed"] >= 1
+
+
+def test_first_fail_respects_rule_order(spark):
+    # fails word count AND stopwords; word count is first in RULE_ORDER
+    row = gopher_rule_frame(_docs(spark, [(1, "just five words right here")])).first()
+    assert row["first_fail"] == "r_word_count"
+    assert row["n_failed"] == 2
+
+
+def test_dup_line_char_fraction_uses_char_weights(spark):
+    # 3 distinct short lines + 1 long line repeated: dup-line frac is
+    # 1/5 (passes <=0.3) but dup CHARS are 80/(3*4+160) (fails <=0.2)
+    long = "x" * 80
+    text = "\n".join(["aaaa", "bbbb", "cccc", long, long])
+    row = gopher_rule_frame(_docs(spark, [(1, text)])).first()
+    assert row["r_dup_lines"] is True
+    assert row["r_dup_line_chars"] is False
+
+
+def test_gate_over_corpus_discriminates_by_residue(spark):
+    got = {
+        r["doc_id"] % 13: r
+        for r in text_gopher_gate(spark, SF_DIR).limit(200).collect()
+    }
+    # the stopword-injection residue is the only one that can keep
+    assert got[6]["r_stopwords"] is True
+    assert got[1]["r_word_count"] is False
+    assert got[2]["r_symbol_ratio"] is False
+    assert got[3]["r_bullet_lines"] is False
+    assert got[4]["r_ellipsis_lines"] is False
+    assert got[5]["r_alpha_words"] is False
+    assert got[7]["r_dup_lines"] is False
