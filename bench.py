@@ -97,6 +97,9 @@ HEADLINE = [
     "mm_mpeg1_video_stats",
     # round-10 late: iterative-ML training loop (integer GD probe)
     "embedding_linear_probe",
+    # round-10: full Gopher rule set (map-only projection — the cheap
+    # end of the headline spectrum, pinning the zero-shuffle claim)
+    "text_gopher_gate",
 ]
 
 

@@ -1,0 +1,216 @@
+"""DSIR data selection: hashed n-gram importance resampling.
+
+Xie et al. 2023 ("Data Selection for Language Models via Importance
+Resampling") select pre-training documents whose hashed n-gram
+distribution looks like a TARGET corpus: featurize every document into
+hashed unigram+bigram bucket counts, fit bag-of-buckets unigram models
+for the target slice and the raw pool (add-1 smoothing), and score
+each document by its log importance weight
+
+    w(doc) = sum over gram occurrences of ln p_target(b) - ln p_raw(b)
+
+then keep the top-K. This operator is the published recipe end to end
+as a catalog query — the distribution fit, the per-doc weights, and
+the exact top-K selection frontier — with every number value-checked.
+
+Spark-first shape (100 TB):
+- The gram stream (posexplode + one window lead, the repetition-stats
+  trick) is cached once and feeds three aggregates.
+- Both distributions land in ONE fixed-size bucket table (``N_BUCKETS``
+  rows) that joins back to the stream as a BROADCAST — the model is
+  O(buckets) no matter the corpus size, which is the whole point of
+  hashed features in the paper.
+- The per-doc score is one doc_id-keyed shuffle; the selection
+  frontier is TakeOrdered(K) reduced to a 1-row broadcast cutoff, so
+  the ``selected`` flag never needs a global sort of the corpus.
+- Gram -> bucket hashing is md5-derived (bit-identical across engines,
+  the ``dedup_simhash`` lesson), and the per-doc weight folds its
+  bucket log-ratios in sorted order (the ``bigram_logprob`` lesson) so
+  the rounded weight can never flip on partial-sum order.
+
+The synthetic corpus is i.i.d. token soup — every source has the same
+distribution, so true DSIR weights would be noise. The query plants a
+deterministic "target flavor" (identically in the oracle): target-slice
+docs get a flavor phrase appended, and so do raw docs with
+``doc_id % 7 == 3`` — the in-distribution needles the selector is
+supposed to surface. The pytest asserts the selected set is dominated
+by flavored docs; the oracle value-checks every weight and the exact
+selection frontier (cutoff weight + tie-broken boundary doc).
+
+Reference parity: no counterpart (the reference has no selection
+surface); driver-mandated LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import Query
+from ..sources.tables import load_table
+from .lifecycle import scoped_cache
+
+N_BUCKETS = 512
+SELECT_K = 100
+TARGET_SOURCES = ("src0", "src1", "src2")
+_FLAVOR = " quick brown fox jumps over the lazy dog"
+
+
+def _planted() -> Column:
+    """Append the target flavor to target-slice docs and residue-3 docs."""
+    flavored = F.col("source").isin(*TARGET_SOURCES) | (F.col("doc_id") % 7 == 3)
+    return F.when(flavored, F.concat("text", F.lit(_FLAVOR))).otherwise(F.col("text"))
+
+
+_TGT_SQL = "(" + ", ".join(f"'{s}'" for s in TARGET_SOURCES) + ")"
+_PLANTED_SQL = (
+    f"CASE WHEN source IN {_TGT_SQL} OR doc_id % 7 = 3"
+    f" THEN text || '{_FLAVOR}' ELSE text END"
+)
+
+
+def _bucket(g: Column) -> Column:
+    return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % N_BUCKETS
+
+
+def dsir_gram_stream(docs: DataFrame, planted: Column | None = None) -> DataFrame:
+    """(doc_id, source, b): one row per unigram/bigram occurrence."""
+    p = planted if planted is not None else F.col("text")
+    words = docs.select(
+        "doc_id", "source", F.posexplode(F.split(p, " ")).alias("pos", "w1")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    uni = words.select("doc_id", "source", F.col("w1").alias("g"))
+    bi = (
+        words.withColumn("w2", F.lead("w1").over(win))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "source", F.concat_ws(" ", "w1", "w2").alias("g"))
+    )
+    return uni.unionByName(bi).select("doc_id", "source", _bucket(F.col("g")).alias("b"))
+
+
+def dsir_select(docs: DataFrame, k: int = SELECT_K) -> DataFrame:
+    """Per-doc DSIR weights + exact top-``k`` selection flag."""
+    grams = scoped_cache(dsir_gram_stream(docs, _planted()))
+    is_tgt = F.col("source").isin(*TARGET_SOURCES)
+    per_bucket = grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(is_tgt.cast("long")).alias("ct"),
+    )
+    totals = grams.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(is_tgt.cast("long")).alias("nt"),
+    )
+    lr = F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + N_BUCKETS)) - F.log(
+        (F.col("cr") + 1).cast("double") / (F.col("nr") + N_BUCKETS)
+    )
+    ratio = per_bucket.crossJoin(F.broadcast(totals)).select("b", lr.alias("lr"))
+    lrs = F.sort_array(F.collect_list("lr"))
+    fold = F.aggregate(lrs, F.lit(0.0), lambda a, x: a + x)
+    # `weight` is the paper's raw log importance weight (a SUM over gram
+    # occurrences); in a length-varying pool it selects on length —
+    # every gram carries a smoothing-dominated bias term — so the
+    # SELECTION key is the per-gram average (the length normalization
+    # CCNet applies to LM scores for the same reason).
+    scored = (
+        grams.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(fold, 4).alias("weight"),
+            F.round(fold / F.size(lrs), 4).alias("avg_lr"),
+        )
+    )
+    # Selection frontier: the k-th row of (avg_lr DESC, doc_id ASC) as a
+    # 1-row broadcast — TakeOrdered(k) then a re-sort of k rows, never a
+    # global sort. selected = strictly above the frontier, or tied on
+    # avg_lr and at-or-before the boundary doc.
+    cut = (
+        scored.orderBy(F.col("avg_lr").desc(), "doc_id")
+        .limit(k)
+        .orderBy(F.col("avg_lr").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .select(F.col("avg_lr").alias("w_k"), F.col("doc_id").alias("id_k"))
+    )
+    sel = (F.col("avg_lr") > F.col("w_k")) | (
+        (F.col("avg_lr") == F.col("w_k")) & (F.col("doc_id") <= F.col("id_k"))
+    )
+    return scored.crossJoin(F.broadcast(cut)).select(
+        "doc_id", "n_grams", "weight", "avg_lr", sel.alias("selected")
+    )
+
+
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered DSIR selection over ``documents`` (planted target)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_select(d).orderBy("doc_id")
+
+
+DSIR_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, source, string_split({_PLANTED_SQL}, ' ') AS w FROM documents
+),
+uni AS (SELECT doc_id, source, unnest(w) AS g FROM planted),
+bi AS (
+  SELECT doc_id, source, b.w1 || ' ' || b.w2 AS g
+  FROM (
+    SELECT doc_id, source,
+           unnest([{{'w1': w[i], 'w2': w[i+1]}} for i in range(1, len(w))]) AS b
+    FROM planted WHERE len(w) >= 2
+  )
+),
+grams AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {N_BUCKETS} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+per_bucket AS (
+  SELECT b, COUNT(*) AS cr,
+         SUM(CASE WHEN source IN {_TGT_SQL} THEN 1 ELSE 0 END) AS ct
+  FROM grams GROUP BY b
+),
+totals AS (
+  SELECT COUNT(*) AS nr,
+         SUM(CASE WHEN source IN {_TGT_SQL} THEN 1 ELSE 0 END) AS nt
+  FROM grams
+),
+ratio AS (
+  SELECT b,
+         ln((ct + 1)::DOUBLE / (nt + {N_BUCKETS}))
+           - ln((cr + 1)::DOUBLE / (nr + {N_BUCKETS})) AS lr
+  FROM per_bucket CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         ROUND(list_reduce(list(lr ORDER BY lr), (a, x) -> a + x), 4) AS weight,
+         ROUND(list_reduce(list(lr ORDER BY lr), (a, x) -> a + x)
+               / COUNT(*), 4) AS avg_lr
+  FROM grams JOIN ratio USING (b)
+  GROUP BY doc_id
+),
+lim AS (
+  SELECT avg_lr, doc_id FROM scored
+  ORDER BY avg_lr DESC, doc_id LIMIT {SELECT_K}
+),
+cut AS (
+  SELECT avg_lr AS w_k, doc_id AS id_k FROM lim
+  ORDER BY avg_lr ASC, doc_id DESC LIMIT 1
+)
+SELECT doc_id, n_grams, weight, avg_lr,
+       (avg_lr > w_k OR (avg_lr = w_k AND doc_id <= id_k)) AS selected
+FROM scored CROSS JOIN cut
+ORDER BY doc_id
+"""
+
+
+QUERIES = [
+    Query(
+        "text_dsir_select",
+        "DSIR importance resampling: hashed unigram+bigram bucket models "
+        "(target slice vs raw pool), sorted-fold per-doc log importance "
+        "weights, exact top-K selection frontier via a 1-row broadcast "
+        "cutoff",
+        text_dsir_select,
+        DSIR_ORACLE,
+    ),
+]

@@ -299,6 +299,7 @@ def get_catalog() -> dict[str, Query]:
         boilerplate,
         curation,
         dedup,
+        dsir,
         gopher,
         multimodal,
         rollup,
@@ -318,7 +319,7 @@ def get_catalog() -> dict[str, Query]:
     for module in (
         analytics, advanced, stats_windows, subqueries, quality, etl_queries,
         graph, dedup, similarity, semantic, sketch, spans, text, scrub,
-        gopher, boilerplate, multimodal, rollup, curation, versioning,
+        gopher, dsir, boilerplate, multimodal, rollup, curation, versioning,
     ):
         for q in module.QUERIES:
             if q.name in all_queries:
