@@ -226,13 +226,29 @@ class Query:
 # (driver-green seven rounds r1-r9 minus r3; the ranked-window plan
 # shape stays pinned by tests/test_plan_shapes.py's WindowGroupLimit
 # assertion and the query remains registered + locally checked).
+#
+# Round-10 quality/selection swap: text_gopher_gate in (NEW: the
+# complete nine-rule Gopher/MassiveWeb document gate, integer-exact
+# thresholds, zero-shuffle) and text_dsir_select in (NEW: DSIR hashed
+# n-gram importance resampling with an exact top-K frontier — a new
+# data-SELECTION family beside the keep/drop curation gates). Out go
+# two reference-parity entries driver-green EIGHT consecutive checked
+# rounds (r1-r9), each with the operator surface still in-window:
+# rejection_reason_counts (the validate split + reasons array run
+# INSIDE in-window rejection_rate, and the groupBy-reason-count shape
+# runs inside corpus_curation_report) and multiformat_date_parse (the
+# transform family keeps coerce_cast_semantics +
+# normalize_and_serialize in-window; the 3-format first-match parse
+# stays registered, locally oracle-checked, and pytest-pinned in
+# tests/test_functions.py).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
-    "rejection_reason_counts",
     "rejection_rate",
     "normalize_and_serialize",
     "coerce_cast_semantics",
-    "multiformat_date_parse",
+    # LLM-pipeline: quality + selection (NEW r10).
+    "text_gopher_gate",
+    "text_dsir_select",
     # LLM-pipeline: deduplication family.
     "dedup_clusters_lsh",  # NEW r9 window: LSH-banded clustering (covers minhash+CC)
     "dedup_embedding_cosine_block",  # NEW r9 window: blocked cosine dedup
