@@ -100,6 +100,9 @@ HEADLINE = [
     # round-10: full Gopher rule set (map-only projection — the cheap
     # end of the headline spectrum, pinning the zero-shuffle claim)
     "text_gopher_gate",
+    # round-10: DSIR selection (O(buckets) broadcast model + one
+    # doc-keyed score shuffle; 4.4x wall at 10x data per SCALE_PROBE)
+    "text_dsir_select",
 ]
 
 

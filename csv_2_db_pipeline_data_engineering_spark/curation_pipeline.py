@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.boilerplate import quality_nscaled, quality_ntok
+from .operators.gopher import structural_fail
 from .operators.curation import (
     CLASSIFIER_FLOOR_E2,
     FLUENCY_MARGIN,
@@ -136,7 +137,12 @@ def curation_decisions(
 
     Gate order (first failure wins, cheap-to-expensive):
     exact_dup -> near_dup -> semantic_dup -> non_english ->
-    low_quality -> low_fluency -> low_classifier -> keep. The
+    low_quality -> gopher_quality -> low_fluency -> low_classifier ->
+    keep. The gopher gate applies the STRUCTURAL Gopher rule subset
+    (``operators.gopher.structural_fail`` — mean word length, symbol /
+    bullet / ellipsis spam, non-alpha dilution, repeated lines; the
+    vocabulary-dependent word-count/stopword rules stay corpus knobs,
+    see ``gopher.STRUCTURAL_RULES``) as a pure map-side expression. The
     classifier gate serves the frozen logistic quality model
     (``boilerplate.quality_nscaled``) in pure integer arithmetic.
 
@@ -183,6 +189,7 @@ def curation_decisions(
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("exact_loser"),
         stop_ratio.alias("stop_ratio"),
         ttr.alias("ttr"),
+        structural_fail(F.col("text")).alias("gopher_fail"),
         quality_nscaled(F.col("text")).alias("clf_nscaled"),
         quality_ntok(F.col("text")).alias("clf_ntok"),
     )
@@ -234,6 +241,7 @@ def curation_decisions(
         .when(F.col("sem_loser"), "semantic_dup")
         .when(F.col("stop_ratio") < LANG_STOP_RATIO, "non_english")
         .when(F.col("ttr") < LOW_QUALITY_TTR, "low_quality")
+        .when(F.col("gopher_fail"), "gopher_quality")
         .when(
             F.col("fluency_med") - F.col("avg_logprob") > FLUENCY_MARGIN,
             "low_fluency",

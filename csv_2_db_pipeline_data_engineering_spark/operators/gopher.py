@@ -183,6 +183,57 @@ def gopher_rule_frame(docs: DataFrame, planted: Column | None = None) -> DataFra
     )
 
 
+#: The vocabulary-independent subset of the rule set — what a pipeline
+#: can apply to ANY corpus (including the synthetic soup, which has no
+#: English stopwords and a 10-99-word length distribution, so the
+#: word-count floor and required-stopword rules are corpus-dependent
+#: knobs rather than universal structure checks).
+STRUCTURAL_RULES = (
+    "r_mean_word_len",
+    "r_symbol_ratio",
+    "r_bullet_lines",
+    "r_ellipsis_lines",
+    "r_alpha_words",
+    "r_dup_lines",
+    "r_dup_line_chars",
+)
+
+
+def structural_fail(text: Column) -> Column:
+    """True iff ``text`` fails any STRUCTURAL Gopher rule.
+
+    Self-contained column expression (no staged frame) so pipeline
+    gate cascades can splice it in map-side; the integer-exact
+    comparisons match :func:`gopher_rule_frame` rule for rule.
+    """
+    lines = F.split(text, "\n")
+    words = F.split(F.translate(text, "\n", " "), " ")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    word_chars = _sumlen(words)
+    n_hash = F.length(text) - F.length(F.translate(text, "#", ""))
+    n_ellipsis = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    ).cast("int")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    n_bullet = F.size(F.filter(lines, lambda l: l.startswith("- ")))
+    n_ell_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    line_chars = _sumlen(lines)
+    distinct_chars = _sumlen(F.array_distinct(lines))
+    n_distinct = F.size(F.array_distinct(lines))
+    ok = (
+        (word_chars >= 3 * n_words)
+        & (word_chars <= 10 * n_words)
+        & ((n_hash + n_ellipsis) * 10 <= n_words)
+        & (n_bullet * 10 <= 9 * n_lines)
+        & (n_ell_lines * 10 <= 3 * n_lines)
+        & (n_alpha * 5 >= 4 * n_words)
+        & ((n_lines - n_distinct) * 10 <= 3 * n_lines)
+        & ((line_chars - distinct_chars) * 5 <= line_chars)
+    )
+    return ~ok
+
+
 def text_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher quality gate over ``documents`` with planted witnesses."""
     d = load_table(spark, sf_dir, "documents")

@@ -135,8 +135,11 @@ def test_classifier_gate_drops_confident_low_quality(spark):
         curation_decisions,
     )
 
-    chorus = "alphabetagam deltaepsilon zetaetatheta"
-    junk = "the " + " ".join([chorus] * 4)  # long rare words -> z << -0.30
+    # 10-char rare words: mean word length stays at the Gopher cap
+    # (structural gate passes) while the -0.50/char logit term still
+    # pulls z far below the -0.30 classifier floor
+    chorus = "alphabetag deltaepsil zetaetathe"
+    junk = "the " + " ".join([chorus] * 4)  # rare-word mass -> z << -0.30
     rows = [(1, junk)] + [
         (k, f"the w{k}a w{k}b w{k}c and a dog{k} cat{k} tree{k} bird{k} sun{k} moon{k}")
         for k in range(2, 6)
@@ -346,3 +349,29 @@ def test_fully_stripped_doc_ships_zero_tokens_and_no_chunks(spark, tmp_path):
     assert chunks.filter(F.col("doc_id") == 2).count() == 0
     # token accounting: no doc contributes phantom tokens
     assert all(r["n_tok"] == len(r["text"].split(" ")) for r in kept.values() if r["n_tok"] > 0)
+
+
+def test_gopher_gate_drops_structural_spam(spark, tmp_path):
+    """A bullet-spam doc (every line '- ...') passes the dedup /
+    language / TTR gates but falls to the structural Gopher gate; the
+    single-line soup corpus is untouched by it."""
+    src = os.path.join(SF_DIR, "documents.parquet")
+    base = spark.read.parquet(src).select("doc_id", "text")
+    # 40 bulleted lines, distinct content words + stopwords: TTR 0.51,
+    # stop ratio 0.25, unique text -> reaches the gopher gate, where
+    # the 100% bullet-line fraction fails the structural rule set.
+    lines = [f"- the w{i} brown fox{i}" for i in range(40)]
+    spam = spark.createDataFrame(
+        [(999_998, "\n".join(lines))], "doc_id long, text string"
+    )
+    p = str(tmp_path / "docs_in")
+    base.unionByName(spam).write.parquet(p)
+
+    out = str(tmp_path / "curated")
+    s = run_curation_pipeline(spark, p, out)
+
+    dropped = spark.read.parquet(os.path.join(out, "dropped_docs"))
+    row = dropped.filter(F.col("doc_id") == 999_998).collect()
+    assert row and row[0]["reason"] == "gopher_quality"
+    # surgical: only the planted doc falls to it
+    assert s.dropped.get("gopher_quality", 0) == 1

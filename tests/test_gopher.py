@@ -84,3 +84,44 @@ def test_gate_over_corpus_discriminates_by_residue(spark):
     assert got[4]["r_ellipsis_lines"] is False
     assert got[5]["r_alpha_words"] is False
     assert got[7]["r_dup_lines"] is False
+
+
+def test_structural_fail_agrees_with_rule_frame(spark):
+    """The pipeline's spliceable expression and the registered frame
+    compute the same structural verdict on tricky shapes."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.gopher import (
+        STRUCTURAL_RULES,
+        structural_fail,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        GOOD.strip(),
+        "",
+        "x",
+        "- only one bullet line",
+        "\n".join(["- a"] * 10),
+        "\n".join(["line one", "line one", "other"]),
+        "a " * 30 + "b",
+        "#" * 20 + " word",
+        "w..." * 5,
+        "tail...\nmid...\nplain line\nplain other",
+        "word " + "0 1 2 3 4 5 6 7 8 9 " * 3 + "end",
+        "\n".join([("y" * 70), "aa", "bb", ("y" * 70)]),
+        "supercalifragilistic expialidocious antidisestablishmentarian",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    frame = gopher_rule_frame(docs)
+    ok_all = None
+    for r in STRUCTURAL_RULES:
+        ok_all = F.col(r) if ok_all is None else (ok_all & F.col(r))
+    got = (
+        frame.select("doc_id", (~ok_all).alias("frame_fail"))
+        .join(docs.select("doc_id", structural_fail(F.col("text")).alias("expr_fail")), "doc_id")
+        .collect()
+    )
+    assert got
+    for row in got:
+        assert row["frame_fail"] == row["expr_fail"], row["doc_id"]

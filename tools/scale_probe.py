@@ -63,6 +63,8 @@ PROBES = [
     "text_heavy_hitters_cms",  # r8: fixed-size sketch build + broadcast probe
     "dedup_bloom_prefilter",  # r8: Bloom bitset build + broadcast membership
     "corpus_snapshot_diff",  # r8: digest-keyed full-outer release diff
+    "text_gopher_gate",  # r10: zero-shuffle rule projection (should be ~linear)
+    "text_dsir_select",  # r10: O(buckets) model broadcast + doc-keyed score agg
 ]
 
 
