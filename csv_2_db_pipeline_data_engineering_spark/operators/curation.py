@@ -19,7 +19,7 @@ Scale shapes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
@@ -640,6 +640,163 @@ ORDER BY source
 """
 
 
+# --- epoch-capped waterfilling: the mix policy's second pass ----------
+#
+# ``domain_mix_allocation`` is the proportional first pass; this is the
+# waterfilling redistribution its docstring defers: UniMax-style
+# (Chung et al., "UniMax: Fairer and More Effective Language Sampling",
+# ICLR 2023) budget allocation over sources with PER-SOURCE repeat
+# caps — the data-constrained-scaling regime (Muennighoff et al. 2023:
+# high-quality sources tolerate more epochs than web crawl, so the cap
+# differs by source). Each round splits the remaining token budget
+# equally across still-open sources, caps at epoch_cap · n_tok, and
+# re-spreads what the capped sources could not absorb; a fixed round
+# count keeps the query (and its oracle) a finite unrolled chain.
+#
+# Exactness: everything is non-negative int64 (token counts, integer
+# `div` shares), so Spark's `div` and DuckDB's `//` agree with no pmod
+# dance; share·n_open <= remaining by construction, so the budget never
+# goes negative. micro_epochs avoids the (alloc · 1e6) overflow a
+# 100 TB source would hit by splitting into whole-epoch and remainder
+# terms — each factor stays under 2^63 for any per-source corpus below
+# ~9 ZB.
+#
+# 100 TB shape: the ONLY corpus-scale work is the per-source token
+# aggregate (map-side combine, shuffle carries one row per source);
+# the waterfilling iterates over the tiny source frame with 1-row
+# broadcast round totals — zero data-scale shuffles.
+
+WATERFILL_ROUNDS = 6
+WATERFILL_BUDGET_NUM = 5  # budget = (5 · total_tokens) div 2 — 2.5 epochs
+WATERFILL_BUDGET_DEN = 2
+MICRO = 1_000_000  # micro-epoch scale for the integer epochs column
+
+
+def _waterfill_epoch_cap() -> Column:
+    """Per-source repeat cap 1..4 from the source id (the
+    ``domain_mix_allocation`` weight device: deterministic, engine-
+    portable, and it makes caps bind progressively on a near-uniform
+    corpus)."""
+    return (
+        F.lit(1) + F.substring("source", 4, 10).try_cast("int") % 4
+    ).cast("long")
+
+
+def domain_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped waterfilling token allocation per source.
+
+    Returns one row per source: its token count, repeat cap, the
+    tokens allocated after WATERFILL_ROUNDS redistribution rounds,
+    integer micro-epochs (alloc/n_tok at 1e-6 precision, exact), and
+    whether the cap bound.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_src = (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tok")
+        )
+        .withColumn("epoch_cap", _waterfill_epoch_cap())
+        .withColumn("cap_tok", F.col("epoch_cap") * F.col("n_tok"))
+    )
+    budget = per_src.agg(
+        F.expr(
+            f"({WATERFILL_BUDGET_NUM} * sum(n_tok))"
+            f" div {WATERFILL_BUDGET_DEN}"
+        ).alias("budget")
+    )
+    cur = per_src.withColumn("alloc", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(WATERFILL_ROUNDS):
+        opened = F.sum(
+            F.when(F.col("alloc") < F.col("cap_tok"), 1).otherwise(0)
+        )
+        round_share = (
+            cur.crossJoin(F.broadcast(budget))
+            .agg(
+                opened.alias("n_open"),
+                (F.min("budget") - F.sum("alloc")).alias("rem"),
+            )
+            .select(
+                F.when(
+                    F.col("n_open") > 0,
+                    F.expr("rem div n_open"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("share")
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(round_share))
+            .withColumn(
+                "alloc",
+                F.when(
+                    F.col("alloc") < F.col("cap_tok"),
+                    F.least(F.col("cap_tok"), F.col("alloc") + F.col("share")),
+                ).otherwise(F.col("alloc")),
+            )
+            .select("source", "n_tok", "epoch_cap", "cap_tok", "alloc")
+            .localCheckpoint(eager=True)
+        )
+    micro = F.expr(
+        f"(alloc div n_tok) * {MICRO} + ((alloc % n_tok) * {MICRO}) div n_tok"
+    ).cast("long")
+    return cur.select(
+        "source",
+        "n_tok",
+        "epoch_cap",
+        F.col("alloc").alias("alloc_tok"),
+        micro.alias("micro_epochs"),
+        (F.col("alloc") == F.col("cap_tok")).alias("capped"),
+    ).orderBy("source")
+
+
+def _waterfill_sql(rounds: int = WATERFILL_ROUNDS) -> str:
+    """The identical fixed-round waterfilling unrolled as chained CTEs
+    (the ``_linear_probe_sql`` long form)."""
+    ctes = [
+        "per_src AS (SELECT source,"
+        " CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok,"
+        " CAST(1 + TRY_CAST(substr(source, 4) AS INT) % 4 AS BIGINT)"
+        " AS epoch_cap FROM documents GROUP BY source)",
+        "base AS (SELECT source, n_tok, epoch_cap,"
+        " epoch_cap * n_tok AS cap_tok FROM per_src)",
+        f"bud AS (SELECT ({WATERFILL_BUDGET_NUM} * SUM(n_tok))"
+        f" // {WATERFILL_BUDGET_DEN} AS budget FROM base)",
+        "a0 AS (SELECT source, n_tok, epoch_cap, cap_tok,"
+        " CAST(0 AS BIGINT) AS alloc FROM base)",
+    ]
+    for r in range(rounds):
+        ctes += [
+            f"s{r} AS (SELECT CASE WHEN"
+            " SUM(CASE WHEN alloc < cap_tok THEN 1 ELSE 0 END) = 0"
+            " THEN CAST(0 AS BIGINT) ELSE CAST("
+            " ((SELECT budget FROM bud) - SUM(alloc))"
+            " // SUM(CASE WHEN alloc < cap_tok THEN 1 ELSE 0 END)"
+            f" AS BIGINT) END AS share FROM a{r})",
+            f"a{r + 1} AS (SELECT source, n_tok, epoch_cap, cap_tok,"
+            " CASE WHEN alloc < cap_tok THEN"
+            " LEAST(cap_tok, alloc + share) ELSE alloc END AS alloc"
+            f" FROM a{r}, s{r})",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT source, n_tok, epoch_cap, alloc AS alloc_tok,
+       CAST((alloc // n_tok) * {MICRO}
+            + ((alloc % n_tok) * {MICRO}) // n_tok AS BIGINT) AS micro_epochs,
+       alloc = cap_tok AS capped
+FROM a{rounds}
+ORDER BY source"""
+    )
+
+
+WATERFILL_ORACLE = _waterfill_sql()
+
+
 # --- content-keyed train/val/test split with leakage certificate -----
 
 # First hex char of the content fingerprint: 0-b train (12/16), c-d val,
@@ -795,6 +952,9 @@ QUERIES = [
     Query("domain_mix_allocation",
           "per-source doc allocation under a weighted training-mix budget",
           domain_mix_allocation, DOMAIN_MIX_ORACLE),
+    Query("domain_mix_waterfill",
+          "UniMax-style epoch-capped waterfilling token budget per source",
+          domain_mix_waterfill, WATERFILL_ORACLE),
     Query("corpus_split_plan",
           "content-keyed train/val/test split with exact-dup leakage "
           "certificate and near-dup cross-split measure",

@@ -241,14 +241,22 @@ class Query:
 # normalize_and_serialize in-window; the 3-format first-match parse
 # stays registered, locally oracle-checked, and pytest-pinned in
 # tests/test_functions.py).
+#
+# Mid-r10 swap: domain_mix_waterfill in (NEW: UniMax-style epoch-capped
+# waterfilling — the mix family's iterative second pass beside the
+# in-window curation planners); out goes coerce_cast_semantics
+# (driver-green NINE consecutive rounds r1-r9; the F1/F7 cast/round
+# surface stays pinned by the e2e pipeline pytests and the in-window
+# normalize_and_serialize projection, and the query remains registered
+# + locally oracle-checked).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",
     "normalize_and_serialize",
-    "coerce_cast_semantics",
     # LLM-pipeline: quality + selection (NEW r10).
     "text_gopher_gate",
     "text_dsir_select",
+    "domain_mix_waterfill",  # NEW r10: epoch-capped waterfilling mix pass
     # LLM-pipeline: deduplication family.
     "dedup_clusters_lsh",  # NEW r9 window: LSH-banded clustering (covers minhash+CC)
     "dedup_embedding_cosine_block",  # NEW r9 window: blocked cosine dedup

@@ -208,3 +208,52 @@ def test_corpus_split_plan_certificates(spark):
     assert 0.55 < by_split["train"]["n_docs"] / total < 0.9
     # duplicated content collapses fingerprints: n_fp <= n_docs
     assert all(r["n_fingerprints"] <= r["n_docs"] for r in rows)
+
+
+def test_domain_mix_waterfill_matches_reference_simulation(spark):
+    """The registered fixed-round waterfilling equals a pure-Python
+    simulation of the same policy on the same corpus, and the standard
+    allocation invariants hold."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        WATERFILL_BUDGET_DEN,
+        WATERFILL_BUDGET_NUM,
+        WATERFILL_ROUNDS,
+        domain_mix_waterfill,
+    )
+
+    out = {r.source: r for r in domain_mix_waterfill(spark, SF_DIR).collect()}
+    assert out
+
+    # reference simulation from the raw per-source token counts
+    per = {
+        r.source: r.n_tok
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n_tok"))
+        .collect()
+    }
+    caps = {s: (1 + int(s[3:]) % 4) * t for s, t in per.items()}
+    budget = WATERFILL_BUDGET_NUM * sum(per.values()) // WATERFILL_BUDGET_DEN
+    alloc = dict.fromkeys(per, 0)
+    for _ in range(WATERFILL_ROUNDS):
+        opened = [s for s in alloc if alloc[s] < caps[s]]
+        if not opened:
+            break
+        share = (budget - sum(alloc.values())) // len(opened)
+        for s in opened:
+            alloc[s] = min(caps[s], alloc[s] + share)
+
+    assert set(out) == set(per)
+    for s, r in out.items():
+        assert r.alloc_tok == alloc[s], s
+        assert r.epoch_cap == 1 + int(s[3:]) % 4
+        assert 0 <= r.alloc_tok <= caps[s]
+        assert r.capped == (r.alloc_tok == caps[s])
+        # exact integer micro-epochs
+        assert r.micro_epochs == r.alloc_tok * 1_000_000 // per[s]
+    # never over budget; rounds must leave at most a sub-share remainder
+    spent = sum(r.alloc_tok for r in out.values())
+    assert spent <= budget
+    n_open = sum(1 for r in out.values() if not r.capped)
+    if n_open:
+        assert budget - spent < n_open  # waterfilling ran to exhaustion
