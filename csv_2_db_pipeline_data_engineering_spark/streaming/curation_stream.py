@@ -34,7 +34,9 @@ Per batch:
    history-first-seen wins); kept docs' embeddings extend the index
    O(delta) per fold. The gate sits between near_dup and the language
    gates exactly as in the batch ``curation_decisions``;
-4. language/quality gates + PII scrub (map-side);
+4. language/quality gates — including the structural Gopher rule
+   subset (``operators/gopher.structural_fail``, shared with the batch
+   pipeline through ``curation_decisions``) — + PII scrub (map-side);
 5. ExactSubstr span strip — verbatim spans already SHIPPED by a
    committed batch are deleted from this batch's kept text before
    chunking (``operators/spans.incremental_span_strip_text`` against

@@ -629,3 +629,22 @@ def test_emb_table_rebuilds_from_committed_tags(spark, tmp_path):
         for r in read_curated(spark, out, "dropped").collect()
     }
     assert dropped[10] == "semantic_dup"
+
+
+def test_streaming_gopher_gate_drops_structural_spam(spark, tmp_path):
+    """Batch/stream parity for the structural Gopher gate: a bullet-spam
+    doc arriving in a stream fold is dropped with reason gopher_quality
+    (the gate lives in the shared curation_decisions, so the streaming
+    fold applies it with no stream-specific code)."""
+    out = str(tmp_path / "curated")
+    spam = "\n".join(f"- the w{i} brown fox{i}" for i in range(40))
+    fold_curation_batch(
+        spark, _docs(spark, [(1, _BASE), (2, spam)]), out, 0
+    )
+    dropped = {
+        r["doc_id"]: r["reason"]
+        for r in read_curated(spark, out, "dropped").collect()
+    }
+    kept = {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
+    assert dropped.get(2) == "gopher_quality"
+    assert kept == {1}
