@@ -294,3 +294,13 @@ def test_embedding_lsh_sizing_is_threshold_matched(spark):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "bucket" in plan  # the LSH bucket key reaches the join
+
+
+def test_waterfill_rounds_never_rescan_the_corpus(spark):
+    """domain_mix_waterfill's redistribution rounds iterate the tiny
+    checkpointed source frame — the FINAL plan must not contain a
+    documents parquet scan (the corpus is touched exactly once, by the
+    per-source token aggregate folded into the round-0 checkpoint)."""
+    plan = _plan(spark, "domain_mix_waterfill")
+    assert "documents.parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan rdd" in plan
