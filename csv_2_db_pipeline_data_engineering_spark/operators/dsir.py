@@ -89,22 +89,43 @@ def dsir_gram_stream(docs: DataFrame, planted: Column | None = None) -> DataFram
     return uni.unionByName(bi).select("doc_id", "source", _bucket(F.col("g")).alias("b"))
 
 
-def dsir_select(docs: DataFrame, k: int = SELECT_K) -> DataFrame:
-    """Per-doc DSIR weights + exact top-``k`` selection flag."""
-    grams = scoped_cache(dsir_gram_stream(docs, _planted()))
+def dsir_model_rows(grams: DataFrame) -> DataFrame:
+    """(b, cr, ct): the bucket-count model STATE for a gram stream.
+
+    This is the mergeable object the incremental path persists:
+    raw-pool and target counts are plain sums, so model(h ∪ d) =
+    merge(model(h), model(d)) by bucket-wise addition, and the totals
+    (nr, nt) re-derive exactly as column sums — the model never needs
+    the grams again."""
     is_tgt = F.col("source").isin(*TARGET_SOURCES)
-    per_bucket = grams.groupBy("b").agg(
+    return grams.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(is_tgt.cast("long")).alias("ct"),
     )
-    totals = grams.agg(
-        F.count(F.lit(1)).alias("nr"),
-        F.sum(is_tgt.cast("long")).alias("nt"),
+
+
+def merge_dsir_models(*models: DataFrame) -> DataFrame:
+    """Bucket-wise additive merge of model states (the CMS convention)."""
+    out = models[0]
+    for m in models[1:]:
+        out = out.unionByName(m)
+    return out.groupBy("b").agg(
+        F.sum("cr").alias("cr"), F.sum("ct").alias("ct")
     )
+
+
+def _ratio_frame(model: DataFrame) -> DataFrame:
+    """(b, lr): add-1-smoothed log importance ratio per bucket, totals
+    re-derived from the model rows themselves (exact column sums)."""
+    totals = model.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     lr = F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + N_BUCKETS)) - F.log(
         (F.col("cr") + 1).cast("double") / (F.col("nr") + N_BUCKETS)
     )
-    ratio = per_bucket.crossJoin(F.broadcast(totals)).select("b", lr.alias("lr"))
+    return model.crossJoin(F.broadcast(totals)).select("b", lr.alias("lr"))
+
+
+def _doc_scores(grams: DataFrame, ratio: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, weight, avg_lr) by broadcast-model scoring."""
     lrs = F.sort_array(F.collect_list("lr"))
     fold = F.aggregate(lrs, F.lit(0.0), lambda a, x: a + x)
     # `weight` is the paper's raw log importance weight (a SUM over gram
@@ -112,7 +133,7 @@ def dsir_select(docs: DataFrame, k: int = SELECT_K) -> DataFrame:
     # every gram carries a smoothing-dominated bias term — so the
     # SELECTION key is the per-gram average (the length normalization
     # CCNet applies to LM scores for the same reason).
-    scored = (
+    return (
         grams.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
@@ -121,10 +142,13 @@ def dsir_select(docs: DataFrame, k: int = SELECT_K) -> DataFrame:
             F.round(fold / F.size(lrs), 4).alias("avg_lr"),
         )
     )
-    # Selection frontier: the k-th row of (avg_lr DESC, doc_id ASC) as a
-    # 1-row broadcast — TakeOrdered(k) then a re-sort of k rows, never a
-    # global sort. selected = strictly above the frontier, or tied on
-    # avg_lr and at-or-before the boundary doc.
+
+
+def _with_frontier(scored: DataFrame, k: int) -> DataFrame:
+    """Exact top-``k`` flag: the k-th row of (avg_lr DESC, doc_id ASC)
+    as a 1-row broadcast — TakeOrdered(k) then a re-sort of k rows,
+    never a global sort. selected = strictly above the frontier, or
+    tied on avg_lr and at-or-before the boundary doc."""
     cut = (
         scored.orderBy(F.col("avg_lr").desc(), "doc_id")
         .limit(k)
@@ -140,13 +164,95 @@ def dsir_select(docs: DataFrame, k: int = SELECT_K) -> DataFrame:
     )
 
 
+def dsir_select(docs: DataFrame, k: int = SELECT_K) -> DataFrame:
+    """Per-doc DSIR weights + exact top-``k`` selection flag."""
+    grams = scoped_cache(dsir_gram_stream(docs, _planted()))
+    scored = _doc_scores(grams, _ratio_frame(dsir_model_rows(grams)))
+    return _with_frontier(scored, k)
+
+
 def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered DSIR selection over ``documents`` (planted target)."""
     d = load_table(spark, sf_dir, "documents")
     return dsir_select(d).orderBy("doc_id")
 
 
-DSIR_ORACLE = f"""
+# --- incremental DSIR: the selection family joins the persisted-index
+# convention --------------------------------------------------------
+#
+# The model state (b, cr, ct) is additive, so a stream maintains it as
+# O(delta) tagged extends exactly like the CMS/Bloom/line indexes, and
+# an arriving batch is scored against the merged model with O(batch)
+# work — history grams are NEVER rescanned. The registered query runs
+# that algebra in-plan on the repo's incremental convention (history =
+# doc_id % 10 != 0, delta = % 10 == 0): model(h) ⊕ model(d) scores the
+# delta docs, and the oracle recomputes the same numbers from scratch —
+# a hash match certifies merge(model(h), model(d)) ≡ model(h ∪ d)
+# through the full scoring pipeline, not just the counts. The disk
+# round trip of the same algebra (extend/read/compact) is
+# pytest-verified (tests/test_dsir.py).
+
+DELTA_SELECT_K = 10
+
+
+def dsir_select_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the arriving delta against the MERGED history+delta model;
+    exact top-``DELTA_SELECT_K`` selection frontier within the delta."""
+    docs = load_table(spark, sf_dir, "documents")
+    g_h = dsir_gram_stream(docs.filter(F.col("doc_id") % 10 != 0), _planted())
+    g_d = scoped_cache(
+        dsir_gram_stream(docs.filter(F.col("doc_id") % 10 == 0), _planted())
+    )
+    model = merge_dsir_models(dsir_model_rows(g_h), dsir_model_rows(g_d))
+    scored = _doc_scores(g_d, _ratio_frame(model))
+    return _with_frontier(scored, DELTA_SELECT_K).orderBy("doc_id")
+
+
+def extend_dsir_index(docs: DataFrame, path: str, tag: str) -> None:
+    """Append ``docs``' model rows as the (overwrite-idempotent)
+    ``delta=<tag>`` partition of a persisted DSIR model index — the
+    selection-family twin of ``sketch.extend_cms_index``; a crash
+    replay overwrites its own tag, so no batch double-counts."""
+    import os
+
+    rows = dsir_model_rows(dsir_gram_stream(docs, _planted()))
+    rows.write.mode("overwrite").parquet(os.path.join(path, f"delta={tag}"))
+
+
+def read_dsir_index(spark: SparkSession, path: str) -> DataFrame | None:
+    """The merged (b, cr, ct) model across all visible delta tags (None
+    if the index does not exist yet): one O(buckets · tags -> buckets)
+    aggregate, never a corpus rescan."""
+    from . import lsm
+
+    raw = lsm.read_visible(spark, path)
+    if raw is None:
+        return None
+    return merge_dsir_models(raw)
+
+
+def compact_dsir_index(spark: SparkSession, path: str) -> None:
+    """Merge every visible delta tag into one base version (the
+    ``lsm.compact`` crash-safe versioned commit) — addition over tags
+    IS the merge, so the compacted index scores identically while the
+    per-read aggregation input drops back to ``N_BUCKETS`` rows."""
+    from . import lsm
+
+    lsm.compact(
+        spark,
+        path,
+        {
+            "": lambda df: df.groupBy("b").agg(
+                F.sum("cr").alias("cr"), F.sum("ct").alias("ct")
+            )
+        },
+    )
+
+
+def _dsir_sql(scored_where: str = "", k: int = SELECT_K) -> str:
+    """The DSIR recipe as DuckDB SQL; ``scored_where`` restricts which
+    docs are SCORED (the model always fits on the full corpus)."""
+    return f"""
 WITH planted AS (
   SELECT doc_id, source, string_split({_PLANTED_SQL}, ' ') AS w FROM documents
 ),
@@ -186,11 +292,12 @@ scored AS (
          ROUND(list_reduce(list(lr ORDER BY lr), (a, x) -> a + x)
                / COUNT(*), 4) AS avg_lr
   FROM grams JOIN ratio USING (b)
+  {scored_where}
   GROUP BY doc_id
 ),
 lim AS (
   SELECT avg_lr, doc_id FROM scored
-  ORDER BY avg_lr DESC, doc_id LIMIT {SELECT_K}
+  ORDER BY avg_lr DESC, doc_id LIMIT {k}
 ),
 cut AS (
   SELECT avg_lr AS w_k, doc_id AS id_k FROM lim
@@ -203,6 +310,16 @@ ORDER BY doc_id
 """
 
 
+DSIR_ORACLE = _dsir_sql()
+
+# From-scratch recompute of the delta docs' scores under the full-corpus
+# model: a hash match against the Spark merge-then-score plan certifies
+# the incremental model algebra end to end.
+DSIR_INCREMENTAL_ORACLE = _dsir_sql(
+    scored_where="WHERE doc_id % 10 = 0", k=DELTA_SELECT_K
+)
+
+
 QUERIES = [
     Query(
         "text_dsir_select",
@@ -212,5 +329,13 @@ QUERIES = [
         "cutoff",
         text_dsir_select,
         DSIR_ORACLE,
+    ),
+    Query(
+        "dsir_select_incremental",
+        "incremental DSIR: O(delta) mergeable bucket-model extends; the "
+        "arriving batch scored against the merged history+delta model "
+        "with an exact within-delta top-K frontier",
+        dsir_select_incremental,
+        DSIR_INCREMENTAL_ORACLE,
     ),
 ]

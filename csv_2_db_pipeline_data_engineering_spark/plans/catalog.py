@@ -256,6 +256,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # LLM-pipeline: quality + selection (NEW r10).
     "text_gopher_gate",
     "text_dsir_select",
+    # Mid-r10: incremental DSIR (O(delta) mergeable model extends) in;
+    # out goes text_quality_logit (driver-green three consecutive
+    # rounds r7-r9; the frozen-logit surface stays in-window inside
+    # corpus_curation_decision's classifier gate and stays registered
+    # + locally oracle-checked).
+    "dsir_select_incremental",
     "domain_mix_waterfill",  # NEW r10: epoch-capped waterfilling mix pass
     # LLM-pipeline: deduplication family.
     "dedup_clusters_lsh",  # NEW r9 window: LSH-banded clustering (covers minhash+CC)
@@ -282,7 +288,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # LLM-pipeline: boilerplate removal + classifier inference (NEW r7).
     "text_line_dedup",
     "text_intradoc_dedup",
-    "text_quality_logit",
     "url_canonical_dedup",  # rotated in late r7 (new URL-hygiene family)
     "text_bpe_train",
     "text_bpe_tokenize",  # NEW r9 window: BPE apply twin of the trainer
