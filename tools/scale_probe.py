@@ -65,6 +65,7 @@ PROBES = [
     "corpus_snapshot_diff",  # r8: digest-keyed full-outer release diff
     "text_gopher_gate",  # r10: zero-shuffle rule projection (should be ~linear)
     "text_dsir_select",  # r10: O(buckets) model broadcast + doc-keyed score agg
+    "dsir_select_incremental",  # r10: merged-model delta scoring (O(delta) shape)
 ]
 
 
