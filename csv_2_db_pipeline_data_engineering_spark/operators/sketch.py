@@ -530,6 +530,266 @@ ORDER BY p.doc_id
 """
 
 
+# --- HyperLogLog distinct-gram cardinality ---------------------------------
+#
+# The third mergeable sketch, completing the trio of merge algebras the
+# persisted-index convention supports: CMS merges by ADDITION, Bloom by
+# OR, HyperLogLog (Flajolet et al. 2007) by register-wise MAX. The
+# 100 TB question it answers — "how many DISTINCT n-grams / URLs /
+# fingerprints does the corpus hold?" — is exactly the one an exact
+# count pays a full shuffle of every distinct key for; the HLL state is
+# 2^p registers regardless of input size, built map-side and merged
+# with one O(registers)-key shuffle (the shape of Spark's own
+# approx_count_distinct, re-derived here because its HLL++ bytes are
+# not oracle-checkable across engines).
+#
+# Engine-portable construction: one md5 per distinct key; the digest's
+# first 32 bits pick the register (mod 2^p), the next 60 bits (15 hex
+# chars — kept under 2^63 so the BIGINT cast never wraps) feed rho =
+# 61 - bit_length(w), with bit_length taken as the LENGTH OF THE BINARY
+# STRING (Spark `conv(.., 16, 2)`, DuckDB `bin()`) — exact integer, no
+# floating log2 near power-of-two boundaries. The harmonic sum folds
+# per-register powers of two in sorted order (each term is an exact
+# double; the fold order is pinned) before the integer zero-register
+# mass joins in one final add, so the estimate is bit-identical across
+# engines up to the shared alpha/ln constants, and rounded to 4
+# decimals on both sides.
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+HLL_RHO_ZERO = 61  # rho of an (astronomically unlikely) all-zero suffix
+#: alpha_m for m >= 128 (Flajolet et al. Fig. 3), evaluated once in
+#: Python and embedded as the SAME literal in the Spark plan and the
+#: SQL text — no cross-engine constant drift.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: alpha_m * m^2, the estimate numerator — multiplied once in PYTHON so
+#: both engines receive one identical double literal (DuckDB would
+#: otherwise parse the alpha literal as DECIMAL and overflow the
+#: product).
+HLL_ALPHA_M2 = HLL_ALPHA * HLL_M * HLL_M
+#: certificate tolerance: 3 standard errors = 3 * 1.04/sqrt(1024) ~ 9.8%.
+HLL_ERR_PCT = 10
+
+
+def _hll_reg_rho(key: Column) -> tuple[Column, Column]:
+    """(register, rho) for ``key`` from one md5 digest."""
+    h = F.md5(key)
+    reg = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(HLL_M)
+    )
+    wbin = F.conv(F.substring(h, 9, 15), 16, 2)
+    rho = F.when(wbin == "0", F.lit(HLL_RHO_ZERO)).otherwise(
+        F.lit(HLL_RHO_ZERO) - F.length(wbin)
+    )
+    return reg, rho.cast("long")
+
+
+def hll_rows(docs: DataFrame) -> DataFrame:
+    """(reg, rho): the HLL register state for ``docs``' distinct
+    3-grams — observed registers only (absent register = 0). Map-side
+    max partials, one O(registers)-key shuffle."""
+    reg, rho = _hll_reg_rho(F.col("gram"))
+    return (
+        _gram_stream(docs)
+        .select(reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def merge_hll(*sketches: DataFrame) -> DataFrame:
+    """Register-wise MAX merge — hll(h) ⊕ hll(d) ≡ hll(h ∪ d) exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
+def _hll_estimate(regs: DataFrame) -> DataFrame:
+    """1-row (est, n_obs, sum_rho, max_rho) from observed registers.
+
+    Harmonic mean over ALL HLL_M registers: the 2^p - n_obs absent
+    registers contribute 2^0 = 1 each (one exact integer added after
+    the sorted fold of the observed powers of two); the small-range
+    linear-counting branch uses the same zero-register count."""
+    terms = F.sort_array(F.collect_list(F.pow(F.lit(2.0), -F.col("rho"))))
+    fold = F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+    agg = regs.agg(
+        fold.alias("ssum_obs"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("rho").alias("sum_rho"),
+        F.max("rho").alias("max_rho"),
+    )
+    ssum = F.col("ssum_obs") + (F.lit(HLL_M) - F.col("n_obs")).cast("double")
+    e_raw = F.lit(HLL_ALPHA_M2) / ssum
+    v = (F.lit(HLL_M) - F.col("n_obs")).cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.round(est, 4).alias("est"), "n_obs", "sum_rho", "max_rho"
+    )
+
+
+def text_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-gram cardinality via HyperLogLog, with the exact
+    count, the merge-exactness certificate, and the error-bound
+    certificate in one hash-checked row.
+
+    Runs the MAX-merge algebra in-plan on the incremental convention
+    (history = doc_id % 10 != 0, delta = % 10 == 0): a register state
+    mis-merged in ANY of the 1024 registers flips sum_rho/n_obs or the
+    folded estimate, so the single output row pins the whole sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = hll_rows(docs)
+    merged = merge_hll(
+        hll_rows(docs.filter(F.col("doc_id") % 10 != 0)),
+        hll_rows(docs.filter(F.col("doc_id") % 10 == 0)),
+    )
+    n_exact = _gram_stream(docs).agg(
+        F.count_distinct(F.col("gram")).alias("n_exact")
+    )
+    ef = _hll_estimate(full).select(
+        F.col("est").alias("est_full"),
+        F.col("n_obs").alias("n_obs_full"),
+        F.col("sum_rho").alias("sum_rho_full"),
+        F.col("max_rho").alias("max_rho"),
+    )
+    em = _hll_estimate(merged).select(
+        F.col("est").alias("est_merged"),
+        F.col("n_obs").alias("n_obs_merged"),
+        F.col("sum_rho").alias("sum_rho_merged"),
+    )
+    row = n_exact.crossJoin(F.broadcast(ef)).crossJoin(F.broadcast(em))
+    ok_merge = (
+        (F.col("est_merged") == F.col("est_full"))
+        & (F.col("n_obs_merged") == F.col("n_obs_full"))
+        & (F.col("sum_rho_merged") == F.col("sum_rho_full"))
+    )
+    ok_err = (
+        F.abs(F.col("est_full") - F.col("n_exact")) * 100
+        <= F.lit(HLL_ERR_PCT) * F.col("n_exact")
+    )
+    return row.select(
+        "n_exact",
+        "est_full",
+        "est_merged",
+        F.col("n_obs_full").alias("registers_used"),
+        F.col("sum_rho_full").alias("sum_rho"),
+        "max_rho",
+        ok_merge.alias("ok_merge_exact"),
+        ok_err.alias("ok_err_bound"),
+    )
+
+
+def extend_hll_index(docs: DataFrame, path: str, tag: str) -> None:
+    """Append ``docs``' register state as the (overwrite-idempotent)
+    ``delta=<tag>`` partition of a persisted HLL index."""
+    import os
+
+    hll_rows(docs).write.mode("overwrite").parquet(
+        os.path.join(path, f"delta={tag}")
+    )
+
+
+def read_hll_index(spark: SparkSession, path: str) -> DataFrame | None:
+    """The MAX-merged register state across all visible delta tags
+    (None if the index does not exist yet)."""
+    from . import lsm
+
+    raw = lsm.read_visible(spark, path)
+    if raw is None:
+        return None
+    return merge_hll(raw)
+
+
+def compact_hll_index(spark: SparkSession, path: str) -> None:
+    """Fold every visible delta tag into one base version — MAX over
+    tags IS the merge, so the compacted index estimates identically
+    while the per-read aggregation input drops back to <= HLL_M rows."""
+    from . import lsm
+
+    lsm.compact(
+        spark,
+        path,
+        {"": lambda df: df.groupBy("reg").agg(F.max("rho").alias("rho"))},
+    )
+
+
+_HLL_GRAMS_SQL = """
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+grams AS (
+  SELECT doc_id,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in range(1, len(w) - 1)]) AS gram
+  FROM docs
+)"""
+
+
+def _hll_regs_sql(name: str, where: str) -> str:
+    """CTE computing the (reg, rho) register state for a doc subset."""
+    return f"""{name} AS (
+  SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT % {HLL_M} AS reg,
+         MAX(CASE WHEN ('0x' || substr(md5(gram), 9, 15))::BIGINT = 0
+                  THEN {HLL_RHO_ZERO}
+                  ELSE {HLL_RHO_ZERO}
+                    - length(bin(('0x' || substr(md5(gram), 9, 15))::BIGINT))
+             END)::BIGINT AS rho
+  FROM grams {where} GROUP BY 1
+)"""
+
+
+def _hll_est_sql(name: str, src: str) -> str:
+    """CTE reducing a register state to (est, n_obs, sum_rho, max_rho)."""
+    e_raw = (
+        f"CAST({HLL_ALPHA_M2!r} AS DOUBLE)"
+        " / (list_reduce(list(pow(2.0, -rho) ORDER BY pow(2.0, -rho)),"
+        " (a, x) -> a + x)"
+        f" + ({HLL_M} - COUNT(*)))"
+    )
+    return f"""{name} AS (
+  SELECT ROUND(CASE WHEN {e_raw} <= CAST({2.5 * HLL_M!r} AS DOUBLE)
+                     AND {HLL_M} - COUNT(*) > 0
+               THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - COUNT(*)))
+               ELSE {e_raw}
+          END, 4) AS est,
+         COUNT(*)::BIGINT AS n_obs,
+         SUM(rho)::BIGINT AS sum_rho,
+         MAX(rho)::BIGINT AS max_rho
+  FROM {src}
+)"""
+
+
+DISTINCT_HLL_ORACLE = f"""
+WITH {_HLL_GRAMS_SQL.lstrip()},
+{_hll_regs_sql("r_full", "")},
+{_hll_regs_sql("r_h", "WHERE doc_id % 10 != 0")},
+{_hll_regs_sql("r_d", "WHERE doc_id % 10 = 0")},
+r_merged AS (
+  SELECT reg, MAX(rho)::BIGINT AS rho
+  FROM (SELECT * FROM r_h UNION ALL SELECT * FROM r_d) GROUP BY reg
+),
+{_hll_est_sql("e_full", "r_full")},
+{_hll_est_sql("e_merged", "r_merged")},
+exact AS (SELECT COUNT(DISTINCT gram)::BIGINT AS n_exact FROM grams)
+SELECT n_exact,
+       e_full.est AS est_full,
+       e_merged.est AS est_merged,
+       e_full.n_obs AS registers_used,
+       e_full.sum_rho AS sum_rho,
+       e_full.max_rho AS max_rho,
+       (e_merged.est = e_full.est AND e_merged.n_obs = e_full.n_obs
+        AND e_merged.sum_rho = e_full.sum_rho) AS ok_merge_exact,
+       (ABS(e_full.est - n_exact) * 100 <= {HLL_ERR_PCT} * n_exact)
+         AS ok_err_bound
+FROM exact, e_full, e_merged
+"""
+
+
 QUERIES = [
     Query(
         "text_heavy_hitters_cms",
@@ -549,5 +809,13 @@ QUERIES = [
         "addition, certified identical to a from-scratch rebuild",
         text_heavy_hitters_incremental,
         HEAVY_HITTERS_INCREMENTAL_ORACLE,
+    ),
+    Query(
+        "text_distinct_hll",
+        "HyperLogLog distinct-3-gram cardinality: fixed 2^10-register "
+        "state, MAX-merge certified exact against a from-scratch build, "
+        "estimate within the published error bound",
+        text_distinct_hll,
+        DISTINCT_HLL_ORACLE,
     ),
 ]

@@ -281,12 +281,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_vocab_zipf",  # NEW r9 window: vocabulary Zipf-law audit
     "text_span_strip",  # NEW r9 window: ExactSubstr span removal
     "text_heavy_hitters_cms",  # NEW r8: count-min sketch (sketch family)
+    # Mid-r10: HyperLogLog in (NEW: the third mergeable-sketch merge
+    # algebra — register-wise MAX — with merge-exactness + error-bound
+    # certificates); out goes text_line_dedup (driver-green r7-r9; the
+    # line-digest surface stays in-window via line_dedup_incremental
+    # and the boilerplate strip inside both curation pipelines).
+    "text_distinct_hll",
     "text_heavy_hitters_incremental",  # NEW r10 window: persisted CMS extends
     "text_fluency_buckets",  # NEW r9 window: bigram-logprob fluency buckets
     "text_encoding_fix",  # NEW r10 window: mojibake repair (r7 tail)
     "text_boilerplate_strip",  # NEW r10 window: boilerplate line removal
     # LLM-pipeline: boilerplate removal + classifier inference (NEW r7).
-    "text_line_dedup",
     "text_intradoc_dedup",
     "url_canonical_dedup",  # rotated in late r7 (new URL-hygiene family)
     "text_bpe_train",

@@ -253,3 +253,64 @@ def test_cms_index_compaction_preserves_estimates(spark, tmp_path):
     extend_cms_index(b3, path, "batch3")
     scratch = as_map(cms_rows(b1.unionByName(b2).unionByName(b3)))
     assert as_map(read_cms_index(spark, path)) == scratch
+
+
+def test_hll_certificates_hold_on_corpus(spark):
+    """One-row HLL certificate: MAX-merge equals from-scratch, estimate
+    within the 3-sigma published bound of the exact distinct count."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        text_distinct_hll,
+    )
+    from tests.conftest import SF_DIR
+
+    r = text_distinct_hll(spark, SF_DIR).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["ok_merge_exact"] and row["ok_err_bound"]
+    assert row["est_full"] == row["est_merged"]
+    assert 1 <= row["registers_used"] <= 1024
+
+
+def test_hll_index_disk_roundtrip_and_compaction(spark, tmp_path):
+    """extend/read/compact of the persisted HLL index: merged read
+    equals the from-scratch register state (MAX over tags IS the
+    merge), compaction folds to one base tag answering identically,
+    and later extends keep folding on top."""
+    import os
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        compact_hll_index,
+        extend_hll_index,
+        hll_rows,
+        read_hll_index,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the cat sat again")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "a dog ran to the park and a dog ran back")],
+        "doc_id long, text string",
+    )
+    b3 = spark.createDataFrame(
+        [(3, "rain fell on the roof while the cat sat still")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "hll_index")
+    extend_hll_index(b1, path, "batch1")
+    extend_hll_index(b2, path, "batch2")
+
+    def as_map(df):
+        return {r["reg"]: r["rho"] for r in df.collect()}
+
+    pre = as_map(read_hll_index(spark, path))
+    assert pre == as_map(hll_rows(b1.unionByName(b2)))
+    compact_hll_index(spark, path)
+    tags = [t for t in os.listdir(path) if t.startswith("delta=")]
+    assert tags == ["delta=base_v1"]
+    assert as_map(read_hll_index(spark, path)) == pre
+
+    extend_hll_index(b3, path, "batch3")
+    scratch = as_map(hll_rows(b1.unionByName(b2).unionByName(b3)))
+    assert as_map(read_hll_index(spark, path)) == scratch
