@@ -79,12 +79,14 @@ def test_replayed_batch_is_noop(spark, tmp_path):
 
 def test_short_doc_fingerprint_still_guards(spark, tmp_path):
     out = str(tmp_path / "curated")
-    # "of the": stopword-dense (passes the language gate), all distinct
-    # (passes TTR), but with 2 words it cannot form a 3-word shingle ->
-    # a KEPT doc with NO MinHash signature. Its index row must be
-    # fingerprint-only (m0 null) and must still block a later exact
-    # copy via the left-join path in fold_curation_batch.
-    short = "of the"
+    # "for the": stopword-dense (passes the language gate), all distinct
+    # (passes TTR), mean word length exactly 3 (passes the structural
+    # Gopher floor — "of the" would fail it at 5 chars / 2 words), but
+    # with 2 words it cannot form a 3-word shingle -> a KEPT doc with
+    # NO MinHash signature. Its index row must be fingerprint-only
+    # (m0 null) and must still block a later exact copy via the
+    # left-join path in fold_curation_batch.
+    short = "for the"
     fold_curation_batch(spark, _docs(spark, [(1, short), (2, _BASE)]), out, 0)
     kept = {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
     assert kept == {1, 2}, "the short stopword-dense doc must pass every gate"
@@ -96,7 +98,7 @@ def test_short_doc_fingerprint_still_guards(spark, tmp_path):
     # another unshingleable doc (exercises the m0-null filter on the
     # banded join side at the same time)
     fold_curation_batch(
-        spark, _docs(spark, [(5, short), (6, _OTHER), (7, "and it")]), out, 1
+        spark, _docs(spark, [(5, short), (6, _OTHER), (7, "was the")]), out, 1
     )
     dropped = {
         r["doc_id"]: r["reason"] for r in read_curated(spark, out, "dropped").collect()
