@@ -682,17 +682,12 @@ def _waterfill_epoch_cap() -> Column:
     ).cast("long")
 
 
-def domain_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Epoch-capped waterfilling token allocation per source.
-
-    Returns one row per source: its token count, repeat cap, the
-    tokens allocated after WATERFILL_ROUNDS redistribution rounds,
-    integer micro-epochs (alloc/n_tok at 1e-6 precision, exact), and
-    whether the cap bound.
-    """
-    d = load_table(spark, sf_dir, "documents")
+def waterfill_alloc(docs: DataFrame) -> DataFrame:
+    """(source, n_tok, epoch_cap, cap_tok, alloc) after the fixed
+    redistribution rounds — the shared policy core behind the
+    registered allocation view and the per-doc epoch schedule."""
     per_src = (
-        d.groupBy("source")
+        docs.groupBy("source")
         .agg(
             F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tok")
         )
@@ -740,6 +735,18 @@ def domain_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "n_tok", "epoch_cap", "cap_tok", "alloc")
             .localCheckpoint(eager=True)
         )
+    return cur
+
+
+def domain_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped waterfilling token allocation per source.
+
+    Returns one row per source: its token count, repeat cap, the
+    tokens allocated after WATERFILL_ROUNDS redistribution rounds,
+    integer micro-epochs (alloc/n_tok at 1e-6 precision, exact), and
+    whether the cap bound.
+    """
+    cur = waterfill_alloc(load_table(spark, sf_dir, "documents"))
     micro = F.expr(
         f"(alloc div n_tok) * {MICRO} + ((alloc % n_tok) * {MICRO}) div n_tok"
     ).cast("long")
@@ -753,9 +760,9 @@ def domain_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-def _waterfill_sql(rounds: int = WATERFILL_ROUNDS) -> str:
-    """The identical fixed-round waterfilling unrolled as chained CTEs
-    (the ``_linear_probe_sql`` long form)."""
+def _waterfill_ctes(rounds: int = WATERFILL_ROUNDS) -> list[str]:
+    """The fixed-round waterfilling unrolled as chained CTEs (the
+    ``_linear_probe_sql`` long form); the final state is ``a{rounds}``."""
     ctes = [
         "per_src AS (SELECT source,"
         " CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok,"
@@ -781,9 +788,13 @@ def _waterfill_sql(rounds: int = WATERFILL_ROUNDS) -> str:
             " LEAST(cap_tok, alloc + share) ELSE alloc END AS alloc"
             f" FROM a{r}, s{r})",
         ]
+    return ctes
+
+
+def _waterfill_sql(rounds: int = WATERFILL_ROUNDS) -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_waterfill_ctes(rounds))
         + f"""
 SELECT source, n_tok, epoch_cap, alloc AS alloc_tok,
        CAST((alloc // n_tok) * {MICRO}
@@ -795,6 +806,90 @@ ORDER BY source"""
 
 
 WATERFILL_ORACLE = _waterfill_sql()
+
+
+def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the waterfilled allocation into a per-doc repeat
+    schedule — the row-level artifact a training loader consumes.
+
+    Every doc repeats ``alloc_s div n_tok_s`` full epochs; the
+    remainder tokens go to a deterministic fractional pass: docs in
+    md5(doc_id) order accumulate a running token sum, and those whose
+    running sum fits inside the remainder get one extra repeat
+    (doc-granular, so the schedule may underfill by at most one
+    partial doc per source — the exact-doc-granularity policy).
+
+    100 TB shape: the policy core (``waterfill_alloc``) touches the
+    corpus once via the per-source aggregate; the schedule pass is one
+    map-side broadcast join of the tiny plan plus ONE window shuffle
+    keyed on source for the running sum — the fractional cumsum is the
+    only per-doc ordered scan, and it is per-source, not global.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    plan = waterfill_alloc(load_table(spark, sf_dir, "documents")).select(
+        "source",
+        F.expr("alloc div n_tok").cast("long").alias("full_epochs"),
+        F.expr("alloc % n_tok").cast("long").alias("rem_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(plan), "source")
+        .withColumn("running", F.sum("n_tok").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            (
+                F.col("full_epochs")
+                + F.when(F.col("running") <= F.col("rem_tok"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_repeats"),
+            (F.col("running") <= F.col("rem_tok")).alias("frac_pick"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EPOCH_SCHEDULE_ORACLE = (
+    "WITH "
+    + ",\n".join(_waterfill_ctes())
+    + f""",
+plan AS (
+  SELECT source, alloc // n_tok AS full_epochs, alloc % n_tok AS rem_tok
+  FROM a{WATERFILL_ROUNDS}
+),
+d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+sched AS (
+  SELECT d.doc_id, d.source, d.n_tok, plan.full_epochs, plan.rem_tok,
+         SUM(d.n_tok) OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS running
+  FROM d JOIN plan USING (source)
+)
+SELECT doc_id, source, n_tok,
+       CAST(full_epochs
+            + CASE WHEN running <= rem_tok THEN 1 ELSE 0 END AS BIGINT)
+         AS n_repeats,
+       running <= rem_tok AS frac_pick
+FROM sched
+ORDER BY doc_id
+"""
+)
 
 
 # --- content-keyed train/val/test split with leakage certificate -----
@@ -955,6 +1050,10 @@ QUERIES = [
     Query("domain_mix_waterfill",
           "UniMax-style epoch-capped waterfilling token budget per source",
           domain_mix_waterfill, WATERFILL_ORACLE),
+    Query("corpus_epoch_schedule",
+          "per-doc repeat schedule realizing the waterfilled allocation "
+          "(full epochs + deterministic fractional pass)",
+          corpus_epoch_schedule, EPOCH_SCHEDULE_ORACLE),
     Query("corpus_split_plan",
           "content-keyed train/val/test split with exact-dup leakage "
           "certificate and near-dup cross-split measure",

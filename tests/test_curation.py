@@ -257,3 +257,33 @@ def test_domain_mix_waterfill_matches_reference_simulation(spark):
     n_open = sum(1 for r in out.values() if not r.capped)
     if n_open:
         assert budget - spent < n_open  # waterfilling ran to exhaustion
+
+
+def test_epoch_schedule_realizes_the_waterfill_allocation(spark):
+    """Per source: the scheduled token mass never exceeds the
+    waterfilled allocation and underfills by less than one doc (the
+    doc-granularity bound); repeats are full_epochs or full_epochs+1."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        corpus_epoch_schedule,
+        domain_mix_waterfill,
+    )
+
+    sched = corpus_epoch_schedule(spark, SF_DIR).collect()
+    alloc = {r.source: r for r in domain_mix_waterfill(spark, SF_DIR).collect()}
+    by_src = {}
+    for r in sched:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == set(alloc)
+    for s, rows in by_src.items():
+        a = alloc[s].alloc_tok
+        full = a // alloc[s].n_tok
+        assert all(r.n_repeats in (full, full + 1) for r in rows)
+        assert all((r.n_repeats == full + 1) == r.frac_pick for r in rows)
+        scheduled = sum(r.n_repeats * r.n_tok for r in rows)
+        assert scheduled <= a
+        assert a - scheduled < max(r.n_tok for r in rows), s
+    # deterministic on rerun
+    rerun = corpus_epoch_schedule(spark, SF_DIR).collect()
+    assert [(r.doc_id, r.n_repeats) for r in sched] == [
+        (r.doc_id, r.n_repeats) for r in rerun
+    ]
