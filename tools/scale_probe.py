@@ -66,6 +66,9 @@ PROBES = [
     "text_gopher_gate",  # r10: zero-shuffle rule projection (should be ~linear)
     "text_dsir_select",  # r10: O(buckets) model broadcast + doc-keyed score agg
     "dsir_select_incremental",  # r10: merged-model delta scoring (O(delta) shape)
+    "text_distinct_hll",  # r10: fixed-register HLL build + sorted-fold estimate
+    "domain_mix_waterfill",  # r10: one per-source agg + tiny-frame rounds
+    "corpus_epoch_schedule",  # r10: broadcast plan join + source-keyed cumsum
 ]
 
 
