@@ -103,6 +103,10 @@ HEADLINE = [
     # round-10: DSIR selection (O(buckets) broadcast model + one
     # doc-keyed score shuffle; 4.4x wall at 10x data per SCALE_PROBE)
     "text_dsir_select",
+    # round-10: incremental DSIR (merged-model delta scoring, 1.9x at
+    # 10x) and HyperLogLog (fixed-register build, 4.8x at 10x)
+    "dsir_select_incremental",
+    "text_distinct_hll",
 ]
 
 

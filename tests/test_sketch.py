@@ -314,3 +314,27 @@ def test_hll_index_disk_roundtrip_and_compaction(spark, tmp_path):
     extend_hll_index(b3, path, "batch3")
     scratch = as_map(hll_rows(b1.unionByName(b2).unionByName(b3)))
     assert as_map(read_hll_index(spark, path)) == scratch
+
+
+def test_hll_small_range_linear_counting_branch(spark):
+    """A tiny corpus (few distinct grams) drives E_raw under 2.5m with
+    empty registers, so the estimate must come from the linear-counting
+    branch — and still land within the certificate bound."""
+    import math
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        HLL_M,
+        _hll_estimate,
+        hll_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")],
+        "doc_id long, text string",
+    )
+    n_exact = 10  # 12 words -> 10 distinct 3-gram shingles
+    row = _hll_estimate(hll_rows(docs)).collect()[0]
+    assert row["n_obs"] <= n_exact < HLL_M
+    expected = round(HLL_M * math.log(HLL_M / (HLL_M - row["n_obs"])), 4)
+    assert row["est"] == expected  # the linear-counting branch fired
+    assert abs(row["est"] - n_exact) <= 0.15 * n_exact
