@@ -116,12 +116,18 @@ def merge_dsir_models(*models: DataFrame) -> DataFrame:
 
 def _ratio_frame(model: DataFrame) -> DataFrame:
     """(b, lr): add-1-smoothed log importance ratio per bucket, totals
-    re-derived from the model rows themselves (exact column sums)."""
-    totals = model.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    re-derived from the model rows themselves (exact column sums).
+
+    The model is eagerly checkpointed first: it is <= N_BUCKETS rows
+    but feeds TWO consumers (the totals aggregate and the ratio join),
+    and without the pin each consumer would re-run the corpus-scale
+    gram aggregation behind it."""
+    m = model.localCheckpoint(eager=True)
+    totals = m.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     lr = F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + N_BUCKETS)) - F.log(
         (F.col("cr") + 1).cast("double") / (F.col("nr") + N_BUCKETS)
     )
-    return model.crossJoin(F.broadcast(totals)).select("b", lr.alias("lr"))
+    return m.crossJoin(F.broadcast(totals)).select("b", lr.alias("lr"))
 
 
 def _doc_scores(grams: DataFrame, ratio: DataFrame) -> DataFrame:
