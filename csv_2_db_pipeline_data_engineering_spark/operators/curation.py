@@ -31,6 +31,7 @@ from .boilerplate import (
     quality_ntok_sql,
 )
 from .dedup import NGRAM_JACCARD_CAPPED_ORACLE, dedup_ngram_jaccard, shingle_rows
+from .lifecycle import scoped_cache
 from .text import _STOPWORD_LIST_SQL, EN_STOPWORDS, bigram_logprob_frame
 
 # Documents with doc_id below this stand in for the held-out eval /
@@ -892,6 +893,135 @@ ORDER BY doc_id
 )
 
 
+# --- surgical benchmark decontamination ------------------------------
+#
+# ``contamination_ngram_overlap`` REPORTS which corpus docs share
+# benchmark n-grams; this operator REMOVES the leaked spans (the GPT-3
+# appendix-C / FineWeb recipe: excise the overlapping window rather
+# than drop the whole document, so one leaked sentence doesn't cost a
+# long doc). Reuses the ExactSubstr strip machinery: positional 5-gram
+# md5 rows (``spans._raw_shingles``), matched positions become
+# [pos, pos+5) token intervals, the gaps-and-islands union merges
+# overlaps, and the victim-only rebuild emits an md5-verified clean
+# text fingerprint per doc.
+#
+# 100 TB shape: the eval side is tiny by construction, so its df-capped
+# gram set is a BROADCAST; corpus shingles stream past it map-side and
+# only matching positions reach the interval union — the corpus is
+# never self-joined, and clean docs pass through without a
+# tokenize/rejoin round trip.
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per corpus doc: tokens removed by eval-overlap span excision.
+
+    (doc_id, n_tokens, n_removed, n_intervals, clean_md5) for every
+    non-eval doc; the same eval-side df cap as
+    ``contamination_ngram_overlap`` keeps generic boilerplate grams out
+    of the broadcast index.
+    """
+    from .spans import _raw_shingles, _strip_summary, _union_intervals
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = scoped_cache(_raw_shingles(docs, L=CONTAM_NGRAM))
+    ev = sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
+    n_eval = ev.agg(F.countDistinct("doc_id").alias("n_eval"))
+    cap = F.greatest(
+        F.lit(CONTAM_EVAL_DF_CAP_MIN),
+        F.ceil(F.lit(CONTAM_EVAL_DF_CAP_FRACTION) * F.col("n_eval")),
+    )
+    ev_idx = (
+        ev.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_eval))
+        .filter(F.col("df") <= cap)
+        .select("sh")
+    )
+    corpus = docs.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
+    iv = (
+        sh.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
+        .join(F.broadcast(ev_idx), "sh")
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + CONTAM_NGRAM).alias("e"),
+        )
+    )
+    return _strip_summary(corpus, _union_intervals(iv))
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shl AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+             w[i+3] || ' ' || w[i+4]) AS sh
+  FROM docs, UNNEST(range(1, len(w) - {CONTAM_NGRAM - 2})) AS t(i)
+  WHERE len(w) >= {CONTAM_NGRAM}
+),
+cap AS (
+  SELECT GREATEST({CONTAM_EVAL_DF_CAP_MIN},
+                  CEIL({CONTAM_EVAL_DF_CAP_FRACTION}
+                       * COUNT(DISTINCT doc_id))) AS cap
+  FROM shl WHERE doc_id < {EVAL_SET_MAX_ID}
+),
+evk AS (
+  SELECT sh FROM (
+    SELECT sh, COUNT(DISTINCT doc_id) AS df FROM shl
+    WHERE doc_id < {EVAL_SET_MAX_ID} GROUP BY sh
+  ), cap WHERE df <= cap
+),
+iv AS (
+  SELECT DISTINCT s.doc_id, s.pos AS s, s.pos + {CONTAM_NGRAM} AS e
+  FROM shl s JOIN evk USING (sh)
+  WHERE s.doc_id >= {EVAL_SET_MAX_ID}
+),
+mg AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM iv
+),
+mg2 AS (
+  SELECT doc_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM mg
+),
+merged AS (
+  SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e FROM mg2 GROUP BY doc_id, grp
+),
+corpus AS (SELECT doc_id, w FROM docs WHERE doc_id >= {EVAL_SET_MAX_ID}),
+tk AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w[i] AS tok
+  FROM corpus, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+keptt AS (
+  SELECT t.doc_id, t.p, t.tok FROM tk t
+  WHERE NOT EXISTS (SELECT 1 FROM merged m
+                    WHERE m.doc_id = t.doc_id AND t.p >= m.s AND t.p < m.e)
+),
+pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+  FROM keptt GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM corpus),
+niv AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_intervals
+  FROM merged GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       t.n_tokens - COALESCE(p.n_kept, 0) AS n_removed,
+       COALESCE(n.n_intervals, 0) AS n_intervals,
+       p.clean_md5
+FROM tot t LEFT JOIN pd p USING (doc_id) LEFT JOIN niv n USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # --- content-keyed train/val/test split with leakage certificate -----
 
 # First hex char of the content fingerprint: 0-b train (12/16), c-d val,
@@ -1054,6 +1184,11 @@ QUERIES = [
           "per-doc repeat schedule realizing the waterfilled allocation "
           "(full epochs + deterministic fractional pass)",
           corpus_epoch_schedule, EPOCH_SCHEDULE_ORACLE),
+    Query("corpus_decontaminate",
+          "surgical benchmark decontamination: excise eval-overlapping "
+          "n-gram spans via broadcast index + interval union, md5-verified "
+          "clean text",
+          corpus_decontaminate, DECONTAMINATE_ORACLE),
     Query("corpus_split_plan",
           "content-keyed train/val/test split with exact-dup leakage "
           "certificate and near-dup cross-split measure",

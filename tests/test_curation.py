@@ -287,3 +287,36 @@ def test_epoch_schedule_realizes_the_waterfill_allocation(spark):
     assert [(r.doc_id, r.n_repeats) for r in sched] == [
         (r.doc_id, r.n_repeats) for r in rerun
     ]
+
+
+def test_decontaminate_excises_eval_spans_and_passes_clean_docs(spark):
+    """Surgical decontamination: every doc flagged by the overlap
+    report loses exactly its eval-overlapping spans; untouched docs
+    pass through with their original text fingerprint."""
+    import hashlib
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        corpus_decontaminate,
+    )
+
+    rows = {r.doc_id: r for r in corpus_decontaminate(spark, SF_DIR).collect()}
+    assert rows and all(i >= EVAL_SET_MAX_ID for i in rows)
+    flagged = {i for i, r in rows.items() if r.n_removed > 0}
+    assert flagged, "test corpus is known to contain eval-overlapping docs"
+    overlap = {
+        r.doc_id for r in contamination_ngram_overlap(spark, SF_DIR).collect()
+    }
+    assert flagged == overlap
+    # every excised interval is at least one full n-gram
+    for r in rows.values():
+        assert r.n_intervals == 0 or r.n_removed >= 5
+    # clean docs keep their exact original text (md5 contract)
+    sample_clean = [i for i in rows if rows[i].n_removed == 0][:5]
+    orig = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id").isin(*[int(i) for i in sample_clean]))
+        .collect()
+    }
+    for i in sample_clean:
+        assert rows[i].clean_md5 == hashlib.md5(orig[i].encode()).hexdigest()
