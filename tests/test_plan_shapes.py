@@ -304,3 +304,31 @@ def test_waterfill_rounds_never_rescan_the_corpus(spark):
     plan = _plan(spark, "domain_mix_waterfill")
     assert "documents.parquet" not in plan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan rdd" in plan
+
+
+def test_r10_sketch_and_selection_queries_avoid_sort_merge_joins(spark):
+    """The new sketch/selection queries keep every join broadcast: the
+    model/register/eval-index side is bounded (<= 1024 rows), so a
+    SortMergeJoin anywhere means a broadcast hint was lost."""
+    for name in (
+        "text_distinct_hll",
+        "dsir_select_incremental",
+        "domain_mix_waterfill",
+        "corpus_epoch_schedule",
+    ):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_decontaminate_probes_eval_index_by_broadcast(spark):
+    """corpus_decontaminate's eval gram index must reach the corpus
+    shingle stream as a BROADCAST (the corpus is never shuffled on the
+    gram key); the doc-keyed joins in the per-doc summary tail are
+    legitimate keyed shuffles and may stay sort-merge."""
+    plan = _plan(spark, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the non-equi interval anti-join rides the broadcast nested loop,
+    # never a cartesian expansion
+    assert "BroadcastNestedLoopJoin" in plan
