@@ -125,3 +125,90 @@ def test_structural_fail_agrees_with_rule_frame(spark):
     assert got
     for row in got:
         assert row["frame_fail"] == row["expr_fail"], row["doc_id"]
+
+
+# --- property-based agreement with a Python reference model ---------------
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.from_regex(r"[a-z]{1,12}", fullmatch=True)
+_weird = st.sampled_from(["##", "#####", "w...", "...", "a", "zz" * 9])
+_token = st.one_of(_word, _word, _weird)
+_line_pool = st.lists(_token, min_size=1, max_size=8).map(" ".join)
+
+
+def _decorate(line: str, bullet: bool, ell: bool) -> str:
+    if bullet:
+        line = "- " + line
+    if ell:
+        line = line + "..."
+    return line
+
+
+_line = st.tuples(_line_pool, st.booleans(), st.booleans()).map(
+    lambda t: _decorate(*t)
+)
+# sample WITH replacement from a small pool so duplicate lines occur
+_doc = st.lists(_line, min_size=1, max_size=4).flatmap(
+    lambda pool: st.lists(
+        st.sampled_from(pool), min_size=1, max_size=6
+    ).map("\n".join)
+)
+
+
+def _py_structural_fail(text: str) -> bool:
+    """Readable Python reference of the structural Gopher verdict."""
+    words = text.replace("\n", " ").split(" ")
+    lines = text.split("\n")
+    n_words, n_lines = len(words), len(lines)
+    word_chars = sum(len(w) for w in words)
+    n_hash = text.count("#")
+    n_ellipsis = text.count("...")
+    n_alpha = sum(1 for w in words if re.search("[a-zA-Z]", w))
+    n_bullet = sum(1 for l in lines if l.startswith("- "))
+    n_ell_lines = sum(1 for l in lines if l.endswith("..."))
+    line_chars = sum(len(l) for l in lines)
+    distinct_chars = sum(len(l) for l in set(lines))
+    n_distinct = len(set(lines))
+    ok = (
+        word_chars >= 3 * n_words
+        and word_chars <= 10 * n_words
+        and (n_hash + n_ellipsis) * 10 <= n_words
+        and n_bullet * 10 <= 9 * n_lines
+        and n_ell_lines * 10 <= 3 * n_lines
+        and n_alpha * 5 >= 4 * n_words
+        and (n_lines - n_distinct) * 10 <= 3 * n_lines
+        and (line_chars - distinct_chars) * 5 <= line_chars
+    )
+    return not ok
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(docs=st.lists(_doc, min_size=1, max_size=10))
+def test_structural_fail_matches_python_reference(spark, docs):
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.gopher import (
+        structural_fail,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["fail"]
+        for r in df.select(
+            "doc_id", structural_fail(F.col("text")).alias("fail")
+        ).collect()
+    }
+    for i, t in enumerate(docs):
+        assert got[i] == _py_structural_fail(t), repr(t)
