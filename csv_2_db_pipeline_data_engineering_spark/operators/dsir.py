@@ -74,17 +74,29 @@ def _bucket(g: Column) -> Column:
 
 
 def dsir_gram_stream(docs: DataFrame, planted: Column | None = None) -> DataFrame:
-    """(doc_id, source, b): one row per unigram/bigram occurrence."""
+    """(doc_id, source, b): one row per unigram/bigram occurrence.
+
+    Zero-shuffle gram derivation (the ``sketch._gram_stream`` trick):
+    bigrams come from exploding an ``arrays_zip`` of two shifted
+    ``slice`` views of the token array — adjacency never leaves the
+    row — instead of the posexplode + window-lead shape, whose
+    per-doc window is a corpus-wide shuffle of every token."""
     p = planted if planted is not None else F.col("text")
-    words = docs.select(
-        "doc_id", "source", F.posexplode(F.split(p, " ")).alias("pos", "w1")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    uni = words.select("doc_id", "source", F.col("w1").alias("g"))
+    w = F.split(p, " ")
+    n1 = F.size(w) - F.lit(1)
+    uni = docs.select("doc_id", "source", F.explode(w).alias("g"))
     bi = (
-        words.withColumn("w2", F.lead("w1").over(win))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "source", F.concat_ws(" ", "w1", "w2").alias("g"))
+        docs.filter(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.arrays_zip(F.slice(w, 1, n1), F.slice(w, 2, n1))).alias("z"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", F.col("z.0"), F.col("z.1")).alias("g"),
+        )
     )
     return uni.unionByName(bi).select("doc_id", "source", _bucket(F.col("g")).alias("b"))
 
