@@ -107,6 +107,10 @@ HEADLINE = [
     # 10x) and HyperLogLog (fixed-register build, 4.8x at 10x)
     "dsir_select_incremental",
     "text_distinct_hll",
+    # round-10: surgical decontamination (broadcast eval index +
+    # interval-union strip) and the waterfilled per-doc epoch schedule
+    "corpus_decontaminate",
+    "corpus_epoch_schedule",
 ]
 
 
