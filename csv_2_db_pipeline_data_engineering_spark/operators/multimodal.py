@@ -1704,7 +1704,162 @@ ORDER BY clip_a, clip_b
 MM_AFP_ORACLE = _afp_oracle_sql()
 
 
+# --- video fingerprint dedup (temporal-delta hash over decoded frames) -----
+#
+# Completes near-dup detection across every modality the engine
+# decodes (text shingles, embeddings, image aHash, audio energy
+# fingerprints — and now video): the fingerprint is the sequence of
+# PER-FRAME luma DELTAS, which is invariant under a constant
+# brightness shift — exactly the re-encode perturbation the planted
+# twins apply — so shifted twins collide EXACTLY on the fingerprint
+# and the candidate join is keyed on (n_frames, fp_md5), never
+# all-pairs. Temporal-difference signatures are the standard video-fp
+# trick (shot-boundary profiles); the md5 runs over the decimal
+# delta string, which both engines render identically.
+
+VFP_W, VFP_H = 8, 6
+VFP_FRAMES = "2 + doc_id % 3"  # >= 2 frames so every clip has a delta
+VFP_TWIN_OFFSET = 50_000_000
+VFP_TWIN_MOD = 10
+#: luma synthesis: per-doc phase AND slope; mod 240 so the +2 twin
+#: shift can never clamp at 255 (which would break shift invariance).
+VFP_LUMA = "(doc_id * 7 + k * 13 + (doc_id % 50) * k) % 240"
+
+VFP_SCHEMA = T.StructType(
+    [
+        T.StructField("vid_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("luma0", T.LongType()),
+        T.StructField("fp", T.StringType()),
+    ]
+)
+
+
+def mm_video_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs via temporal-delta fingerprints over REAL
+    decoded frames.
+
+    Per doc a Y4M clip of ``2 + doc_id % 3`` constant frames (frame k
+    luma from ``VFP_LUMA``) is encoded and decoded with the from-spec
+    YUV4MPEG2 codec; every ``VFP_TWIN_MOD``-th doc also emits a
+    brightness-shifted twin (+2 on every pixel, re-encoded). The
+    per-frame mean luma comes from the DECODED planes (exact integer:
+    frames are constant), the fingerprint is md5 over the frame-delta
+    sequence, and pairs join exactly on (n_frames, fingerprint) with
+    the recovered brightness shift as the verify column (planted twins
+    must show exactly +2).
+    """
+    import hashlib
+
+    from .media_codecs import decode_y4m, encode_y4m
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            nfs: list[int] = []
+            l0s: list[int] = []
+            fps: list[str] = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 2 + doc_id % 3
+                base = [
+                    (doc_id * 7 + k * 13 + (doc_id % 50) * k) % 240
+                    for k in range(n)
+                ]
+                variants = [(doc_id, 0)]
+                if doc_id % VFP_TWIN_MOD == 0:
+                    variants.append((doc_id + VFP_TWIN_OFFSET, 2))
+                for vid_id, shift in variants:
+                    frames = [
+                        bytes([v + shift]) * (VFP_W * VFP_H) for v in base
+                    ]
+                    _, _, dec = decode_y4m(encode_y4m(VFP_W, VFP_H, frames))
+                    means = [sum(f) // (VFP_W * VFP_H) for f in dec]
+                    deltas = [b - a for a, b in zip(means, means[1:])]
+                    ids.append(vid_id)
+                    nfs.append(len(dec))
+                    l0s.append(means[0])
+                    fps.append(
+                        hashlib.md5(
+                            ",".join(str(d) for d in deltas).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "vid_id": pd.array(ids, dtype="int64"),
+                    "n_frames": pd.array(nfs, dtype="int32"),
+                    "luma0": pd.array(l0s, dtype="int64"),
+                    "fp": fps,
+                }
+            )
+
+    fp = scoped_cache(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .transform(_spread)
+        .mapInPandas(fp_batches, VFP_SCHEMA)
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.n_frames") == F.col("b.n_frames"))
+            & (F.col("a.vid_id") < F.col("b.vid_id")),
+        )
+        .select(
+            F.col("a.vid_id").alias("vid_a"),
+            F.col("b.vid_id").alias("vid_b"),
+            F.col("a.n_frames").alias("n_frames"),
+            (F.col("b.luma0") - F.col("a.luma0")).alias("luma_shift"),
+        )
+        .orderBy("vid_a", "vid_b")
+    )
+
+
+MM_VFP_ORACLE = f"""
+WITH vids AS (
+  SELECT doc_id, doc_id AS vid_id, 0 AS shift FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id + {VFP_TWIN_OFFSET} AS vid_id, 2 AS shift
+  FROM documents WHERE doc_id % {VFP_TWIN_MOD} = 0
+),
+fr AS (
+  SELECT vid_id, doc_id, shift, {VFP_FRAMES} AS n,
+         unnest(range(0, {VFP_FRAMES})) AS k
+  FROM vids
+),
+lum AS (
+  SELECT vid_id, n, k, {VFP_LUMA} + shift AS luma FROM fr
+),
+dl AS (
+  SELECT vid_id, n, k, luma,
+         LEAD(luma) OVER (PARTITION BY vid_id ORDER BY k) - luma AS d
+  FROM lum
+),
+fps AS (
+  SELECT vid_id, n,
+         md5(string_agg(CAST(d AS VARCHAR), ',' ORDER BY k)) AS fp
+  FROM dl WHERE d IS NOT NULL GROUP BY vid_id, n
+),
+l0 AS (SELECT vid_id, luma AS luma0 FROM lum WHERE k = 0)
+SELECT a.vid_id AS vid_a, b.vid_id AS vid_b,
+       CAST(a.n AS INT) AS n_frames,
+       CAST(b0.luma0 - a0.luma0 AS BIGINT) AS luma_shift
+FROM fps a
+JOIN fps b ON a.fp = b.fp AND a.n = b.n AND a.vid_id < b.vid_id
+JOIN l0 a0 ON a0.vid_id = a.vid_id
+JOIN l0 b0 ON b0.vid_id = b.vid_id
+ORDER BY vid_a, vid_b
+"""
+
+
 QUERIES = [
+    Query("mm_video_fp_dedup",
+          "video near-dup pairs: temporal-delta fingerprint over "
+          "real-codec-decoded frames, exact (n_frames, fp) join, "
+          "brightness shift recovered per pair",
+          mm_video_fp_dedup, MM_VFP_ORACLE),
     Query("mm_audio_fp_dedup",
           "audio near-dup pairs: energy fingerprint over real-codec-decoded "
           "PCM + pigeonhole Hamming banding",

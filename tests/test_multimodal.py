@@ -137,3 +137,41 @@ def test_audio_fp_dedup_recovers_exactly_the_planted_twins(spark):
         assert r["hamming"] <= 3
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert len(rows) == (n_docs + 9) // 10
+
+
+def test_video_fp_dedup_finds_brightness_shifted_twins(spark):
+    """Every planted re-encoded twin (+2 luma on every pixel) pairs
+    with its base clip at exactly the recovered shift of 2 — the
+    temporal-delta fingerprint is invariant to the constant shift —
+    and every emitted pair shares frame count."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.multimodal import (
+        VFP_TWIN_MOD,
+        VFP_TWIN_OFFSET,
+        mm_video_fp_dedup,
+    )
+    from tests.conftest import SF_DIR
+
+    pairs = mm_video_fp_dedup(spark, SF_DIR).collect()
+    assert pairs
+    by_pair = {(r.vid_a, r.vid_b): r for r in pairs}
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    planted = [i for i in doc_ids if i % VFP_TWIN_MOD == 0]
+    assert planted
+    for i in planted:
+        key = (i, i + VFP_TWIN_OFFSET)
+        assert key in by_pair, f"twin pair missing for doc {i}"
+        assert by_pair[key].luma_shift == 2
+    # every pair shares frame count, and the recovered shift equals the
+    # closed-form luma0 difference of the two clips
+    for (a, b), r in by_pair.items():
+        da, db = a % VFP_TWIN_OFFSET, b % VFP_TWIN_OFFSET
+        sa, sb = (2 if a >= VFP_TWIN_OFFSET else 0), (
+            2 if b >= VFP_TWIN_OFFSET else 0
+        )
+        assert r.n_frames == 2 + da % 3 == 2 + db % 3
+        assert r.luma_shift == (db * 7 % 240 + sb) - (da * 7 % 240 + sa)
