@@ -111,6 +111,8 @@ HEADLINE = [
     # interval-union strip) and the waterfilled per-doc epoch schedule
     "corpus_decontaminate",
     "corpus_epoch_schedule",
+    # round-10: video temporal-delta fingerprint dedup (1.4x at 10x)
+    "mm_video_fp_dedup",
 ]
 
 

@@ -69,6 +69,7 @@ PROBES = [
     "text_distinct_hll",  # r10: fixed-register HLL build + sorted-fold estimate
     "domain_mix_waterfill",  # r10: one per-source agg + tiny-frame rounds
     "corpus_epoch_schedule",  # r10: broadcast plan join + source-keyed cumsum
+    "mm_video_fp_dedup",  # r10: Y4M kernel + fingerprint-keyed pair join
 ]
 
 
