@@ -658,9 +658,10 @@ ORDER BY source
 # `div` shares), so Spark's `div` and DuckDB's `//` agree with no pmod
 # dance; share·n_open <= remaining by construction, so the budget never
 # goes negative. micro_epochs avoids the (alloc · 1e6) overflow a
-# 100 TB source would hit by splitting into whole-epoch and remainder
-# terms — each factor stays under 2^63 for any per-source corpus below
-# ~9 ZB.
+# large source would hit by splitting into whole-epoch and remainder
+# terms — the binding factor is (alloc % n_tok) · 1e6 < 2^63, i.e.
+# n_tok < ~9.2e12 tokens per source (tens of TB of text); a source
+# beyond that throws under Spark 4 ANSI mode rather than wrapping.
 #
 # 100 TB shape: the ONLY corpus-scale work is the per-source token
 # aggregate (map-side combine, shuffle carries one row per source);
@@ -677,10 +678,22 @@ def _waterfill_epoch_cap() -> Column:
     """Per-source repeat cap 1..4 from the source id (the
     ``domain_mix_allocation`` weight device: deterministic, engine-
     portable, and it makes caps bind progressively on a near-uniform
-    corpus)."""
-    return (
+    corpus).
+
+    A source id not of the form ``srcN`` makes the try_cast NULL; left
+    alone that NULL would flow into ``cap_tok`` and silently starve the
+    source to a zero allocation, so it fails loudly instead (coalesce
+    short-circuits: ``raise_error`` only evaluates on the NULL branch).
+    """
+    cap = (
         F.lit(1) + F.substring("source", 4, 10).try_cast("int") % 4
     ).cast("long")
+    return F.coalesce(
+        cap,
+        F.raise_error(
+            F.concat(F.lit("waterfill: malformed source id "), F.col("source"))
+        ).cast("long"),
+    )
 
 
 def waterfill_alloc(docs: DataFrame) -> DataFrame:
@@ -695,15 +708,19 @@ def waterfill_alloc(docs: DataFrame) -> DataFrame:
         .withColumn("epoch_cap", _waterfill_epoch_cap())
         .withColumn("cap_tok", F.col("epoch_cap") * F.col("n_tok"))
     )
-    budget = per_src.agg(
+    cur = per_src.withColumn("alloc", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    # 1-row budget frame DERIVED FROM THE CHECKPOINTED source frame: the
+    # corpus-scale token aggregate runs exactly once (inside cur's eager
+    # checkpoint) and the 6 redistribution rounds that crossJoin the
+    # budget replay only this tiny per-source agg, never the documents.
+    budget = cur.agg(
         F.expr(
             f"({WATERFILL_BUDGET_NUM} * sum(n_tok))"
             f" div {WATERFILL_BUDGET_DEN}"
         ).alias("budget")
-    )
-    cur = per_src.withColumn("alloc", F.lit(0).cast("long")).localCheckpoint(
-        eager=True
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(WATERFILL_ROUNDS):
         opened = F.sum(
             F.when(F.col("alloc") < F.col("cap_tok"), 1).otherwise(0)

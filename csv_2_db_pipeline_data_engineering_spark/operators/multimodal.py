@@ -1718,12 +1718,23 @@ MM_AFP_ORACLE = _afp_oracle_sql()
 # delta string, which both engines render identically.
 
 VFP_W, VFP_H = 8, 6
-VFP_FRAMES = "2 + doc_id % 3"  # >= 2 frames so every clip has a delta
+VFP_FRAMES = "6 + doc_id % 3"  # 5-7 deltas: >= 39 bits of fp entropy
 VFP_TWIN_OFFSET = 50_000_000
 VFP_TWIN_MOD = 10
-#: luma synthesis: per-doc phase AND slope; mod 240 so the +2 twin
-#: shift can never clamp at 255 (which would break shift invariance).
-VFP_LUMA = "(doc_id * 7 + k * 13 + (doc_id % 50) * k) % 240"
+#: luma synthesis: a degree-4 square-mod-prime scramble of (doc_id, k),
+#: reduced mod 240 so the +2 twin shift can never clamp at 255 (which
+#: would break shift invariance).  Per-frame luma carries < 8 bits of
+#: shift-invariant signal, so fingerprint discrimination needs BOTH
+#: enough frames (6-8 -> 5-7 deltas) and per-frame values with no
+#: linear structure in doc_id (the r10 polynomial form made every pair
+#: sharing doc_id%50 and %3 collide — quadratic synthetic pairs within
+#: each class).  Simulated: 0 unrelated fp collisions at 500 and 5000
+#: docs (the oracle/test scales), 4 at 500k (~1e-5 pair rate); each
+#: intermediate stays under 1e16, far inside int64 on both engines.
+VFP_P = 99_999_989  # prime modulus of the scramble
+_VFP_M = f"((doc_id * 9973 + k * 997 + 7) % {VFP_P})"
+_VFP_M2 = f"(({_VFP_M} * {_VFP_M} + 13) % {VFP_P})"
+VFP_LUMA = f"(({_VFP_M2} * {_VFP_M2}) % {VFP_P}) % 240"
 
 VFP_SCHEMA = T.StructType(
     [
@@ -1739,7 +1750,7 @@ def mm_video_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup pairs via temporal-delta fingerprints over REAL
     decoded frames.
 
-    Per doc a Y4M clip of ``2 + doc_id % 3`` constant frames (frame k
+    Per doc a Y4M clip of ``6 + doc_id % 3`` constant frames (frame k
     luma from ``VFP_LUMA``) is encoded and decoded with the from-spec
     YUV4MPEG2 codec; every ``VFP_TWIN_MOD``-th doc also emits a
     brightness-shifted twin (+2 on every pixel, re-encoded). The
@@ -1761,11 +1772,12 @@ def mm_video_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             fps: list[str] = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                n = 2 + doc_id % 3
-                base = [
-                    (doc_id * 7 + k * 13 + (doc_id % 50) * k) % 240
-                    for k in range(n)
-                ]
+                n = 6 + doc_id % 3
+                base = []
+                for k in range(n):
+                    m = (doc_id * 9973 + k * 997 + 7) % VFP_P
+                    m2 = (m * m + 13) % VFP_P
+                    base.append((m2 * m2 % VFP_P) % 240)
                 variants = [(doc_id, 0)]
                 if doc_id % VFP_TWIN_MOD == 0:
                     variants.append((doc_id + VFP_TWIN_OFFSET, 2))

@@ -162,16 +162,12 @@ def test_video_fp_dedup_finds_brightness_shifted_twins(spark):
     ]
     planted = [i for i in doc_ids if i % VFP_TWIN_MOD == 0]
     assert planted
+    # EXACT twin-set recovery (r10 ADVICE): with the square-mod-prime
+    # luma scramble (VFP_LUMA) no two UNRELATED clips at this corpus
+    # size share a delta sequence, so the pair set is exactly the
+    # planted twins — no synthetic-generator coincidences.
+    assert set(by_pair) == {(i, i + VFP_TWIN_OFFSET) for i in planted}
     for i in planted:
-        key = (i, i + VFP_TWIN_OFFSET)
-        assert key in by_pair, f"twin pair missing for doc {i}"
-        assert by_pair[key].luma_shift == 2
-    # every pair shares frame count, and the recovered shift equals the
-    # closed-form luma0 difference of the two clips
-    for (a, b), r in by_pair.items():
-        da, db = a % VFP_TWIN_OFFSET, b % VFP_TWIN_OFFSET
-        sa, sb = (2 if a >= VFP_TWIN_OFFSET else 0), (
-            2 if b >= VFP_TWIN_OFFSET else 0
-        )
-        assert r.n_frames == 2 + da % 3 == 2 + db % 3
-        assert r.luma_shift == (db * 7 % 240 + sb) - (da * 7 % 240 + sa)
+        r = by_pair[(i, i + VFP_TWIN_OFFSET)]
+        assert r.luma_shift == 2
+        assert r.n_frames == 6 + i % 3
