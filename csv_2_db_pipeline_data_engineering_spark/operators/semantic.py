@@ -23,12 +23,15 @@ all-pairs join.  This module implements that shape Spark-first:
   textbook scalable k-means step: at 100 TB the map-side combine means
   the shuffle carries k*d partial sums per partition, never the
   vectors.
-- **Dedup pairs are cluster-keyed**: the self-join key is the final
-  cluster id, so no pair of vectors in different clusters is ever
-  materialized (SemDeDup's express trade: recall bounded by clustering
-  locality in exchange for join keys that scale).  Within-cluster
-  cosine is verified exactly in integers: ``cos >= t``  ⇔
-  ``den²·dot² >= num²·|a|²·|b|²  ∧  dot > 0`` for ``t = num/den``.
+- **Dedup pairs are cluster-gated AND LSH-capped**: candidates come
+  from threshold-matched sign-LSH buckets (linear hash mass) and must
+  share a final cluster id, so no pair of vectors in different
+  clusters is ever emitted (SemDeDup's express trade: recall bounded
+  by clustering locality in exchange for work that scales) and the
+  within-cluster verify never enumerates the Θ(n²/k) block pairs.
+  Within-cluster cosine is verified exactly in integers:
+  ``cos >= t``  ⇔  ``den²·dot² >= num²·|a|²·|b|²  ∧  dot > 0`` for
+  ``t = num/den``.
 
 The natural corpus has no high-cosine pairs (max ≈ 0.51), so the
 registered dedup query plants the SAME deterministic twin vectors as
@@ -244,52 +247,13 @@ def _scored_candidate_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
-def semantic_dedup_pairs(
-    emb: DataFrame, k: int = SEM_K, iters: int = SEM_ITERS
-) -> DataFrame:
-    """Within-cluster high-cosine pairs — the SemDeDup candidate+verify.
-
-    The self-join is keyed on the final cluster id (never all-pairs);
-    the verify is the exact integer-rational cosine test.  The reported
-    cosine is computed from the SAME integers on both engines (dot and
-    norms are < 2⁵³, so the doubles and the correctly-rounded sqrt /
-    divide are bit-identical), rounded to 6 places.
-
-    Scaling law: the within-cluster verify is Θ(n²/k) pairs, so at a
-    FIXED k it grows quadratically.  Picking ``k ∝ n`` (the published
-    SemDeDup configuration — 11k clusters for 100M+ docs) holds the
-    cluster size constant and makes the VERIFY linear — but moves the
-    quadratic term into the exact ASSIGNMENT step, O(n·k) = O(n²/650).
-    Measured (``SCALE_PROBE_100X.json``): the k∝n regime is fine at 10×
-    data (5.15×) and decisively super-linear at 100× (did not complete
-    in an hour); SemDeDup itself pays that term with GPU brute-force
-    assignment.  The engine's linear 100 TB path for the semantic
-    family is sign-LSH routing at the 0.95 regime
-    (``dedup.embedding_near_dup_pairs`` with threshold-matched plane
-    counts — measured 8.26× wall at 100× data, same probe file); this
-    exact k-means operator is the mid-scale/oracle-checkable tool.
-    The registered query pins k=8 for the sf0.01 oracle.
-    """
-    blocks = SEM_PAIR_BLOCKS
-    fin = (
-        kmeans_assignments(emb, k=k, iters=iters)
-        .withColumn("n2", _dot_q("xq", "xq"))
-        .withColumn("blk", F.pmod("vec_id", F.lit(blocks)).cast("int"))
-        # pin the assignment: BOTH self-join sides read this small
-        # materialized frame instead of re-running the Lloyd chain
-        .localCheckpoint(eager=True)
-    )
-    a, b = _pair_sides(fin, blocks)
-    # Score in a PROJECTION behind a checkpoint barrier: without the
-    # barrier Catalyst folds the threshold filter back through the
-    # project and pushes the 64-element integer fold INTO the join
-    # condition, where it is evaluated up to three times per candidate
-    # pair (once per comparison that mentions ``dot``).  The barrier
-    # pins the plan to one fold per pair and drops the vectors before
-    # anything wide; the checkpointed frame is O(candidate pairs) of
-    # scalar columns.  (``_scored_candidate_pairs`` stays a separate
-    # function so the plan test can assert the fold-free join.)
-    scored = _scored_candidate_pairs(a, b).localCheckpoint(eager=False)
+def _verified_pairs_projection(scored: DataFrame) -> DataFrame:
+    """Threshold filter + output projection over a scored-pairs frame
+    carrying (cid, id_a, id_b, na2, nb2, dot).  The exact rational test
+    ``den²·dot² >= num²·|a|²·|b|² ∧ dot > 0`` ⇔ cos >= num/den; the
+    reported cosine is computed from the SAME integers on both engines
+    (all < 2⁵³, so the doubles and the correctly-rounded sqrt / divide
+    are bit-identical), rounded to 6 places."""
     return (
         scored.filter(
             (F.col("dot") > 0)
@@ -309,6 +273,110 @@ def semantic_dedup_pairs(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame, k: int = SEM_K, iters: int = SEM_ITERS
+) -> DataFrame:
+    """Within-cluster high-cosine pairs — SemDeDup with a FIXED cluster
+    budget and an LSH-capped within-cluster verify (the r10-verdict
+    re-scope; this is the REGISTERED form).
+
+    Two quadratic traps bracket naive SemDeDup at scale, both measured
+    in ``SCALE_PROBE_100X.json``: a fixed k makes the within-cluster
+    all-pairs VERIFY Θ(n²/k), while the published k ∝ n configuration
+    (constant cluster size; 11k clusters for 100M+ docs) moves the
+    quadratic term into the exact ASSIGNMENT step, O(n·k) = O(n²/650) —
+    DNF at 100× data (SemDeDup itself pays that term with GPU
+    brute-force assignment).  This operator takes neither: k stays a
+    small CONSTANT budget (assignment is O(n·k) ~ linear; the k
+    centroids travel as one broadcast row) and the within-cluster pair
+    search is routed through threshold-matched sign-LSH
+    (``dedup.embedding_lsh_candidates`` at the 0.95 regime: 24 planes /
+    64 tables via ``lsh_params_for_threshold``) instead of enumerating
+    the Θ(n²/k) block pairs — candidate mass is Θ(n·L) hash rows plus a
+    vanishing n²·L/2²⁴ false-bucket tail, the configuration measured
+    ~linear (10.45× wall at 100× data) as ``dedup_semantic_lsh``.
+    Candidates are verified with the exact integer-rational cosine AND
+    must share a final cluster id, so the output keeps SemDeDup's
+    express trade (recall bounded by clustering locality) and its
+    cluster provenance column.
+
+    Per-pair recall at the 0.95 threshold is the seeded-LSH contract
+    ≥ 99.4% (≥ 1-1e-8 for SemDeDup-grade twins at cos ≈ 0.985);
+    ``semantic_dedup_pairs_exhaustive`` keeps the exhaustive
+    enumeration for the differential tests that pin it empirically.
+    """
+    fin = (
+        kmeans_assignments(emb, k=k, iters=iters)
+        .withColumn("n2", _dot_q("xq", "xq"))
+        # pin the assignment: BOTH candidate-join sides read this small
+        # materialized frame instead of re-running the Lloyd chain
+        .localCheckpoint(eager=True)
+    )
+    # Score in a PROJECTION behind a checkpoint barrier: without the
+    # barrier Catalyst folds the threshold filter back through the
+    # project and pushes the 64-element integer fold INTO the join
+    # condition, where it is evaluated up to three times per candidate
+    # pair (once per comparison that mentions ``dot``).  The barrier
+    # pins the plan to one fold per pair and drops the vectors before
+    # anything wide; the checkpointed frame is O(candidate pairs) of
+    # scalar columns.  (``_lsh_scored_pairs`` stays a separate function
+    # so the plan test can assert the bucket-keyed fold-free join.)
+    scored = _lsh_scored_pairs(emb, fin).localCheckpoint(eager=False)
+    return _verified_pairs_projection(scored)
+
+
+def _lsh_scored_pairs(emb: DataFrame, fin: DataFrame) -> DataFrame:
+    """Candidate pairs from threshold-matched sign-LSH buckets, gated
+    to same-cluster and scored with one exact integer dot per pair.
+
+    A twin pair collides in ~n_tables buckets, so candidates are
+    deduped BEFORE the id-keyed joins — the 64-element fold runs once
+    per pair, on scalar columns only.
+    """
+    from .dedup import embedding_lsh_candidates, lsh_params_for_threshold
+
+    dp, dt = lsh_params_for_threshold(SEM_COS_NUM / SEM_COS_DEN)
+    cands = embedding_lsh_candidates(emb, dt, dp).distinct()
+    a = fin.select(
+        F.col("vec_id").alias("id_a"), F.col("cid").alias("cid"),
+        F.col("xq").alias("xa"), F.col("n2").alias("na2"),
+    )
+    b = fin.select(
+        F.col("vec_id").alias("id_b"), F.col("cid").alias("cid_b"),
+        F.col("xq").alias("xb"), F.col("n2").alias("nb2"),
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("cid") == F.col("cid_b"))
+        .select("cid", "id_a", "id_b", "na2", "nb2",
+                _dot_q("xa", "xb").alias("dot"))
+    )
+
+
+def semantic_dedup_pairs_exhaustive(
+    emb: DataFrame, k: int = SEM_K, iters: int = SEM_ITERS
+) -> DataFrame:
+    """The EXHAUSTIVE within-cluster pair enumeration (block-pair
+    self-join keyed on (cid, block) — k·B balanced keys).  Recall is 1
+    by construction within a cluster, but the pair mass is Θ(n²/k):
+    this is the differential-test baseline the LSH-routed registered
+    form is checked against, not a 100 TB path.
+    (``_scored_candidate_pairs`` stays a separate function so the plan
+    test can assert the fold-free join.)
+    """
+    blocks = SEM_PAIR_BLOCKS
+    fin = (
+        kmeans_assignments(emb, k=k, iters=iters)
+        .withColumn("n2", _dot_q("xq", "xq"))
+        .withColumn("blk", F.pmod("vec_id", F.lit(blocks)).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = _pair_sides(fin, blocks)
+    scored = _scored_candidate_pairs(a, b).localCheckpoint(eager=False)
+    return _verified_pairs_projection(scored)
 
 
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,11 +424,12 @@ def _keep_from_pairs(emb: DataFrame, pairs: DataFrame) -> DataFrame:
 def semantic_keep_plan(emb: DataFrame) -> DataFrame:
     """SemDeDup's prune step: per near-dup group, keep ONE representative.
 
-    The pair graph comes from ``semantic_dedup_pairs`` (cluster-keyed
-    k-means search — the mid-scale/oracle-checkable tool); this is the
-    decision frame a curation pipeline anti-joins against the corpus —
-    O(pairs) extra work on top of the cluster-keyed search.  The 100 TB
-    twin is ``semantic_keep_plan_lsh``.
+    The pair graph comes from ``semantic_dedup_pairs`` (fixed cluster
+    budget + LSH-capped within-cluster search); this is the decision
+    frame a curation pipeline anti-joins against the corpus — O(pairs)
+    extra work on top of the candidate search.
+    ``semantic_keep_plan_lsh`` is the cluster-free variant (no locality
+    gate) the curation pipeline's semantic_dup gate consumes.
     """
     return _keep_from_pairs(emb, semantic_dedup_pairs(emb))
 
@@ -1010,8 +1079,8 @@ QUERIES = [
     Query(
         "dedup_semantic_kmeans",
         "SemDeDup: within-k-means-cluster high-cosine pairs over corpus "
-        "+ planted deterministic twins (cluster-keyed join, integer "
-        "cosine verify)",
+        "+ planted deterministic twins (fixed cluster budget, sign-LSH "
+        "capped within-cluster candidates, integer cosine verify)",
         dedup_semantic_kmeans,
         SEMANTIC_DEDUP_ORACLE,
     ),

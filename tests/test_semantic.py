@@ -55,10 +55,50 @@ def test_semantic_dedup_recovers_planted_twins(spark):
 def test_semantic_pair_join_is_cluster_keyed(spark):
     emb = _with_planted_twins(load_table(spark, SF_DIR, "embeddings"))
     explained = semantic_dedup_pairs(emb)._jdf.queryExecution().executedPlan().toString()
-    # the only nested-loop join allowed is the 1-row broadcast of the
-    # centroid list; the pair self-join must be keyed on the cluster id
+    # never a cartesian / nested-loop pair enumeration anywhere
     assert "CartesianProduct" not in explained
-    assert explained.count("BroadcastNestedLoopJoin") <= 4  # one per assignment pass
+    assert "BroadcastNestedLoopJoin" not in explained
+
+    # the PRE-barrier scored frame (what the checkpoint materializes):
+    # candidates come from the bucket-keyed LSH self-join and the
+    # 64-element integer fold lives in the projection, not any join
+    from pyspark.sql import functions as SF
+    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+        _dot_q,
+        _lsh_scored_pairs,
+        kmeans_assignments,
+    )
+
+    fin = (
+        kmeans_assignments(emb)
+        .withColumn("n2", _dot_q("xq", "xq"))
+        .localCheckpoint(eager=True)
+    )
+    plan = _lsh_scored_pairs(emb, fin)._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan  # the LSH bucket key reaches the join
+    assert "CartesianProduct" not in plan
+    join_lines = [
+        l for l in plan.splitlines()
+        if "SortMergeJoin" in l or "ShuffledHashJoin" in l
+        or "BroadcastHashJoin" in l
+    ]
+    assert join_lines, "expected keyed joins in the scored plan"
+    assert all("zip_with" not in l for l in join_lines)
+    assert plan.count("zip_with") == 1  # exactly one fold site
+
+
+def test_registered_pairs_equal_exhaustive_within_cluster_pairs(spark):
+    """Differential recall pin: the LSH-capped registered form must
+    recover EXACTLY the pair set of the exhaustive within-cluster
+    enumeration (recall-1 baseline) on corpus + planted twins."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+        semantic_dedup_pairs_exhaustive,
+    )
+
+    emb = _with_planted_twins(load_table(spark, SF_DIR, "embeddings"))
+    got = {tuple(r) for r in semantic_dedup_pairs(emb).collect()}
+    want = {tuple(r) for r in semantic_dedup_pairs_exhaustive(emb).collect()}
+    assert got == want and got  # non-vacuous, exact agreement
 
 
 def test_keep_plan_drops_exactly_the_twins(spark):

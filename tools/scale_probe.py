@@ -74,10 +74,12 @@ PROBES = [
 
 
 def _semantic_kprop_builder(spark, sf_dir):
-    """SemDeDup in its scale regime: k ∝ n (constant cluster size), so
-    the within-cluster verify stays LINEAR in corpus size — the probe's
-    counterpart to the registered fixed-k=8 oracle query (whose pair
-    step is Θ(n²/k) by design; see ``semantic_dedup_pairs``)."""
+    """SemDeDup's PUBLISHED k ∝ n regime (constant cluster size), kept
+    as a probe so the O(n·k) = O(n²/650) assignment law stays on
+    record (DNF at 100× — see SCALE_PROBE_100X.json). The REGISTERED
+    ``dedup_semantic_kmeans`` no longer runs this: since r11 it holds k
+    at a fixed budget and routes the within-cluster verify through
+    threshold-matched sign-LSH — probe it by its catalog name."""
     from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
         _with_planted_twins,
     )
@@ -105,7 +107,7 @@ def _semantic_lsh_builder(spark, sf_dir):
 
 
 CUSTOM_PROBES = {
-    "dedup_semantic_kmeans": _semantic_kprop_builder,
+    "dedup_semantic_kmeans_kprop": _semantic_kprop_builder,
     "emb_neardup_lsh_sem095": _semantic_lsh_builder,
 }
 
