@@ -249,6 +249,24 @@ class Query:
 # surface stays pinned by the e2e pipeline pytests and the in-window
 # normalize_and_serialize projection, and the query remains registered
 # + locally oracle-checked).
+#
+# Round-11 rotation (VERDICT r10 #4): in come the FOUR r10 additions
+# that have never had a driver hash-check (all verified locally green
+# via tools/check_oracles.py, both by the builder and independently by
+# the r10 judge): corpus_decontaminate, corpus_epoch_schedule,
+# embedding_probe_confusion, mm_video_fp_dedup. Out go four entries
+# each driver-green THREE consecutive checked rounds (r8-r10), each
+# with an in-window family twin: embedding_pca_power (iterative
+# integer-embedding family keeps embedding_kmeans_iter +
+# embedding_linear_probe, and the incoming embedding_probe_confusion
+# is the serving twin of the in-window trainer), text_bpe_train (the
+# in-window text_bpe_tokenize RUNS the trained merge cascade, so the
+# trainer's output stays value-checked through it), mm_gif_decode_stats
+# (the decode family keeps jpeg/y4m/avi/mpeg1/png_deadletter in-window;
+# the LZW kernel stays pytest round-trip-checked), mm_wav_vad_stats
+# (audio surface keeps mm_audio_fp_dedup's PCM decode + energy framing
+# in-window; the VAD threshold logic stays pytest-pinned). All four
+# remain registered and locally oracle-checked.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",
@@ -274,9 +292,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact_substring",  # NEW r8: verbatim-span (ExactSubstr) family
     "dedup_bloom_prefilter",  # NEW r8: Bloom membership pre-filter (sketch family)
     # LLM-pipeline: similarity / embeddings.
-    "embedding_pca_power",  # rotated in late r7 (new, never checked)
     "embedding_kmeans_iter",  # NEW r8: deterministic integer k-means
     "embedding_linear_probe",  # NEW r10: integer-GD classifier training curve
+    "embedding_probe_confusion",  # NEW r11 window: probe SERVING twin (r10 tail)
     # LLM-pipeline: text analysis + hygiene.
     "text_vocab_zipf",  # NEW r9 window: vocabulary Zipf-law audit
     "text_span_strip",  # NEW r9 window: ExactSubstr span removal
@@ -294,23 +312,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # LLM-pipeline: boilerplate removal + classifier inference (NEW r7).
     "text_intradoc_dedup",
     "url_canonical_dedup",  # rotated in late r7 (new URL-hygiene family)
-    "text_bpe_train",
     "text_bpe_tokenize",  # NEW r9 window: BPE apply twin of the trainer
     # LLM-pipeline: multimodal + continuous aggregate.
     "mm_jpeg_decode_stats",
-    "mm_gif_decode_stats",  # rotated in late r7 (new, never checked)
     "mm_png_deadletter_stats",
-    "mm_wav_vad_stats",
     "mm_phash_dedup",  # rotated in late r7 (new image-dedup family)
     "mm_y4m_video_stats",  # NEW r9 window: Y4M frame-sample decode
     "mm_avi_mjpeg_stats",  # NEW r10 window: AVI/Motion-JPEG container decode
     "mm_mpeg1_video_stats",  # NEW r10: inter-frame (motion-compensated) MPEG-1
     "mm_audio_fp_dedup",  # NEW r9 window: audio fingerprint dedup
+    "mm_video_fp_dedup",  # NEW r11 window: temporal-delta video fp (r10 tail)
     "user_hourly_interpolate",  # NEW r9 window: gap-fill interpolation
     # LLM-pipeline: curation decisions (contamination / sampling / keep-drop).
     "canary_contamination_scan",  # NEW r9 window: canary-string scan
     "corpus_curation_decision",
     "corpus_curation_report",  # NEW r9 window: per-reason curation audit
+    "corpus_decontaminate",  # NEW r11 window: surgical span excision (r10 tail)
+    "corpus_epoch_schedule",  # NEW r11 window: per-doc epoch schedule (r10 tail)
     "corpus_snapshot_diff",  # NEW r8: release-diff audit (lifecycle family)
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
