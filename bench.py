@@ -6,6 +6,10 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 driver-side collection skewing the timing. Per-query numbers are the MIN of
 ``$SPARK_GRAFT_BENCH_REPS`` (default 3) standalone runs — the raw reps ride
 along under ``queries_all_reps`` for noise inspection.
+
+``python bench.py --all`` sweeps the FULL catalog instead (every
+registered query, default 1 rep) and writes BENCH_FULL.json — the
+regression net over the ~94 queries the headline set doesn't time.
 """
 
 from __future__ import annotations
@@ -117,6 +121,12 @@ HEADLINE = [
 
 
 def main() -> None:
+    # --all: full-catalog sweep (every registered query, 1 rep default)
+    # so a regression in the ~94 non-headline queries is visible; writes
+    # BENCH_FULL.json beside the repo root and prints the same one-line
+    # JSON contract with metric "full_catalog_total_wall". The driver's
+    # per-round invocation (no flag) is unchanged.
+    full = "--all" in sys.argv[1:]
     catalog = get_catalog()
     # The driver parses the bench summary from captured stdout with a
     # bounded tail buffer: keep stdout to EXACTLY one compact JSON line
@@ -157,10 +167,11 @@ def main() -> None:
     # in the same phase — spreading them across rounds lets the min pick
     # each query's quietest moment. Codegen stays warm across a round
     # (the compiled-class cache is keyed by generated source).
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    all_reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    names = list(catalog) if full else HEADLINE
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1" if full else "3"))
+    all_reps: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(reps):
-        for name in HEADLINE:
+        for name in names:
             q = catalog[name]
             t0 = time.monotonic()
             q.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -177,7 +188,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     summary = {
-        "metric": "headline_queries_total_wall",
+        "metric": "full_catalog_total_wall" if full else "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
@@ -187,9 +198,9 @@ def main() -> None:
     # Per-rep raw samples are for human noise inspection, not the driver's
     # parser — they tripled the stdout line in r5 and overflowed the tail
     # capture. Park them in a side file next to the repo root.
+    side = "BENCH_FULL.json" if full else "BENCH_REPS.json"
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REPS.json"),
-        "w",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), side), "w"
     ) as f:
         json.dump({**summary, "queries_all_reps": all_reps}, f, indent=1)
     print(json.dumps(summary), flush=True)

@@ -26,19 +26,96 @@ the active base version plus every extend tag NOT in ``folded``.
 crash-replayed extend after its rows were folded into the base, and
 the exclusion is what keeps that replay idempotent instead of
 double-counted.
+
+**Writer contract (r10 verdict #7).** Extends under DISTINCT tags
+interleave safely by construction: each writes its own ``delta=<tag>``
+dir and ``visible_tags`` surfaces any non-folded tag whenever it
+appears, so an extend landing during a compaction simply stays visible
+(its tag was not in the fold snapshot). What must be exclusive is the
+COMPACT itself (two compactions would both write ``base_v{N+1}`` and
+the losing state swap would silently drop the winner's folded set) and
+same-tag extend replays (the caller's idempotence contract, e.g. one
+streaming query per out_dir). ``compact`` therefore (a) takes an
+advisory exclusive ``_WRITER.lock`` at the index root — a second
+concurrent compactor fails LOUDLY with ``ConcurrentWriterError``
+instead of corrupting the manifest; a lock whose recorded pid is dead
+(crashed writer, same host) is broken automatically — and (b) commits
+with a CONDITIONAL manifest swap: if ``_BASE.json`` changed between
+the fold snapshot and the commit, the swap is refused. On a real
+cluster the lock file maps to the storage layer's conditional-put /
+lease primitive (S3 If-None-Match, HDFS lease); the local-path form is
+the same protocol.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
 import tempfile
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _STATE = "_BASE.json"
+_LOCK = "_WRITER.lock"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted a commit-critical section on an index
+    root that is already held (or whose manifest moved underfoot)."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+@contextlib.contextmanager
+def writer_lock(path: str, purpose: str = "compact"):
+    """Advisory exclusive writer lock at the index root (O_EXCL create).
+
+    Held for the duration of a compaction. A live holder makes the
+    second writer fail loudly; a holder whose pid is gone (crashed
+    compactor on this host) is broken and replaced.
+    """
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, _LOCK)
+    for attempt in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            holder: dict = {}
+            with contextlib.suppress(OSError, ValueError):
+                with open(lock, encoding="utf-8") as fh:
+                    holder = json.load(fh)
+            pid = holder.get("pid")
+            if attempt == 0 and isinstance(pid, int) and not _pid_alive(pid):
+                # crashed writer: break the stale lock and retry once
+                with contextlib.suppress(OSError):
+                    os.remove(lock)
+                continue
+            raise ConcurrentWriterError(
+                f"index root {path} is locked by writer {holder or '?'}; "
+                "a second concurrent compaction would corrupt the "
+                "versioned manifest — run one compactor per index"
+            ) from None
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump({"pid": os.getpid(), "purpose": purpose,
+                       "ts": time.time()}, fh)
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(lock)
 
 
 def read_state(path: str) -> dict | None:
@@ -115,44 +192,53 @@ def compact(
     COMMITTED batch tags, leaving a crashed uncommitted tag alone); the
     current base always folds.
     """
-    state = read_state(path)
-    probe = next(iter(subs))
-    tags = visible_tags(path, probe)
-    fold = [
-        t
-        for t in tags
-        if t.startswith("base_v") or only_tags is None or t in only_tags
-    ]
-    if not any(not t.startswith("base_v") for t in fold):
-        return  # nothing new to fold
-    n = (state["v"] + 1) if state else 1
-    new_base = f"base_v{n}"
-    for sub, agg in subs.items():
-        d = os.path.join(path, sub) if sub else path
-        src = [
-            os.path.join(d, f"delta={t}")
-            for t in fold
-            if os.path.isdir(os.path.join(d, f"delta={t}"))
+    with writer_lock(path):
+        state = read_state(path)
+        probe = next(iter(subs))
+        tags = visible_tags(path, probe)
+        fold = [
+            t
+            for t in tags
+            if t.startswith("base_v") or only_tags is None or t in only_tags
         ]
-        df = spark.read.option("basePath", d).parquet(*src).drop("delta")
-        if agg is not None:
-            df = agg(df)
-        # written OUTSIDE the visible set: base_v{n} != state's base
-        df.write.mode("overwrite").parquet(os.path.join(d, f"delta={new_base}"))
-    folded = sorted(
-        (set(state["folded"]) if state else set())
-        | {t for t in fold if not t.startswith("base_v")}
-    )
-    # COMMIT: one atomic state replace — readers flip from (old base +
-    # folded tags) to (new base) in a single step
-    _write_state(path, {"v": n, "base": new_base, "folded": folded})
-    # cleanup strictly after the commit: everything deleted here is
-    # already invisible, so a crash mid-delete changes nothing
-    for sub in subs:
-        d = os.path.join(path, sub) if sub else path
-        for t in fold:
-            shutil.rmtree(os.path.join(d, f"delta={t}"), ignore_errors=True)
-        for entry in os.listdir(d):
-            if entry.startswith("delta=base_v") and entry != f"delta={new_base}":
-                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
-        spark.catalog.refreshByPath(d)
+        if not any(not t.startswith("base_v") for t in fold):
+            return  # nothing new to fold
+        n = (state["v"] + 1) if state else 1
+        new_base = f"base_v{n}"
+        for sub, agg in subs.items():
+            d = os.path.join(path, sub) if sub else path
+            src = [
+                os.path.join(d, f"delta={t}")
+                for t in fold
+                if os.path.isdir(os.path.join(d, f"delta={t}"))
+            ]
+            df = spark.read.option("basePath", d).parquet(*src).drop("delta")
+            if agg is not None:
+                df = agg(df)
+            # written OUTSIDE the visible set: base_v{n} != state's base
+            df.write.mode("overwrite").parquet(os.path.join(d, f"delta={new_base}"))
+        folded = sorted(
+            (set(state["folded"]) if state else set())
+            | {t for t in fold if not t.startswith("base_v")}
+        )
+        # CONDITIONAL swap: refuse the commit if the manifest moved
+        # between the fold snapshot and now (a writer that bypassed the
+        # advisory lock) — the pending base_v{n} stays invisible.
+        if read_state(path) != state:
+            raise ConcurrentWriterError(
+                f"index root {path}: manifest changed during compaction; "
+                "refusing the commit (pending version left invisible)"
+            )
+        # COMMIT: one atomic state replace — readers flip from (old base +
+        # folded tags) to (new base) in a single step
+        _write_state(path, {"v": n, "base": new_base, "folded": folded})
+        # cleanup strictly after the commit: everything deleted here is
+        # already invisible, so a crash mid-delete changes nothing
+        for sub in subs:
+            d = os.path.join(path, sub) if sub else path
+            for t in fold:
+                shutil.rmtree(os.path.join(d, f"delta={t}"), ignore_errors=True)
+            for entry in os.listdir(d):
+                if entry.startswith("delta=base_v") and entry != f"delta={new_base}":
+                    shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+            spark.catalog.refreshByPath(d)

@@ -101,3 +101,64 @@ def test_compact_with_no_new_tags_is_a_noop(spark, tmp_path):
     v = lsm.read_state(path)["v"]
     compact_cms_index(spark, path)  # nothing new to fold
     assert lsm.read_state(path)["v"] == v
+
+
+def test_concurrent_compactor_is_rejected_loudly(spark, tmp_path):
+    """A second compactor on a held index root must fail with
+    ConcurrentWriterError and leave the index view unchanged — never
+    corrupt the versioned manifest (r10 verdict #7)."""
+    import pytest
+
+    path, expected = _setup(spark, tmp_path)
+    with lsm.writer_lock(path):  # a live writer holds the root
+        with pytest.raises(lsm.ConcurrentWriterError):
+            compact_cms_index(spark, path)
+        assert _counts(spark, path) == expected  # view untouched
+        assert lsm.read_state(path) is None  # no manifest was committed
+    # lock released -> the compaction proceeds normally
+    compact_cms_index(spark, path)
+    assert lsm.visible_tags(path) == ["base_v1"]
+    assert _counts(spark, path) == expected
+
+
+def test_stale_lock_from_dead_writer_is_broken(spark, tmp_path):
+    """A lock whose recorded pid is gone (crashed compactor) must not
+    wedge the index forever: the next compactor breaks it and runs."""
+    path, expected = _setup(spark, tmp_path)
+    with open(os.path.join(path, "_WRITER.lock"), "w") as fh:
+        json.dump({"pid": 2**22 + 12345, "purpose": "compact"}, fh)
+    compact_cms_index(spark, path)  # breaks the stale lock, completes
+    assert lsm.visible_tags(path) == ["base_v1"]
+    assert _counts(spark, path) == expected
+    assert not os.path.exists(os.path.join(path, "_WRITER.lock"))
+
+
+def test_conditional_swap_refuses_a_moved_manifest(spark, tmp_path, monkeypatch):
+    """Belt-and-braces behind the advisory lock: if the manifest
+    changes between the fold snapshot and the commit (a writer that
+    bypassed the lock), the swap is refused and the pending base stays
+    invisible."""
+    import pytest
+
+    path, expected = _setup(spark, tmp_path)
+    real_read_state = lsm.read_state
+    calls = {"n": 0}
+
+    def racing_read_state(p):
+        state = real_read_state(p)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # after the fold snapshot is taken, a rogue writer commits
+            lsm._write_state(p, {"v": 9, "base": "base_v9", "folded": []})
+        return state
+
+    monkeypatch.setattr(lsm, "read_state", racing_read_state)
+    with pytest.raises(lsm.ConcurrentWriterError):
+        compact_cms_index(spark, path)
+    monkeypatch.undo()
+    # the pending base_v1 written by the refused compactor stays
+    # invisible (the rogue manifest's base is base_v9): readers resolve
+    # only the untouched extend tags, with no double-counting mix
+    assert lsm.visible_tags(path) == ["batch1", "batch2"]
+    assert os.path.isdir(os.path.join(path, "delta=base_v1"))  # pending, hidden
+    assert _counts(spark, path) == expected
