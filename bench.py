@@ -117,6 +117,9 @@ HEADLINE = [
     "corpus_epoch_schedule",
     # round-10: video temporal-delta fingerprint dedup (1.4x at 10x)
     "mm_video_fp_dedup",
+    # round-11: incremental training-loader epoch schedule (persisted
+    # per-doc token index; history text tokenized once ever)
+    "epoch_schedule_incremental",
 ]
 
 

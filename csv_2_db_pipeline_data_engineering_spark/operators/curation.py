@@ -696,15 +696,30 @@ def _waterfill_epoch_cap() -> Column:
     )
 
 
+def epoch_index_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tok): the once-per-doc text work of the epoch
+    schedule — what the persisted epoch index stores, so history text
+    is tokenized exactly once ever (the incremental contract)."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+
+
 def waterfill_alloc(docs: DataFrame) -> DataFrame:
     """(source, n_tok, epoch_cap, cap_tok, alloc) after the fixed
     redistribution rounds — the shared policy core behind the
     registered allocation view and the per-doc epoch schedule."""
+    return waterfill_alloc_from_rows(epoch_index_rows(docs))
+
+
+def waterfill_alloc_from_rows(rows: DataFrame) -> DataFrame:
+    """``waterfill_alloc`` over pre-tokenized (source, n_tok) scalar
+    rows (an epoch-index read) — no text in the lineage."""
     per_src = (
-        docs.groupBy("source")
-        .agg(
-            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tok")
-        )
+        rows.groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("n_tok"))
         .withColumn("epoch_cap", _waterfill_epoch_cap())
         .withColumn("cap_tok", F.col("epoch_cap") * F.col("n_tok"))
     )
@@ -843,12 +858,19 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on source for the running sum — the fractional cumsum is the
     only per-doc ordered scan, and it is per-source, not global.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
-    )
-    plan = waterfill_alloc(load_table(spark, sf_dir, "documents")).select(
+    return epoch_schedule_from_rows(
+        epoch_index_rows(load_table(spark, sf_dir, "documents"))
+    ).orderBy("doc_id")
+
+
+def epoch_schedule_from_rows(rows: DataFrame) -> DataFrame:
+    """The per-doc repeat schedule over pre-tokenized epoch-index rows
+    (doc_id, source, n_tok) — the shared core of the batch query and
+    the incremental index fold; NOTHING downstream of here touches
+    document text, so an index-backed caller pays O(stored scalars),
+    not a corpus rescan."""
+    rows = scoped_cache(rows)  # consumed twice: policy agg + schedule join
+    plan = waterfill_alloc_from_rows(rows).select(
         "source",
         F.expr("alloc div n_tok").cast("long").alias("full_epochs"),
         F.expr("alloc % n_tok").cast("long").alias("rem_tok"),
@@ -859,7 +881,7 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        d.join(F.broadcast(plan), "source")
+        rows.join(F.broadcast(plan), "source")
         .withColumn("running", F.sum("n_tok").over(w))
         .select(
             "doc_id",
@@ -873,7 +895,6 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_repeats"),
             (F.col("running") <= F.col("rem_tok")).alias("frac_pick"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -908,6 +929,110 @@ FROM sched
 ORDER BY doc_id
 """
 )
+
+
+# --- incremental epoch schedule (persisted per-doc token index) -------
+#
+# The training-loader handoff at 100 TB is incremental: source
+# partitions keep arriving, and re-tokenizing the whole corpus to
+# refresh the repeat schedule would be a full rescan per batch. The
+# per-doc state the schedule needs is three SCALARS per doc
+# (doc_id, source, n_tok) — ``epoch_index_rows`` — which persist as
+# O(delta) tagged extends on the shared versioned-commit machinery
+# (``operators.lsm``, compaction + single-compactor lock included).
+# A refresh then re-runs the waterfill (tiny per-source frame) and the
+# per-source cumsum over STORED scalars: history TEXT is tokenized
+# exactly once ever; what recurs per refresh is a window over ~16
+# bytes/doc of state, the same replay cost class as the CMS/DSIR
+# merged-model reads. (The cumsum itself cannot be delta-local: a new
+# doc's md5 rank shifts every later running sum in its source, and the
+# waterfill re-splits the budget globally — the policy OUTPUT is
+# global by definition; the incremental contract is about never
+# rescanning text.)
+#
+# The registered query runs the algebra in-plan on the repo convention
+# (history = doc_id % 10 != 0, delta = % 10 == 0): schedule over
+# rows(h) ∪ rows(d) with the delta flagged; the oracle recomputes from
+# scratch, so the hash match certifies fold(history rows, delta rows)
+# ≡ rebuild(h ∪ d) through the full policy. The disk round trip
+# (write/extend/read/compact, rebuild-equivalence) is pytest-verified
+# in tests/test_curation.py.
+
+
+def epoch_schedule_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat schedule refreshed from history index rows + an arriving
+    delta's rows, delta flagged — merge ≡ rebuild certified by the
+    from-scratch oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = epoch_index_rows(docs.filter(F.col("doc_id") % 10 != 0))
+    delta = epoch_index_rows(docs.filter(F.col("doc_id") % 10 == 0))
+    return (
+        epoch_schedule_from_rows(hist.unionByName(delta))
+        .withColumn("is_delta", F.col("doc_id") % 10 == 0)
+        .orderBy("doc_id")
+    )
+
+
+def write_epoch_index(docs: DataFrame, path: str, tag: str = "base") -> None:
+    """Materialize ``docs``' (doc_id, source, n_tok) scalars as the
+    ``delta=<tag>`` partition of a persisted epoch index (the
+    once-per-doc text work; overwrite-idempotent per tag)."""
+    import os
+
+    epoch_index_rows(docs).write.mode("overwrite").parquet(
+        os.path.join(path, f"delta={tag}")
+    )
+
+
+def extend_epoch_index(delta_docs: DataFrame, path: str, tag: str) -> None:
+    """O(delta) tagged extend — history partitions are never touched;
+    a crash replay overwrites its own tag, so no doc double-counts."""
+    write_epoch_index(delta_docs, path, tag)
+
+
+def read_epoch_index(spark: SparkSession, path: str) -> DataFrame | None:
+    """All visible per-doc rows (None if the index is empty)."""
+    from . import lsm
+
+    return lsm.read_visible(spark, path)
+
+
+def compact_epoch_index(spark: SparkSession, path: str) -> None:
+    """Fold visible tags into one base version (rows are immutable
+    per-doc scalars — no re-aggregation; crash-safe versioned commit
+    with the single-compactor lock)."""
+    from . import lsm
+
+    lsm.compact(spark, path, {"": None})
+
+
+def epoch_schedule_from_index(spark: SparkSession, path: str) -> DataFrame:
+    """The refresh a training loader calls after each extend: schedule
+    over stored scalars only (raises if the index is empty)."""
+    rows = read_epoch_index(spark, path)
+    if rows is None:
+        raise ValueError(f"epoch index at {path} is empty")
+    return epoch_schedule_from_rows(rows).orderBy("doc_id")
+
+
+EPOCH_SCHEDULE_INCR_ORACLE = EPOCH_SCHEDULE_ORACLE.replace(
+    """SELECT doc_id, source, n_tok,
+       CAST(full_epochs
+            + CASE WHEN running <= rem_tok THEN 1 ELSE 0 END AS BIGINT)
+         AS n_repeats,
+       running <= rem_tok AS frac_pick
+FROM sched
+ORDER BY doc_id""",
+    """SELECT doc_id, source, n_tok,
+       CAST(full_epochs
+            + CASE WHEN running <= rem_tok THEN 1 ELSE 0 END AS BIGINT)
+         AS n_repeats,
+       running <= rem_tok AS frac_pick,
+       doc_id % 10 = 0 AS is_delta
+FROM sched
+ORDER BY doc_id""",
+)
+assert "is_delta" in EPOCH_SCHEDULE_INCR_ORACLE
 
 
 # --- surgical benchmark decontamination ------------------------------
@@ -1201,6 +1326,11 @@ QUERIES = [
           "per-doc repeat schedule realizing the waterfilled allocation "
           "(full epochs + deterministic fractional pass)",
           corpus_epoch_schedule, EPOCH_SCHEDULE_ORACLE),
+    Query("epoch_schedule_incremental",
+          "repeat schedule refreshed from persisted per-doc token rows "
+          "+ an arriving delta (history text never re-tokenized); "
+          "merge == rebuild certified against the from-scratch oracle",
+          epoch_schedule_incremental, EPOCH_SCHEDULE_INCR_ORACLE),
     Query("corpus_decontaminate",
           "surgical benchmark decontamination: excise eval-overlapping "
           "n-gram spans via broadcast index + interval union, md5-verified "

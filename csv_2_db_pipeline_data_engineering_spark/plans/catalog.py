@@ -267,6 +267,14 @@ class Query:
 # (audio surface keeps mm_audio_fp_dedup's PCM decode + energy framing
 # in-window; the VAD threshold logic stays pytest-pinned). All four
 # remain registered and locally oracle-checked.
+#
+# Mid-r11 swap: epoch_schedule_incremental in (NEW: the training-loader
+# handoff made incremental — persisted per-doc token index, O(delta)
+# extends, merge==rebuild certificate; VERDICT r10 #8); out goes
+# text_intradoc_dedup (driver-green three consecutive rounds r8-r10;
+# the within-doc repetition surface stays in-window via
+# text_boilerplate_strip and the line-digest machinery via
+# line_dedup_incremental; stays registered + locally checked).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",
@@ -310,8 +318,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_encoding_fix",  # NEW r10 window: mojibake repair (r7 tail)
     "text_boilerplate_strip",  # NEW r10 window: boilerplate line removal
     # LLM-pipeline: boilerplate removal + classifier inference (NEW r7).
-    "text_intradoc_dedup",
     "url_canonical_dedup",  # rotated in late r7 (new URL-hygiene family)
+    "epoch_schedule_incremental",  # NEW r11: incremental training-loader schedule
     "text_bpe_tokenize",  # NEW r9 window: BPE apply twin of the trainer
     # LLM-pipeline: multimodal + continuous aggregate.
     "mm_jpeg_decode_stats",

@@ -320,3 +320,44 @@ def test_decontaminate_excises_eval_spans_and_passes_clean_docs(spark):
     }
     for i in sample_clean:
         assert rows[i].clean_md5 == hashlib.md5(orig[i].encode()).hexdigest()
+
+
+def test_epoch_index_extend_refresh_equals_rebuild(spark, tmp_path):
+    """The persisted epoch index's incremental contract: write history,
+    extend with a delta (history text never re-tokenized), refresh —
+    the schedule must equal a from-scratch rebuild over history+delta;
+    compaction must not change it; a crash-replayed extend (same tag)
+    must not double-count."""
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        compact_epoch_index,
+        epoch_schedule_from_index,
+        epoch_schedule_from_rows,
+        epoch_index_rows,
+        extend_epoch_index,
+        write_epoch_index,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "epoch_idx")
+
+    write_epoch_index(hist, path, "base")
+    extend_epoch_index(delta, path, "b1")
+    got = epoch_schedule_from_index(spark, path).collect()
+    want = (
+        epoch_schedule_from_rows(epoch_index_rows(docs))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert got == want  # fold(history, delta) == rebuild(h + d)
+
+    extend_epoch_index(delta, path, "b1")  # crash replay: same tag
+    assert epoch_schedule_from_index(spark, path).collect() == want
+
+    compact_epoch_index(spark, path)
+    assert epoch_schedule_from_index(spark, path).collect() == want
