@@ -345,6 +345,15 @@ def hourly_interpolate_frame(ev: DataFrame) -> DataFrame:
         .select("user_id", F.explode(F.sequence("h0", "h1")).alias("h"))
     )
     g = spine.join(hourly, ["user_id", "h"], "left")
+    # Both fills as RUNNING (unbounded-preceding) frames — the forward
+    # fill runs over DESCENDING h. Spark evaluates a running frame
+    # incrementally (O(rows)), but a CURRENT-ROW-to-UNBOUNDED-FOLLOWING
+    # frame re-aggregates the remaining rows for EVERY row
+    # (UnboundedFollowingWindowFunctionFrame — O(rows²) per user: the
+    # r11 full-catalog sweep measured this query at 102 s on sf0.1,
+    # 52 s isolated; this rewrite is ~1 s). Each helper lands in ONE
+    # named withColumn so the final CASE references columns instead of
+    # re-expanding every window expression (10 window instances -> 4).
     wb = (
         Window.partitionBy("user_id")
         .orderBy("h")
@@ -352,13 +361,18 @@ def hourly_interpolate_frame(ev: DataFrame) -> DataFrame:
     )
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("h"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    pv = F.last("v", ignorenulls=True).over(wb)
-    ph = F.last(F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True).over(wb)
-    nv = F.first("v", ignorenulls=True).over(wf)
-    nh = F.first(F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True).over(wf)
+    h_obs = F.when(F.col("v").isNotNull(), F.col("h"))
+    g = (
+        g.withColumn("pv", F.last("v", ignorenulls=True).over(wb))
+        .withColumn("ph", F.last(h_obs, ignorenulls=True).over(wb))
+        .withColumn("nv", F.last("v", ignorenulls=True).over(wf))
+        .withColumn("nh", F.last(h_obs, ignorenulls=True).over(wf))
+    )
+    pv, ph = F.col("pv"), F.col("ph")
+    nv, nh = F.col("nv"), F.col("nh")
     filled = (
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(pv.isNull(), nv)
