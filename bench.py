@@ -120,6 +120,9 @@ HEADLINE = [
     # round-11: incremental training-loader epoch schedule (persisted
     # per-doc token index; history text tokenized once ever)
     "epoch_schedule_incremental",
+    # round-11: from-spec H.264 baseline I-slice decode (Annex-B NAL,
+    # CAVLC, 4x4 intra prediction — the last media-decode class)
+    "mm_h264_intra_stats",
 ]
 
 

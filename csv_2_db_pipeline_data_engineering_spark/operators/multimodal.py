@@ -1084,6 +1084,154 @@ FROM v GROUP BY doc_id, n ORDER BY doc_id
 """
 
 
+# --- H.264: real baseline-profile I-slice decode (CAVLC + intra pred) -------
+
+H264_W, H264_H = 32, 32  # 2x2 macroblocks -> an 8x8 grid of 4x4 blocks
+H264_FRAMES = "1 + doc_id % 3"
+H264_LEVEL = "1 + (doc_id * 5 + k * 3) % 7"  # quantized DC level 1..7
+
+H264_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_mb", T.IntegerType()),
+        T.StructField("n_coded_blocks", T.IntegerType()),
+        T.StructField("n_mode_v", T.IntegerType()),
+        T.StructField("n_mode_h", T.IntegerType()),
+        T.StructField("n_mode_dc", T.IntegerType()),
+        T.StructField("qp", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def mm_h264_intra_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 baseline I-slice decode (``operators/h264_codec``,
+    ITU-T H.264 subset: Annex-B NAL parse with emulation-prevention
+    stripping, Exp-Golomb SPS/PPS/slice headers, CAVLC residuals with
+    the nC neighbour context, LevelScale dequant + 4x4 inverse integer
+    transform, and Intra_4x4 V/H/DC prediction with the real
+    min(modeA, modeB) mode predictor).
+
+    Per doc an Annex-B stream of ``1 + doc_id % 3`` IDR frames is
+    synthesized and decoded; frame k is a constant plane whose value
+    derives from its single quantized DC level L (the frame's first
+    4x4 block DC-predicts 128 and carries L; every other block
+    propagates the value through whichever of V/H/DC the per-block
+    rotation picks — closed form ``block_mode``). Every output column
+    is closed-form derivable, so the oracle value-checks the full
+    parse/predict/reconstruct pipeline: one mis-signaled mode or a
+    wrong dequant scale shifts ``mean_luma`` or the mode tallies.
+
+    Closed forms: v_k = 128 + (160·L_k + 32) div 64 (QP 24 -> DC
+    dequant scale 160, inverse-transform rounding (x+32)>>6);
+    mode(bx, by) over the 8x8 block grid = the availability-filtered
+    rotation of ``h264_codec.block_mode``.
+    """
+    from .h264_codec import H264_QP, decode_h264, encode_h264
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in H264_STATS_SCHEMA}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 1 + doc_id % 3
+                levels = [1 + (doc_id * 5 + k * 3) % 7 for k in range(n)]
+                dec = decode_h264(encode_h264(H264_W, H264_H, levels, doc_id))
+                if dec["width"] != H264_W or dec["height"] != H264_H:
+                    raise ValueError("H.264 SPS dims disagree")
+                luma = sum(sum(f) for f in dec["frames"])
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_frames"].append(len(dec["frames"]))
+                rows["n_mb"].append(
+                    len(dec["frames"]) * (H264_W // 16) * (H264_H // 16)
+                )
+                rows["n_coded_blocks"].append(dec["n_coded_blocks"])
+                rows["n_mode_v"].append(dec["n_mode_v"])
+                rows["n_mode_h"].append(dec["n_mode_h"])
+                rows["n_mode_dc"].append(dec["n_mode_dc"])
+                rows["qp"].append(dec["qp"])
+                rows["mean_luma"].append(
+                    float(luma) / (len(dec["frames"]) * H264_W * H264_H)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    **{
+                        c: pd.array(rows[c], dtype="int32")
+                        for c in (
+                            "width", "height", "n_frames", "n_mb",
+                            "n_coded_blocks", "n_mode_v", "n_mode_h",
+                            "n_mode_dc", "qp",
+                        )
+                    },
+                    "mean_luma": rows["mean_luma"],
+                }
+            )
+
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .transform(_spread)
+        .mapInPandas(decode_batches, H264_STATS_SCHEMA)
+    )
+    return feats.select(
+        "doc_id", "width", "height", "n_frames", "n_mb", "n_coded_blocks",
+        "n_mode_v", "n_mode_h", "n_mode_dc", "qp",
+        F.round("mean_luma", 4).alias("mean_luma"),
+    ).orderBy("doc_id")
+
+
+# The oracle replicates the two closed forms the codec's design pins:
+# per-frame constant value v_k from the quantized DC level, and the
+# availability-filtered mode rotation over the 8x8 block grid (the
+# multiset of (bx, by) over a frame's 64 z-scanned blocks is exactly
+# the 8x8 grid, so the SQL iterates the grid directly).
+MM_H264_ORACLE = f"""
+WITH d AS (SELECT doc_id, {H264_FRAMES} AS n FROM documents),
+fr AS (SELECT doc_id, n, unnest(range(n)) AS k FROM d),
+px AS (
+  SELECT doc_id, n, k,
+         128 + (160 * ({H264_LEVEL}) + 32) // 64 AS v
+  FROM fr
+),
+blocks AS (
+  SELECT doc_id, n, k, bx.range AS bx, by.range AS by,
+         doc_id + k + bx.range + by.range AS cand
+  FROM fr CROSS JOIN range(8) bx CROSS JOIN range(8) by
+),
+modes AS (
+  SELECT doc_id,
+         CASE WHEN bx = 0 AND by = 0 THEN 2
+              WHEN by = 0 THEN CASE WHEN cand % 2 = 0 THEN 1 ELSE 2 END
+              WHEN bx = 0 THEN CASE WHEN cand % 2 = 0 THEN 0 ELSE 2 END
+              ELSE cand % 3 END AS mode
+  FROM blocks
+),
+mtal AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN mode = 0 THEN 1 ELSE 0 END) AS INT) AS n_mode_v,
+         CAST(SUM(CASE WHEN mode = 1 THEN 1 ELSE 0 END) AS INT) AS n_mode_h,
+         CAST(SUM(CASE WHEN mode = 2 THEN 1 ELSE 0 END) AS INT) AS n_mode_dc
+  FROM modes GROUP BY doc_id
+),
+lum AS (SELECT doc_id, ROUND(AVG(v), 4) AS mean_luma FROM px GROUP BY doc_id)
+SELECT d.doc_id, {H264_W} AS width, {H264_H} AS height,
+       CAST(n AS INT) AS n_frames,
+       CAST(n * 4 AS INT) AS n_mb,
+       CAST(n AS INT) AS n_coded_blocks,
+       n_mode_v, n_mode_h, n_mode_dc,
+       24 AS qp,
+       mean_luma
+FROM d JOIN mtal USING (doc_id) JOIN lum USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # --- MPEG-1: real INTER-FRAME (motion-compensated) video decode -------------
 
 MPEG_W, MPEG_H = 48, 32  # 3x2 macroblock grid
@@ -1925,6 +2073,14 @@ QUERIES = [
           "propagation, intra refresh, DC-prediction chains — lossless "
           "round trip value-checked per macroblock tally",
           mm_mpeg1_video_stats, MM_MPEG1_ORACLE),
+    Query("mm_h264_intra_stats",
+          "REAL H.264 baseline I-slice decode (ITU-T H.264 subset: "
+          "Annex-B NAL + emulation prevention, Exp-Golomb headers, "
+          "CAVLC with nC context, LevelScale dequant + 4x4 inverse "
+          "integer transform, Intra_4x4 V/H/DC prediction with the "
+          "min(modeA,modeB) predictor) — lossless round trip, mode "
+          "tallies + mean luma value-checked",
+          mm_h264_intra_stats, MM_H264_ORACLE),
     Query("mm_decode_features", "Arrow-batched decode/feature-extract (stub kernel)",
           mm_decode_features, MM_DECODE_ORACLE),
     Query("mm_frame_sample_stats", "fan-out frame sampling via mapInPandas",

@@ -268,6 +268,16 @@ class Query:
 # in-window; the VAD threshold logic stays pytest-pinned). All four
 # remain registered and locally oracle-checked.
 #
+# Mid-r11 swap: mm_h264_intra_stats in (NEW: from-spec H.264 baseline
+# I-slice decode — Annex-B NAL + emulation prevention, Exp-Golomb,
+# CAVLC with nC context, dequant + 4x4 inverse integer transform,
+# Intra_4x4 V/H/DC prediction — the last honest media-decode gap,
+# VERDICT r10 #5); out goes mm_phash_dedup (driver-green three
+# consecutive rounds r8-r10; the fingerprint-banded media-dedup shape
+# stays in-window via mm_audio_fp_dedup + mm_video_fp_dedup, and the
+# aHash kernel stays pytest-pinned; stays registered + locally
+# checked).
+#
 # Mid-r11 swap: epoch_schedule_incremental in (NEW: the training-loader
 # handoff made incremental — persisted per-doc token index, O(delta)
 # extends, merge==rebuild certificate; VERDICT r10 #8); out goes
@@ -324,7 +334,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # LLM-pipeline: multimodal + continuous aggregate.
     "mm_jpeg_decode_stats",
     "mm_png_deadletter_stats",
-    "mm_phash_dedup",  # rotated in late r7 (new image-dedup family)
+    "mm_h264_intra_stats",  # NEW r11: from-spec H.264 I-slice decode
     "mm_y4m_video_stats",  # NEW r9 window: Y4M frame-sample decode
     "mm_avi_mjpeg_stats",  # NEW r10 window: AVI/Motion-JPEG container decode
     "mm_mpeg1_video_stats",  # NEW r10: inter-frame (motion-compensated) MPEG-1

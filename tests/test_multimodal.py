@@ -171,3 +171,91 @@ def test_video_fp_dedup_finds_brightness_shifted_twins(spark):
         r = by_pair[(i, i + VFP_TWIN_OFFSET)]
         assert r.luma_shift == 2
         assert r.n_frames == 6 + i % 3
+
+
+def test_h264_round_trip_is_lossless_and_mode_exact():
+    """The from-spec H.264 I-slice codec: encode->decode reconstructs
+    every frame as its exact closed-form constant (one mis-predicted
+    4x4 block would corrupt everything downstream of it), and the
+    decoded mode tallies equal the rotation rule's closed form."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.h264_codec import (
+        block_mode,
+        decode_h264,
+        encode_h264,
+    )
+
+    for doc_id in (0, 1, 2, 5, 17, 123, 4999):
+        n = 1 + doc_id % 3
+        levels = [1 + (doc_id * 5 + k * 3) % 7 for k in range(n)]
+        dec = decode_h264(encode_h264(32, 32, levels, doc_id))
+        assert (dec["width"], dec["height"], dec["qp"]) == (32, 32, 24)
+        assert len(dec["frames"]) == n == dec["n_coded_blocks"]
+        for lvl, frame in zip(levels, dec["frames"]):
+            v = 128 + ((160 * lvl + 32) >> 6)
+            assert set(frame) == {v}
+        exp = [0, 0, 0]
+        for k in range(n):
+            for bx in range(8):
+                for by in range(8):
+                    exp[block_mode(doc_id, k, bx, by)] += 1
+        got = [dec["n_mode_v"], dec["n_mode_h"], dec["n_mode_dc"]]
+        assert got == exp
+
+
+def test_h264_emulation_prevention_round_trips():
+    """7.4.1.1: every 00 00 0x pattern gains a 03 on encode and loses
+    it on decode — pinned directly since the synthesized payloads
+    happen not to produce the pattern."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.h264_codec import (
+        _escape_rbsp,
+        _unescape_rbsp,
+    )
+
+    for raw in (
+        b"\x00\x00\x00",
+        b"\x00\x00\x01\x00\x00\x02",
+        b"\x00\x00\x03",
+        b"a\x00\x00\x00\x00\x01b",
+        bytes(range(256)) + b"\x00\x00\x00\x00",
+    ):
+        esc = _escape_rbsp(raw)
+        assert b"\x00\x00\x00" not in esc
+        assert b"\x00\x00\x01" not in esc
+        assert b"\x00\x00\x02" not in esc
+        assert _unescape_rbsp(esc) == raw
+
+
+def test_h264_subset_boundaries_fail_loudly():
+    """Streams outside the documented subset raise ValueError instead
+    of mis-decoding (the honest-boundary contract)."""
+    import pytest
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.h264_codec import (
+        decode_h264,
+        encode_h264,
+    )
+
+    with pytest.raises(ValueError):  # non-MB-aligned dims
+        encode_h264(30, 32, [1], 0)
+    data = bytearray(encode_h264(32, 32, [1], 0))
+    with pytest.raises(ValueError):  # garbage before the first start code
+        decode_h264(b"\xff" + bytes(data))
+    # flip the SPS profile_idc byte: baseline-only guard must fire
+    i = data.index(b"\x00\x00\x00\x01") + 5  # NAL header, then profile
+    data[i] = 100  # high profile
+    with pytest.raises(ValueError):
+        decode_h264(bytes(data))
+
+
+def test_h264_trailing_one_and_level_paths_both_decode():
+    """L == 1 exercises the CAVLC trailing-one sign path; L >= 2 the
+    level_prefix path with the TrailingOnes<3 |level|>=2 shift — both
+    must reconstruct their exact closed-form values."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.h264_codec import (
+        decode_h264,
+        encode_h264,
+    )
+
+    dec = decode_h264(encode_h264(32, 32, [1, 7, 2], 3))
+    vals = [set(f) for f in dec["frames"]]
+    assert vals == [{131}, {146}, {133}]
