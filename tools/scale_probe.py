@@ -70,6 +70,9 @@ PROBES = [
     "domain_mix_waterfill",  # r10: one per-source agg + tiny-frame rounds
     "corpus_epoch_schedule",  # r10: broadcast plan join + source-keyed cumsum
     "mm_video_fp_dedup",  # r10: Y4M kernel + fingerprint-keyed pair join
+    "mm_h264_intra_stats",  # r11: from-spec H.264 I-slice decode kernel
+    "epoch_schedule_incremental",  # r11: stored-scalar schedule refresh
+    "user_hourly_interpolate",  # r11: gap-fill (post running-frame rewrite)
 ]
 
 
