@@ -53,38 +53,57 @@ def test_semantic_dedup_recovers_planted_twins(spark):
 
 
 def test_semantic_pair_join_is_cluster_keyed(spark):
-    emb = _with_planted_twins(load_table(spark, SF_DIR, "embeddings"))
-    explained = semantic_dedup_pairs(emb)._jdf.queryExecution().executedPlan().toString()
-    # never a cartesian / nested-loop pair enumeration anywhere
-    assert "CartesianProduct" not in explained
-    assert "BroadcastNestedLoopJoin" not in explained
+    # Plan-shape assertions are about OUR plan, not whatever ambient
+    # session conf a previously-run suite left behind (the full-suite
+    # ordering flaked this test once in r11 while every standalone and
+    # chained rerun passed): pin the planner knobs for the inspection.
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled",
+                  "spark.sql.autoBroadcastJoinThreshold")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        emb = _with_planted_twins(load_table(spark, SF_DIR, "embeddings"))
+        explained = (
+            semantic_dedup_pairs(emb)._jdf.queryExecution().executedPlan().toString()
+        )
+        # never a cartesian / nested-loop pair enumeration anywhere
+        assert "CartesianProduct" not in explained
+        assert "BroadcastNestedLoopJoin" not in explained
 
-    # the PRE-barrier scored frame (what the checkpoint materializes):
-    # candidates come from the bucket-keyed LSH self-join and the
-    # 64-element integer fold lives in the projection, not any join
-    from pyspark.sql import functions as SF
-    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
-        _dot_q,
-        _lsh_scored_pairs,
-        kmeans_assignments,
-    )
+        # the PRE-barrier scored frame (what the checkpoint
+        # materializes): candidates come from the bucket-keyed LSH
+        # self-join and the 64-element integer fold lives in the
+        # projection, not any join
+        from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+            _dot_q,
+            _lsh_scored_pairs,
+            kmeans_assignments,
+        )
 
-    fin = (
-        kmeans_assignments(emb)
-        .withColumn("n2", _dot_q("xq", "xq"))
-        .localCheckpoint(eager=True)
-    )
-    plan = _lsh_scored_pairs(emb, fin)._jdf.queryExecution().executedPlan().toString()
-    assert "bucket" in plan  # the LSH bucket key reaches the join
-    assert "CartesianProduct" not in plan
-    join_lines = [
-        l for l in plan.splitlines()
-        if "SortMergeJoin" in l or "ShuffledHashJoin" in l
-        or "BroadcastHashJoin" in l
-    ]
-    assert join_lines, "expected keyed joins in the scored plan"
-    assert all("zip_with" not in l for l in join_lines)
-    assert plan.count("zip_with") == 1  # exactly one fold site
+        fin = (
+            kmeans_assignments(emb)
+            .withColumn("n2", _dot_q("xq", "xq"))
+            .localCheckpoint(eager=True)
+        )
+        plan = (
+            _lsh_scored_pairs(emb, fin)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "bucket" in plan  # the LSH bucket key reaches the join
+        assert "CartesianProduct" not in plan
+        join_lines = [
+            l for l in plan.splitlines()
+            if "SortMergeJoin" in l or "ShuffledHashJoin" in l
+            or "BroadcastHashJoin" in l
+        ]
+        assert join_lines, "expected keyed joins in the scored plan"
+        assert all("zip_with" not in l for l in join_lines)
+        assert plan.count("zip_with") == 1  # exactly one fold site
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 def test_registered_pairs_equal_exhaustive_within_cluster_pairs(spark):
