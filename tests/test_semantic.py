@@ -53,10 +53,19 @@ def test_semantic_dedup_recovers_planted_twins(spark):
 
 
 def test_semantic_pair_join_is_cluster_keyed(spark):
-    # Plan-shape assertions are about OUR plan, not whatever ambient
-    # session conf a previously-run suite left behind (the full-suite
-    # ordering flaked this test once in r11 while every standalone and
-    # chained rerun passed): pin the planner knobs for the inspection.
+    # Plan-shape assertions are about OUR plan, not whatever session
+    # state a previously-run suite left behind: (a) scoped caches from
+    # earlier tests make the CacheManager substitute InMemoryRelations
+    # whose RENDERED cached plans add extra `zip_with` strings to the
+    # tree text (the full-suite-only failure this guard fixes — the
+    # fold count read 5 with warm caches, 1 cold), so start cache-free;
+    # (b) pin the planner knobs for the inspection.
+    from csv_2_db_pipeline_data_engineering_spark.operators.lifecycle import (
+        release_scoped_caches,
+    )
+
+    release_scoped_caches()
+    spark.catalog.clearCache()
     saved = {
         k: spark.conf.get(k)
         for k in ("spark.sql.adaptive.enabled",
