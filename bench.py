@@ -123,6 +123,8 @@ HEADLINE = [
     # round-11: from-spec H.264 baseline I-slice decode (Annex-B NAL,
     # CAVLC, 4x4 intra prediction — the last media-decode class)
     "mm_h264_intra_stats",
+    # round-11: HDR-histogram quantile sketch (4th mergeable algebra)
+    "text_length_hdr_quantiles",
 ]
 
 

@@ -31,7 +31,7 @@ driver-mandated large-scale-pipeline extension (SURVEY.md §2.11).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
@@ -790,6 +790,272 @@ FROM exact, e_full, e_merged
 """
 
 
+# --- HDR-histogram quantile sketch (the 4th mergeable algebra) --------------
+#
+# CMS merges by ADDITION, Bloom by OR, HLL by register-MAX; the
+# order-statistics family completes the set: an HdrHistogram-style
+# log-linear integer bucketing (Tene's HdrHistogram; the same
+# bucket-count-addition merge DDSketch formalizes with a relative-error
+# guarantee, VLDB 2019) over per-doc token counts. Bucket index is
+# PURE INTEGER arithmetic — octave e = bit_length(x) plus a linear
+# subdivision of the octave into HDR_M sub-buckets — so both engines
+# compute bit-identical buckets (no log() boundary drift), the state
+# is bounded (<= 64 * HDR_M buckets for any int64 value), and the
+# merge is bucket-wise count addition: hist(h) + hist(d) = hist(h∪d)
+# EXACTLY, certified in-plan. Counts are exact and the bucketing is
+# monotone, so a quantile estimate is the lower bound of the bucket
+# holding the true order statistic: est <= exact < est + octave/HDR_M,
+# i.e. relative error < 1/HDR_M — the within_bound certificate column.
+#
+# 100 TB shape: the sketch build is a map-side partial count + one
+# O(buckets)-key shuffle (the CMS pattern); quantile extraction walks
+# the <= ~300-row histogram. The exact_tok column is the CERTIFICATE
+# witness (an exact distributed order statistic the oracle can check)
+# — production callers at scale read only the sketch estimates.
+
+HDR_M = 16  # sub-buckets per octave -> relative error < 1/16
+HDR_QS = (50, 90, 99)  # integer percents, exact rank arithmetic
+
+
+def hdr_rows(vals: DataFrame) -> DataFrame:
+    """(bucket, lo, cnt) histogram rows for a frame with long column
+    ``x`` — the persisted/mergeable sketch state."""
+    return (
+        vals.selectExpr(
+            "x", "CASE WHEN x <= 0 THEN 0 ELSE length(bin(x)) END AS e"
+        )
+        .selectExpr(
+            "x", "e",
+            "CASE WHEN e = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE shiftleft(CAST(1 AS BIGINT), e - 1) END AS p",
+        )
+        .selectExpr(
+            f"CASE WHEN e = 0 THEN 0"
+            f" ELSE e * {HDR_M} + CAST(((x - p) * {HDR_M}) DIV p AS INT)"
+            f" END AS bucket",
+            f"CASE WHEN e = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE p + ((((x - p) * {HDR_M}) DIV p) * p) DIV {HDR_M}"
+            f" END AS lo",
+        )
+        .groupBy("bucket", "lo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_hdr(*sketches: DataFrame) -> DataFrame:
+    """Bucket-wise count addition — hist(h) ⊕ hist(d) ≡ hist(h ∪ d)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket", "lo").agg(F.sum("cnt").alias("cnt"))
+
+
+def _doc_token_counts(docs: DataFrame) -> DataFrame:
+    return docs.select(F.size(F.split("text", " ")).cast("long").alias("x"))
+
+
+def _hdr_quantile_picks(hist: DataFrame, n_frame: DataFrame) -> DataFrame:
+    """(q, est_tok) per HDR_QS percent: the lower bound of the first
+    bucket whose exact cumulative count reaches rank ceil(q*N/100)."""
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    qs = cum.sparkSession.createDataFrame([(q,) for q in HDR_QS], "q int")
+    return (
+        cum.crossJoin(F.broadcast(n_frame))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 100 >= F.col("q") * F.col("n_docs"))
+        .groupBy("q")
+        .agg(F.min("lo").alias("est_tok"))
+    )
+
+
+def _exact_quantiles(vals: DataFrame, n_frame: DataFrame) -> DataFrame:
+    """(q, exact_tok): the exact order statistic at rank ceil(q*N/100)
+    from per-value counts (the certificate witness)."""
+    per_val = vals.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.withColumn("cum", F.sum("cnt").over(w))
+    qs = cum.sparkSession.createDataFrame([(q,) for q in HDR_QS], "q int")
+    return (
+        cum.crossJoin(F.broadcast(n_frame))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 100 >= F.col("q") * F.col("n_docs"))
+        .groupBy("q")
+        .agg(F.min("x").alias("exact_tok"))
+    )
+
+
+def text_length_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count quantiles from the HDR sketch, with the exact order
+    statistic, the relative-error certificate, and the merge-exactness
+    certificate — one hash-checked row per quantile.
+
+    Runs the addition-merge algebra in-plan on the incremental
+    convention (history = doc_id % 10 != 0, delta = % 10 == 0): the
+    quantiles are extracted from merge(hist(h), hist(d)) while the
+    merge certificate compares it bucket-by-bucket against a
+    from-scratch hist(h ∪ d) — a single mis-merged bucket flips
+    ``merge_identical`` (and usually an estimate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vals = scoped_cache(_doc_token_counts(docs))
+    full = hdr_rows(vals)
+    merged = merge_hdr(
+        hdr_rows(_doc_token_counts(docs.filter(F.col("doc_id") % 10 != 0))),
+        hdr_rows(_doc_token_counts(docs.filter(F.col("doc_id") % 10 == 0))),
+    )
+    n_frame = vals.agg(F.count(F.lit(1)).alias("n_docs"))
+    mism = (
+        full.withColumnRenamed("cnt", "cnt_full")
+        .join(merged.withColumnRenamed("cnt", "cnt_m"), ["bucket", "lo"], "full")
+        .agg(
+            F.sum(
+                F.when(
+                    F.coalesce("cnt_full", F.lit(-1))
+                    != F.coalesce("cnt_m", F.lit(-2)),
+                    1,
+                ).otherwise(0)
+            ).alias("n_mismatch"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
+    est = _hdr_quantile_picks(merged, n_frame)
+    exact = _exact_quantiles(vals, n_frame)
+    return (
+        est.join(exact, "q")
+        .crossJoin(F.broadcast(mism))
+        .crossJoin(F.broadcast(n_frame))
+        .select(
+            "q",
+            "est_tok",
+            "exact_tok",
+            # est = lo(bucket(exact)) <= exact < est + octave/M + 1
+            (
+                (F.col("est_tok") <= F.col("exact_tok"))
+                & (
+                    (F.col("exact_tok") - F.col("est_tok")) * F.lit(HDR_M)
+                    <= F.col("exact_tok")
+                )
+            ).alias("within_bound"),
+            (F.col("n_mismatch") == 0).alias("merge_identical"),
+            "n_buckets",
+            "n_docs",
+        )
+        .orderBy("q")
+    )
+
+
+def extend_hdr_index(docs: DataFrame, path: str, tag: str) -> None:
+    """Append ``docs``' histogram partials as the (overwrite-idempotent)
+    ``delta=<tag>`` partition of a persisted HDR index."""
+    import os
+
+    hdr_rows(_doc_token_counts(docs)).write.mode("overwrite").parquet(
+        os.path.join(path, f"delta={tag}")
+    )
+
+
+def read_hdr_index(spark: SparkSession, path: str) -> DataFrame | None:
+    """The merged histogram across all visible tags (None if empty)."""
+    from . import lsm
+
+    raw = lsm.read_visible(spark, path)
+    if raw is None:
+        return None
+    return merge_hdr(raw)
+
+
+def compact_hdr_index(spark: SparkSession, path: str) -> None:
+    """Fold visible tags into one base version — addition over tags IS
+    the merge (crash-safe versioned commit, single-compactor lock)."""
+    from . import lsm
+
+    lsm.compact(
+        spark,
+        path,
+        {
+            "": lambda df: df.groupBy("bucket", "lo").agg(
+                F.sum("cnt").alias("cnt")
+            )
+        },
+    )
+
+
+def _hdr_hist_sql(name: str, where: str) -> str:
+    return f"""{name} AS (
+  SELECT bucket, lo, COUNT(*) AS cnt FROM (
+    SELECT CASE WHEN e = 0 THEN 0
+                ELSE e * {HDR_M} + CAST(((x - p) * {HDR_M}) // p AS INT)
+           END AS bucket,
+           CASE WHEN e = 0 THEN 0
+                ELSE p + ((((x - p) * {HDR_M}) // p) * p) // {HDR_M}
+           END AS lo
+    FROM (
+      SELECT x, e,
+             CASE WHEN e = 0 THEN 0
+                  ELSE (CAST(1 AS BIGINT) << (e - 1)) END AS p
+      FROM (
+        SELECT x, CASE WHEN x <= 0 THEN 0
+                       ELSE length(bin(x)) END AS e
+        FROM vals {where}
+      )
+    )
+  ) GROUP BY bucket, lo
+)"""
+
+
+HDR_QUANTILES_ORACLE = f"""
+WITH vals AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+{_hdr_hist_sql("hfull", "")},
+{_hdr_hist_sql("hh", "WHERE doc_id % 10 != 0")},
+{_hdr_hist_sql("hd", "WHERE doc_id % 10 = 0")},
+hm AS (
+  SELECT bucket, lo, SUM(cnt) AS cnt
+  FROM (SELECT * FROM hh UNION ALL SELECT * FROM hd)
+  GROUP BY bucket, lo
+),
+mism AS (
+  SELECT SUM(CASE WHEN COALESCE(f.cnt, -1) != COALESCE(m.cnt, -2)
+             THEN 1 ELSE 0 END) AS n_mismatch,
+         COUNT(*) AS n_buckets
+  FROM hfull f FULL OUTER JOIN hm m USING (bucket, lo)
+),
+n AS (SELECT COUNT(*) AS n_docs FROM vals),
+qs AS (SELECT UNNEST({list(HDR_QS)}) AS q),
+cum AS (
+  SELECT bucket, lo,
+         SUM(cnt) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hm
+),
+est AS (
+  SELECT q, MIN(lo) AS est_tok
+  FROM cum CROSS JOIN n CROSS JOIN qs
+  WHERE cum * 100 >= q * n_docs GROUP BY q
+),
+vcum AS (
+  SELECT x, SUM(cnt) OVER (ORDER BY x
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT x, COUNT(*) AS cnt FROM vals GROUP BY x)
+),
+exact AS (
+  SELECT q, MIN(x) AS exact_tok
+  FROM vcum CROSS JOIN n CROSS JOIN qs
+  WHERE cum * 100 >= q * n_docs GROUP BY q
+)
+SELECT q, est_tok, exact_tok,
+       (est_tok <= exact_tok
+        AND (exact_tok - est_tok) * {HDR_M} <= exact_tok) AS within_bound,
+       n_mismatch = 0 AS merge_identical,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM est JOIN exact USING (q) CROSS JOIN mism CROSS JOIN n
+ORDER BY q
+"""
+
+
 QUERIES = [
     Query(
         "text_heavy_hitters_cms",
@@ -817,5 +1083,14 @@ QUERIES = [
         "estimate within the published error bound",
         text_distinct_hll,
         DISTINCT_HLL_ORACLE,
+    ),
+    Query(
+        "text_length_hdr_quantiles",
+        "HDR-histogram quantile sketch (4th mergeable algebra: "
+        "bucket-count addition; pure-integer log-linear buckets): "
+        "p50/p90/p99 token counts with exact-witness, relative-error "
+        "and merge-exactness certificates",
+        text_length_hdr_quantiles,
+        HDR_QUANTILES_ORACLE,
     ),
 ]

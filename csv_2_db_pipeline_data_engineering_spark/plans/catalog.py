@@ -268,6 +268,15 @@ class Query:
 # in-window; the VAD threshold logic stays pytest-pinned). All four
 # remain registered and locally oracle-checked.
 #
+# Mid-r11 swap: text_length_hdr_quantiles in (NEW: the 4th mergeable
+# sketch algebra — HDR-histogram order statistics with pure-integer
+# log-linear buckets, exact-witness + relative-error + merge-exactness
+# certificates); out goes text_heavy_hitters_cms (driver-green three
+# consecutive rounds r8-r10; the CMS build/probe algebra runs INSIDE
+# in-window text_heavy_hitters_incremental, and the broadcast-probe
+# shape stays via dedup_bloom_prefilter; stays registered + locally
+# checked).
+#
 # Mid-r11 swap: mm_h264_intra_stats in (NEW: from-spec H.264 baseline
 # I-slice decode — Annex-B NAL + emulation prevention, Exp-Golomb,
 # CAVLC with nC context, dequant + 4x4 inverse integer transform,
@@ -316,7 +325,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # LLM-pipeline: text analysis + hygiene.
     "text_vocab_zipf",  # NEW r9 window: vocabulary Zipf-law audit
     "text_span_strip",  # NEW r9 window: ExactSubstr span removal
-    "text_heavy_hitters_cms",  # NEW r8: count-min sketch (sketch family)
+    "text_length_hdr_quantiles",  # NEW r11: HDR quantile sketch (4th algebra)
     # Mid-r10: HyperLogLog in (NEW: the third mergeable-sketch merge
     # algebra — register-wise MAX — with merge-exactness + error-bound
     # certificates); out goes text_line_dedup (driver-green r7-r9; the

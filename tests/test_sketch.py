@@ -338,3 +338,60 @@ def test_hll_small_range_linear_counting_branch(spark):
     expected = round(HLL_M * math.log(HLL_M / (HLL_M - row["n_obs"])), 4)
     assert row["est"] == expected  # the linear-counting branch fired
     assert abs(row["est"] - n_exact) <= 0.15 * n_exact
+
+
+def test_hdr_index_fold_extend_compact_refold(spark, tmp_path):
+    """The HDR quantile sketch's persisted-index contract: extends are
+    O(delta) histogram partials, the addition-merge read equals a
+    from-scratch build, a crash-replayed extend does not double-count,
+    and compaction leaves the merged state identical."""
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        compact_hdr_index,
+        extend_hdr_index,
+        hdr_rows,
+        merge_hdr,
+        read_hdr_index,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "hdr")
+
+    def counts(df):
+        return {(r["bucket"], r["lo"]): r["cnt"] for r in df.collect()}
+
+    want = counts(
+        hdr_rows(docs.select(F.size(F.split("text", " ")).cast("long").alias("x")))
+    )
+    extend_hdr_index(hist, path, "base")
+    extend_hdr_index(delta, path, "b1")
+    got = counts(read_hdr_index(spark, path))
+    assert got == want  # fold(history, delta) == rebuild
+
+    extend_hdr_index(delta, path, "b1")  # crash replay: same tag
+    assert counts(read_hdr_index(spark, path)) == want
+
+    compact_hdr_index(spark, path)
+    assert counts(read_hdr_index(spark, path)) == want
+
+
+def test_hdr_quantile_certificates_hold(spark):
+    """Every emitted row must certify: estimate below the exact order
+    statistic by less than one sub-bucket (relative error < 1/HDR_M)
+    and the addition merge identical to the from-scratch histogram."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        text_length_hdr_quantiles,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = text_length_hdr_quantiles(spark, SF_DIR).collect()
+    assert [r["q"] for r in rows] == [50, 90, 99]
+    for r in rows:
+        assert r["within_bound"] and r["merge_identical"]
+        assert r["est_tok"] <= r["exact_tok"]
+        assert (r["exact_tok"] - r["est_tok"]) * 16 <= r["exact_tok"]
