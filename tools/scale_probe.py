@@ -73,6 +73,7 @@ PROBES = [
     "mm_h264_intra_stats",  # r11: from-spec H.264 I-slice decode kernel
     "epoch_schedule_incremental",  # r11: stored-scalar schedule refresh
     "user_hourly_interpolate",  # r11: gap-fill (post running-frame rewrite)
+    "text_length_hdr_quantiles",  # r11: HDR quantile sketch (4th algebra)
 ]
 
 
@@ -166,6 +167,29 @@ def generate_fact_tables(src: str, dst: str, copies: int) -> None:
         shutil.copy(f"{src}/{tbl}.parquet", f"{dst}/{tbl}.parquet")
 
 
+def generate_events(src: str, dst: str, copies: int) -> None:
+    """Scaled events: copy k offsets user_id (and event_id) — the
+    time-series queries window per user, so a bigger corpus means MORE
+    users with the same per-user activity shape, which is exactly how
+    an event stream grows."""
+    import duckdb
+
+    out = os.path.join(dst, "events.parquet")
+    if os.path.exists(out):
+        return
+    con = duckdb.connect()
+    n_users, n_events = con.sql(
+        f"SELECT MAX(user_id) + 1, MAX(event_id) + 1 FROM '{src}/events.parquet'"
+    ).fetchone()
+    con.sql(
+        f"COPY (SELECT t.* REPLACE (user_id + k.k * {n_users} AS user_id,"
+        f" event_id + k.k * {n_events} AS event_id)"
+        f" FROM '{src}/events.parquet' t"
+        f" CROSS JOIN (SELECT UNNEST(range({copies})) AS k) k)"
+        f" TO '{out}' (FORMAT parquet)"
+    )
+
+
 def generate(src: str, dst: str, copies: int, tables: set[str]) -> None:
     """Materialize the scaled tables (idempotent per table)."""
     import pandas as pd
@@ -175,6 +199,8 @@ def generate(src: str, dst: str, copies: int, tables: set[str]) -> None:
         generate_embeddings(src, dst, copies)
     if "facts" in tables:
         generate_fact_tables(src, dst, copies)
+    if "events" in tables:
+        generate_events(src, dst, copies)
     if "docs" not in tables:
         return
     out = os.path.join(dst, "documents.parquet")
