@@ -124,6 +124,20 @@ DOC_EMB_SCHEMA = T.StructType(
     ]
 )
 
+#: arriving-document schema WITH a source column — enables the
+#: incremental training-loader epoch schedule (the fold extends a
+#: persisted per-doc token index with each batch's SHIPPED kept docs;
+#: ``epoch_schedule_from_stream`` refreshes the repeat schedule from
+#: stored scalars only). Source ids must be the ``srcN`` form the
+#: waterfill cap derives from — malformed ids fail loudly at refresh.
+DOC_SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
 _MANIFEST = "_MANIFEST.json"
 TABLES = ("kept", "chunks", "dropped", "index")
 
@@ -147,6 +161,7 @@ LINE_INDEX_DIR = "line_index"
 BLOOM_INDEX_DIR = "bloom_index"
 SPAN_INDEX_DIR = "span_index"
 EMB_INDEX_DIR = "emb_index"
+EPOCH_INDEX_DIR = "epoch_index"
 
 
 def _span_index_committed(
@@ -379,6 +394,40 @@ def compact_emb_index_stream(spark: SparkSession, out_dir: str) -> None:
         {"buckets": None, "vecs": None},
         only_tags={f"batch{b}" for b in applied},
     )
+
+
+def compact_epoch_index_stream(spark: SparkSession, out_dir: str) -> None:
+    """LSM-compact the stream's epoch index (immutable per-doc token
+    scalars), same committed-only versioned commit as the other
+    stream indexes."""
+    from ..operators import lsm
+
+    applied = set(_read_manifest(out_dir)["applied"])
+    lsm.compact(
+        spark,
+        os.path.join(out_dir, EPOCH_INDEX_DIR),
+        {"": None},
+        only_tags={f"batch{b}" for b in applied},
+    )
+
+
+def epoch_schedule_from_stream(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The repeat schedule a training loader pulls after any number of
+    folds: waterfill + per-source fractional cumsum over the epoch
+    index's COMMITTED per-doc scalars — kept text is never re-read.
+    Raises if no source-bearing batch has committed yet."""
+    from ..operators.curation import epoch_schedule_from_rows
+
+    base = os.path.join(out_dir, EPOCH_INDEX_DIR)
+    tags = _committed_tags(base, out_dir, batch_id=-1)
+    if not tags:
+        raise ValueError(f"no committed epoch-index tags under {base}")
+    rows = (
+        spark.read.option("basePath", base)
+        .parquet(*[os.path.join(base, t) for t in tags])
+        .drop("delta")
+    )
+    return epoch_schedule_from_rows(rows).orderBy("doc_id")
 
 
 def _line_index_excluding(
@@ -685,6 +734,27 @@ def fold_curation_batch(
     extend_span_index(
         shipped_kept, os.path.join(out_dir, SPAN_INDEX_DIR), f"batch{batch_id}"
     )
+    # Epoch index (only when the arriving schema carries a source
+    # column): the batch's SHIPPED kept docs' (doc_id, source, n_tok)
+    # scalars extend the persisted per-doc token index O(delta) — the
+    # training-loader handoff. n_tok is the SHIPPED count (post
+    # boilerplate/span strip, blank-safe), i.e. the tokens the loader
+    # will actually draw; kept text is never re-tokenized at refresh.
+    # Same pre-commit write / committed-only read discipline as the
+    # other indexes (epoch_schedule_from_stream reads applied tags).
+    if "source" in batch_df.columns:
+        (
+            spark.read.parquet(_batch_dir(out_dir, "kept", batch_id))
+            .select("doc_id", "n_tok")
+            .join(batch_df.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", "n_tok")
+            .write.mode("overwrite")
+            .parquet(
+                os.path.join(
+                    out_dir, EPOCH_INDEX_DIR, f"delta=batch{batch_id}"
+                )
+            )
+        )
     # Embedding index: KEPT docs' vectors + their LSH bucket rows extend
     # the persisted index O(delta) — written pre-commit, READ
     # committed-only (_emb_index_committed), same replay discipline as

@@ -650,3 +650,58 @@ def test_streaming_gopher_gate_drops_structural_spam(spark, tmp_path):
     kept = {r["doc_id"] for r in read_curated(spark, out, "kept").collect()}
     assert dropped.get(2) == "gopher_quality"
     assert kept == {1}
+
+
+def test_streaming_epoch_schedule_refreshes_from_stored_scalars(spark, tmp_path):
+    """Source-bearing batches extend the epoch index with their SHIPPED
+    kept docs' token scalars; the refresh equals a from-scratch
+    schedule over the same kept rows, updates when a later batch
+    arrives, and survives compaction — kept text never re-read."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        epoch_schedule_from_rows,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.streaming.curation_stream import (
+        DOC_SRC_SCHEMA,
+        compact_epoch_index_stream,
+        epoch_schedule_from_stream,
+    )
+
+    out = str(tmp_path / "curated")
+    fresh = (
+        "seven golden apples fell from the tall tree and it was a sign of "
+        "the good harvest to come for the people of the small village inn"
+    )
+
+    def src_docs(rows):
+        return spark.createDataFrame(rows, DOC_SRC_SCHEMA)
+
+    fold_curation_batch(
+        spark, src_docs([(1, _BASE, "src1"), (2, _OTHER, "src2")]), out, 0
+    )
+    sched0 = epoch_schedule_from_stream(spark, out).collect()
+    assert {r["doc_id"] for r in sched0} == {1, 2}
+
+    # batch 1: a dup (dropped -> never scheduled) plus a fresh doc
+    fold_curation_batch(
+        spark, src_docs([(10, _BASE, "src1"), (12, fresh, "src3")]), out, 1
+    )
+    sched1 = epoch_schedule_from_stream(spark, out).collect()
+    assert {r["doc_id"] for r in sched1} == {1, 2, 12}  # dup 10 excluded
+
+    # rebuild-equivalence: the refresh over stored scalars equals the
+    # batch policy over the shipped kept rows (same n_tok source)
+    kept = read_curated(spark, out, "kept").select("doc_id", "n_tok")
+    srcs = spark.createDataFrame(
+        [(1, "src1"), (2, "src2"), (12, "src3")], "doc_id long, source string"
+    )
+    want = (
+        epoch_schedule_from_rows(
+            kept.join(srcs, "doc_id").select("doc_id", "source", "n_tok")
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert sched1 == want
+
+    compact_epoch_index_stream(spark, out)
+    assert epoch_schedule_from_stream(spark, out).collect() == sched1
