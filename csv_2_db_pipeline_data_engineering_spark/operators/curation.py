@@ -781,7 +781,9 @@ def domain_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cur = waterfill_alloc(load_table(spark, sf_dir, "documents"))
     micro = F.expr(
-        f"(alloc div n_tok) * {MICRO} + ((alloc % n_tok) * {MICRO}) div n_tok"
+        f"CASE WHEN n_tok = 0 THEN 0 ELSE"
+        f" (alloc div n_tok) * {MICRO}"
+        f" + ((alloc % n_tok) * {MICRO}) div n_tok END"
     ).cast("long")
     return cur.select(
         "source",
@@ -830,8 +832,8 @@ def _waterfill_sql(rounds: int = WATERFILL_ROUNDS) -> str:
         + ",\n".join(_waterfill_ctes(rounds))
         + f"""
 SELECT source, n_tok, epoch_cap, alloc AS alloc_tok,
-       CAST((alloc // n_tok) * {MICRO}
-            + ((alloc % n_tok) * {MICRO}) // n_tok AS BIGINT) AS micro_epochs,
+       CAST(CASE WHEN n_tok = 0 THEN 0 ELSE (alloc // n_tok) * {MICRO}
+            + ((alloc % n_tok) * {MICRO}) // n_tok END AS BIGINT) AS micro_epochs,
        alloc = cap_tok AS capped
 FROM a{rounds}
 ORDER BY source"""
@@ -870,16 +872,28 @@ def epoch_schedule_from_rows(rows: DataFrame) -> DataFrame:
     document text, so an index-backed caller pays O(stored scalars),
     not a corpus rescan."""
     rows = scoped_cache(rows)  # consumed twice: policy agg + schedule join
+    # n_tok = 0 guard: a source whose kept docs were all fully stripped
+    # (blank-safe SHIPPED counts can be 0) has nothing to schedule —
+    # without the CASE, `alloc div 0` is NULL under non-ANSI mode and
+    # the loader would receive NULL n_repeats instead of 0.
     plan = waterfill_alloc_from_rows(rows).select(
         "source",
-        F.expr("alloc div n_tok").cast("long").alias("full_epochs"),
-        F.expr("alloc % n_tok").cast("long").alias("rem_tok"),
+        F.expr("CASE WHEN n_tok = 0 THEN 0 ELSE alloc div n_tok END")
+        .cast("long")
+        .alias("full_epochs"),
+        F.expr("CASE WHEN n_tok = 0 THEN 0 ELSE alloc % n_tok END")
+        .cast("long")
+        .alias("rem_tok"),
     )
     w = (
         Window.partitionBy("source")
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the fractional pass picks token-bearing docs only: a 0-token doc
+    # adds nothing to the running sum, so `running <= rem_tok` alone
+    # would hand it a free (empty) repeat — including when rem_tok = 0
+    pick = (F.col("n_tok") > 0) & (F.col("running") <= F.col("rem_tok"))
     return (
         rows.join(F.broadcast(plan), "source")
         .withColumn("running", F.sum("n_tok").over(w))
@@ -887,13 +901,10 @@ def epoch_schedule_from_rows(rows: DataFrame) -> DataFrame:
             "doc_id",
             "source",
             "n_tok",
-            (
-                F.col("full_epochs")
-                + F.when(F.col("running") <= F.col("rem_tok"), 1).otherwise(0)
-            )
+            (F.col("full_epochs") + F.when(pick, 1).otherwise(0))
             .cast("long")
             .alias("n_repeats"),
-            (F.col("running") <= F.col("rem_tok")).alias("frac_pick"),
+            pick.alias("frac_pick"),
         )
     )
 
@@ -903,7 +914,9 @@ EPOCH_SCHEDULE_ORACLE = (
     + ",\n".join(_waterfill_ctes())
     + f""",
 plan AS (
-  SELECT source, alloc // n_tok AS full_epochs, alloc % n_tok AS rem_tok
+  SELECT source,
+         CASE WHEN n_tok = 0 THEN 0 ELSE alloc // n_tok END AS full_epochs,
+         CASE WHEN n_tok = 0 THEN 0 ELSE alloc % n_tok END AS rem_tok
   FROM a{WATERFILL_ROUNDS}
 ),
 d AS (
@@ -922,9 +935,9 @@ sched AS (
 )
 SELECT doc_id, source, n_tok,
        CAST(full_epochs
-            + CASE WHEN running <= rem_tok THEN 1 ELSE 0 END AS BIGINT)
+            + CASE WHEN n_tok > 0 AND running <= rem_tok THEN 1 ELSE 0 END AS BIGINT)
          AS n_repeats,
-       running <= rem_tok AS frac_pick
+       (n_tok > 0 AND running <= rem_tok) AS frac_pick
 FROM sched
 ORDER BY doc_id
 """
@@ -1018,16 +1031,16 @@ def epoch_schedule_from_index(spark: SparkSession, path: str) -> DataFrame:
 EPOCH_SCHEDULE_INCR_ORACLE = EPOCH_SCHEDULE_ORACLE.replace(
     """SELECT doc_id, source, n_tok,
        CAST(full_epochs
-            + CASE WHEN running <= rem_tok THEN 1 ELSE 0 END AS BIGINT)
+            + CASE WHEN n_tok > 0 AND running <= rem_tok THEN 1 ELSE 0 END AS BIGINT)
          AS n_repeats,
-       running <= rem_tok AS frac_pick
+       (n_tok > 0 AND running <= rem_tok) AS frac_pick
 FROM sched
 ORDER BY doc_id""",
     """SELECT doc_id, source, n_tok,
        CAST(full_epochs
-            + CASE WHEN running <= rem_tok THEN 1 ELSE 0 END AS BIGINT)
+            + CASE WHEN n_tok > 0 AND running <= rem_tok THEN 1 ELSE 0 END AS BIGINT)
          AS n_repeats,
-       running <= rem_tok AS frac_pick,
+       (n_tok > 0 AND running <= rem_tok) AS frac_pick,
        doc_id % 10 = 0 AS is_delta
 FROM sched
 ORDER BY doc_id""",

@@ -78,13 +78,40 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+#: grace period after which a lock file with no readable pid (a writer
+#: crashed between O_EXCL create and the holder-json write — a
+#: microsecond window, so any pid-less lock older than this is a
+#: corpse) is treated as stale and broken.
+LOCK_ORPHAN_GRACE_SEC = 10.0
+
+
+def _lock_is_stale(lock: str) -> bool:
+    holder: dict = {}
+    with contextlib.suppress(OSError, ValueError):
+        with open(lock, encoding="utf-8") as fh:
+            holder = json.load(fh)
+    pid = holder.get("pid")
+    if isinstance(pid, int):
+        return not _pid_alive(pid)
+    # no readable pid: stale only once the create->write window has
+    # LONG passed (an in-flight writer finishes it in microseconds)
+    with contextlib.suppress(OSError):
+        return time.time() - os.path.getmtime(lock) > LOCK_ORPHAN_GRACE_SEC
+    return True  # the file vanished underneath us: retry the create
+
+
 @contextlib.contextmanager
 def writer_lock(path: str, purpose: str = "compact"):
     """Advisory exclusive writer lock at the index root (O_EXCL create).
 
     Held for the duration of a compaction. A live holder makes the
-    second writer fail loudly; a holder whose pid is gone (crashed
-    compactor on this host) is broken and replaced.
+    second writer fail loudly; a stale lock (holder pid dead, or
+    pid-less past the orphan grace window) is broken and replaced.
+    Breaking is remove-then-create, so two breakers can race — the
+    post-create READBACK closes that window: each writer re-reads the
+    lock after writing its holder json, and only the one whose pid
+    survived proceeds (the loser raises WITHOUT removing the winner's
+    lock).
     """
     os.makedirs(path, exist_ok=True)
     lock = os.path.join(path, _LOCK)
@@ -93,29 +120,46 @@ def writer_lock(path: str, purpose: str = "compact"):
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
-            holder: dict = {}
-            with contextlib.suppress(OSError, ValueError):
-                with open(lock, encoding="utf-8") as fh:
-                    holder = json.load(fh)
-            pid = holder.get("pid")
-            if attempt == 0 and isinstance(pid, int) and not _pid_alive(pid):
+            if attempt == 0 and _lock_is_stale(lock):
                 # crashed writer: break the stale lock and retry once
                 with contextlib.suppress(OSError):
                     os.remove(lock)
                 continue
+            holder: dict = {}
+            with contextlib.suppress(OSError, ValueError):
+                with open(lock, encoding="utf-8") as fh:
+                    holder = json.load(fh)
             raise ConcurrentWriterError(
                 f"index root {path} is locked by writer {holder or '?'}; "
                 "a second concurrent compaction would corrupt the "
                 "versioned manifest — run one compactor per index"
             ) from None
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        json.dump({"pid": os.getpid(), "purpose": purpose,
+                   "ts": time.time()}, fh)
+    # readback guard: if a racing breaker deleted-and-recreated the
+    # lock between our create and now, the file no longer carries our
+    # pid — we LOST; raise without touching the winner's lock.
+    winner: dict = {}
+    with contextlib.suppress(OSError, ValueError):
+        with open(lock, encoding="utf-8") as fh:
+            winner = json.load(fh)
+    if winner.get("pid") != os.getpid():
+        raise ConcurrentWriterError(
+            f"index root {path}: lost the stale-lock takeover race to "
+            f"writer {winner or '?'}"
+        )
     try:
-        with os.fdopen(fd, "w", encoding="utf-8") as fh:
-            json.dump({"pid": os.getpid(), "purpose": purpose,
-                       "ts": time.time()}, fh)
         yield
     finally:
-        with contextlib.suppress(OSError):
-            os.remove(lock)
+        # remove only OUR lock (a racing breaker may own it by now)
+        mine: dict = {}
+        with contextlib.suppress(OSError, ValueError):
+            with open(lock, encoding="utf-8") as fh:
+                mine = json.load(fh)
+        if mine.get("pid") == os.getpid():
+            with contextlib.suppress(OSError):
+                os.remove(lock)
 
 
 def read_state(path: str) -> dict | None:

@@ -819,7 +819,19 @@ HDR_QS = (50, 90, 99)  # integer percents, exact rank arithmetic
 
 def hdr_rows(vals: DataFrame) -> DataFrame:
     """(bucket, lo, cnt) histogram rows for a frame with long column
-    ``x`` — the persisted/mergeable sketch state."""
+    ``x`` — the persisted/mergeable sketch state.
+
+    Two algebraically-identical sub-bucket forms keep every
+    intermediate inside int64 across the full long range: for octaves
+    e >= 5, p = 2^(e-1) is divisible by HDR_M = 16, so
+    ``((x-p)*M) div p`` == ``(x-p) div (p div M)`` — the division-first
+    form never multiplies (the naive multiply wraps for e >= 61); tiny
+    octaves (e < 5, x < 16) keep the multiply, whose operands are < 256.
+    """
+    sub = (
+        f"CASE WHEN e >= 5 THEN (x - p) DIV (p DIV {HDR_M})"
+        f" ELSE ((x - p) * {HDR_M}) DIV p END"
+    )
     return (
         vals.selectExpr(
             "x", "CASE WHEN x <= 0 THEN 0 ELSE length(bin(x)) END AS e"
@@ -831,10 +843,11 @@ def hdr_rows(vals: DataFrame) -> DataFrame:
         )
         .selectExpr(
             f"CASE WHEN e = 0 THEN 0"
-            f" ELSE e * {HDR_M} + CAST(((x - p) * {HDR_M}) DIV p AS INT)"
+            f" ELSE e * {HDR_M} + CAST({sub} AS INT)"
             f" END AS bucket",
             f"CASE WHEN e = 0 THEN CAST(0 AS BIGINT)"
-            f" ELSE p + ((((x - p) * {HDR_M}) DIV p) * p) DIV {HDR_M}"
+            f" WHEN e >= 5 THEN p + ({sub}) * (p DIV {HDR_M})"
+            f" ELSE p + (({sub}) * p) DIV {HDR_M}"
             f" END AS lo",
         )
         .groupBy("bucket", "lo")
@@ -981,13 +994,18 @@ def compact_hdr_index(spark: SparkSession, path: str) -> None:
 
 
 def _hdr_hist_sql(name: str, where: str) -> str:
+    sub = (
+        f"CASE WHEN e >= 5 THEN (x - p) // (p // {HDR_M})"
+        f" ELSE ((x - p) * {HDR_M}) // p END"
+    )
     return f"""{name} AS (
   SELECT bucket, lo, COUNT(*) AS cnt FROM (
     SELECT CASE WHEN e = 0 THEN 0
-                ELSE e * {HDR_M} + CAST(((x - p) * {HDR_M}) // p AS INT)
+                ELSE e * {HDR_M} + CAST({sub} AS INT)
            END AS bucket,
            CASE WHEN e = 0 THEN 0
-                ELSE p + ((((x - p) * {HDR_M}) // p) * p) // {HDR_M}
+                WHEN e >= 5 THEN p + ({sub}) * (p // {HDR_M})
+                ELSE p + (({sub}) * p) // {HDR_M}
            END AS lo
     FROM (
       SELECT x, e,

@@ -746,7 +746,14 @@ def fold_curation_batch(
         (
             spark.read.parquet(_batch_dir(out_dir, "kept", batch_id))
             .select("doc_id", "n_tok")
-            .join(batch_df.select("doc_id", "source"), "doc_id")
+            # dropDuplicates: a replayed/duplicated source row would
+            # otherwise fan the kept row out and double-count the doc's
+            # tokens in the persisted index (the exact-dup gate keeps
+            # ONE row, but the raw batch side may carry several)
+            .join(
+                batch_df.select("doc_id", "source").dropDuplicates(["doc_id"]),
+                "doc_id",
+            )
             .select("doc_id", "source", "n_tok")
             .write.mode("overwrite")
             .parquet(

@@ -361,3 +361,22 @@ def test_epoch_index_extend_refresh_equals_rebuild(spark, tmp_path):
 
     compact_epoch_index(spark, path)
     assert epoch_schedule_from_index(spark, path).collect() == want
+
+
+def test_zero_token_source_schedules_zero_repeats_not_null(spark):
+    """A source whose kept docs were all fully stripped (shipped n_tok
+    0) must schedule 0 repeats for its docs — never NULL from the
+    0-div-0 the unguarded `alloc div n_tok` would produce."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        epoch_schedule_from_rows,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, "src1", 40), (2, "src1", 60), (3, "src2", 0), (4, "src2", 0)],
+        "doc_id long, source string, n_tok long",
+    )
+    out = {r["doc_id"]: r for r in epoch_schedule_from_rows(rows).collect()}
+    assert out[3]["n_repeats"] == 0 and out[4]["n_repeats"] == 0
+    assert not out[3]["frac_pick"] and not out[4]["frac_pick"]
+    assert all(r["n_repeats"] is not None for r in out.values())
+    assert out[1]["n_repeats"] >= 1  # the live source still schedules

@@ -395,3 +395,33 @@ def test_hdr_quantile_certificates_hold(spark):
         assert r["within_bound"] and r["merge_identical"]
         assert r["est_tok"] <= r["exact_tok"]
         assert (r["exact_tok"] - r["est_tok"]) * 16 <= r["exact_tok"]
+
+
+def test_hdr_buckets_exact_across_the_full_long_range(spark):
+    """The division-first sub-bucket form must stay int64-exact and
+    monotone up to the top octave (the naive multiply wraps at
+    bit_length >= 61), and equal the multiply form where both are
+    exact."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        HDR_M,
+        hdr_rows,
+    )
+
+    xs = [0, 1, 15, 16, 17, 1023, 2**40 + 12345, 2**60 + 7, 2**62 + 99,
+          2**63 - 1]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {r["lo"]: r["bucket"] for r in hdr_rows(df).collect()}
+
+    def py_bucket(x):
+        if x <= 0:
+            return 0, 0
+        e = x.bit_length()
+        p = 1 << (e - 1)
+        sub = (x - p) * HDR_M // p  # exact in Python bigints
+        return e * HDR_M + sub, p + sub * p // HDR_M
+    for x in xs:
+        b, lo = py_bucket(x)
+        assert got[lo] == b and b >= 0 and lo >= 0, (x, b, lo)
+    # monotone: sorted los carry sorted buckets
+    los = sorted(got)
+    assert [got[lo] for lo in los] == sorted(got.values())

@@ -19,12 +19,14 @@ scales) and prints one JSON line.
 The 100x run (VERDICT r8 #6) probes the two heaviest families plus the
 semantic family's linear-scale path:
   python tools/scale_probe.py --copies 100 --reps 2 --tables docs,emb \\
-      --probes dedup_exact_substring,dedup_semantic_kmeans,dedup_embedding_cosine
-dedup_semantic_kmeans runs its k ∝ n regime, whose assignment term is
-O(n·k) = O(n²/650) — measured here so the law is on record, with the
-sign-LSH routed dedup_embedding_cosine measured alongside as the
-linear path a 100 TB corpus actually takes (same family, ~99.9% recall
-contract).
+      --probes dedup_exact_substring,dedup_semantic_kmeans_kprop,dedup_embedding_cosine
+dedup_semantic_kmeans_kprop (a CUSTOM_PROBES builder) runs the
+PUBLISHED k ∝ n regime, whose assignment term is O(n·k) = O(n²/650) —
+measured so the law is on record (DNF at 100x); probing
+``dedup_semantic_kmeans`` by its catalog name measures the REGISTERED
+r11 form (fixed cluster budget + sign-LSH within-cluster verify,
+17.0x at 100x), with the sign-LSH routed dedup_embedding_cosine
+measured alongside (~99.4% per-pair recall contract).
 """
 
 from __future__ import annotations
@@ -229,7 +231,7 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=DEFAULT_COPIES)
     ap.add_argument("--probes", type=str, default=None,
                     help="comma-separated probe names (default: full list)")
-    ap.add_argument("--tables", type=str, default="docs,emb,facts",
+    ap.add_argument("--tables", type=str, default="docs,emb,facts,events",
                     help="which scaled tables to generate")
     args = ap.parse_args()
     probes = args.probes.split(",") if args.probes else PROBES
