@@ -125,6 +125,8 @@ HEADLINE = [
     "mm_h264_intra_stats",
     # round-11: HDR-histogram quantile sketch (4th mergeable algebra)
     "text_length_hdr_quantiles",
+    # round-11: incremental ANN serving (persisted history index)
+    "ann_incremental_serve",
 ]
 
 

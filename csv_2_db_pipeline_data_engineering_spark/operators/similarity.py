@@ -504,6 +504,190 @@ FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY query_id
 """
 
 
+# --- incremental ANN serving (persisted history index + arriving queries) ---
+#
+# The ANN queries above index and query ONE static corpus; a serving
+# deployment is incremental — the corpus grows (new documents embed and
+# join the index) while queries keep arriving. This family member
+# serves arriving queries against a PERSISTED history index: the
+# index is the (bucket rows, vectors) pair the LSH route needs, stored
+# as tagged O(delta) extends on the shared versioned-commit machinery
+# (``operators.lsm``: crash-safe compaction, single-compactor lock),
+# so indexing work per batch is Θ(batch · tables) hashing + one
+# partition append — history vectors are never re-hashed. Serving is
+# the standard route: probe the query's L buckets, dedupe candidates,
+# exact-cosine verify, top-k — the scored join touches only
+# bucket-sharing candidates, never the corpus.
+#
+# The registered query runs the algebra in-plan on the repo convention
+# (history = vec_id % 10 != 0, arriving queries = % 10 == 0) and emits
+# the recall certificate vs the exact brute-force top-k over the same
+# history (the ``ann_lsh_certified`` pattern; floors hold with margin —
+# measured min per-query recall 0.20/0.40/0.20 and macro 0.72-0.80 at
+# sf 0.001/0.01/0.1 under the seeded 16x5 family, deterministic). The
+# disk round trip (extend/read/compact, serve-from-disk ≡ in-plan) is
+# pytest-verified.
+
+
+def _norm_of(corpus: DataFrame) -> DataFrame:
+    """(vec_id, v, norm) for any (vec_id, embedding) frame."""
+    e = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+def ann_index_frames(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(bucket rows, vectors) — the persisted-index content for a
+    corpus frame: one Arrow matmul per batch hashes every vector into
+    its L per-table buckets."""
+    e = _norm_of(corpus)
+    b = _table_buckets(e.select("vec_id", "v"), hyperplanes()).select(
+        "vec_id", "t", "bucket"
+    )
+    return b, e
+
+
+def ann_serve_topk(
+    queries: DataFrame, buckets: DataFrame, vecs: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Top-k neighbors per arriving query against a history index.
+
+    Only (vec_id, t, bucket) scalar rows enter the candidate join (the
+    query side broadcasts); candidate ids dedupe BEFORE the verify, so
+    each (query, candidate) pair is scored once against the stored
+    vector."""
+    qe = _norm_of(queries)
+    qb = _table_buckets(qe.select("vec_id", "v"), hyperplanes()).select(
+        F.col("vec_id").alias("query_id"), "t", "bucket"
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), ["t", "bucket"])
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = qe.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _exact_topk_against(
+    queries: DataFrame, vecs: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact brute-force top-k of ``queries`` against a history frame —
+    the certificate witness (documented test-scale oracle; production
+    reads only the served estimates)."""
+    q = _norm_of(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = vecs.crossJoin(F.broadcast(q)).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ann_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered incremental-ANN certificate: arriving queries served
+    against the history index, per-query recall vs exact brute force
+    over the same history, floors as in ``ann_lsh_certified``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 10 != 0)
+    qs = emb.filter(F.col("vec_id") % 10 == 0)
+    buckets, vecs = ann_index_frames(hist)
+    vecs = scoped_cache(vecs)
+    approx = ann_serve_topk(qs, buckets, vecs)
+    truth = _exact_topk_against(qs, vecs)
+    hits = (
+        truth.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    all_q = qs.select(F.col("vec_id").alias("query_id"))
+    recall = F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(TOP_K)
+    per_q = all_q.join(hits, "query_id", "left").select(
+        "query_id", recall.alias("recall")
+    )
+    macro = per_q.agg(F.avg("recall").alias("macro_recall"))
+    return (
+        per_q.join(F.broadcast(macro))
+        .select(
+            "query_id",
+            F.lit(TOP_K).alias("k"),
+            (F.col("recall") >= PER_QUERY_RECALL_FLOOR).alias("recall_ok"),
+            (F.col("macro_recall") >= MACRO_RECALL_FLOOR).alias("macro_recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def extend_ann_index(corpus: DataFrame, path: str, tag: str) -> None:
+    """O(delta) tagged extend of the persisted ANN index (bucket rows +
+    vectors as two sub-tables; overwrite-idempotent per tag)."""
+    import os
+
+    b, e = ann_index_frames(corpus)
+    b.write.mode("overwrite").parquet(
+        os.path.join(path, "buckets", f"delta={tag}")
+    )
+    e.write.mode("overwrite").parquet(
+        os.path.join(path, "vecs", f"delta={tag}")
+    )
+
+
+def read_ann_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """(bucket rows, vectors) across all visible tags (None if empty)."""
+    from . import lsm
+
+    b = lsm.read_visible(spark, path, "buckets")
+    e = lsm.read_visible(spark, path, "vecs")
+    if b is None or e is None:
+        return None
+    return b, e
+
+
+def compact_ann_index(spark: SparkSession, path: str) -> None:
+    """Fold visible tags into one base version (rows immutable per
+    vector; crash-safe versioned commit, single-compactor lock)."""
+    from . import lsm
+
+    lsm.compact(spark, path, {"buckets": None, "vecs": None})
+
+
+ANN_INCR_ORACLE = f"""
+SELECT vec_id AS query_id, {TOP_K} AS k,
+       TRUE AS recall_ok, TRUE AS macro_recall_ok
+FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id
+"""
+
+
 # --- PCA top component via integer power iteration -------------------------
 
 # Quantization grid for the exact power iteration: embeddings land on
@@ -691,6 +875,11 @@ QUERIES = [
           "product-quantization codec (8x16 codebooks, 128x compression) "
           "+ reconstruction-error certificate",
           ann_pq_certified, PQ_CERT_ORACLE),
+    Query("ann_incremental_serve",
+          "incremental ANN serving: arriving queries vs the persisted "
+          "history index (O(delta) extends; bucket-probe + exact verify "
+          "+ top-k) with the per-query/macro recall certificate",
+          ann_incremental_serve, ANN_INCR_ORACLE),
     Query("ann_lsh_neighbors", "sign-LSH bucketed ANN raw neighbor list",
           ann_lsh_bucketed, None),
     Query("ann_ivf_neighbors", "IVF ANN raw neighbor list",

@@ -268,6 +268,16 @@ class Query:
 # in-window; the VAD threshold logic stays pytest-pinned). All four
 # remain registered and locally oracle-checked.
 #
+# Late-r11 swap: ann_incremental_serve in (NEW: incremental ANN
+# serving — arriving queries against the persisted history index with
+# O(delta) extends and the per-query/macro recall certificate;
+# restores an ANN-family member to the window after ann_ivf rotated
+# out in r10); out goes graph_pagerank_trade (driver-green three
+# consecutive rounds r8-r10; the graph family keeps
+# graph_triangle_count in-window and the fixed-iteration
+# integer-iterate shape stays via embedding_kmeans_iter +
+# embedding_linear_probe; stays registered + locally checked).
+#
 # Mid-r11 swap: text_length_hdr_quantiles in (NEW: the 4th mergeable
 # sketch algebra — HDR-histogram order statistics with pure-integer
 # log-linear buckets, exact-witness + relative-error + merge-exactness
@@ -359,7 +369,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_snapshot_diff",  # NEW r8: release-diff audit (lifecycle family)
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
-    "graph_pagerank_trade",  # NEW r8: iterative integer PageRank
+    "ann_incremental_serve",  # NEW r11: incremental ANN serving certificate
     "graph_triangle_count",  # NEW r9 window: triangle counting
     "promo_revenue_share",  # NEW r10 window: Q14-shape promo share (r8 tail)
     "top_revenue_supplier",  # NEW r10 window: Q15-shape view-equivalent topk

@@ -87,3 +87,49 @@ def test_pca_power_finds_planted_dominant_direction(spark):
     assert peak["dim"] == 3 and abs(peak["loading"]) == PCA_SCALE
     # explained share of a 1-D dominated cloud is far above uniform 1/8
     assert by_dim[0]["explained_share"] > 0.5
+
+
+def test_ann_index_extend_serve_equals_inplan_rebuild(spark, tmp_path):
+    """The persisted ANN index contract: serve-from-disk equals the
+    in-plan build over the same history, an extend changes results
+    exactly as a rebuild over the grown history would, a crash-replayed
+    extend does not double-serve, and compaction is invariant."""
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.similarity import (
+        ann_index_frames,
+        ann_serve_topk,
+        compact_ann_index,
+        extend_ann_index,
+        read_ann_index,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    hist1 = emb.filter((F.col("vec_id") % 10 != 0) & (F.col("vec_id") % 3 != 0))
+    hist2 = emb.filter((F.col("vec_id") % 10 != 0) & (F.col("vec_id") % 3 == 0))
+    qs = emb.filter(F.col("vec_id") % 10 == 0).limit(10)
+    path = str(tmp_path / "ann_idx")
+
+    def serve(b, v):
+        return sorted(
+            tuple(r) for r in ann_serve_topk(qs, b, v).collect()
+        )
+
+    extend_ann_index(hist1, path, "base")
+    got1 = serve(*read_ann_index(spark, path))
+    want1 = serve(*ann_index_frames(hist1))
+    assert got1 == want1 and got1  # disk == in-plan, non-vacuous
+
+    extend_ann_index(hist2, path, "b1")
+    got2 = serve(*read_ann_index(spark, path))
+    want2 = serve(*ann_index_frames(hist1.unionByName(hist2)))
+    assert got2 == want2  # extend == rebuild over grown history
+    assert got2 != got1  # the new history actually changed neighbors
+
+    extend_ann_index(hist2, path, "b1")  # crash replay: same tag
+    assert serve(*read_ann_index(spark, path)) == want2
+
+    compact_ann_index(spark, path)
+    assert serve(*read_ann_index(spark, path)) == want2
