@@ -348,11 +348,12 @@ def encode_h264(
                     bx, by = mbx * 4 + x4, mby * 4 + y4
                     mode = block_mode(doc_id, k, bx, by)
                     modes[by][bx] = mode
-                    pred = (
-                        2
-                        if bx == 0 or by == 0
-                        else min(modes[by][bx - 1], modes[by - 1][bx])
-                    )
+                    # 8.3.1.1: an UNAVAILABLE neighbour contributes DC
+                    # (2); an available one contributes its own mode —
+                    # min(modeA_or_2, modeB_or_2), not a flat 2 at edges
+                    mode_a = modes[by][bx - 1] if bx > 0 else 2
+                    mode_b = modes[by - 1][bx] if by > 0 else 2
+                    pred = min(mode_a, mode_b)
                     if mode == pred:
                         w.u(1, 1)  # prev_intra4x4_pred_mode_flag
                     else:
@@ -501,11 +502,10 @@ def decode_h264(data: bytes) -> dict:
                     for i in range(16):
                         x4, y4 = _ZSCAN[i]
                         bx, by = mbx * 4 + x4, mby * 4 + y4
-                        pred = (
-                            2
-                            if bx == 0 or by == 0
-                            else min(modes[by][bx - 1], modes[by - 1][bx])
-                        )
+                        # 8.3.1.1 predictor, mirroring the encoder
+                        mode_a = modes[by][bx - 1] if bx > 0 else 2
+                        mode_b = modes[by - 1][bx] if by > 0 else 2
+                        pred = min(mode_a, mode_b)
                         if r.u(1):
                             mode = pred
                         else:

@@ -20,8 +20,14 @@ mix. A stale pending version from a crashed attempt is invisible (not
 the active base) and is overwritten by the next attempt.
 
 State file ``_BASE.json`` at the index root:
-``{"v": N, "base": "base_vN", "folded": ["tag", ...]}`` — readers see
-the active base version plus every extend tag NOT in ``folded``.
+``{"v": N, "base": "base_vN_w<pid>", "folded": ["tag", ...]}`` —
+readers see the active base version plus every extend tag NOT in
+``folded``. The base directory name is WRITER-UNIQUE (version number +
+writer id): even if two compactors ever run concurrently past the
+advisory lock, each writes its own ``delta=base_v{N}_w{pid}`` and the
+loser's ``mode=overwrite`` can never clobber the winner's committed
+base files — the conditional manifest swap is the single arbiter of
+which one becomes visible.
 ``folded`` is never pruned: a tag's dir may be re-created by a
 crash-replayed extend after its rows were folded into the base, and
 the exclusion is what keeps that replay idempotent instead of
@@ -32,19 +38,21 @@ interleave safely by construction: each writes its own ``delta=<tag>``
 dir and ``visible_tags`` surfaces any non-folded tag whenever it
 appears, so an extend landing during a compaction simply stays visible
 (its tag was not in the fold snapshot). What must be exclusive is the
-COMPACT itself (two compactions would both write ``base_v{N+1}`` and
-the losing state swap would silently drop the winner's folded set) and
-same-tag extend replays (the caller's idempotence contract, e.g. one
-streaming query per out_dir). ``compact`` therefore (a) takes an
-advisory exclusive ``_WRITER.lock`` at the index root — a second
-concurrent compactor fails LOUDLY with ``ConcurrentWriterError``
-instead of corrupting the manifest; a lock whose recorded pid is dead
-(crashed writer, same host) is broken automatically — and (b) commits
-with a CONDITIONAL manifest swap: if ``_BASE.json`` changed between
-the fold snapshot and the commit, the swap is refused. On a real
-cluster the lock file maps to the storage layer's conditional-put /
-lease primitive (S3 If-None-Match, HDFS lease); the local-path form is
-the same protocol.
+COMPACT itself (two compactions racing to commit would drop one
+writer's folded set) and same-tag extend replays (the caller's
+idempotence contract, e.g. one streaming query per out_dir).
+``compact`` therefore layers three defenses: (a) an advisory
+exclusive ``_WRITER.lock`` at the index root — a second concurrent
+compactor fails LOUDLY with ``ConcurrentWriterError``; a lock whose
+recorded pid is dead (crashed writer, same host) is broken via an
+atomic rename-steal with holder verification — (b) WRITER-UNIQUE base
+directories (``base_v{N}_w{pid}``), so even two writers racing past
+the lock can never overwrite each other's base files, and (c) a
+CONDITIONAL manifest swap: if ``_BASE.json`` changed between the fold
+snapshot and the commit, the swap is refused and the loser's pending
+dirs are deleted. On a real cluster the lock file maps to the storage
+layer's conditional-put / lease primitive (S3 If-None-Match, HDFS
+lease); the local-path form is the same protocol.
 """
 
 from __future__ import annotations
@@ -85,11 +93,15 @@ def _pid_alive(pid: int) -> bool:
 LOCK_ORPHAN_GRACE_SEC = 10.0
 
 
-def _lock_is_stale(lock: str) -> bool:
+def _read_holder(lock: str) -> dict:
     holder: dict = {}
     with contextlib.suppress(OSError, ValueError):
         with open(lock, encoding="utf-8") as fh:
             holder = json.load(fh)
+    return holder
+
+
+def _holder_is_stale(holder: dict, lock: str) -> bool:
     pid = holder.get("pid")
     if isinstance(pid, int):
         return not _pid_alive(pid)
@@ -107,11 +119,19 @@ def writer_lock(path: str, purpose: str = "compact"):
     Held for the duration of a compaction. A live holder makes the
     second writer fail loudly; a stale lock (holder pid dead, or
     pid-less past the orphan grace window) is broken and replaced.
-    Breaking is remove-then-create, so two breakers can race — the
-    post-create READBACK closes that window: each writer re-reads the
-    lock after writing its holder json, and only the one whose pid
-    survived proceeds (the loser raises WITHOUT removing the winner's
-    lock).
+    Breaking is ATOMIC: the breaker renames the lock to a
+    breaker-unique corpse name — exactly one racing breaker wins the
+    rename (losers get ENOENT and retry the O_EXCL create) — and then
+    verifies the CORPSE it now exclusively owns really carries the
+    dead holder it judged stale. If a live writer replaced the stale
+    lock between the staleness read and the rename, the corpse carries
+    the live pid: the breaker restores it via ``os.link`` (atomic
+    create-if-absent, never clobbers a newer lock) and fails loudly.
+    A post-create READBACK remains as the final guard: only the writer
+    whose pid survives in the lock proceeds. Committed DATA never
+    depends on this lock alone — writer-unique base directories plus
+    the conditional manifest swap in :func:`compact` keep a racing
+    writer from overwriting a committed base even if both hold locks.
     """
     os.makedirs(path, exist_ok=True)
     lock = os.path.join(path, _LOCK)
@@ -120,15 +140,31 @@ def writer_lock(path: str, purpose: str = "compact"):
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
-            if attempt == 0 and _lock_is_stale(lock):
-                # crashed writer: break the stale lock and retry once
+            holder = _read_holder(lock)
+            if attempt == 0 and _holder_is_stale(holder, lock):
+                # crashed writer: steal the lock atomically via rename
+                corpse = f"{lock}.broken.{os.getpid()}.{time.time_ns()}"
+                try:
+                    os.rename(lock, corpse)
+                except OSError:
+                    continue  # another breaker won; retry the create
+                stolen = _read_holder(corpse)
+                pid = stolen.get("pid")
+                if isinstance(pid, int) and _pid_alive(pid):
+                    # the stale lock was replaced by a LIVE writer's
+                    # between our read and the rename: restore theirs
+                    # (link = create-if-absent) and lose loudly
+                    with contextlib.suppress(OSError):
+                        os.link(corpse, lock)
+                    with contextlib.suppress(OSError):
+                        os.remove(corpse)
+                    raise ConcurrentWriterError(
+                        f"index root {path} is locked by live writer "
+                        f"{stolen}; refusing to break"
+                    ) from None
                 with contextlib.suppress(OSError):
-                    os.remove(lock)
+                    os.remove(corpse)
                 continue
-            holder: dict = {}
-            with contextlib.suppress(OSError, ValueError):
-                with open(lock, encoding="utf-8") as fh:
-                    holder = json.load(fh)
             raise ConcurrentWriterError(
                 f"index root {path} is locked by writer {holder or '?'}; "
                 "a second concurrent compaction would corrupt the "
@@ -248,7 +284,10 @@ def compact(
         if not any(not t.startswith("base_v") for t in fold):
             return  # nothing new to fold
         n = (state["v"] + 1) if state else 1
-        new_base = f"base_v{n}"
+        # writer-unique base dir: a losing concurrent compactor writes
+        # base_v{n}_w{its pid} and can never overwrite-clobber a
+        # committed base; the manifest records the exact dir name
+        new_base = f"base_v{n}_w{os.getpid()}"
         for sub, agg in subs.items():
             d = os.path.join(path, sub) if sub else path
             src = [
@@ -267,11 +306,18 @@ def compact(
         )
         # CONDITIONAL swap: refuse the commit if the manifest moved
         # between the fold snapshot and now (a writer that bypassed the
-        # advisory lock) — the pending base_v{n} stays invisible.
+        # advisory lock). The pending base dirs are OURS by name
+        # (writer-unique), so best-effort delete them before raising —
+        # a refused commit leaves no unbounded orphan on disk.
         if read_state(path) != state:
+            for sub in subs:
+                d = os.path.join(path, sub) if sub else path
+                shutil.rmtree(
+                    os.path.join(d, f"delta={new_base}"), ignore_errors=True
+                )
             raise ConcurrentWriterError(
                 f"index root {path}: manifest changed during compaction; "
-                "refusing the commit (pending version left invisible)"
+                "refusing the commit (pending version deleted)"
             )
         # COMMIT: one atomic state replace — readers flip from (old base +
         # folded tags) to (new base) in a single step

@@ -81,5 +81,9 @@ def upsert_parquet(df: DataFrame, path: str, key: str) -> int:
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
+    # drop the session's cached file listing for the rewritten path: a
+    # reader that scanned it before this upsert would otherwise fail on
+    # the replaced part files (FAILED_READ_FILE.FILE_NOT_EXIST)
+    spark.catalog.refreshByPath(path)
     logger.info("Upserted into %s: %d total rows", path, count)
     return count

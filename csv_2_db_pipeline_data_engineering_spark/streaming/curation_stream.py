@@ -573,6 +573,31 @@ def fold_curation_batch(
         _commit_manifest(out_dir, {"applied": manifest["applied"] + [batch_id]})
         return
 
+    # One row per doc_id BEFORE any gate: a source replaying the same
+    # doc_id twice in one batch would otherwise fan out through every
+    # doc_id-keyed join downstream (2 identical arrivals measured 4
+    # kept rows — double-counted tokens in every index). Pure replays
+    # (identical payloads) collapse; CONFLICTING payloads for one
+    # doc_id fail loudly — the raise is embedded in the kept column so
+    # column pruning can't drop it.
+    def _one_per_doc(c: str):
+        return (
+            F.when(F.min(c) == F.max(c), F.min(c))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"conflicting {c} values in one batch for doc_id "),
+                        F.col("doc_id").cast("string"),
+                    )
+                )
+            )
+            .alias(c)
+        )
+
+    batch_df = batch_df.groupBy("doc_id").agg(
+        *[_one_per_doc(c) for c in batch_df.columns if c != "doc_id"]
+    )
+
     raw_docs = batch_df.select("doc_id", "text")
     # C4-style pre-clean: strip lines the accumulated line index has
     # seen in >= STREAM_LINE_DF docs (and within-doc repeats) BEFORE
@@ -746,14 +771,11 @@ def fold_curation_batch(
         (
             spark.read.parquet(_batch_dir(out_dir, "kept", batch_id))
             .select("doc_id", "n_tok")
-            # dropDuplicates: a replayed/duplicated source row would
-            # otherwise fan the kept row out and double-count the doc's
-            # tokens in the persisted index (the exact-dup gate keeps
-            # ONE row, but the raw batch side may carry several)
-            .join(
-                batch_df.select("doc_id", "source").dropDuplicates(["doc_id"]),
-                "doc_id",
-            )
+            # batch_df is one-row-per-doc_id by the entrance collapse
+            # (pure replays merged, conflicting payloads raised), so
+            # this join cannot fan the kept row out or double-count the
+            # doc's tokens in the persisted index
+            .join(batch_df.select("doc_id", "source"), "doc_id")
             .select("doc_id", "source", "n_tok")
             .write.mode("overwrite")
             .parquet(

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from csv_2_db_pipeline_data_engineering_spark.operators import lsm
 from csv_2_db_pipeline_data_engineering_spark.operators.boilerplate import (
     STOPWORDS,
     _round4_exact,
@@ -194,7 +195,7 @@ def test_line_index_compaction_preserves_fold_semantics(spark, tmp_path):
 
     compact_line_index(spark, path)
     tags = [t for t in os.listdir(path) if t.startswith("delta=")]
-    assert tags == ["delta=base_v1"]  # one merged base version left
+    assert tags == [f"delta={lsm.read_state(path)['base']}"]  # one merged base left
     after = incremental_line_dedup_frame(probe, read_line_index(spark, path)).collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in before]
     # merged totals are exact: 'shared line' seen in 2 docs, keeper 1

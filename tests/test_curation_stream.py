@@ -8,6 +8,7 @@ from pathlib import Path
 
 from pyspark.sql import functions as F
 
+from csv_2_db_pipeline_data_engineering_spark.operators import lsm
 from csv_2_db_pipeline_data_engineering_spark.streaming.curation_stream import (
     DOC_SCHEMA,
     fold_curation_batch,
@@ -527,7 +528,9 @@ def test_stream_span_and_emb_compaction_preserve_fold_semantics(spark, tmp_path)
                     for t in os.listdir(os.path.join(out, idx, sub))
                     if t.startswith("delta=")
                 ]
-                assert tags == ["delta=base_v1"], (idx, tags)
+                assert tags == [
+                    f"delta={lsm.read_state(os.path.join(out, idx))['base']}"
+                ], (idx, tags)
         fold_curation_batch(spark, spark.createDataFrame(b2, emb_schema), out, 2)
         kept = {
             r["doc_id"]: (r["text"], r["n_tok"])
@@ -705,3 +708,49 @@ def test_streaming_epoch_schedule_refreshes_from_stored_scalars(spark, tmp_path)
 
     compact_epoch_index_stream(spark, out)
     assert epoch_schedule_from_stream(spark, out).collect() == sched1
+
+
+def test_epoch_index_source_replay_collapses_and_conflict_raises(
+    spark, tmp_path
+):
+    """A duplicated (doc_id, source) row in the raw batch collapses to
+    one epoch-index row (no token double-count), but CONFLICTING source
+    values for one doc_id fail loudly instead of persisting an
+    arbitrary pick — the fail-loudly discipline the waterfill cap set."""
+    import os
+
+    import pytest
+
+    from csv_2_db_pipeline_data_engineering_spark.streaming.curation_stream import (
+        DOC_SRC_SCHEMA,
+        EPOCH_INDEX_DIR,
+    )
+
+    def src_docs(rows):
+        return spark.createDataFrame(rows, DOC_SRC_SCHEMA)
+
+    # pure replay: same doc arrives twice with the SAME source — the
+    # persisted epoch INDEX must carry exactly one (doc_id, source,
+    # n_tok) row per kept doc (a fanned-out join here would double-count
+    # the doc's tokens in every later schedule refresh)
+    out = str(tmp_path / "curated_replay")
+    fold_curation_batch(
+        spark,
+        src_docs([(1, _BASE, "src1"), (1, _BASE, "src1"), (2, _OTHER, "src2")]),
+        out,
+        0,
+    )
+    idx = spark.read.parquet(
+        os.path.join(out, EPOCH_INDEX_DIR, "delta=batch0")
+    ).collect()
+    assert sorted(r["doc_id"] for r in idx) == [1, 2]  # one row per doc
+
+    # conflicting sources for one doc_id: the fold must raise, not pick
+    out2 = str(tmp_path / "curated_conflict")
+    with pytest.raises(Exception, match="conflicting source values"):
+        fold_curation_batch(
+            spark,
+            src_docs([(1, _BASE, "src1"), (1, _BASE, "srcX")]),
+            out2,
+            0,
+        )

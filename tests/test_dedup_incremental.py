@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import shutil
 
+from csv_2_db_pipeline_data_engineering_spark.operators import lsm
 from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
     build_signature_index,
     extend_signature_index,
@@ -152,7 +153,7 @@ def test_signature_index_compaction_preserves_folds(spark, tmp_path):
 
     compact_signature_index(spark, index_path)
     tags = [t for t in os.listdir(index_path) if t.startswith("delta=")]
-    assert tags == ["delta=base_v1"]
+    assert tags == [f"delta={lsm.read_state(index_path)['base']}"]
     assert read_signature_index(spark, index_path).count() == pre_rows
     post = {
         (r.doc_delta, r.doc_base)

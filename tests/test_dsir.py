@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from csv_2_db_pipeline_data_engineering_spark.operators import lsm
 from csv_2_db_pipeline_data_engineering_spark.operators.dsir import (
     SELECT_K,
     TARGET_SOURCES,
@@ -129,7 +130,7 @@ def test_dsir_index_disk_roundtrip_and_compaction(spark, tmp_path):
     assert pre == scratch(b1, b2)
     compact_dsir_index(spark, path)
     tags = [t for t in os.listdir(path) if t.startswith("delta=")]
-    assert tags == ["delta=base_v1"]
+    assert tags == [f"delta={lsm.read_state(path)['base']}"]
     assert as_map(read_dsir_index(spark, path)) == pre
 
     extend_dsir_index(b3, path, "batch3")

@@ -55,7 +55,9 @@ def test_crash_before_commit_leaves_old_view_intact(spark, tmp_path):
     # the next compaction attempt completes normally over the old view
     compact_cms_index(spark, path)
     assert _counts(spark, path) == expected
-    assert lsm.visible_tags(path) == ["base_v1"]
+    base = lsm.read_state(path)["base"]
+    assert base.startswith("base_v1_w")  # writer-unique dir name
+    assert lsm.visible_tags(path) == [base]
 
 
 def test_crash_after_commit_before_deletes_hides_folded_tags(spark, tmp_path):
@@ -64,17 +66,18 @@ def test_crash_after_commit_before_deletes_hides_folded_tags(spark, tmp_path):
     folded tag (crash-replayed extend) stays excluded."""
     path, expected = _setup(spark, tmp_path)
     compact_cms_index(spark, path)
+    base = lsm.read_state(path)["base"]
     # simulate the crash: resurrect a folded source tag's directory
     b1 = _docs(spark, [(1, "the cat sat on the mat and the cat sat again")])
     cms_rows(b1).write.mode("overwrite").parquet(
         os.path.join(path, "delta=batch1")
     )
-    assert lsm.visible_tags(path) == ["base_v1"]  # folded stays folded
+    assert lsm.visible_tags(path) == [base]  # folded stays folded
     assert _counts(spark, path) == expected  # no double counting
     # a genuinely NEW tag is visible on top of the base
     b3 = _docs(spark, [(3, "rain fell on the roof while the cat sat still")])
     extend_cms_index(b3, path, "batch3")
-    assert set(lsm.visible_tags(path)) == {"base_v1", "batch3"}
+    assert set(lsm.visible_tags(path)) == {base, "batch3"}
 
 
 def test_recompaction_rolls_versions_and_cleans_stale(spark, tmp_path):
@@ -87,10 +90,12 @@ def test_recompaction_rolls_versions_and_cleans_stale(spark, tmp_path):
         for r in read_cms_index(spark, path).collect()
     }
     compact_cms_index(spark, path)
-    assert lsm.visible_tags(path) == ["base_v2"]
+    base2 = lsm.read_state(path)["base"]
+    assert base2.startswith("base_v2_w")
+    assert lsm.visible_tags(path) == [base2]
     assert _counts(spark, path) == after
     dirs = [t for t in os.listdir(path) if t.startswith("delta=")]
-    assert dirs == ["delta=base_v2"]  # v1 and batch tags cleaned up
+    assert dirs == [f"delta={base2}"]  # v1 and batch tags cleaned up
     state = lsm.read_state(path)
     assert set(state["folded"]) >= {"batch1", "batch2", "batch3"}
 
@@ -117,7 +122,7 @@ def test_concurrent_compactor_is_rejected_loudly(spark, tmp_path):
         assert lsm.read_state(path) is None  # no manifest was committed
     # lock released -> the compaction proceeds normally
     compact_cms_index(spark, path)
-    assert lsm.visible_tags(path) == ["base_v1"]
+    assert lsm.visible_tags(path) == [lsm.read_state(path)["base"]]
     assert _counts(spark, path) == expected
 
 
@@ -128,9 +133,11 @@ def test_stale_lock_from_dead_writer_is_broken(spark, tmp_path):
     with open(os.path.join(path, "_WRITER.lock"), "w") as fh:
         json.dump({"pid": 2**22 + 12345, "purpose": "compact"}, fh)
     compact_cms_index(spark, path)  # breaks the stale lock, completes
-    assert lsm.visible_tags(path) == ["base_v1"]
+    assert lsm.visible_tags(path) == [lsm.read_state(path)["base"]]
     assert _counts(spark, path) == expected
     assert not os.path.exists(os.path.join(path, "_WRITER.lock"))
+    # the atomic rename-steal leaves no corpse file behind
+    assert not [f for f in os.listdir(path) if ".broken." in f]
 
 
 def test_conditional_swap_refuses_a_moved_manifest(spark, tmp_path, monkeypatch):
@@ -156,9 +163,35 @@ def test_conditional_swap_refuses_a_moved_manifest(spark, tmp_path, monkeypatch)
     with pytest.raises(lsm.ConcurrentWriterError):
         compact_cms_index(spark, path)
     monkeypatch.undo()
-    # the pending base_v1 written by the refused compactor stays
-    # invisible (the rogue manifest's base is base_v9): readers resolve
-    # only the untouched extend tags, with no double-counting mix
+    # the refused compactor DELETES its pending base dirs (no orphan
+    # disk leak across repeated conflicts); readers resolve only the
+    # untouched extend tags, with no double-counting mix
     assert lsm.visible_tags(path) == ["batch1", "batch2"]
-    assert os.path.isdir(os.path.join(path, "delta=base_v1"))  # pending, hidden
+    assert not [
+        t for t in os.listdir(path) if t.startswith("delta=base_v")
+    ]  # pending version cleaned up on refusal
     assert _counts(spark, path) == expected
+
+
+def test_breaker_restores_a_live_lock_it_stole(spark, tmp_path, monkeypatch):
+    """The atomic rename-steal verifies the corpse it renamed really is
+    the dead holder it judged stale. If a LIVE writer's lock was
+    renamed (the stale lock was replaced between the staleness read and
+    the rename), the breaker restores it via link and fails loudly —
+    never leaving the live holder lockless."""
+    import pytest
+
+    path, _ = _setup(spark, tmp_path)
+    lock = os.path.join(path, "_WRITER.lock")
+    live = {"pid": os.getpid(), "purpose": "compact"}
+    with open(lock, "w") as fh:
+        json.dump(live, fh)
+    # force the staleness judgment to fire on a lock that is actually
+    # live by the time the rename lands — the corpse-verification path
+    monkeypatch.setattr(lsm, "_holder_is_stale", lambda holder, lk: True)
+    with pytest.raises(lsm.ConcurrentWriterError):
+        with lsm.writer_lock(path):
+            pass
+    # the live holder's lock was restored, and no corpse remains
+    assert json.load(open(lock)) == live
+    assert not [f for f in os.listdir(path) if ".broken." in f]

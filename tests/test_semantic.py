@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from csv_2_db_pipeline_data_engineering_spark.operators import lsm
 from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
     PLANT_TWIN_ID_OFFSET,
     PLANT_TWIN_MOD,
@@ -263,7 +264,7 @@ def test_emb_index_fold_extend_compact_refold(spark, tmp_path):
             for t in os.listdir(os.path.join(path, sub))
             if t.startswith("delta=")
         ]
-        assert tags == ["delta=base_v1"], sub
+        assert tags == [f"delta={lsm.read_state(path)['base']}"], sub
     post = sorted(
         r["doc_id"]
         for r in semantic_cross_losers(probe, read("buckets"), read("vecs")).collect()

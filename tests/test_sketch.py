@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from csv_2_db_pipeline_data_engineering_spark.operators import lsm
 from csv_2_db_pipeline_data_engineering_spark.operators.lifecycle import (
     release_scoped_caches,
 )
@@ -247,7 +248,7 @@ def test_cms_index_compaction_preserves_estimates(spark, tmp_path):
     pre = as_map(read_cms_index(spark, path))
     compact_cms_index(spark, path)
     tags = [t for t in os.listdir(path) if t.startswith("delta=")]
-    assert tags == ["delta=base_v1"]
+    assert tags == [f"delta={lsm.read_state(path)['base']}"]
     assert as_map(read_cms_index(spark, path)) == pre
 
     extend_cms_index(b3, path, "batch3")
@@ -308,7 +309,7 @@ def test_hll_index_disk_roundtrip_and_compaction(spark, tmp_path):
     assert pre == as_map(hll_rows(b1.unionByName(b2)))
     compact_hll_index(spark, path)
     tags = [t for t in os.listdir(path) if t.startswith("delta=")]
-    assert tags == ["delta=base_v1"]
+    assert tags == [f"delta={lsm.read_state(path)['base']}"]
     assert as_map(read_hll_index(spark, path)) == pre
 
     extend_hll_index(b3, path, "batch3")

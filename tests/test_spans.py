@@ -6,6 +6,7 @@ import hashlib
 
 from pyspark.sql import functions as F
 
+from csv_2_db_pipeline_data_engineering_spark.operators import lsm
 from csv_2_db_pipeline_data_engineering_spark.operators.spans import (
     MIN_SPAN_TOKENS,
     SPAN_PHRASES,
@@ -339,11 +340,13 @@ def test_span_index_compaction_preserves_strip_results(spark, tmp_path):
         tags = [
             t for t in os.listdir(os.path.join(path, sub)) if t.startswith("delta=")
         ]
-        assert tags == ["delta=base_v1"], sub
+        assert tags == [f"delta={lsm.read_state(path)['base']}"], sub
     ish2, istats2 = read_span_index(spark, path)
     assert {r["sh"]: r["n_docs"] for r in istats2.collect()} == pre_stats
     # the compacted stats table is ALREADY one row per shingle on disk
-    raw = spark.read.parquet(os.path.join(path, "stats", "delta=base_v1"))
+    raw = spark.read.parquet(
+        os.path.join(path, "stats", f"delta={lsm.read_state(path)['base']}")
+    )
     assert raw.groupBy("sh").count().filter(F.col("count") > 1).count() == 0
     assert sorted(incremental_span_strip_frame(delta, ish2, istats2).collect()) == pre
 
