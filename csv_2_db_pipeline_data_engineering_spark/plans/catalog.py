@@ -304,6 +304,23 @@ class Query:
 # the within-doc repetition surface stays in-window via
 # text_boilerplate_strip and the line-digest machinery via
 # line_dedup_incremental; stays registered + locally checked).
+#
+# Round-12 rotation (VERDICT r11 #2 + #5): out goes
+# dedup_embedding_cosine_block — driver-green r9-r11 but
+# Θ(n²)-BY-CONSTRUCTION on isotropic embeddings (its docstring says so;
+# it is the exact-exhaustive differential oracle, not a scale path) —
+# the last by-construction-quadratic member of the window. It stays
+# registered + locally oracle-checked (tools/check_oracles.py), and its
+# exact semantics remain the differential-test oracle for the sign-LSH
+# scale path (dedup_embedding_cosine, in-family via dedup_semantic_lsh
+# in-window). In comes ann_lsh_neighbors, never driver-checked and
+# newly ORACLE-CARRYING: the raw LSH neighbor list re-expressed over
+# integer-quantized vectors AND planes so the list itself (not just the
+# recall certificate) value-matches DuckDB; linear bucket-keyed join,
+# no quadratic term. Its twin ann_ivf_neighbors (integer k-means coarse
+# quantizer) is likewise oracle-carrying now — catalog is 150/150
+# value-checked — and stays outside the window (ANN family keeps
+# ann_incremental_serve + ann_lsh_neighbors in-window).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",
@@ -320,7 +337,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "domain_mix_waterfill",  # NEW r10: epoch-capped waterfilling mix pass
     # LLM-pipeline: deduplication family.
     "dedup_clusters_lsh",  # NEW r9 window: LSH-banded clustering (covers minhash+CC)
-    "dedup_embedding_cosine_block",  # NEW r9 window: blocked cosine dedup
+    "ann_lsh_neighbors",  # NEW r12 window: integer-exact LSH neighbor list
     "dedup_semantic_keep",  # NEW r9 window: SemDeDup keep-frame
     "dedup_semantic_lsh",  # NEW r10: scale-safe sign-LSH SemDeDup pair search
     "line_dedup_incremental",  # NEW r9 window: O(delta) line-index extend

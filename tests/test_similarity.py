@@ -5,7 +5,9 @@ from __future__ import annotations
 from csv_2_db_pipeline_data_engineering_spark.operators.similarity import (
     TOP_K,
     ann_ivf,
+    ann_ivf_neighbor_list,
     ann_lsh_bucketed,
+    ann_lsh_neighbor_list,
     ann_topk_bruteforce,
 )
 from tests.conftest import SF_DIR
@@ -31,6 +33,28 @@ def test_ann_ivf_recall(spark):
     recall = len(exact & approx) / len(exact)
     # nprobe=4 of 16 clusters: high recall expected on clustered data
     assert recall >= 0.6, f"IVF recall {recall:.2f}"
+    n_queries = len({q for q, _ in approx})
+    assert all(q != n for q, n in approx)
+    assert len(approx) == n_queries * TOP_K
+
+
+def test_integer_lsh_neighbor_list_recall_matches_float_path(spark):
+    """The oracle-checkable integer-quantized LSH variant must keep the
+    float path's recall (quantization at scale 1000 perturbs angles by
+    < 0.1 degrees) and the exact output contract."""
+    exact = _pairs(ann_topk_bruteforce(spark, SF_DIR))
+    approx = _pairs(ann_lsh_neighbor_list(spark, SF_DIR))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"integer-LSH recall {recall:.2f}"
+    assert all(q != n for q, n in approx)
+
+
+def test_integer_ivf_neighbor_list_recall(spark):
+    exact = _pairs(ann_topk_bruteforce(spark, SF_DIR))
+    approx = _pairs(ann_ivf_neighbor_list(spark, SF_DIR))
+    recall = len(exact & approx) / len(exact)
+    # nprobe=4 of k=8 integer k-means clusters: half the corpus probed
+    assert recall >= 0.6, f"integer-IVF recall {recall:.2f}"
     n_queries = len({q for q, _ in approx})
     assert all(q != n for q, n in approx)
     assert len(approx) == n_queries * TOP_K
