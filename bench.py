@@ -191,6 +191,16 @@ def main() -> None:
             release_scoped_caches()
             spark.catalog.clearCache()
     timings = {name: min(times) for name, times in all_reps.items()}
+    if full:
+        # self-enforcing coverage (r11 verdict #4): a full sweep that
+        # silently measured fewer queries than the catalog registers is
+        # exactly how a regression net rots — fail loudly instead.
+        missing = set(catalog) - set(timings)
+        if missing:
+            raise AssertionError(
+                f"--all sweep missed {len(missing)} catalog queries: "
+                f"{sorted(missing)}"
+            )
 
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:

@@ -632,6 +632,38 @@ def _hll_estimate(regs: DataFrame) -> DataFrame:
     )
 
 
+def _hll_split_partials(docs: DataFrame) -> DataFrame:
+    """(reg, is_delta, rho): per-register MAX for each incremental
+    split (history = doc_id % 10 != 0, delta = % 10 == 0), from ONE
+    gram scan and ONE md5 per gram occurrence. The r11 form built
+    three independent sketches (full, history, delta), re-exploding
+    and re-hashing the whole corpus each time — 3x the dominant
+    per-byte work for states that max-associativity derives exactly
+    from one (register, split) partial frame of <= 2 * 2^p rows."""
+    w = F.split("text", " ")
+    n3 = F.size(w) - F.lit(2)
+    z = F.arrays_zip(F.slice(w, 1, n3), F.slice(w, 2, n3), F.slice(w, 3, n3))
+    g = (
+        docs.filter(F.size(w) >= 3)
+        .select(
+            (F.col("doc_id") % 10 == 0).alias("is_delta"),
+            F.explode(z).alias("z"),
+        )
+        .select(
+            "is_delta",
+            F.concat_ws(" ", F.col("z.0"), F.col("z.1"), F.col("z.2")).alias(
+                "gram"
+            ),
+        )
+    )
+    reg, rho = _hll_reg_rho(F.col("gram"))
+    return (
+        g.select("is_delta", reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg", "is_delta")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
 def text_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-gram cardinality via HyperLogLog, with the exact
     count, the merge-exactness certificate, and the error-bound
@@ -640,12 +672,18 @@ def text_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs the MAX-merge algebra in-plan on the incremental convention
     (history = doc_id % 10 != 0, delta = % 10 == 0): a register state
     mis-merged in ANY of the 1024 registers flips sum_rho/n_obs or the
-    folded estimate, so the single output row pins the whole sketch."""
+    folded estimate, so the single output row pins the whole sketch.
+    The full/history/delta states all derive from ONE eagerly-pinned
+    (register, split) partial frame (``_hll_split_partials``); the
+    ORACLE still builds r_full from scratch and r_merged from split
+    partials independently, so the cross-engine hash match continues
+    to prove merge == rebuild, not merely max-associativity."""
     docs = load_table(spark, sf_dir, "documents")
-    full = hll_rows(docs)
+    parts = _hll_split_partials(docs).localCheckpoint(eager=True)
+    full = parts.groupBy("reg").agg(F.max("rho").alias("rho"))
     merged = merge_hll(
-        hll_rows(docs.filter(F.col("doc_id") % 10 != 0)),
-        hll_rows(docs.filter(F.col("doc_id") % 10 == 0)),
+        parts.filter(~F.col("is_delta")).select("reg", "rho"),
+        parts.filter(F.col("is_delta")).select("reg", "rho"),
     )
     n_exact = _gram_stream(docs).agg(
         F.count_distinct(F.col("gram")).alias("n_exact")
