@@ -1,5 +1,10 @@
 """From-spec H.264/AVC (ITU-T H.264, ISO/IEC 14496-10) Annex-B codec —
-the BASELINE-PROFILE I-SLICE subset (CAVLC + Intra_4x4 prediction).
+the BASELINE-PROFILE subset: I-slices (CAVLC + Intra_4x4 prediction)
+and, since r12, P-slices (P_Skip + P_L0_16x16 with CAVLC motion-vector
+differences, the 8.4.1.1/8.4.1.3 MV derivations, Table 9-4 Inter
+coded_block_pattern, and full-pel motion compensation with picture-
+boundary clamping — sub-pel MC, smaller partitions, and intra MBs in P
+slices are rejected with ValueError).
 
 Closes the r10 verdict's last media gap honestly: real H.264 bitstream
 machinery without ffmpeg (re-verified uninstallable in-container), the
@@ -210,6 +215,11 @@ _TOTAL_ZEROS_TC1_INV = {"1": 0}
 _CBP_INTRA_TO_CODENUM = {0: 3, 1: 29}
 _CODENUM_TO_CBP_INTRA = {3: 0, 29: 1}
 
+#: coded_block_pattern me(v) mapping, Inter column (Table 9-4): the
+#: P-slice streams code either nothing or all four luma 8x8s.
+_CBP_INTER_TO_CODENUM = {0: 0, 15: 11}
+_CODENUM_TO_CBP_INTER = {0: 0, 11: 15}
+
 
 def _read_vlc(r: _BitReader, table: dict[str, object], what: str):
     bits = ""
@@ -387,6 +397,149 @@ def encode_h264(
     return bytes(out)
 
 
+# --- P-slice (inter) extension ----------------------------------------------
+#
+# Baseline P-slices over the same dual-pipeline contract: P_Skip
+# macroblocks (mb_skip_run addressing, the 8.4.1.1 skip-MV rule) and
+# P_L0_16x16 macroblocks with CAVLC motion-vector differences against
+# the REAL 8.4.1.3 median predictor, the Table 9-4 Inter
+# coded_block_pattern mapping, and full-pel motion compensation with
+# the spec's picture-boundary sample clamping. Sub-pel MVs (the 6-tap
+# half-sample filter) are outside the subset and rejected with
+# ValueError, as are partitions smaller than 16x16 and intra MBs in P
+# slices — narrow but real, every omitted path fails loudly.
+
+
+def _mv_pred(
+    mvs: list[list[tuple[int, int] | None]], mbx: int, mby: int, mbs_x: int
+) -> tuple[int, int]:
+    """8.4.1.3 luma MV prediction for a 16x16 partition.
+
+    ``mvs[mby][mbx]`` is the reconstructed MV of an already-decoded MB
+    (None = not yet decoded / out of picture = unavailable). All
+    reference indices are 0 in the subset (one reference picture)."""
+
+    def nb(x: int, y: int):
+        if x < 0 or y < 0 or x >= mbs_x or y >= len(mvs):
+            return None
+        return mvs[y][x]
+
+    a = nb(mbx - 1, mby)
+    b = nb(mbx, mby - 1)
+    c = nb(mbx + 1, mby - 1)
+    if c is None:  # C unavailable -> substitute D (top-left), 8.4.1.3.2
+        c = nb(mbx - 1, mby - 1)
+    # (1) B and C both unavailable, A available -> mvA
+    if b is None and c is None and a is not None:
+        return a
+    # (2) exactly one neighbour references the current picture (ref 0;
+    # unavailable neighbours count as ref -1) -> that neighbour's MV
+    avail = [v for v in (a, b, c) if v is not None]
+    if len(avail) == 1:
+        return avail[0]
+    # (3) componentwise median with unavailable treated as (0, 0)
+    ax, ay = a or (0, 0)
+    bx_, by_ = b or (0, 0)
+    cx, cy = c or (0, 0)
+    med = lambda p, q, r: sorted((p, q, r))[1]  # noqa: E731
+    return med(ax, bx_, cx), med(ay, by_, cy)
+
+
+def _skip_mv(
+    mvs: list[list[tuple[int, int] | None]], mbx: int, mby: int, mbs_x: int
+) -> tuple[int, int]:
+    """8.4.1.1 P_Skip MV: zero when either spatial neighbour is
+    unavailable or is a zero-MV ref-0 block, else the median
+    predictor."""
+    a = mvs[mby][mbx - 1] if mbx > 0 else None
+    b = mvs[mby - 1][mbx] if mby > 0 else None
+    if a is None or b is None or a == (0, 0) or b == (0, 0):
+        return (0, 0)
+    return _mv_pred(mvs, mbx, mby, mbs_x)
+
+
+def _encode_p_slice(
+    width: int,
+    height: int,
+    frame_num: int,
+    mb_idx: int,
+    mv_q: tuple[int, int],
+    level: int,
+) -> bytes:
+    """One P slice: all MBs P_Skip except raster MB ``mb_idx``, a
+    P_L0_16x16 with quarter-pel MV ``mv_q`` and a DC residual of
+    ``level`` in all sixteen 4x4 luma blocks (cbp 15)."""
+    mbs_x, mbs_y = width // 16, height // 16
+    n_mbs = mbs_x * mbs_y
+    if not 0 <= mb_idx < n_mbs:
+        raise ValueError("H.264 encoder subset: mb_idx out of picture")
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(5)  # slice_type: P (all slices in pic)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+    w.u(0, 1)  # num_ref_idx_active_override_flag
+    w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc != 0)
+    w.se(0)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc: off
+    # slice data: skip run, the one coded MB, trailing skip run
+    mvs: list[list[tuple[int, int] | None]] = [
+        [None] * mbs_x for _ in range(mbs_y)
+    ]
+    for idx in range(mb_idx):  # reconstruct skip MVs the decoder will see
+        my, mx = divmod(idx, mbs_x)
+        mvs[my][mx] = _skip_mv(mvs, mx, my, mbs_x)
+    w.ue(mb_idx)  # mb_skip_run
+    my, mx = divmod(mb_idx, mbs_x)
+    pmv = _mv_pred(mvs, mx, my, mbs_x)
+    w.ue(0)  # mb_type: P_L0_16x16
+    w.se(mv_q[0] - pmv[0])  # mvd_l0 x (quarter-pel units)
+    w.se(mv_q[1] - pmv[1])  # mvd_l0 y
+    w.ue(_CBP_INTER_TO_CODENUM[15])
+    w.se(0)  # mb_qp_delta
+    bw = width // 4
+    tc = [[0] * bw for _ in range(height // 4)]  # skips contribute 0
+    for i in range(16):
+        x4, y4 = _ZSCAN[i]
+        bx, by = mx * 4 + x4, my * 4 + y4
+        na = tc[by][bx - 1] if bx > 0 else None
+        nb = tc[by - 1][bx] if by > 0 else None
+        if na is None and nb is None:
+            nc = 0
+        elif na is None:
+            nc = nb
+        elif nb is None:
+            nc = na
+        else:
+            nc = (na + nb + 1) >> 1
+        _encode_coeff_block(w, level, nc)
+        tc[by][bx] = 1 if level else 0
+    if mb_idx < n_mbs - 1:
+        w.ue(n_mbs - mb_idx - 1)  # trailing skip run
+    w.rbsp_trailing()
+    return _nal(1, w.tobytes(), ref=2)
+
+
+def encode_h264_gop(
+    width: int,
+    height: int,
+    i_level: int,
+    p_frames: list[tuple[int, tuple[int, int], int]],
+    doc_id: int,
+) -> bytes:
+    """Annex-B GOP: one IDR I-slice followed by P-slices.
+
+    ``p_frames`` is a list of (mb_idx, (mvx_q, mvy_q), level): each P
+    frame is all-P_Skip except raster MB ``mb_idx``, coded P_L0_16x16
+    with the given quarter-pel MV and a flat DC residual ``level`` on
+    its sixteen 4x4 luma blocks."""
+    out = bytearray(encode_h264(width, height, [i_level], doc_id))
+    for k, (mb_idx, mv_q, level) in enumerate(p_frames, start=1):
+        out += _encode_p_slice(width, height, k, mb_idx, mv_q, level)
+    return bytes(out)
+
+
 # --- decoder -----------------------------------------------------------------
 
 
@@ -431,22 +584,52 @@ def _decode_coeff_block(r: _BitReader, nc: int) -> int:
     return level
 
 
+def _mc_16x16(
+    dst: list[list[int]],
+    ref: list[list[int]],
+    mx: int,
+    my: int,
+    mv_q: tuple[int, int],
+    width: int,
+    height: int,
+) -> None:
+    """Full-pel 16x16 motion compensation with the 8.4.2.2.1 picture-
+    boundary sample clamping. ``mv_q`` is quarter-pel, validated
+    full-pel by the caller."""
+    dx, dy = mv_q[0] >> 2, mv_q[1] >> 2
+    x0, y0 = mx * 16, my * 16
+    for i in range(16):
+        sy = min(height - 1, max(0, y0 + i + dy))
+        row = ref[sy]
+        for j in range(16):
+            sx = min(width - 1, max(0, x0 + j + dx))
+            dst[y0 + i][x0 + j] = row[sx]
+
+
 def decode_h264(data: bytes) -> dict:
-    """Decode an Annex-B baseline I-slice stream from ``encode_h264``.
+    """Decode an Annex-B baseline stream from ``encode_h264`` /
+    ``encode_h264_gop``: IDR I-slices plus P-slices (P_Skip +
+    P_L0_16x16, full-pel MC).
 
     Returns width/height, per-frame reconstructed luma planes, the QP,
-    per-mode 4x4-block tallies and the coded-block count — every value
-    derived from the full parse (NAL split, RBSP unescape, Exp-Golomb,
-    CAVLC, dequant + inverse transform, intra prediction propagation).
+    per-mode 4x4-block tallies, the coded-block count, and the inter
+    tallies (skip MBs, coded P MBs, quarter-pel |MV| sums) — every
+    value derived from the full parse (NAL split, RBSP unescape,
+    Exp-Golomb, CAVLC, MV prediction, dequant + inverse transform,
+    intra/inter reconstruction propagation).
     """
     sps = pps = None
     frames: list[list[int]] = []
     n_mode = [0, 0, 0]
     n_coded_blocks = 0
+    n_skip_mb = n_p_mb = 0
+    sum_abs_mvx_q = sum_abs_mvy_q = 0
     width = height = 0
     qp_y = 0
+    ref2d: list[list[int]] | None = None
     for nal in _split_nals(data):
         nal_type = nal[0] & 0x1F
+        nal_ref_idc = (nal[0] >> 5) & 3
         r = _BitReader(_unescape_rbsp(nal[1:]))
         if nal_type == 7:
             profile = r.u(8)
@@ -589,6 +772,113 @@ def decode_h264(data: bytes) -> dict:
                                 v = pred_px[i2][j2] + res[i2][j2]
                                 luma[y0 + i2][x0 + j2] = min(255, max(0, v))
             frames.append([px for row in luma for px in row])
+            ref2d = luma
+        elif nal_type == 1:
+            if sps is None or pps is None:
+                raise ValueError("H.264: slice before parameter sets")
+            if ref2d is None:
+                raise ValueError("H.264: P slice without a reference frame")
+            if r.ue() != 0:
+                raise ValueError("H.264 decoder subset: one slice per frame")
+            st = r.ue()
+            if st not in (0, 5):
+                raise ValueError("H.264 decoder subset: P slices only")
+            r.ue()  # pps id
+            r.u(sps["log2_mfn"])  # frame_num
+            if r.u(1) != 0:
+                raise ValueError(
+                    "H.264 decoder subset: num_ref_idx override unsupported"
+                )
+            if r.u(1) != 0:
+                raise ValueError(
+                    "H.264 decoder subset: ref_pic_list_modification unsupported"
+                )
+            if nal_ref_idc and r.u(1) != 0:
+                raise ValueError(
+                    "H.264 decoder subset: adaptive ref marking unsupported"
+                )
+            qp_y = pps["qp"] + r.se()
+            if pps["dbf"] and r.ue() != 1:
+                raise ValueError("H.264 decoder subset: deblocking must be off")
+            mbs_x, mbs_y = width // 16, height // 16
+            n_mbs = mbs_x * mbs_y
+            luma = [[0] * width for _ in range(height)]
+            mvs: list[list[tuple[int, int] | None]] = [
+                [None] * mbs_x for _ in range(mbs_y)
+            ]
+            bw = width // 4
+            tc = [[0] * bw for _ in range(height // 4)]
+            addr = 0
+            while addr < n_mbs:
+                run = r.ue()  # mb_skip_run
+                if addr + run > n_mbs:
+                    raise ValueError("H.264: mb_skip_run past slice end")
+                for _ in range(run):
+                    my, mx = divmod(addr, mbs_x)
+                    mv = _skip_mv(mvs, mx, my, mbs_x)
+                    if mv[0] % 4 or mv[1] % 4:
+                        raise ValueError(
+                            "H.264 decoder subset: sub-pel MC unsupported"
+                        )
+                    _mc_16x16(luma, ref2d, mx, my, mv, width, height)
+                    mvs[my][mx] = mv
+                    n_skip_mb += 1
+                    addr += 1
+                if addr >= n_mbs:
+                    break
+                my, mx = divmod(addr, mbs_x)
+                if r.ue() != 0:
+                    raise ValueError(
+                        "H.264 decoder subset: P_L0_16x16 mb_type only"
+                    )
+                pmv = _mv_pred(mvs, mx, my, mbs_x)
+                mvd = (r.se(), r.se())
+                mv = (pmv[0] + mvd[0], pmv[1] + mvd[1])
+                if mv[0] % 4 or mv[1] % 4:
+                    raise ValueError(
+                        "H.264 decoder subset: sub-pel MC unsupported"
+                    )
+                codenum = r.ue()
+                if codenum not in _CODENUM_TO_CBP_INTER:
+                    raise ValueError(
+                        "H.264 decoder subset: inter cbp outside subset"
+                    )
+                cbp = _CODENUM_TO_CBP_INTER[codenum]
+                _mc_16x16(luma, ref2d, mx, my, mv, width, height)
+                if cbp:
+                    qp_y += r.se()  # mb_qp_delta
+                    for i in range(16):
+                        x4, y4 = _ZSCAN[i]
+                        bx, by = mx * 4 + x4, my * 4 + y4
+                        na = tc[by][bx - 1] if bx > 0 else None
+                        nb = tc[by - 1][bx] if by > 0 else None
+                        if na is None and nb is None:
+                            nc = 0
+                        elif na is None:
+                            nc = nb
+                        elif nb is None:
+                            nc = na
+                        else:
+                            nc = (na + nb + 1) >> 1
+                        lvl = _decode_coeff_block(r, nc)
+                        if lvl:
+                            co = [[0] * 4 for _ in range(4)]
+                            co[0][0] = lvl
+                            res = inverse_transform4x4(dequant4x4(co, qp_y))
+                            x0, y0 = bx * 4, by * 4
+                            for i2 in range(4):
+                                for j2 in range(4):
+                                    v = luma[y0 + i2][x0 + j2] + res[i2][j2]
+                                    luma[y0 + i2][x0 + j2] = min(255, max(0, v))
+                            n_coded_blocks += 1
+                        tc[by][bx] = 1 if lvl else 0
+                mvs[my][mx] = mv
+                n_p_mb += 1
+                sum_abs_mvx_q += abs(mv[0])
+                sum_abs_mvy_q += abs(mv[1])
+                addr += 1
+            frames.append([px for row in luma for px in row])
+            ref2d = luma
         else:
             raise ValueError(f"H.264 decoder subset: NAL type {nal_type}")
     return {
@@ -600,4 +890,8 @@ def decode_h264(data: bytes) -> dict:
         "n_mode_h": n_mode[1],
         "n_mode_dc": n_mode[2],
         "n_coded_blocks": n_coded_blocks,
+        "n_skip_mb": n_skip_mb,
+        "n_p_mb": n_p_mb,
+        "sum_abs_mvx_q": sum_abs_mvx_q,
+        "sum_abs_mvy_q": sum_abs_mvy_q,
     }

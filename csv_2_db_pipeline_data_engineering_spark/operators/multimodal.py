@@ -1232,6 +1232,184 @@ ORDER BY doc_id
 """
 
 
+# --- H.264 P-slice (inter) GOP decode ----------------------------------------
+
+H264P_W, H264P_H = 64, 32  # 4x2 macroblocks; top MB row hosts the bumps
+H264P_NP = "1 + doc_id % 3"  # P frames per GOP (1..3)
+H264P_L0 = "1 + doc_id % 7"  # IDR frame's quantized DC level
+H264P_Q = "1 + (doc_id * 3 + k * 5) % 6"  # P-frame residual level
+H264P_COL = "(doc_id + k) % 4"  # coded MB column (top row)
+H264P_MVX = "((doc_id + 2 * k) % 9) - 4"  # full-pel MV x, -4..4
+H264P_MVY_FP = 16  # full-pel MV y: source rows sit in the never-bumped MB row 1
+
+H264P_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_mb", T.IntegerType()),
+        T.StructField("n_skip_mb", T.IntegerType()),
+        T.StructField("n_p_mb", T.IntegerType()),
+        T.StructField("n_coded_blocks", T.IntegerType()),
+        T.StructField("sum_mvx_q", T.IntegerType()),
+        T.StructField("sum_mvy_q", T.IntegerType()),
+        T.StructField("n_mode_v", T.IntegerType()),
+        T.StructField("n_mode_h", T.IntegerType()),
+        T.StructField("n_mode_dc", T.IntegerType()),
+        T.StructField("qp", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def mm_h264_inter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 baseline GOP decode — IDR I-slice plus P-slices
+    (``operators/h264_codec`` P extension: mb_skip_run addressing, the
+    8.4.1.1 P_Skip MV rule, P_L0_16x16 with CAVLC motion-vector
+    differences against the 8.4.1.3 median predictor, Table 9-4 Inter
+    coded_block_pattern, full-pel motion compensation with boundary
+    clamping, and per-block DC residuals through the same dequant +
+    inverse-transform pipeline as the intra query).
+
+    Per doc a GOP of one IDR frame (constant plane, level L0) plus
+    ``1 + doc_id % 3`` P frames is synthesized: each P frame is
+    all-P_Skip except one top-row macroblock coded P_L0_16x16 whose
+    motion vector samples the never-bumped second MB row (mvy = +16
+    full-pel, so motion compensation reads a constant region even as
+    bumps accumulate) and whose sixteen 4x4 blocks carry a flat DC
+    residual. The bumped MB persists through later frames' zero-MV
+    skips, so every column is closed-form: a wrong skip-MV rule, MV
+    predictor, skip-run count, or inter dequant shifts ``mean_luma``,
+    the MV sums, or the tallies.
+    """
+    from .h264_codec import decode_h264, encode_h264_gop
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in H264P_STATS_SCHEMA}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                np_ = 1 + doc_id % 3
+                i_level = 1 + doc_id % 7
+                p_frames = []
+                for k in range(1, np_ + 1):
+                    col = (doc_id + k) % 4
+                    mvx = ((doc_id + 2 * k) % 9) - 4
+                    q = 1 + (doc_id * 3 + k * 5) % 6
+                    p_frames.append((col, (4 * mvx, 4 * H264P_MVY_FP), q))
+                dec = decode_h264(
+                    encode_h264_gop(H264P_W, H264P_H, i_level, p_frames, doc_id)
+                )
+                if dec["width"] != H264P_W or dec["height"] != H264P_H:
+                    raise ValueError("H.264 SPS dims disagree")
+                luma = sum(sum(f) for f in dec["frames"])
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_frames"].append(len(dec["frames"]))
+                rows["n_mb"].append(
+                    len(dec["frames"]) * (H264P_W // 16) * (H264P_H // 16)
+                )
+                rows["n_skip_mb"].append(dec["n_skip_mb"])
+                rows["n_p_mb"].append(dec["n_p_mb"])
+                rows["n_coded_blocks"].append(dec["n_coded_blocks"])
+                rows["sum_mvx_q"].append(dec["sum_abs_mvx_q"])
+                rows["sum_mvy_q"].append(dec["sum_abs_mvy_q"])
+                rows["n_mode_v"].append(dec["n_mode_v"])
+                rows["n_mode_h"].append(dec["n_mode_h"])
+                rows["n_mode_dc"].append(dec["n_mode_dc"])
+                rows["qp"].append(dec["qp"])
+                rows["mean_luma"].append(
+                    float(luma) / (len(dec["frames"]) * H264P_W * H264P_H)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    **{
+                        c: pd.array(rows[c], dtype="int32")
+                        for c in (
+                            "width", "height", "n_frames", "n_mb",
+                            "n_skip_mb", "n_p_mb", "n_coded_blocks",
+                            "sum_mvx_q", "sum_mvy_q", "n_mode_v",
+                            "n_mode_h", "n_mode_dc", "qp",
+                        )
+                    },
+                    "mean_luma": rows["mean_luma"],
+                }
+            )
+
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .transform(_spread)
+        .mapInPandas(decode_batches, H264P_STATS_SCHEMA)
+    )
+    return feats.select(
+        "doc_id", "width", "height", "n_frames", "n_mb", "n_skip_mb",
+        "n_p_mb", "n_coded_blocks", "sum_mvx_q", "sum_mvy_q",
+        "n_mode_v", "n_mode_h", "n_mode_dc", "qp",
+        F.round("mean_luma", 4).alias("mean_luma"),
+    ).orderBy("doc_id")
+
+
+# Closed forms the GOP design pins: c0 from the IDR DC level; each P
+# frame k bumps one fresh top-row MB by r_k = (160*q_k + 32) div 64
+# (DC-only residual -> flat 4x4 offset), and the bump persists through
+# every later frame's zero-MV skip copy, so frame k's total luma is
+# c0*W*H + 256 * sum_{j<=k} r_j; the MV sums are the quarter-pel
+# encoder parameters verbatim (the median predictor is 0 for the
+# top-row coded MB, so MVD == MV).
+MM_H264_INTER_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {H264P_NP} AS np,
+         128 + (160 * ({H264P_L0}) + 32) // 64 AS c0
+  FROM documents),
+pr AS (
+  SELECT doc_id, np, k.range AS k,
+         (160 * (1 + (doc_id * 3 + k.range * 5) % 6) + 32) // 64 AS r,
+         ABS(((doc_id + 2 * k.range) % 9) - 4) * 4 AS amvx
+  FROM d CROSS JOIN range(1, 4) k
+  WHERE k.range <= np),
+bump AS (
+  SELECT doc_id,
+         CAST(SUM((np - k + 1) * r) * 256 AS BIGINT) AS extra,
+         CAST(SUM(amvx) AS INT) AS sum_mvx_q,
+         CAST(SUM(64) AS INT) AS sum_mvy_q
+  FROM pr GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, bx.range AS bx, by.range AS by,
+         doc_id + bx.range + by.range AS cand
+  FROM d CROSS JOIN range(16) bx CROSS JOIN range(8) by),
+modes AS (
+  SELECT doc_id,
+         CASE WHEN bx = 0 AND by = 0 THEN 2
+              WHEN by = 0 THEN CASE WHEN cand % 2 = 0 THEN 1 ELSE 2 END
+              WHEN bx = 0 THEN CASE WHEN cand % 2 = 0 THEN 0 ELSE 2 END
+              ELSE cand % 3 END AS mode
+  FROM blocks),
+mtal AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN mode = 0 THEN 1 ELSE 0 END) AS INT) AS n_mode_v,
+         CAST(SUM(CASE WHEN mode = 1 THEN 1 ELSE 0 END) AS INT) AS n_mode_h,
+         CAST(SUM(CASE WHEN mode = 2 THEN 1 ELSE 0 END) AS INT) AS n_mode_dc
+  FROM modes GROUP BY doc_id)
+SELECT d.doc_id, {H264P_W} AS width, {H264P_H} AS height,
+       CAST(np + 1 AS INT) AS n_frames,
+       CAST((np + 1) * 8 AS INT) AS n_mb,
+       CAST(np * 7 AS INT) AS n_skip_mb,
+       CAST(np AS INT) AS n_p_mb,
+       CAST(1 + 16 * np AS INT) AS n_coded_blocks,
+       sum_mvx_q, sum_mvy_q,
+       n_mode_v, n_mode_h, n_mode_dc,
+       24 AS qp,
+       ROUND(CAST(c0 * 2048 * (np + 1) + extra AS DOUBLE)
+             / (2048 * (np + 1)), 4) AS mean_luma
+FROM d JOIN bump USING (doc_id) JOIN mtal USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # --- MPEG-1: real INTER-FRAME (motion-compensated) video decode -------------
 
 MPEG_W, MPEG_H = 48, 32  # 3x2 macroblock grid
@@ -2081,6 +2259,13 @@ QUERIES = [
           "min(modeA,modeB) predictor) — lossless round trip, mode "
           "tallies + mean luma value-checked",
           mm_h264_intra_stats, MM_H264_ORACLE),
+    Query("mm_h264_inter_stats",
+          "REAL H.264 baseline GOP decode (IDR + P-slices: mb_skip_run, "
+          "the 8.4.1.1 P_Skip MV rule, P_L0_16x16 CAVLC motion-vector "
+          "differences vs the 8.4.1.3 median predictor, Table 9-4 Inter "
+          "cbp, full-pel MC with boundary clamping, inter DC residuals) "
+          "— skip/P tallies, |MV| sums + mean luma value-checked",
+          mm_h264_inter_stats, MM_H264_INTER_ORACLE),
     Query("mm_decode_features", "Arrow-batched decode/feature-extract (stub kernel)",
           mm_decode_features, MM_DECODE_ORACLE),
     Query("mm_frame_sample_stats", "fan-out frame sampling via mapInPandas",

@@ -321,6 +321,15 @@ class Query:
 # quantizer) is likewise oracle-carrying now — catalog is 150/150
 # value-checked — and stays outside the window (ANN family keeps
 # ann_incremental_serve + ann_lsh_neighbors in-window).
+#
+# Mid-r12 swap: mm_h264_inter_stats in (NEW: H.264 baseline P-slices —
+# mb_skip_run, the 8.4.1.1 P_Skip MV rule, P_L0_16x16 CAVLC MVDs vs
+# the 8.4.1.3 median predictor, Table 9-4 Inter cbp, full-pel MC with
+# boundary clamping; VERDICT r11 #8 — completes the H.264 family:
+# I-slices r11, inter/GOP now); out goes mm_y4m_video_stats
+# (driver-green three consecutive rounds r9-r11; the uncompressed
+# frame-sample kernel stays in-window inside mm_video_fp_dedup; stays
+# registered + locally oracle-checked).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",
@@ -371,7 +380,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_jpeg_decode_stats",
     "mm_png_deadletter_stats",
     "mm_h264_intra_stats",  # NEW r11: from-spec H.264 I-slice decode
-    "mm_y4m_video_stats",  # NEW r9 window: Y4M frame-sample decode
+    "mm_h264_inter_stats",  # NEW r12 window: H.264 P-slice GOP decode
     "mm_avi_mjpeg_stats",  # NEW r10 window: AVI/Motion-JPEG container decode
     "mm_mpeg1_video_stats",  # NEW r10: inter-frame (motion-compensated) MPEG-1
     "mm_audio_fp_dedup",  # NEW r9 window: audio fingerprint dedup

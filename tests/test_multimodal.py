@@ -259,3 +259,102 @@ def test_h264_trailing_one_and_level_paths_both_decode():
     dec = decode_h264(encode_h264(32, 32, [1, 7, 2], 3))
     vals = [set(f) for f in dec["frames"]]
     assert vals == [{131}, {146}, {133}]
+
+
+def test_h264_gop_round_trip_pixel_exact():
+    """The P-slice extension: IDR + P GOPs reconstruct pixel-exactly —
+    each P frame's one coded MB is bumped by its closed-form residual,
+    the bump persists through later frames' zero-MV skip copies, and
+    the skip/P/MV tallies match the encoder parameters verbatim."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.h264_codec import (
+        decode_h264,
+        encode_h264_gop,
+    )
+
+    W, H = 64, 32
+    for doc_id in (0, 1, 2, 5, 17, 123, 4999):
+        i_level = 1 + doc_id % 7
+        n_p = 1 + doc_id % 3
+        p, rs, mvxs = [], [], []
+        for k in range(1, n_p + 1):
+            col = (doc_id + k) % 4
+            mvx = ((doc_id + 2 * k) % 9) - 4
+            q = 1 + (doc_id * 3 + k * 5) % 6
+            p.append((col, (4 * mvx, 64), q))
+            rs.append((160 * q + 32) >> 6)
+            mvxs.append(abs(4 * mvx))
+        dec = decode_h264(encode_h264_gop(W, H, i_level, p, doc_id))
+        c0 = 128 + ((160 * i_level + 32) >> 6)
+        assert len(dec["frames"]) == n_p + 1
+        # frame k: constant c0 except one 256-px bump per earlier P frame
+        for k in range(n_p + 1):
+            from collections import Counter
+
+            counts = Counter(dec["frames"][k])
+            expected = Counter({c0: W * H - 256 * k})
+            for r in rs[:k]:
+                expected[c0 + r] += 256
+            assert counts == +expected, (doc_id, k)
+        assert dec["n_skip_mb"] == n_p * 7
+        assert dec["n_p_mb"] == n_p
+        assert dec["n_coded_blocks"] == 1 + 16 * n_p
+        assert dec["sum_abs_mvx_q"] == sum(mvxs)
+        assert dec["sum_abs_mvy_q"] == 64 * n_p
+
+
+def test_h264_p_slice_subset_boundaries_fail_loudly():
+    """Sub-pel MVs, out-of-picture MBs, and P slices without a
+    reference frame raise instead of mis-decoding."""
+    import pytest
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.h264_codec import (
+        _split_nals,
+        decode_h264,
+        encode_h264_gop,
+    )
+
+    with pytest.raises(ValueError):  # mb_idx outside the picture
+        encode_h264_gop(64, 32, 1, [(99, (0, 64), 1)], 0)
+    # half-pel MV: structurally valid bitstream, rejected by the
+    # decoder's full-pel-only guard
+    data = encode_h264_gop(64, 32, 1, [(1, (2, 64), 1)], 0)
+    with pytest.raises(ValueError, match="sub-pel"):
+        decode_h264(data)
+    # P slice with the IDR frame removed: no reference to predict from
+    good = encode_h264_gop(64, 32, 1, [(1, (4, 64), 1)], 0)
+    nals = _split_nals(good)
+    no_idr = b"".join(
+        b"\x00\x00\x00\x01" + n for n in nals if (n[0] & 0x1F) != 5
+    )
+    with pytest.raises(ValueError, match="without a reference"):
+        decode_h264(no_idr)
+
+
+def test_h264_skip_and_median_mv_rules():
+    """Direct pins of 8.4.1.1 (P_Skip zero conditions) and 8.4.1.3
+    (median predictor with the B&C-unavailable and single-available
+    special cases)."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.h264_codec import (
+        _mv_pred,
+        _skip_mv,
+    )
+
+    # grid: 3x3 MBs, partially decoded (raster order up to (1,1))
+    g = [
+        [(4, 0), (8, 4), (0, 8)],
+        [(0, 0), None, None],
+        [None, None, None],
+    ]
+    # skip at (1,1): A=(0,0) -> zero condition fires
+    assert _skip_mv(g, 1, 1, 3) == (0, 0)
+    # skip at (1,0)... already decoded; test (2,1): A=None -> zero
+    assert _skip_mv(g, 0, 2, 3) == (0, 0)  # B=(0,0) zero condition
+    # median predictor at (1,1): A=(0,0), B=(8,4), C=(0,8) ->
+    # median x = 0, median y = 4
+    assert _mv_pred(g, 1, 1, 3) == (0, 4)
+    # B&C unavailable, A available -> mvA (row 1 col 1 with only A)
+    g2 = [[None, None], [(4, 8), None]]
+    assert _mv_pred(g2, 1, 1, 2) == (4, 8)
+    # single available neighbour (B only) -> its MV
+    g3 = [[None, (12, 4)], [None, None]]
+    assert _mv_pred(g3, 1, 1, 2) == (12, 4)
