@@ -115,16 +115,22 @@ def _fake_decode(payload: bytes) -> tuple[int, float]:
     raw bytes as the stand-in "feature".
 
     The remaining honest gap is narrower than it used to be: REAL
-    from-spec kernels now exist for PNG (``media_codecs``), WAV
-    (``media_codecs``), and baseline-sequential JPEG (``jpeg_codec``) —
-    this stub stands in only for formats/subsets those don't cover
-    (progressive JPEG, video containers, arbitrary crawl payloads).
+    from-spec kernels now exist for PNG / WAV (``media_codecs``),
+    baseline + progressive JPEG (``jpeg_codec`` /
+    ``jpeg_progressive``), GIF-LZW, Y4M, AVI/MJPEG, MPEG-1 inter, and
+    H.264 baseline I- AND P-slices (``h264_codec`` — CAVLC, Intra_4x4,
+    P_Skip/P_L0_16x16 full-pel MC). This stub stands in only for what
+    those subsets still exclude (CABAC / B-slices / deblocking /
+    sub-pel MC in real-world H.264, and arbitrary crawl payloads) —
+    closing that honestly needs ffmpeg, uninstallable in-container.
     """
     if payload is None:
         raise NotImplementedError(
-            "generic media decode (progressive JPEG/video) requires "
-            "PIL/ffmpeg — not in container; PNG/WAV/baseline-JPEG have "
-            "real from-spec kernels in media_codecs.py / jpeg_codec.py"
+            "generic media decode (real-world CABAC/B-slice H.264, "
+            "arbitrary payloads) requires PIL/ffmpeg — not in "
+            "container; from-spec kernels cover PNG/WAV/JPEG/GIF/Y4M/"
+            "AVI-MJPEG/MPEG-1/H.264-baseline-I+P in media_codecs.py, "
+            "jpeg_codec.py, gif_codec.py, mpeg1_codec.py, h264_codec.py"
         )
     n_frames = max(1, len(payload) // 256)
     # Raw (unrounded) mean: rounding happens JVM-side (F.round, HALF_UP)

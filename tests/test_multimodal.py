@@ -347,8 +347,8 @@ def test_h264_skip_and_median_mv_rules():
     ]
     # skip at (1,1): A=(0,0) -> zero condition fires
     assert _skip_mv(g, 1, 1, 3) == (0, 0)
-    # skip at (1,0)... already decoded; test (2,1): A=None -> zero
-    assert _skip_mv(g, 0, 2, 3) == (0, 0)  # B=(0,0) zero condition
+    # skip at (0,2): A unavailable (picture edge) -> zero condition
+    assert _skip_mv(g, 0, 2, 3) == (0, 0)
     # median predictor at (1,1): A=(0,0), B=(8,4), C=(0,8) ->
     # median x = 0, median y = 4
     assert _mv_pred(g, 1, 1, 3) == (0, 4)
