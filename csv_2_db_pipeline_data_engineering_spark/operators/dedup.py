@@ -118,20 +118,26 @@ def lsh_params_for_threshold(
     return best
 
 # Hot-shingle ceiling for the exact inverted-index join: a shingle that
-# appears in more than min(ABS_MAX, max(MIN, FRAC * n_docs)) documents
-# is dropped from the shingle sets before the self-join. Without it,
-# high-df shingles (stopword trigrams) form quadratic join buckets — the
-# classic skew killer in exact near-dup at scale; dropping them is
-# standard in dedup pipelines (they carry no pair-discriminating
-# signal). The cap is corpus-relative with an absolute floor (tiny
-# corpora don't over-drop) AND an absolute ceiling: without the ceiling
-# a hot shingle at the 0.1·n cap still forms a Θ((n/10)²) = Θ(n²)
-# bucket at scale (the r4 ADVICE finding) — ABS_MAX bounds the worst
-# bucket at a CONSTANT ~16M comparisons regardless of corpus size, the
-# standard hot-key drop.
-SHINGLE_DF_CAP_MIN = 16
-SHINGLE_DF_CAP_FRACTION = 0.1
-SHINGLE_DF_CAP_ABS_MAX = 4096
+# appears in more than SHINGLE_DF_CAP documents is dropped from the
+# shingle sets before the self-join. Without it, high-df shingles
+# (stopword trigrams) form quadratic join buckets — the classic skew
+# killer in exact near-dup at scale; dropping them is standard in dedup
+# pipelines (they carry no pair-discriminating signal).
+#
+# The cap is a CONSTANT, and that constancy is load-bearing: total
+# intersection mass is Σ df_i² ≤ cap · Σ df_i = cap · shingle
+# occurrences, i.e. LINEAR in corpus size with a cap/2 pair multiplier.
+# Two earlier laws failed at scale and stay documented here as
+# anti-patterns: a corpus-relative cap (0.1·n, the r4 ADVICE finding)
+# makes single buckets Θ(n²); adding an absolute ceiling (r4's
+# min(4096, max(16, 0.1·n)) fix) bounds each bucket but leaves a
+# 2048x pair MULTIPLIER once real corpora push many shingles toward
+# the ceiling — the r12 100x probe measured the curation composite
+# spilling past 80 GB of shuffle on exactly that law. At 64 the
+# multiplier is 32x over the linear shingle stream, the hot tail
+# (df > 64) carries no pair-discriminating signal at any corpus size,
+# and the worst bucket is 2k comparisons.
+SHINGLE_DF_CAP = 64
 
 # k=64 signatures in 32 bands of 2 rows: P(candidate | jaccard=j) =
 # 1-(1-j^2)^32 -> 99.6% at the j=0.4 threshold and ~1-1e-14 at j>=0.8
@@ -220,26 +226,16 @@ def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def capped_shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) rows with hot shingles removed by document
-    frequency: df ≤ min(ABS_MAX, max(SHINGLE_DF_CAP_MIN, FRAC·n_docs)).
+    frequency: df ≤ SHINGLE_DF_CAP (constant — see the cap note above
+    for why corpus-relative laws are scale bugs).
 
     The df is one window count over the shingle key (the same shuffle
-    the downstream self-join needs anyway); the corpus size reaches the
-    filter as a broadcast one-row aggregate — no collect, no second
-    scan of the text.
+    the downstream self-join needs anyway).
     """
     ex = shingle_rows(docs, n=n)
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    cap = F.least(
-        F.lit(SHINGLE_DF_CAP_ABS_MAX),
-        F.greatest(
-            F.lit(SHINGLE_DF_CAP_MIN),
-            F.ceil(F.lit(SHINGLE_DF_CAP_FRACTION) * F.col("n_docs")),
-        ),
-    )
     return (
         ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") <= cap)
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
         .select("doc_id", "shingle")
     )
 
@@ -319,18 +315,12 @@ ORDER BY doc_a, doc_b
 # Df-capped kept-shingle rows (mirrors ``capped_shingle_rows``): shared
 # by the capped-Jaccard and containment oracles.
 _CAPPED_KEPT_SQL = f"""
-caps AS (
-  SELECT LEAST({SHINGLE_DF_CAP_ABS_MAX},
-               GREATEST({SHINGLE_DF_CAP_MIN},
-                        CEIL({SHINGLE_DF_CAP_FRACTION} * COUNT(*)))) AS cap
-  FROM documents
-),
 kept AS (
   SELECT doc_id, shingle
   FROM (SELECT doc_id, shingle,
                COUNT(*) OVER (PARTITION BY shingle) AS df
-        FROM ex), caps
-  WHERE df <= cap
+        FROM ex)
+  WHERE df <= {SHINGLE_DF_CAP}
 )
 """
 

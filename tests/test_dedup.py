@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
     EMB_NEAR_DUP_THRESHOLD,
-    SHINGLE_DF_CAP_MIN,
+    SHINGLE_DF_CAP,
     allpairs_cosine_pairs,
     capped_shingle_rows,
     dedup_containment,
@@ -36,10 +36,10 @@ def _docs(spark, texts: list[str]):
 
 
 def test_df_cap_drops_hot_shingles_keeps_rare(spark):
-    # 2 + SHINGLE_DF_CAP_MIN docs all share the trigram "a b c" (df = n
-    # > cap since 0.1*n < MIN here); docs 0 and 1 additionally share the
-    # rare trigram "x y z".
-    n_hot = SHINGLE_DF_CAP_MIN + 2
+    # 2 + SHINGLE_DF_CAP docs all share the trigram "a b c" (df > the
+    # constant cap); docs 0 and 1 additionally share the rare trigram
+    # "x y z".
+    n_hot = SHINGLE_DF_CAP + 2
     texts = [f"a b c x y z u{i}" if i < 2 else f"a b c u{i} v{i} w{i}"
              for i in range(n_hot)]
     kept = capped_shingle_rows(_docs(spark, texts)).collect()
@@ -117,7 +117,7 @@ def test_containment_recall_precondition_is_pinned(spark, tmp_path):
     # candidate definition, so this blind spot is part of the contract,
     # not a silent bug — this test keeps it intentional.
     hot = "common boiler plate"  # one trigram shared by > cap docs
-    n_hot = SHINGLE_DF_CAP_MIN + 2
+    n_hot = SHINGLE_DF_CAP + 2
     texts = (
         ["tiny doc"]                                   # 0: < 3 words, inside 2
         + ["surrounding words tiny doc more words"]    # 1: container of 0
