@@ -153,14 +153,37 @@ def writer_lock(path: str, purpose: str = "compact"):
                 if isinstance(pid, int) and _pid_alive(pid):
                     # the stale lock was replaced by a LIVE writer's
                     # between our read and the rename: restore theirs
-                    # (link = create-if-absent) and lose loudly
-                    with contextlib.suppress(OSError):
+                    # (link = create-if-absent, never clobbers a newer
+                    # lock) and lose loudly. A SUPPRESSED restore
+                    # failure would leave the live writer lockless
+                    # (r12 review): fall back to an O_EXCL rewrite of
+                    # the stolen holder json, and if that fails too,
+                    # KEEP the corpse as the holder's record and say so.
+                    restored = True
+                    try:
                         os.link(corpse, lock)
-                    with contextlib.suppress(OSError):
-                        os.remove(corpse)
+                    except OSError:
+                        try:
+                            rfd = os.open(
+                                lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                            )
+                            with os.fdopen(rfd, "w", encoding="utf-8") as fh:
+                                json.dump(stolen, fh)
+                        except OSError:
+                            restored = False
+                    if restored:
+                        with contextlib.suppress(OSError):
+                            os.remove(corpse)
+                        raise ConcurrentWriterError(
+                            f"index root {path} is locked by live writer "
+                            f"{stolen}; refusing to break"
+                        ) from None
                     raise ConcurrentWriterError(
-                        f"index root {path} is locked by live writer "
-                        f"{stolen}; refusing to break"
+                        f"index root {path}: stole live writer {stolen}'s "
+                        f"lock and could not restore it (a third writer "
+                        f"holds the lock file); the holder's record is "
+                        f"preserved at {corpse} — resolve manually before "
+                        "compacting this index"
                     ) from None
                 with contextlib.suppress(OSError):
                     os.remove(corpse)
@@ -198,7 +221,27 @@ def writer_lock(path: str, purpose: str = "compact"):
                 os.remove(lock)
 
 
+def _version_files(path: str) -> dict[int, str]:
+    """{version: filename} of committed versioned manifests."""
+    out: dict[int, str] = {}
+    with contextlib.suppress(OSError):
+        for entry in os.listdir(path):
+            if entry.startswith("_BASE.v") and entry.endswith(".json"):
+                with contextlib.suppress(ValueError):
+                    out[int(entry[len("_BASE.v") : -len(".json")])] = entry
+    return out
+
+
 def read_state(path: str) -> dict | None:
+    """The committed manifest: the highest ``_BASE.v{n}.json`` (the
+    version file IS the commit — see ``_write_state``), falling back
+    to the legacy single ``_BASE.json``."""
+    versions = _version_files(path)
+    if versions:
+        p = os.path.join(path, versions[max(versions)])
+        with contextlib.suppress(OSError):
+            with open(p, encoding="utf-8") as fh:
+                return json.load(fh)
     p = os.path.join(path, _STATE)
     if not os.path.exists(p):
         return None
@@ -207,10 +250,28 @@ def read_state(path: str) -> dict | None:
 
 
 def _write_state(path: str, state: dict) -> None:
+    """Commit ``state`` as ``_BASE.v{state['v']}.json`` via an ATOMIC
+    claim: the complete manifest is written to a temp file and
+    ``os.link``ed to the version name — link is create-if-absent, so
+    exactly ONE writer can ever commit a given version number (the
+    compare-and-swap the r12 review asked for: a read-check-then-
+    ``os.replace`` of one shared file lets two writers past the
+    advisory lock interleave and lose an extend tag)."""
     fd, tmp = tempfile.mkstemp(prefix="._base_", dir=path)
-    with os.fdopen(fd, "w", encoding="utf-8") as fh:
-        json.dump(state, fh)
-    os.replace(tmp, os.path.join(path, _STATE))  # the atomic commit
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump(state, fh)
+        target = os.path.join(path, f"_BASE.v{int(state['v'])}.json")
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentWriterError(
+                f"index root {path}: version v{state['v']} is already "
+                "committed by another writer; refusing the commit"
+            ) from None
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(tmp)
 
 
 def visible_tags(path: str, sub: str = "") -> list[str]:
@@ -304,24 +365,46 @@ def compact(
             (set(state["folded"]) if state else set())
             | {t for t in fold if not t.startswith("base_v")}
         )
-        # CONDITIONAL swap: refuse the commit if the manifest moved
-        # between the fold snapshot and now (a writer that bypassed the
-        # advisory lock). The pending base dirs are OURS by name
-        # (writer-unique), so best-effort delete them before raising —
-        # a refused commit leaves no unbounded orphan on disk.
-        if read_state(path) != state:
+        def _drop_pending() -> None:
+            # the pending base dirs are OURS by name (writer-unique):
+            # best-effort delete so a refused commit leaves no orphan
             for sub in subs:
                 d = os.path.join(path, sub) if sub else path
                 shutil.rmtree(
                     os.path.join(d, f"delta={new_base}"), ignore_errors=True
                 )
+
+        # fast-fail if the manifest moved between the fold snapshot and
+        # now (a writer that bypassed the advisory lock)
+        if read_state(path) != state:
+            _drop_pending()
             raise ConcurrentWriterError(
                 f"index root {path}: manifest changed during compaction; "
                 "refusing the commit (pending version deleted)"
             )
-        # COMMIT: one atomic state replace — readers flip from (old base +
-        # folded tags) to (new base) in a single step
-        _write_state(path, {"v": n, "base": new_base, "folded": folded})
+        # COMMIT: atomic claim of version n — os.link(create-if-absent)
+        # admits exactly ONE _BASE.v{n}.json ever, so two writers racing
+        # past both the lock and the fast-fail cannot interleave commits
+        # and lose an extend tag (the r12 review's lost-update hole in
+        # the previous read-check-then-replace of one shared file)
+        try:
+            _write_state(path, {"v": n, "base": new_base, "folded": folded})
+        except ConcurrentWriterError:
+            _drop_pending()
+            raise
+        # adversarial-writer guard: a manifest BEYOND ours means someone
+        # committed outside the version protocol while we did — our
+        # commit silently lost the max-version race, so roll it back
+        # loudly instead of deleting tags the winner still reads
+        versions = _version_files(path)
+        if max(versions) != n:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(path, versions[n]))
+            _drop_pending()
+            raise ConcurrentWriterError(
+                f"index root {path}: a newer manifest (v{max(versions)}) "
+                f"appeared during the v{n} commit; rolled back"
+            )
         # cleanup strictly after the commit: everything deleted here is
         # already invisible, so a crash mid-delete changes nothing
         for sub in subs:
@@ -332,3 +415,13 @@ def compact(
                 if entry.startswith("delta=base_v") and entry != f"delta={new_base}":
                     shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
             spark.catalog.refreshByPath(d)
+        # manifest GC: keep the 3 newest version files (readers list
+        # then open — a removed file would need two full commits inside
+        # that window to have been the max) and retire the legacy
+        # single-file manifest, which versioned reads now shadow
+        for v, fname in versions.items():
+            if v <= n - 3:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(path, fname))
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(path, _STATE))

@@ -998,9 +998,14 @@ def ann_lsh_neighbor_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact sign-LSH neighbor list (see block comment)."""
     from .semantic import _dot_q, _sem_quantized
 
-    q = _sem_quantized(
-        load_table(spark, sf_dir, "embeddings")
-    ).withColumn("n2", _dot_q("xq", "xq"))
+    # scoped_cache: the quantized frame feeds the bucket explode, the
+    # query side, and the verify join — uncached it would re-scan and
+    # re-quantize the embeddings table once per consumer
+    q = scoped_cache(
+        _sem_quantized(load_table(spark, sf_dir, "embeddings")).withColumn(
+            "n2", _dot_q("xq", "xq")
+        )
+    )
     b = _table_buckets_int(q.select("vec_id", "xq"), _planes_quantized()).select(
         "vec_id", "t", "bucket"
     )
@@ -1041,7 +1046,10 @@ def ann_ivf_neighbor_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sq_dist_q,
     )
 
-    q = _sem_quantized(load_table(spark, sf_dir, "embeddings"))
+    # scoped_cache: the Lloyd loop scans the quantized frame once per
+    # iteration plus the seed/final assigns (the kmeans_assignments
+    # pattern) — uncached it would re-read the embeddings table ~5x
+    q = scoped_cache(_sem_quantized(load_table(spark, sf_dir, "embeddings")))
     cents = _sem_init_centroids(q)
     for _ in range(SEM_ITERS):
         cents = _sem_update(_sem_assign(q, cents))

@@ -51,23 +51,29 @@ CMS_W = 1024
 CMS_HH_MIN = 5
 
 
-def _gram_stream(docs: DataFrame) -> DataFrame:
-    """One row per word-3-gram OCCURRENCE: (gram). Codegen-only, ZERO
-    shuffle: explode an ``arrays_zip`` of three shifted ``slice`` views
-    of the token array, then ``concat_ws`` per row.  ~7x faster at
+def _gram_stream(docs: DataFrame, *carry: str) -> DataFrame:
+    """One row per word-3-gram OCCURRENCE: (*carry, gram). Codegen-only,
+    ZERO shuffle: explode an ``arrays_zip`` of three shifted ``slice``
+    views of the token array, then ``concat_ws`` per row.  ~7x faster at
     sf0.1 than a ``transform``+``element_at`` lambda (which runs on the
     interpreted higher-order path — the same lambda tax ``shingle_rows``
     paid before round 5) and shuffle-free unlike the window-lead shape
     (adjacency never leaves the row's own array).  Matches the oracle's
-    list-comprehension shingling."""
+    list-comprehension shingling. ``carry`` names existing columns to
+    thread through the explode (the ONE defining shingling form — the
+    HLL split partials carry their is_delta flag through here instead
+    of duplicating these expressions)."""
     w = F.split("text", " ")
     n3 = F.size(w) - F.lit(2)
     z = F.arrays_zip(F.slice(w, 1, n3), F.slice(w, 2, n3), F.slice(w, 3, n3))
     return (
         docs.filter(F.size(w) >= 3)
-        .select(F.explode(z).alias("z"))
+        .select(*carry, F.explode(z).alias("z"))
         .select(
-            F.concat_ws(" ", F.col("z.0"), F.col("z.1"), F.col("z.2")).alias("gram")
+            *carry,
+            F.concat_ws(" ", F.col("z.0"), F.col("z.1"), F.col("z.2")).alias(
+                "gram"
+            ),
         )
     )
 
@@ -668,21 +674,8 @@ def _hll_split_partials(docs: DataFrame) -> DataFrame:
     and re-hashing the whole corpus each time — 3x the dominant
     per-byte work for states that max-associativity derives exactly
     from one (register, split) partial frame of <= 2 * 2^p rows."""
-    w = F.split("text", " ")
-    n3 = F.size(w) - F.lit(2)
-    z = F.arrays_zip(F.slice(w, 1, n3), F.slice(w, 2, n3), F.slice(w, 3, n3))
-    g = (
-        docs.filter(F.size(w) >= 3)
-        .select(
-            (F.col("doc_id") % 10 == 0).alias("is_delta"),
-            F.explode(z).alias("z"),
-        )
-        .select(
-            "is_delta",
-            F.concat_ws(" ", F.col("z.0"), F.col("z.1"), F.col("z.2")).alias(
-                "gram"
-            ),
-        )
+    g = _gram_stream(
+        docs.withColumn("is_delta", F.col("doc_id") % 10 == 0), "is_delta"
     )
     return (
         _hll_reg_rho_frame(g, "is_delta")

@@ -579,10 +579,17 @@ def fold_curation_batch(
     # kept rows — double-counted tokens in every index). Pure replays
     # (identical payloads) collapse; CONFLICTING payloads for one
     # doc_id fail loudly — the raise is embedded in the kept column so
-    # column pruning can't drop it.
+    # column pruning can't drop it. NULL-safe by counting: min==max is
+    # NULL (not TRUE) on an all-NULL group and TRUE on a NULL-vs-value
+    # mix (min/max skip NULLs), so the agreement test is "at most one
+    # distinct non-NULL value AND no NULL/non-NULL mix" instead.
     def _one_per_doc(c: str):
+        agree = (F.count_distinct(F.col(c)) <= 1) & (
+            (F.count(F.col(c)) == 0)
+            | (F.count(F.col(c)) == F.count(F.lit(1)))
+        )
         return (
-            F.when(F.min(c) == F.max(c), F.min(c))
+            F.when(agree, F.min(c))
             .otherwise(
                 F.raise_error(
                     F.concat(

@@ -754,3 +754,24 @@ def test_epoch_index_source_replay_collapses_and_conflict_raises(
             out2,
             0,
         )
+
+    # NULL-safety of the entrance collapse (r12 review findings): a
+    # lone NULL value must NOT trip the conflict raise, and a
+    # NULL-vs-value mix for one doc_id MUST (min/max skip NULLs, so a
+    # naive min==max test gets both wrong)
+    out3 = str(tmp_path / "curated_null_ok")
+    fold_curation_batch(
+        spark,
+        src_docs([(1, _BASE, None), (2, _OTHER, "src2")]),
+        out3,
+        0,
+    )  # no raise: NULL source is not a conflict (docs just skip the
+    # source-bearing epoch index when NULL rows are absent of source)
+    out4 = str(tmp_path / "curated_null_mix")
+    with pytest.raises(Exception, match="conflicting source values"):
+        fold_curation_batch(
+            spark,
+            src_docs([(1, _BASE, "src1"), (1, _BASE, None)]),
+            out4,
+            0,
+        )

@@ -195,3 +195,50 @@ def test_breaker_restores_a_live_lock_it_stole(spark, tmp_path, monkeypatch):
     # the live holder's lock was restored, and no corpse remains
     assert json.load(open(lock)) == live
     assert not [f for f in os.listdir(path) if ".broken." in f]
+
+
+def test_version_claim_is_exclusive(spark, tmp_path):
+    """The commit IS the atomic claim of _BASE.v{n}.json: a second
+    writer claiming the same version number fails loudly and the first
+    writer's manifest survives untouched (the r12 review's CAS ask —
+    a read-check-then-replace of one shared file could interleave)."""
+    import pytest
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    lsm._write_state(path, {"v": 1, "base": "base_v1_w1", "folded": ["a"]})
+    with pytest.raises(lsm.ConcurrentWriterError):
+        lsm._write_state(path, {"v": 1, "base": "base_v1_w2", "folded": []})
+    assert lsm.read_state(path)["base"] == "base_v1_w1"
+    # a higher version claims fine and becomes the visible manifest
+    lsm._write_state(path, {"v": 2, "base": "base_v2_w1", "folded": ["a", "b"]})
+    assert lsm.read_state(path)["v"] == 2
+
+
+def test_commit_rolls_back_when_newer_manifest_appears(
+    spark, tmp_path, monkeypatch
+):
+    """Adversarial-writer guard: if a manifest BEYOND ours lands while
+    we commit (outside both the lock and the version protocol), the
+    commit rolls itself back — never deleting tags the winner reads."""
+    import pytest
+
+    path, expected = _setup(spark, tmp_path)
+    real_versions = lsm._version_files
+
+    def racing_versions(p):
+        out = dict(real_versions(p))
+        if out:  # only after our claim landed: fake a newer winner
+            out[99] = out[max(out)]
+        return out
+
+    monkeypatch.setattr(lsm, "_version_files", racing_versions)
+    with pytest.raises(lsm.ConcurrentWriterError, match="newer manifest"):
+        compact_cms_index(spark, path)
+    monkeypatch.undo()
+    # rolled back: no committed manifest, no pending base dirs, and the
+    # extend tags still serve the exact pre-compaction view
+    assert lsm.read_state(path) is None
+    assert not [t for t in os.listdir(path) if t.startswith("delta=base_v")]
+    assert lsm.visible_tags(path) == ["batch1", "batch2"]
+    assert _counts(spark, path) == expected
