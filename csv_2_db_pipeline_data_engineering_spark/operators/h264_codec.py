@@ -598,12 +598,20 @@ def _mc_16x16(
     full-pel by the caller."""
     dx, dy = mv_q[0] >> 2, mv_q[1] >> 2
     x0, y0 = mx * 16, my * 16
+    sx0 = x0 + dx
+    in_bounds = 0 <= sx0 and sx0 + 16 <= width
     for i in range(16):
         sy = min(height - 1, max(0, y0 + i + dy))
         row = ref[sy]
-        for j in range(16):
-            sx = min(width - 1, max(0, x0 + j + dx))
-            dst[y0 + i][x0 + j] = row[sx]
+        if in_bounds:
+            # C-speed row copy — the common case (P_Skip MBs always:
+            # MV 0 never leaves the picture), and the dominant cost of
+            # the pure-Python GOP decode when done per-pixel
+            dst[y0 + i][x0 : x0 + 16] = row[sx0 : sx0 + 16]
+        else:
+            for j in range(16):
+                sx = min(width - 1, max(0, sx0 + j))
+                dst[y0 + i][x0 + j] = row[sx]
 
 
 def decode_h264(data: bytes) -> dict:
