@@ -33,6 +33,19 @@ def get_session(
       map to NULL-on-failure casts. Operators also use ``try_``-variants
       so they stay correct under a foreign ANSI-on session.
     """
+    # Python workers import this package by NAME when unpickling
+    # mapInPandas/pandas_udf closures; a driver script that found the
+    # package via sys.path editing (not cwd) would otherwise strand the
+    # workers (sys.path edits don't propagate). The JVM — and the
+    # worker daemon it spawns — inherits the driver's env at session
+    # build, so pinning PYTHONPATH here makes the package importable
+    # from any driver cwd.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pp + (os.pathsep if pp else "") + repo_root
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     master = master or (f"local[{cpus}]" if cpus else "local[*]")
     builder = (
