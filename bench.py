@@ -207,6 +207,13 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Drift control (VERDICT r12 #6): two rounds in a row spent probe
+    # budget attributing uniform bench tides to host noise. q1 is the
+    # designated same-boot control (pure scan+agg, untouched since r1):
+    # persist its timing and the control-normalized total IN the bench
+    # JSON so cross-round comparisons can divide the host out without a
+    # separate isolated probe run.
+    control = timings.get("q1_pricing_summary")
     summary = {
         "metric": "full_catalog_total_wall" if full else "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -214,6 +221,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "reps": reps,
+        "control_q1": control,
+        "value_per_control": (
+            round(sum(timings.values()) / control, 2) if control else None
+        ),
     }
     # Per-rep raw samples are for human noise inspection, not the driver's
     # parser — they tripled the stdout line in r5 and overflowed the tail

@@ -61,6 +61,9 @@ multimodal extension (SURVEY.md §2.11).
 
 from __future__ import annotations
 
+from functools import lru_cache
+from itertools import chain
+
 H264_QP = 24  # QP%6 == 0, QP//6 == 4 -> DC dequant scale 10 << 4 = 160
 
 #: LevelScale4x4 normAdjust values per QP%6 (8.5.9): index 0 applies to
@@ -108,31 +111,49 @@ def inverse_transform4x4(d: list[list[int]]) -> list[list[int]]:
     return out
 
 
+@lru_cache(maxsize=1024)
+def _residual_dc(level: int, qp: int) -> int:
+    """Reconstructed residual of a DC-only coded block — a CONSTANT
+    4x4 plane (the row/column butterflies of [d, 0, 0, 0] are flat), so
+    one value characterizes the block. Computed through the real
+    dequant + inverse-transform pipeline and memoized per (level, qp):
+    the subset's CAVLC codes only the DC coefficient (total_zeros != 0
+    is rejected at parse), so every coded block reconstructs to this."""
+    co = [[0] * 4 for _ in range(4)]
+    co[0][0] = level
+    return inverse_transform4x4(dequant4x4(co, qp))[0][0]
+
+
 # --- Exp-Golomb + RBSP bit I/O ----------------------------------------------
 
 
 class _BitWriter:
     def __init__(self) -> None:
         self.bits: list[str] = []
+        self.n = 0  # running bit count (re-summing per pad bit was O(bits²))
 
     def u(self, v: int, n: int) -> None:
         self.bits.append(format(v, f"0{n}b"))
+        self.n += n
 
     def ue(self, v: int) -> None:
         code = v + 1
         n = code.bit_length()
         self.bits.append("0" * (n - 1) + format(code, f"0{n}b"))
+        self.n += 2 * n - 1
 
     def se(self, v: int) -> None:
         self.ue(2 * v - 1 if v > 0 else -2 * v)
 
     def raw(self, bits: str) -> None:
         self.bits.append(bits)
+        self.n += len(bits)
 
     def rbsp_trailing(self) -> None:
         self.u(1, 1)
-        while sum(len(b) for b in self.bits) % 8:
-            self.u(0, 1)
+        pad = -self.n % 8
+        if pad:
+            self.raw("0" * pad)
 
     def tobytes(self) -> bytes:
         s = "".join(self.bits)
@@ -731,55 +752,66 @@ def decode_h264(data: bytes) -> dict:
                                 residual[i] = lvl
                                 n_coded_blocks += 1
                             tc[by][bx] = 1 if lvl else 0
-                    # reconstruct the MB's 16 blocks in z-order
+                    # reconstruct the MB's 16 blocks in z-order. The
+                    # subset's residuals are DC-only (_residual_dc), so
+                    # every block is prediction + a constant — V repeats
+                    # one clamped row, H and DC fill constants per row:
+                    # row-slice assignments, the same C-speed trick as
+                    # the full-pel MC fast path.
                     for i in range(16):
                         x4, y4 = _ZSCAN[i]
                         bx, by = mbx * 4 + x4, mby * 4 + y4
                         x0, y0 = bx * 4, by * 4
                         mode = mb_modes[i]
+                        rv = (
+                            _residual_dc(residual[i], qp_y)
+                            if i in residual
+                            else 0
+                        )
                         if mode == 0:  # Vertical
                             if by == 0:
                                 raise ValueError("H.264: V-pred without top")
-                            pred_px = [
-                                [luma[y0 - 1][x0 + j] for j in range(4)]
-                            ] * 4
+                            out_row = [
+                                min(255, max(0, t + rv))
+                                for t in luma[y0 - 1][x0 : x0 + 4]
+                            ]
+                            for i2 in range(4):
+                                luma[y0 + i2][x0 : x0 + 4] = out_row
                         elif mode == 1:  # Horizontal
                             if bx == 0:
                                 raise ValueError("H.264: H-pred without left")
-                            pred_px = [
-                                [luma[y0 + i2][x0 - 1]] * 4 for i2 in range(4)
-                            ]
+                            for i2 in range(4):
+                                v = min(
+                                    255, max(0, luma[y0 + i2][x0 - 1] + rv)
+                                )
+                                luma[y0 + i2][x0 : x0 + 4] = (v, v, v, v)
                         else:  # DC (8.3.1.2.3)
-                            top = (
-                                [luma[y0 - 1][x0 + j] for j in range(4)]
+                            top_s = (
+                                sum(luma[y0 - 1][x0 : x0 + 4])
                                 if by > 0
                                 else None
                             )
-                            left = (
-                                [luma[y0 + i2][x0 - 1] for i2 in range(4)]
+                            left_s = (
+                                luma[y0][x0 - 1]
+                                + luma[y0 + 1][x0 - 1]
+                                + luma[y0 + 2][x0 - 1]
+                                + luma[y0 + 3][x0 - 1]
                                 if bx > 0
                                 else None
                             )
-                            if top and left:
-                                dc = (sum(top) + sum(left) + 4) >> 3
-                            elif top:
-                                dc = (sum(top) + 2) >> 2
-                            elif left:
-                                dc = (sum(left) + 2) >> 2
+                            if top_s is not None and left_s is not None:
+                                dc = (top_s + left_s + 4) >> 3
+                            elif top_s is not None:
+                                dc = (top_s + 2) >> 2
+                            elif left_s is not None:
+                                dc = (left_s + 2) >> 2
                             else:
                                 dc = 128
-                            pred_px = [[dc] * 4 for _ in range(4)]
-                        if i in residual:
-                            co = [[0] * 4 for _ in range(4)]
-                            co[0][0] = residual[i]
-                            res = inverse_transform4x4(dequant4x4(co, qp_y))
-                        else:
-                            res = [[0] * 4 for _ in range(4)]
-                        for i2 in range(4):
-                            for j2 in range(4):
-                                v = pred_px[i2][j2] + res[i2][j2]
-                                luma[y0 + i2][x0 + j2] = min(255, max(0, v))
-            frames.append([px for row in luma for px in row])
+                            v = min(255, max(0, dc + rv))
+                            const_row = (v, v, v, v)
+                            for i2 in range(4):
+                                luma[y0 + i2][x0 : x0 + 4] = const_row
+            frames.append(list(chain.from_iterable(luma)))
             ref2d = luma
         elif nal_type == 1:
             if sps is None or pps is None:
@@ -870,14 +902,16 @@ def decode_h264(data: bytes) -> dict:
                             nc = (na + nb + 1) >> 1
                         lvl = _decode_coeff_block(r, nc)
                         if lvl:
-                            co = [[0] * 4 for _ in range(4)]
-                            co[0][0] = lvl
-                            res = inverse_transform4x4(dequant4x4(co, qp_y))
+                            # DC-only residual: a constant over the 4x4
+                            # (see _residual_dc) — add per row slice
+                            rv = _residual_dc(lvl, qp_y)
                             x0, y0 = bx * 4, by * 4
                             for i2 in range(4):
-                                for j2 in range(4):
-                                    v = luma[y0 + i2][x0 + j2] + res[i2][j2]
-                                    luma[y0 + i2][x0 + j2] = min(255, max(0, v))
+                                row = luma[y0 + i2]
+                                row[x0 : x0 + 4] = [
+                                    min(255, max(0, p + rv))
+                                    for p in row[x0 : x0 + 4]
+                                ]
                             n_coded_blocks += 1
                         tc[by][bx] = 1 if lvl else 0
                 mvs[my][mx] = mv
@@ -885,7 +919,7 @@ def decode_h264(data: bytes) -> dict:
                 sum_abs_mvx_q += abs(mv[0])
                 sum_abs_mvy_q += abs(mv[1])
                 addr += 1
-            frames.append([px for row in luma for px in row])
+            frames.append(list(chain.from_iterable(luma)))
             ref2d = luma
         else:
             raise ValueError(f"H.264 decoder subset: NAL type {nal_type}")

@@ -235,13 +235,37 @@ def _version_files(path: str) -> dict[int, str]:
 def read_state(path: str) -> dict | None:
     """The committed manifest: the highest ``_BASE.v{n}.json`` (the
     version file IS the commit — see ``_write_state``), falling back
-    to the legacy single ``_BASE.json``."""
-    versions = _version_files(path)
-    if versions:
-        p = os.path.join(path, versions[max(versions)])
-        with contextlib.suppress(OSError):
+    to the legacy single ``_BASE.json`` only for never-versioned
+    indexes.
+
+    A just-listed version file can vanish between the list and the
+    open (racing manifest GC of a much older max needs two commits
+    inside the window, but it is not impossible). That is NOT a
+    license to serve the retired legacy manifest (compaction deletes
+    it post-commit, so the silent fallback returned None — a
+    base-less, folded-unaware view): re-list and take the surviving
+    max; if the file is STILL listed, the failure is a real IO error
+    and must surface.
+    """
+    for _ in range(8):
+        versions = _version_files(path)
+        if not versions:
+            break  # never-versioned index: legacy manifest below
+        top = max(versions)
+        p = os.path.join(path, versions[top])
+        try:
             with open(p, encoding="utf-8") as fh:
                 return json.load(fh)
+        except OSError:
+            if top in _version_files(path):
+                raise  # committed but unreadable: surface, don't mask
+            continue  # version retired between list and open: re-list
+    else:
+        raise ConcurrentWriterError(
+            f"index root {path}: the max manifest version kept vanishing "
+            "between list and open; refusing to fall back to the retired "
+            "legacy manifest"
+        )
     p = os.path.join(path, _STATE)
     if not os.path.exists(p):
         return None
@@ -382,6 +406,18 @@ def compact(
                 f"index root {path}: manifest changed during compaction; "
                 "refusing the commit (pending version deleted)"
             )
+        # pre-commit arbitration: any version >= n already on disk means
+        # an adversarial writer committed while we folded — refuse BEFORE
+        # publishing rather than link-then-roll-back (a reader that loads
+        # v{n} in a publish/roll-back window would resolve a folded set
+        # whose base dirs are being deleted under it)
+        pre = _version_files(path)
+        if pre and max(pre) >= n:
+            _drop_pending()
+            raise ConcurrentWriterError(
+                f"index root {path}: manifest v{max(pre)} appeared during "
+                f"compaction; refusing the v{n} commit (pending deleted)"
+            )
         # COMMIT: atomic claim of version n — os.link(create-if-absent)
         # admits exactly ONE _BASE.v{n}.json ever, so two writers racing
         # past both the lock and the fast-fail cannot interleave commits
@@ -393,17 +429,19 @@ def compact(
             _drop_pending()
             raise
         # adversarial-writer guard: a manifest BEYOND ours means someone
-        # committed outside the version protocol while we did — our
-        # commit silently lost the max-version race, so roll it back
-        # loudly instead of deleting tags the winner still reads
+        # committed outside the version protocol while we did. Our v{n}
+        # STAYS committed — the highest-version rule arbitrates, and
+        # deleting just-published data would hand a reader that already
+        # resolved v{n} a transient empty view. We only SKIP the
+        # destructive cleanup (the winner's folded set may still read
+        # our extend tags) and surface the conflict loudly; a later
+        # successful compaction sweeps the shadowed base dir + manifest.
         versions = _version_files(path)
-        if max(versions) != n:
-            with contextlib.suppress(OSError):
-                os.remove(os.path.join(path, versions[n]))
-            _drop_pending()
+        if versions.get(n) is None or max(versions) != n:
             raise ConcurrentWriterError(
-                f"index root {path}: a newer manifest (v{max(versions)}) "
-                f"appeared during the v{n} commit; rolled back"
+                f"index root {path}: manifest set {sorted(versions) or '?'} "
+                f"diverged during the v{n} commit; v{n} stands (highest "
+                "version arbitrates) but cleanup was skipped"
             )
         # cleanup strictly after the commit: everything deleted here is
         # already invisible, so a crash mid-delete changes nothing

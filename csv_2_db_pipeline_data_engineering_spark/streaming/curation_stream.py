@@ -601,9 +601,21 @@ def fold_curation_batch(
             .alias(c)
         )
 
-    batch_df = batch_df.groupBy("doc_id").agg(
-        *[_one_per_doc(c) for c in batch_df.columns if c != "doc_id"]
+    # Cheap duplicate probe first: the collapse agg shuffles the FULL
+    # payload (text, and embedding arrays under DOC_EMB_SCHEMA) on
+    # every batch, but the common case is a duplicate-free batch. The
+    # probe aggregates doc_id alone — column pruning drops the payload
+    # and the map-side partial combine makes the exchange ids-only —
+    # so duplicate-free batches skip the wide shuffle entirely while
+    # the fail-loudly conflict semantics are untouched when the probe
+    # does find a repeated key.
+    has_dup_ids = not (
+        batch_df.groupBy("doc_id").count().filter(F.col("count") > 1).isEmpty()
     )
+    if has_dup_ids:
+        batch_df = batch_df.groupBy("doc_id").agg(
+            *[_one_per_doc(c) for c in batch_df.columns if c != "doc_id"]
+        )
 
     raw_docs = batch_df.select("doc_id", "text")
     # C4-style pre-clean: strip lines the accumulated line index has

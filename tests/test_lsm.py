@@ -215,12 +215,15 @@ def test_version_claim_is_exclusive(spark, tmp_path):
     assert lsm.read_state(path)["v"] == 2
 
 
-def test_commit_rolls_back_when_newer_manifest_appears(
+def test_commit_stands_when_newer_manifest_appears(
     spark, tmp_path, monkeypatch
 ):
     """Adversarial-writer guard: if a manifest BEYOND ours lands while
-    we commit (outside both the lock and the version protocol), the
-    commit rolls itself back — never deleting tags the winner reads."""
+    we commit (outside both the lock and the version protocol), our
+    commit STAYS published — the highest-version rule arbitrates — and
+    only the destructive cleanup is skipped, so neither a reader that
+    already resolved our version nor the winner's extend tags lose
+    data (the r12 review's publish-then-roll-back transient view)."""
     import pytest
 
     path, expected = _setup(spark, tmp_path)
@@ -233,12 +236,79 @@ def test_commit_rolls_back_when_newer_manifest_appears(
         return out
 
     monkeypatch.setattr(lsm, "_version_files", racing_versions)
-    with pytest.raises(lsm.ConcurrentWriterError, match="newer manifest"):
+    with pytest.raises(lsm.ConcurrentWriterError, match="diverged"):
         compact_cms_index(spark, path)
     monkeypatch.undo()
-    # rolled back: no committed manifest, no pending base dirs, and the
-    # extend tags still serve the exact pre-compaction view
-    assert lsm.read_state(path) is None
-    assert not [t for t in os.listdir(path) if t.startswith("delta=base_v")]
-    assert lsm.visible_tags(path) == ["batch1", "batch2"]
+    # the commit stands: manifest v1 is on disk and serves the folded
+    # base; the cleanup was skipped, so the folded extend tags survive
+    # on disk (invisible under v1's folded set) for the winner to read
+    state = lsm.read_state(path)
+    assert state is not None and state["v"] == 1
+    assert lsm.visible_tags(path) == [state["base"]]
+    assert {t[len("delta=") :] for t in os.listdir(path)
+            if t.startswith("delta=batch")} == {"batch1", "batch2"}
     assert _counts(spark, path) == expected
+
+
+def test_precommit_newer_manifest_refuses_before_publish(
+    spark, tmp_path, monkeypatch
+):
+    """A manifest that lands between the fold snapshot and the commit
+    is caught BEFORE the version link: the pending base is dropped, no
+    manifest is published, and the old view is untouched (the r12
+    review asked for check-then-link, not link-then-roll-back)."""
+    import pytest
+
+    path, expected = _setup(spark, tmp_path)
+    # pin compact's snapshot/fast-fail view to the pre-adversary state,
+    # then plant a REAL adversarial v1 manifest: only the direct
+    # _version_files pre-commit check can see it
+    monkeypatch.setattr(lsm, "read_state", lambda p: None)
+    lsm._write_state(path, {"v": 1, "base": "base_v1_w999", "folded": []})
+    with pytest.raises(lsm.ConcurrentWriterError, match="refusing the v1"):
+        compact_cms_index(spark, path)
+    monkeypatch.undo()
+    # nothing of ours published: the adversary's manifest is intact and
+    # our pending writer-unique base dir was dropped
+    assert lsm.read_state(path) == {
+        "v": 1, "base": "base_v1_w999", "folded": []
+    }
+    mine = f"base_v1_w{os.getpid()}"
+    assert not os.path.isdir(os.path.join(path, f"delta={mine}"))
+    # the extend tags still hold the full pre-compaction data
+    assert {t[len("delta=") :] for t in os.listdir(path)
+            if t.startswith("delta=batch")} == {"batch1", "batch2"}
+
+
+def test_read_state_retries_vanished_max_version(tmp_path, monkeypatch):
+    """A just-listed max version file that vanishes before the open is
+    re-listed and the surviving max served — never the retired legacy
+    manifest (whose silent fallback returned a base-less view); a max
+    version that is listed but UNREADABLE surfaces the IO error."""
+    import pytest
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    lsm._write_state(path, {"v": 1, "base": "base_v1_w1", "folded": ["a"]})
+    real_versions = lsm._version_files
+    calls = {"n": 0}
+
+    def ghost_once(p):
+        out = dict(real_versions(p))
+        calls["n"] += 1
+        if calls["n"] == 1:  # first list: a ghost max that vanished
+            out[3] = "_BASE.v3.json"
+        return out
+
+    monkeypatch.setattr(lsm, "_version_files", ghost_once)
+    assert lsm.read_state(path)["v"] == 1  # retried down to the survivor
+    monkeypatch.undo()
+
+    def ghost_always(p):
+        out = dict(real_versions(p))
+        out[3] = "_BASE.v3.json"  # listed every time but never openable
+        return out
+
+    monkeypatch.setattr(lsm, "_version_files", ghost_always)
+    with pytest.raises(OSError):
+        lsm.read_state(path)

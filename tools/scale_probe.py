@@ -118,6 +118,225 @@ CUSTOM_PROBES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Probe-coverage audit (VERDICT r12 #4): every DRIVER_WINDOW entry must
+# carry EITHER a measured entry in SCALE_PROBE_100X.json OR an explicit
+# waiver below, so window rotations can't silently skip the scale
+# question. Waiver grammar (machine-checked by audit_probe_coverage):
+#   "scan-shaped — <why no probe is needed>"
+#       the plan is a scan + projection/bounded agg with no join or
+#       data-proportional shuffle state; linearity is structural.
+#   "10x:<probe_name> — <why that measured 10x entry covers this>"
+#       a measured SCALE_PROBE.json entry exercises the same plan
+#       (audit fails if the named entry is missing from the JSON).
+#   "100x:<probe_name> — <why that measured 100x entry covers this>"
+#       the named SCALE_PROBE_100X.json entry runs the same code path
+#       (audit fails if missing). Only for literal shared kernels —
+#       "family twin" inference is NOT a waiver (the r12 verdict found
+#       span_strip_incremental wrongly bundled under
+#       dedup_exact_substring's probe; it is probed directly now).
+PROBE_WAIVERS: dict[str, str] = {
+    "rejection_rate": (
+        "scan-shaped — one validate projection over events plus a"
+        " FILTER/UNION aggregate whose state is a single row; no join,"
+        " no data-proportional shuffle"
+    ),
+    "normalize_and_serialize": (
+        "scan-shaped — per-row trim/case/to_json projection with a"
+        " LIMITed output; zero shuffle"
+    ),
+    "text_gopher_gate": (
+        "10x:text_gopher_gate — zero-shuffle nine-rule projection; the"
+        " measured 10x entry is the same single-scan plan"
+    ),
+    "text_dsir_select": (
+        "10x:text_dsir_select — broadcast hashed-bucket model + one"
+        " doc-keyed score agg; 10x entry measures the same plan"
+    ),
+    "domain_mix_waterfill": (
+        "10x:domain_mix_waterfill — one per-source agg then iterate on"
+        " the tiny source-count frame; data-proportional work is the"
+        " first agg only"
+    ),
+    "dedup_bloom_prefilter": (
+        "100x:dedup_bloom_prefilter — probed directly this round"
+        " (fixed-size bit-rows + broadcast membership)"
+    ),
+    "embedding_kmeans_iter": (
+        "100x:dedup_semantic_kmeans — the integer-Lloyd iterate IS the"
+        " code path inside that probe (operators/semantic.py builds the"
+        " clusters via embedding_kmeans_iter's kernel); the query"
+        " itself adds only the per-iteration inertia projection"
+    ),
+    "embedding_linear_probe": (
+        "10x:embedding_linear_probe — fixed-dimension integer-GD"
+        " aggregates per iteration; per-doc work is one dot product"
+    ),
+    "embedding_probe_confusion": (
+        "10x:embedding_linear_probe — trains the identical model, then"
+        " one broadcast-weights scan agg for the confusion counts"
+    ),
+    "text_vocab_zipf": (
+        "scan-shaped — token explode + map-side-combinable groupBy"
+        " count; the rank/fit runs on the bounded vocab frame"
+    ),
+    "text_fluency_buckets": (
+        "10x:text_bigram_logprob — built on the same"
+        " bigram_logprob_frame; adds a width-4 bucket agg on top"
+    ),
+    "text_encoding_fix": (
+        "scan-shaped — per-row mojibake repair projection; zero shuffle"
+    ),
+    "text_boilerplate_strip": (
+        "10x:text_line_dedup — the same line-digest inverted shape"
+        " (explode lines, digest groupBy), plus a broadcast semi-join"
+        " back to strip flagged lines"
+    ),
+    "url_canonical_dedup": (
+        "scan-shaped — canonical-key projection + digest groupBy"
+        " (map-side-combinable exact-dedup hash shape); no join"
+    ),
+    "mm_jpeg_decode_stats": (
+        "10x:mm_jpeg_decode_stats — Arrow mapInPandas kernel over"
+        " _spread ids, zero joins; plan-identical to the"
+        " 100x-certified mm_h264_intra_stats (24.5x)"
+    ),
+    "mm_png_deadletter_stats": (
+        "10x:mm_png_decode_stats — same PNG kernel map plus the"
+        " dead-letter split projection; plan-identical to the"
+        " 100x-certified mm_h264_intra_stats shape"
+    ),
+    "mm_avi_mjpeg_stats": (
+        "10x:mm_avi_mjpeg_stats — kernel map over _spread ids, zero"
+        " joins; same certified plan shape as mm_h264_intra_stats"
+    ),
+    "mm_mpeg1_video_stats": (
+        "10x:mm_mpeg1_video_stats — kernel map over _spread ids, zero"
+        " joins; same certified plan shape as mm_h264_intra_stats"
+    ),
+    "mm_audio_fp_dedup": (
+        "10x:mm_audio_fp_dedup — WAV kernel map + fingerprint-keyed"
+        " (banded) pair join; bucket mass bounded by fingerprint"
+        " entropy, measured at 10x"
+    ),
+    "mm_video_fp_dedup": (
+        "10x:mm_video_fp_dedup — Y4M kernel map + fingerprint-keyed"
+        " pair join; measured at 10x"
+    ),
+    "canary_contamination_scan": (
+        "100x:corpus_decontaminate — the same broadcast eval-index"
+        " n-gram containment scan (operators/contamination.py);"
+        " decontaminate ADDS the span excision on top, so its probe"
+        " upper-bounds the canary scan"
+    ),
+    "corpus_epoch_schedule": (
+        "10x:corpus_epoch_schedule — broadcast plan join + source-keyed"
+        " cumulative sum; measured at 10x"
+    ),
+    "corpus_snapshot_diff": (
+        "100x:corpus_snapshot_diff — probed directly this round"
+        " (digest-keyed full-outer release diff)"
+    ),
+    "q1_pricing_summary": (
+        "scan-shaped — TPC-H Q1: one lineitem scan into a"
+        " 4-group-key decimal agg; the bench control query"
+    ),
+    "graph_triangle_count": (
+        "100x:graph_triangle_count — probed directly this round"
+        " (canonical-edge two-join over the trade edge table)"
+    ),
+    "promo_revenue_share": (
+        "scan-shaped — lineitem scan + broadcast part join into a"
+        " single-row conditional agg"
+    ),
+    "top_revenue_supplier": (
+        "scan-shaped — lineitem window-free group agg + broadcast"
+        " supplier join + max-share filter on the bounded supplier"
+        " frame"
+    ),
+    "disjunctive_bracket_revenue": (
+        "scan-shaped — TPC-H Q19 shape: lineitem scan + broadcast part"
+        " join with pushed disjunctive brackets into a single-row agg"
+    ),
+}
+
+
+def audit_probe_coverage(verbose: bool = True) -> list[str]:
+    """Check every DRIVER_WINDOW entry for scale-probe coverage.
+
+    Returns the list of problems (empty = pass). A problem is an entry
+    with neither a SCALE_PROBE_100X.json measurement nor a valid
+    waiver, a waiver whose referenced probe entry does not exist, a
+    waiver for an entry that IS probed at 100x (stale waiver — drop
+    it), or a waiver for a name not in the window (dead weight).
+    """
+    from csv_2_db_pipeline_data_engineering_spark.plans.catalog import (
+        DRIVER_WINDOW,
+    )
+
+    root = os.path.dirname(_SCALEPROBE_ROOT)
+
+    def _queries(fname: str) -> dict:
+        p = os.path.join(root, fname)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f).get("queries", {})
+
+    q100 = _queries("SCALE_PROBE_100X.json")
+    q10 = _queries("SCALE_PROBE.json")
+    problems: list[str] = []
+    for name in DRIVER_WINDOW:
+        if name in q100:
+            if name in PROBE_WAIVERS:
+                problems.append(
+                    f"{name}: probed at 100x AND waived — drop the stale waiver"
+                )
+            continue
+        waiver = PROBE_WAIVERS.get(name)
+        if waiver is None:
+            problems.append(
+                f"{name}: in DRIVER_WINDOW with no SCALE_PROBE_100X.json"
+                " entry and no waiver"
+            )
+            continue
+        if waiver.startswith("10x:"):
+            ref = waiver[4:].split(" ", 1)[0]
+            if ref not in q10:
+                problems.append(
+                    f"{name}: waiver cites 10x probe '{ref}' which is not"
+                    " in SCALE_PROBE.json"
+                )
+        elif waiver.startswith("100x:"):
+            ref = waiver[5:].split(" ", 1)[0]
+            if ref not in q100:
+                problems.append(
+                    f"{name}: waiver cites 100x probe '{ref}' which is not"
+                    " in SCALE_PROBE_100X.json"
+                )
+        elif not waiver.startswith("scan-shaped"):
+            problems.append(f"{name}: waiver has unknown grammar: {waiver!r}")
+    for name in PROBE_WAIVERS:
+        from csv_2_db_pipeline_data_engineering_spark.plans.catalog import (
+            DRIVER_WINDOW as _W,
+        )
+        if name not in _W:
+            problems.append(
+                f"{name}: waiver exists but the entry is not in"
+                " DRIVER_WINDOW — retire it"
+            )
+    if verbose:
+        n = len(DRIVER_WINDOW)
+        probed = sum(1 for x in DRIVER_WINDOW if x in q100)
+        print(
+            f"probe audit: {n} window entries, {probed} probed at 100x,"
+            f" {n - probed} waived, {len(problems)} problems"
+        )
+        for p in problems:
+            print(f"  PROBLEM: {p}")
+    return problems
+
+
 def generate_embeddings(src: str, dst: str, copies: int) -> None:
     """Scaled embeddings: copy k applies a seeded PERMUTATION of the 64
     dimensions (norm/distribution preserved, cosine-to-original destroyed
@@ -233,7 +452,11 @@ def main() -> None:
                     help="comma-separated probe names (default: full list)")
     ap.add_argument("--tables", type=str, default="docs,emb,facts,events",
                     help="which scaled tables to generate")
+    ap.add_argument("--audit", action="store_true",
+                    help="audit DRIVER_WINDOW probe coverage and exit")
     args = ap.parse_args()
+    if args.audit:
+        sys.exit(1 if audit_probe_coverage() else 0)
     probes = args.probes.split(",") if args.probes else PROBES
     target_dir = gen_dir(args.copies)
 
