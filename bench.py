@@ -127,6 +127,8 @@ HEADLINE = [
     "text_length_hdr_quantiles",
     # round-11: incremental ANN serving (persisted history index)
     "ann_incremental_serve",
+    # round-13: H.264 Main-profile B-slice biprediction GOP decode
+    "mm_h264_bipred_stats",
 ]
 
 

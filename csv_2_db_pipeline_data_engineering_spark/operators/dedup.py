@@ -989,8 +989,9 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", pack("hi").alias("sh_hi"), pack("lo").alias("sh_lo"))
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs with SimHash Hamming distance ≤ 3 (candidate near-dups).
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ 3 (candidate near-dups),
+    over an arbitrary (doc_id, text) frame.
 
     Banded on 4 × 16-bit chunks: distance ≤ 3 guarantees ≥ 1 equal chunk
     (pigeonhole), so the join is keyed, never all-pairs. The banding is
@@ -998,7 +999,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-pairs Hamming filter — which is what the DuckDB oracle
     computes directly (the oracle mirrors semantics, not the plan).
     """
-    sh = scoped_cache(simhash_df(load_table(spark, sf_dir, "documents")))
+    sh = scoped_cache(simhash_df(docs))
     chunks = F.array(
         *[
             F.struct(
@@ -1037,6 +1038,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered SimHash near-dup pairs over the documents table
+    (see :func:`simhash_pairs` for the banding argument)."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def _simhash_oracle_sql() -> str:

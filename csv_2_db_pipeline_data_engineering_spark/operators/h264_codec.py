@@ -278,15 +278,15 @@ _ZSCAN = [
 # --- encoder -----------------------------------------------------------------
 
 
-def _sps(width: int, height: int) -> bytes:
+def _sps(width: int, height: int, profile: int = 66) -> bytes:
     w = _BitWriter()
-    w.u(66, 8)  # profile_idc: baseline
+    w.u(profile, 8)  # profile_idc: 66 baseline / 77 main (B slices)
     w.u(0, 8)  # constraint flags + reserved
     w.u(10, 8)  # level_idc
     w.ue(0)  # seq_parameter_set_id
     w.ue(0)  # log2_max_frame_num_minus4
     w.ue(2)  # pic_order_cnt_type
-    w.ue(1)  # max_num_ref_frames
+    w.ue(2 if profile == 77 else 1)  # max_num_ref_frames
     w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
     w.ue(width // 16 - 1)  # pic_width_in_mbs_minus1
     w.ue(height // 16 - 1)  # pic_height_in_map_units_minus1
@@ -341,7 +341,8 @@ def _encode_coeff_block(w: _BitWriter, level: int, nc: int) -> None:
 
 
 def encode_h264(
-    width: int, height: int, levels: list[int], doc_id: int
+    width: int, height: int, levels: list[int], doc_id: int,
+    profile: int = 66,
 ) -> bytes:
     """Annex-B byte stream: SPS + PPS + one IDR I-slice per frame.
 
@@ -349,10 +350,12 @@ def encode_h264(
     the single quantized DC level ``levels[k]`` carried by the frame's
     first 4x4 block (every other block predicts losslessly through the
     ``block_mode`` rotation). ``doc_id`` seeds the rotation.
+    ``profile`` is signaled in the SPS (66 baseline; 77 main when the
+    caller appends B slices).
     """
     if width % 16 or height % 16:
         raise ValueError("H.264 encoder subset: dimensions must be MB-aligned")
-    out = bytearray(_sps(width, height))
+    out = bytearray(_sps(width, height, profile))
     out += _pps()
     mbs_x, mbs_y = width // 16, height // 16
     bw = width // 4
@@ -561,6 +564,133 @@ def encode_h264_gop(
     return bytes(out)
 
 
+# --- B-slice (biprediction) extension ----------------------------------------
+#
+# Main-profile B slices over the same dual-pipeline contract:
+# B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 macroblocks (Table 7-14 values
+# 1/2/3) with per-list CAVLC motion-vector differences against the
+# 8.4.1.3 median predictor applied per reference list, and the 8.4.2.3
+# DEFAULT weighted sample prediction (weighted_bipred_idc 0:
+# (predL0 + predL1 + 1) >> 1). The subset's reference semantics follow
+# 8.2.4.2 with pic_order_cnt_type 2 (decode order == output order) and
+# one active reference per list: the decoded-reference buffer holds
+# the two most recent REFERENCE frames, RefPicList0[0] is the most
+# recent and RefPicList1 — initialized to the same set — swaps its
+# first two entries when it would equal list0 (8.2.4.2.4), so
+# RefPicList1[0] is the OLDER reference. B slices are non-reference
+# (nal_ref_idc 0). Outside the subset and rejected loudly: B_Direct /
+# B_Skip (spatial/temporal direct prediction), sub-16x16 partitions,
+# sub-pel MVs, weighted (explicit/implicit) prediction.
+#
+# Per-list MV prediction reuses ``_mv_pred`` over a per-list MV grid
+# where an MB that does not predict from list X stores None. For the
+# single-reference-per-list subset this reproduces 8.4.1.3.1 exactly:
+# a neighbour with predFlagLX == 0 has refIdxLX == -1, so it never
+# triggers the one-matching-reference rule and contributes (0, 0) to
+# the median — both of which fall out of the None handling.
+
+
+def _encode_b_slice(
+    width: int,
+    height: int,
+    frame_num: int,
+    mbs: list[tuple[int, tuple[int, int] | None, tuple[int, int] | None, int]],
+) -> bytes:
+    """One B slice: every MB coded (no B_Skip/direct in the subset).
+
+    ``mbs`` has one entry per raster MB: (mb_type, mv_l0_q, mv_l1_q,
+    level) with mb_type 1 = B_L0_16x16, 2 = B_L1_16x16, 3 =
+    B_Bi_16x16; a level != 0 codes a flat DC residual on all sixteen
+    4x4 luma blocks (cbp 15), level 0 codes cbp 0."""
+    mbs_x, mbs_y = width // 16, height // 16
+    if len(mbs) != mbs_x * mbs_y:
+        raise ValueError("H.264 encoder subset: one spec per macroblock")
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(6)  # slice_type: B (all slices in pic)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+    w.u(1, 1)  # direct_spatial_mv_pred_flag (no direct MBs in subset)
+    w.u(0, 1)  # num_ref_idx_active_override_flag
+    w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)  # ref_pic_list_modification_flag_l1
+    # nal_ref_idc == 0 -> no dec_ref_pic_marking
+    w.se(0)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc: off
+    l0: list[list[tuple[int, int] | None]] = [
+        [None] * mbs_x for _ in range(mbs_y)
+    ]
+    l1: list[list[tuple[int, int] | None]] = [
+        [None] * mbs_x for _ in range(mbs_y)
+    ]
+    tc = [[0] * (width // 4) for _ in range(height // 4)]
+    for idx, (t, mv0, mv1, level) in enumerate(mbs):
+        if t not in (1, 2, 3):
+            raise ValueError(
+                "H.264 encoder subset: B_L0/B_L1/B_Bi_16x16 only"
+            )
+        my, mx = divmod(idx, mbs_x)
+        w.ue(0)  # mb_skip_run: every MB coded
+        w.ue(t)  # mb_type (Table 7-14)
+        if t in (1, 3):
+            pmv = _mv_pred(l0, mx, my, mbs_x)
+            w.se(mv0[0] - pmv[0])
+            w.se(mv0[1] - pmv[1])
+        if t in (2, 3):
+            pmv = _mv_pred(l1, mx, my, mbs_x)
+            w.se(mv1[0] - pmv[0])
+            w.se(mv1[1] - pmv[1])
+        l0[my][mx] = mv0 if t in (1, 3) else None
+        l1[my][mx] = mv1 if t in (2, 3) else None
+        cbp = 15 if level else 0
+        w.ue(_CBP_INTER_TO_CODENUM[cbp])
+        if cbp:
+            w.se(0)  # mb_qp_delta
+            for i in range(16):
+                x4, y4 = _ZSCAN[i]
+                bx, by = mx * 4 + x4, my * 4 + y4
+                na = tc[by][bx - 1] if bx > 0 else None
+                nb = tc[by - 1][bx] if by > 0 else None
+                if na is None and nb is None:
+                    nc = 0
+                elif na is None:
+                    nc = nb
+                elif nb is None:
+                    nc = na
+                else:
+                    nc = (na + nb + 1) >> 1
+                _encode_coeff_block(w, level, nc)
+                tc[by][bx] = 1 if level else 0
+    w.rbsp_trailing()
+    return _nal(1, w.tobytes(), ref=0)
+
+
+def encode_h264_bgop(
+    width: int,
+    height: int,
+    i_level: int,
+    p_frame: tuple[int, tuple[int, int], int],
+    b_frames: list[
+        list[tuple[int, tuple[int, int] | None, tuple[int, int] | None, int]]
+    ],
+    doc_id: int,
+) -> bytes:
+    """Annex-B GOP with biprediction: IDR + one reference P slice +
+    non-reference B slices that predict L0 from the P frame and L1
+    from the IDR (the 8.2.4.2.4 first-two-entry swap on a two-deep
+    reference buffer). ``p_frame`` is (mb_idx, mv_q, level) as in
+    :func:`encode_h264_gop`; each ``b_frames`` entry is a per-raster-MB
+    spec list for :func:`_encode_b_slice`."""
+    out = bytearray(
+        encode_h264(width, height, [i_level], doc_id, profile=77)
+    )
+    mb_idx, mv_q, level = p_frame
+    out += _encode_p_slice(width, height, 1, mb_idx, mv_q, level)
+    for k, mbs in enumerate(b_frames, start=2):
+        out += _encode_b_slice(width, height, k, mbs)
+    return bytes(out)
+
+
 # --- decoder -----------------------------------------------------------------
 
 
@@ -635,6 +765,35 @@ def _mc_16x16(
                 dst[y0 + i][x0 + j] = row[sx]
 
 
+def _mc_fetch(
+    ref: list[list[int]],
+    mx: int,
+    my: int,
+    mv_q: tuple[int, int],
+    width: int,
+    height: int,
+) -> list[list[int]]:
+    """Full-pel 16x16 motion-compensated FETCH (boundary-clamped like
+    ``_mc_16x16``) returning the sample block — the B-slice path needs
+    the two per-list predictions as values so the 8.4.2.3 default
+    weighted prediction can average them."""
+    dx, dy = mv_q[0] >> 2, mv_q[1] >> 2
+    x0, y0 = mx * 16, my * 16
+    sx0 = x0 + dx
+    in_bounds = 0 <= sx0 and sx0 + 16 <= width
+    out = []
+    for i in range(16):
+        sy = min(height - 1, max(0, y0 + i + dy))
+        row = ref[sy]
+        if in_bounds:
+            out.append(row[sx0 : sx0 + 16])
+        else:
+            out.append(
+                [row[min(width - 1, max(0, sx0 + j))] for j in range(16)]
+            )
+    return out
+
+
 def decode_h264(data: bytes) -> dict:
     """Decode an Annex-B baseline stream from ``encode_h264`` /
     ``encode_h264_gop``: IDR I-slices plus P-slices (P_Skip +
@@ -652,18 +811,25 @@ def decode_h264(data: bytes) -> dict:
     n_mode = [0, 0, 0]
     n_coded_blocks = 0
     n_skip_mb = n_p_mb = 0
+    n_b_l0 = n_b_l1 = n_b_bi = 0
     sum_abs_mvx_q = sum_abs_mvy_q = 0
+    sum_abs_mv_l0_q = sum_abs_mv_l1_q = 0
     width = height = 0
     qp_y = 0
-    ref2d: list[list[int]] | None = None
+    # decoded-reference buffer, most recent first (two-deep: the B
+    # subset predicts L0 from refs[0] and L1 from refs[1] per the
+    # 8.2.4.2.4 list-1 first-two-entry swap); an IDR resets it (8.2.5.1)
+    refs: list[list[list[int]]] = []
     for nal in _split_nals(data):
         nal_type = nal[0] & 0x1F
         nal_ref_idc = (nal[0] >> 5) & 3
         r = _BitReader(_unescape_rbsp(nal[1:]))
         if nal_type == 7:
             profile = r.u(8)
-            if profile != 66:
-                raise ValueError("H.264 decoder subset: baseline only")
+            if profile not in (66, 77):
+                raise ValueError(
+                    "H.264 decoder subset: baseline/main profiles only"
+                )
             r.u(8), r.u(8)
             r.ue()  # sps id
             log2_mfn = r.ue() + 4
@@ -812,17 +978,40 @@ def decode_h264(data: bytes) -> dict:
                             for i2 in range(4):
                                 luma[y0 + i2][x0 : x0 + 4] = const_row
             frames.append(list(chain.from_iterable(luma)))
-            ref2d = luma
+            refs[:] = [luma]  # IDR resets the reference buffer (8.2.5.1)
         elif nal_type == 1:
             if sps is None or pps is None:
                 raise ValueError("H.264: slice before parameter sets")
-            if ref2d is None:
-                raise ValueError("H.264: P slice without a reference frame")
+            if not refs:
+                raise ValueError("H.264: inter slice without a reference")
             if r.ue() != 0:
                 raise ValueError("H.264 decoder subset: one slice per frame")
             st = r.ue()
+            if st in (1, 6):  # B slice (non-reference in the subset)
+                if len(refs) < 2:
+                    raise ValueError(
+                        "H.264: B slice needs two reference frames"
+                    )
+                if nal_ref_idc:
+                    raise ValueError(
+                        "H.264 decoder subset: reference B slices"
+                        " unsupported"
+                    )
+                luma, bst = _decode_b_slice(
+                    r, sps, pps, refs, width, height
+                )
+                frames.append(list(chain.from_iterable(luma)))
+                n_b_l0 += bst["n_b_l0"]
+                n_b_l1 += bst["n_b_l1"]
+                n_b_bi += bst["n_b_bi"]
+                n_coded_blocks += bst["n_coded_blocks"]
+                sum_abs_mv_l0_q += bst["sum_abs_mv_l0_q"]
+                sum_abs_mv_l1_q += bst["sum_abs_mv_l1_q"]
+                qp_y = bst["qp"]
+                continue
             if st not in (0, 5):
-                raise ValueError("H.264 decoder subset: P slices only")
+                raise ValueError("H.264 decoder subset: P/B slices only")
+            ref2d = refs[0]
             r.ue()  # pps id
             r.u(sps["log2_mfn"])  # frame_num
             if r.u(1) != 0:
@@ -920,7 +1109,9 @@ def decode_h264(data: bytes) -> dict:
                 sum_abs_mvy_q += abs(mv[1])
                 addr += 1
             frames.append(list(chain.from_iterable(luma)))
-            ref2d = luma
+            if nal_ref_idc:
+                refs.insert(0, luma)
+                del refs[2:]
         else:
             raise ValueError(f"H.264 decoder subset: NAL type {nal_type}")
     return {
@@ -936,4 +1127,135 @@ def decode_h264(data: bytes) -> dict:
         "n_p_mb": n_p_mb,
         "sum_abs_mvx_q": sum_abs_mvx_q,
         "sum_abs_mvy_q": sum_abs_mvy_q,
+        "n_b_l0": n_b_l0,
+        "n_b_l1": n_b_l1,
+        "n_b_bi": n_b_bi,
+        "sum_abs_mv_l0_q": sum_abs_mv_l0_q,
+        "sum_abs_mv_l1_q": sum_abs_mv_l1_q,
     }
+
+
+def _decode_b_slice(
+    r: _BitReader,
+    sps: dict,
+    pps: dict,
+    refs: list[list[list[int]]],
+    width: int,
+    height: int,
+) -> tuple[list[list[int]], dict]:
+    """Decode one B slice (header from pps id on; ``decode_h264`` has
+    consumed first_mb_in_slice and slice_type). Returns the
+    reconstructed luma plane and the slice tallies.
+
+    Reference semantics (8.2.4.2 under pic_order_cnt_type 2, one
+    active reference per list): RefPicList0[0] = refs[0] (most recent
+    reference — the P frame), RefPicList1[0] = refs[1] (the 8.2.4.2.4
+    first-two-entry swap when list1 would equal list0). Prediction is
+    the 8.4.2.3 DEFAULT weighted rule (weighted_bipred_idc 0):
+    (predL0 + predL1 + 1) >> 1 for Bi, the single list otherwise.
+    """
+    r.ue()  # pps id
+    r.u(sps["log2_mfn"])  # frame_num
+    r.u(1)  # direct_spatial_mv_pred_flag (no direct MBs in the subset)
+    if r.u(1) != 0:
+        raise ValueError(
+            "H.264 decoder subset: num_ref_idx override unsupported"
+        )
+    if r.u(1) != 0 or r.u(1) != 0:  # ref_pic_list_modification l0 / l1
+        raise ValueError(
+            "H.264 decoder subset: ref_pic_list_modification unsupported"
+        )
+    # nal_ref_idc == 0 (enforced by the caller) -> no dec_ref_pic_marking
+    qp_y = pps["qp"] + r.se()
+    if pps["dbf"] and r.ue() != 1:
+        raise ValueError("H.264 decoder subset: deblocking must be off")
+    ref_l0, ref_l1 = refs[0], refs[1]
+    mbs_x, mbs_y = width // 16, height // 16
+    n_mbs = mbs_x * mbs_y
+    luma = [[0] * width for _ in range(height)]
+    l0: list[list[tuple[int, int] | None]] = [
+        [None] * mbs_x for _ in range(mbs_y)
+    ]
+    l1: list[list[tuple[int, int] | None]] = [
+        [None] * mbs_x for _ in range(mbs_y)
+    ]
+    tc = [[0] * (width // 4) for _ in range(height // 4)]
+    st = {
+        "n_b_l0": 0, "n_b_l1": 0, "n_b_bi": 0, "n_coded_blocks": 0,
+        "sum_abs_mv_l0_q": 0, "sum_abs_mv_l1_q": 0, "qp": qp_y,
+    }
+    for addr in range(n_mbs):
+        if r.ue() != 0:  # mb_skip_run: B_Skip is direct prediction
+            raise ValueError(
+                "H.264 decoder subset: B_Skip/direct unsupported"
+            )
+        my, mx = divmod(addr, mbs_x)
+        t = r.ue()  # mb_type (Table 7-14)
+        if t not in (1, 2, 3):
+            raise ValueError(
+                "H.264 decoder subset: B_L0/B_L1/B_Bi_16x16 mb_type only"
+            )
+        mv0 = mv1 = None
+        if t in (1, 3):
+            pmv = _mv_pred(l0, mx, my, mbs_x)
+            mv0 = (pmv[0] + r.se(), pmv[1] + r.se())
+            if mv0[0] % 4 or mv0[1] % 4:
+                raise ValueError("H.264 decoder subset: sub-pel MC unsupported")
+            st["sum_abs_mv_l0_q"] += abs(mv0[0]) + abs(mv0[1])
+        if t in (2, 3):
+            pmv = _mv_pred(l1, mx, my, mbs_x)
+            mv1 = (pmv[0] + r.se(), pmv[1] + r.se())
+            if mv1[0] % 4 or mv1[1] % 4:
+                raise ValueError("H.264 decoder subset: sub-pel MC unsupported")
+            st["sum_abs_mv_l1_q"] += abs(mv1[0]) + abs(mv1[1])
+        l0[my][mx] = mv0
+        l1[my][mx] = mv1
+        st["n_b_l0" if t == 1 else "n_b_l1" if t == 2 else "n_b_bi"] += 1
+        # prediction: per-list fetch, default weighted average for Bi
+        if t == 1:
+            pred = _mc_fetch(ref_l0, mx, my, mv0, width, height)
+        elif t == 2:
+            pred = _mc_fetch(ref_l1, mx, my, mv1, width, height)
+        else:
+            p0 = _mc_fetch(ref_l0, mx, my, mv0, width, height)
+            p1 = _mc_fetch(ref_l1, mx, my, mv1, width, height)
+            pred = [
+                [(a + b + 1) >> 1 for a, b in zip(r0, r1)]
+                for r0, r1 in zip(p0, p1)
+            ]
+        x0, y0 = mx * 16, my * 16
+        for i in range(16):
+            luma[y0 + i][x0 : x0 + 16] = pred[i]
+        codenum = r.ue()
+        if codenum not in _CODENUM_TO_CBP_INTER:
+            raise ValueError("H.264 decoder subset: inter cbp outside subset")
+        cbp = _CODENUM_TO_CBP_INTER[codenum]
+        if cbp:
+            qp_y += r.se()  # mb_qp_delta
+            st["qp"] = qp_y
+            for i in range(16):
+                x4, y4 = _ZSCAN[i]
+                bx, by = mx * 4 + x4, my * 4 + y4
+                na = tc[by][bx - 1] if bx > 0 else None
+                nb = tc[by - 1][bx] if by > 0 else None
+                if na is None and nb is None:
+                    nc = 0
+                elif na is None:
+                    nc = nb
+                elif nb is None:
+                    nc = na
+                else:
+                    nc = (na + nb + 1) >> 1
+                lvl = _decode_coeff_block(r, nc)
+                if lvl:
+                    rv = _residual_dc(lvl, qp_y)
+                    bx0, by0 = bx * 4, by * 4
+                    for i2 in range(4):
+                        row = luma[by0 + i2]
+                        row[bx0 : bx0 + 4] = [
+                            min(255, max(0, p + rv))
+                            for p in row[bx0 : bx0 + 4]
+                        ]
+                    st["n_coded_blocks"] += 1
+                tc[by][bx] = 1 if lvl else 0
+    return luma, st

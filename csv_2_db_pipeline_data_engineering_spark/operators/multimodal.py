@@ -1416,6 +1416,201 @@ ORDER BY doc_id
 """
 
 
+# --- H.264 B-slice (biprediction) GOP decode ---------------------------------
+
+H264B_NB = "1 + doc_id % 2"  # B frames per GOP (1..2)
+H264B_COL = "doc_id % 4"  # P frame's bumped MB (raster idx, top row)
+H264B_QP_ = "1 + (doc_id * 3 + 5) % 6"  # P-frame residual level
+
+H264B_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_mb", T.IntegerType()),
+        T.StructField("n_skip_mb", T.IntegerType()),
+        T.StructField("n_p_mb", T.IntegerType()),
+        T.StructField("n_b_l0", T.IntegerType()),
+        T.StructField("n_b_l1", T.IntegerType()),
+        T.StructField("n_b_bi", T.IntegerType()),
+        T.StructField("n_coded_blocks", T.IntegerType()),
+        T.StructField("sum_mv_l0_q", T.IntegerType()),
+        T.StructField("sum_mv_l1_q", T.IntegerType()),
+        T.StructField("qp", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def mm_h264_bipred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 GOP decode with B-slice BIPREDICTION — the Main-
+    profile temporal class on top of the baseline I+P codec
+    (``operators/h264_codec`` B extension: B_L0/B_L1/B_Bi_16x16
+    mb_types, per-list CAVLC motion-vector differences against the
+    8.4.1.3 median predictor applied per reference list, the 8.2.4.2.4
+    two-deep reference-list construction under pic_order_cnt_type 2,
+    and the 8.4.2.3 default weighted prediction
+    (predL0 + predL1 + 1) >> 1).
+
+    Per doc a GOP of one IDR (constant plane c0), one reference P
+    frame (one bumped top-row MB, exactly the inter query's fixture),
+    and ``1 + doc_id % 2`` non-reference B frames is synthesized. Every
+    B macroblock is coded, rotating through the three mb_types:
+    L0-only MBs motion-compensate from the P frame's never-bumped
+    bottom row (constant c0), L1-only MBs from the IDR (constant c0
+    anywhere), and Bi MBs average a zero-MV L0 fetch (which READS the
+    bump when the MB sits on the bumped column — the only place the
+    bipred average is non-trivial) with a moving L1 fetch. Every
+    column is closed-form: a wrong list-1 construction, per-list MV
+    predictor, or biased average shifts ``mean_luma`` or the MV sums.
+    """
+    from .h264_codec import decode_h264, encode_h264_bgop
+
+    def _mb_spec(doc_id: int, k: int, m: int):
+        t = 1 + (doc_id + k + m) % 3
+        mv0 = mv1 = None
+        if t == 1:
+            mv0 = (4 * (((doc_id + 2 * k + m) % 9) - 4), 64)
+        elif t == 3:
+            mv0 = (0, 0)
+        if t in (2, 3):
+            mv1 = (4 * (((doc_id + 3 * k + m) % 9) - 4), 0)
+        coded = (doc_id + k + m) % 2 == 0
+        lvl = (1 + (doc_id * 7 + k * 11 + m * 5) % 6) if coded else 0
+        return (t, mv0, mv1, lvl)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in H264B_STATS_SCHEMA}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nb = 1 + doc_id % 2
+                i_level = 1 + doc_id % 7
+                p_spec = (
+                    doc_id % 4,
+                    (4 * ((doc_id % 9) - 4), 4 * H264P_MVY_FP),
+                    1 + (doc_id * 3 + 5) % 6,
+                )
+                b_frames = [
+                    [_mb_spec(doc_id, k, m) for m in range(8)]
+                    for k in range(1, nb + 1)
+                ]
+                dec = decode_h264(
+                    encode_h264_bgop(
+                        H264P_W, H264P_H, i_level, p_spec, b_frames, doc_id
+                    )
+                )
+                if dec["width"] != H264P_W or dec["height"] != H264P_H:
+                    raise ValueError("H.264 SPS dims disagree")
+                luma = sum(sum(f) for f in dec["frames"])
+                n_frames = len(dec["frames"])
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_frames"].append(n_frames)
+                rows["n_mb"].append(
+                    n_frames * (H264P_W // 16) * (H264P_H // 16)
+                )
+                rows["n_skip_mb"].append(dec["n_skip_mb"])
+                rows["n_p_mb"].append(dec["n_p_mb"])
+                rows["n_b_l0"].append(dec["n_b_l0"])
+                rows["n_b_l1"].append(dec["n_b_l1"])
+                rows["n_b_bi"].append(dec["n_b_bi"])
+                rows["n_coded_blocks"].append(dec["n_coded_blocks"])
+                rows["sum_mv_l0_q"].append(dec["sum_abs_mv_l0_q"])
+                rows["sum_mv_l1_q"].append(dec["sum_abs_mv_l1_q"])
+                rows["qp"].append(dec["qp"])
+                rows["mean_luma"].append(
+                    float(luma) / (n_frames * H264P_W * H264P_H)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    **{
+                        c: pd.array(rows[c], dtype="int32")
+                        for c in (
+                            "width", "height", "n_frames", "n_mb",
+                            "n_skip_mb", "n_p_mb", "n_b_l0", "n_b_l1",
+                            "n_b_bi", "n_coded_blocks", "sum_mv_l0_q",
+                            "sum_mv_l1_q", "qp",
+                        )
+                    },
+                    "mean_luma": rows["mean_luma"],
+                }
+            )
+
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .transform(_spread)
+        .mapInPandas(decode_batches, H264B_STATS_SCHEMA)
+    )
+    return feats.select(
+        "doc_id", "width", "height", "n_frames", "n_mb", "n_skip_mb",
+        "n_p_mb", "n_b_l0", "n_b_l1", "n_b_bi", "n_coded_blocks",
+        "sum_mv_l0_q", "sum_mv_l1_q", "qp",
+        F.round("mean_luma", 4).alias("mean_luma"),
+    ).orderBy("doc_id")
+
+
+# Closed forms the B-GOP design pins: c0 and the P bump r_p as in the
+# inter oracle; each B MB's value is its per-list prediction plus a
+# DC-only residual constant. L0-only and L1-only MBs read constant-c0
+# regions; a Bi MB reads its own position from the P frame (zero L0
+# MV), so the MB on the bumped column averages in the bump:
+# (2*c0 + r_p + 1) >> 1 = c0 + (r_p + 1) // 2. MV sums are the encoder
+# parameters verbatim (|mvx|*4, plus the +64 quarter-pel vertical on
+# L0-only MBs).
+MM_H264_BIPRED_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {H264B_NB} AS nb,
+         128 + (160 * (1 + doc_id % 7) + 32) // 64 AS c0,
+         (160 * ({H264B_QP_}) + 32) // 64 AS r_p,
+         {H264B_COL} AS col_p,
+         ABS((doc_id % 9) - 4) * 4 AS p_amvx
+  FROM documents),
+mbgrid AS (
+  SELECT doc_id, nb, c0, r_p, col_p, k.range AS k, m.range AS m,
+         1 + (doc_id + k.range + m.range) % 3 AS t,
+         (doc_id + k.range + m.range) % 2 = 0 AS coded,
+         (160 * (1 + (doc_id * 7 + k.range * 11 + m.range * 5) % 6) + 32)
+           // 64 AS r_b,
+         ABS(((doc_id + 2 * k.range + m.range) % 9) - 4) * 4 AS amvx0,
+         ABS(((doc_id + 3 * k.range + m.range) % 9) - 4) * 4 AS amvx1
+  FROM d CROSS JOIN range(1, 3) k CROSS JOIN range(8) m
+  WHERE k.range <= nb),
+btal AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS INT) AS n_b_l0,
+         CAST(SUM(CASE WHEN t = 2 THEN 1 ELSE 0 END) AS INT) AS n_b_l1,
+         CAST(SUM(CASE WHEN t = 3 THEN 1 ELSE 0 END) AS INT) AS n_b_bi,
+         CAST(SUM(CASE WHEN coded THEN 16 ELSE 0 END) AS INT) AS b_coded,
+         CAST(SUM(CASE WHEN t = 1 THEN amvx0 + 64 ELSE 0 END) AS INT)
+           AS sum_mv_l0_q,
+         CAST(SUM(CASE WHEN t IN (2, 3) THEN amvx1 ELSE 0 END) AS INT)
+           AS sum_mv_l1_q,
+         CAST(SUM((CASE WHEN t = 3 AND m = col_p
+                        THEN (r_p + 1) // 2 ELSE 0 END)
+                  + (CASE WHEN coded THEN r_b ELSE 0 END)) AS BIGINT)
+           AS b_extra
+  FROM mbgrid GROUP BY doc_id)
+SELECT d.doc_id, {H264P_W} AS width, {H264P_H} AS height,
+       CAST(nb + 2 AS INT) AS n_frames,
+       CAST((nb + 2) * 8 AS INT) AS n_mb,
+       7 AS n_skip_mb,
+       1 AS n_p_mb,
+       n_b_l0, n_b_l1, n_b_bi,
+       CAST(1 + 16 + b_coded AS INT) AS n_coded_blocks,
+       sum_mv_l0_q, sum_mv_l1_q,
+       24 AS qp,
+       ROUND(CAST(c0 * 2048 * (nb + 2) + 256 * r_p + 256 * b_extra AS DOUBLE)
+             / (2048 * (nb + 2)), 4) AS mean_luma
+FROM d JOIN btal USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # --- MPEG-1: real INTER-FRAME (motion-compensated) video decode -------------
 
 MPEG_W, MPEG_H = 48, 32  # 3x2 macroblock grid
@@ -2272,6 +2467,14 @@ QUERIES = [
           "cbp, full-pel MC with boundary clamping, inter DC residuals) "
           "— skip/P tallies, |MV| sums + mean luma value-checked",
           mm_h264_inter_stats, MM_H264_INTER_ORACLE),
+    Query("mm_h264_bipred_stats",
+          "REAL H.264 Main-profile GOP decode with B-slice BIPREDICTION "
+          "(B_L0/B_L1/B_Bi_16x16 mb_types, per-list CAVLC MVDs vs the "
+          "8.4.1.3 median predictor per reference list, 8.2.4.2.4 "
+          "two-deep reference-list construction, 8.4.2.3 default "
+          "weighted prediction (p0+p1+1)>>1) — per-type tallies, "
+          "per-list |MV| sums + mean luma value-checked",
+          mm_h264_bipred_stats, MM_H264_BIPRED_ORACLE),
     Query("mm_decode_features", "Arrow-batched decode/feature-extract (stub kernel)",
           mm_decode_features, MM_DECODE_ORACLE),
     Query("mm_frame_sample_stats", "fan-out frame sampling via mapInPandas",

@@ -330,6 +330,134 @@ def test_h264_p_slice_subset_boundaries_fail_loudly():
         decode_h264(no_idr)
 
 
+def _bgop_fixture(doc_id):
+    """The bipred query's GOP parameters for one doc (mirrors
+    mm_h264_bipred_stats)."""
+    nb = 1 + doc_id % 2
+    i_level = 1 + doc_id % 7
+    p_spec = (
+        doc_id % 4,
+        (4 * ((doc_id % 9) - 4), 64),
+        1 + (doc_id * 3 + 5) % 6,
+    )
+
+    def mb(k, m):
+        t = 1 + (doc_id + k + m) % 3
+        mv0 = mv1 = None
+        if t == 1:
+            mv0 = (4 * (((doc_id + 2 * k + m) % 9) - 4), 64)
+        elif t == 3:
+            mv0 = (0, 0)
+        if t in (2, 3):
+            mv1 = (4 * (((doc_id + 3 * k + m) % 9) - 4), 0)
+        coded = (doc_id + k + m) % 2 == 0
+        lvl = (1 + (doc_id * 7 + k * 11 + m * 5) % 6) if coded else 0
+        return (t, mv0, mv1, lvl)
+
+    return i_level, p_spec, [
+        [mb(k, m) for m in range(8)] for k in range(1, nb + 1)
+    ]
+
+
+def test_h264_bgop_round_trip_pixel_exact():
+    """The B-slice extension: IDR + P + B GOPs reconstruct
+    pixel-exactly — L0-only and L1-only MBs copy their constant-c0
+    source regions, Bi MBs average the P frame (including the bump,
+    on the bumped column) with the IDR under the 8.4.2.3 default
+    weighted rule, and the per-type/per-list tallies match the
+    encoder parameters verbatim."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.h264_codec import (
+        decode_h264,
+        encode_h264_bgop,
+    )
+
+    W, H = 64, 32
+    for doc_id in (0, 1, 2, 5, 17, 123, 4999):
+        i_level, p_spec, b_frames = _bgop_fixture(doc_id)
+        dec = decode_h264(
+            encode_h264_bgop(W, H, i_level, p_spec, b_frames, doc_id)
+        )
+        c0 = 128 + ((160 * i_level + 32) >> 6)
+        r_p = (160 * p_spec[2] + 32) >> 6
+        col_p = p_spec[0]
+        nb = len(b_frames)
+        assert len(dec["frames"]) == 2 + nb
+        exp_tally = {1: 0, 2: 0, 3: 0}
+        exp_l0 = exp_l1 = exp_coded = 0
+        for bi, mbs in enumerate(b_frames, start=2):
+            frame = dec["frames"][bi]
+            for m, (t, mv0, mv1, lvl) in enumerate(mbs):
+                exp_tally[t] += 1
+                if t == 1:
+                    exp_l0 += abs(mv0[0]) + abs(mv0[1])
+                if t in (2, 3):
+                    exp_l1 += abs(mv1[0]) + abs(mv1[1])
+                if lvl:
+                    exp_coded += 16
+                pl0 = c0 + (r_p if (t == 3 and m == col_p) else 0)
+                pred = (
+                    pl0 if t == 1 else c0 if t == 2 else (pl0 + c0 + 1) >> 1
+                )
+                val = pred + ((160 * lvl + 32) >> 6 if lvl else 0)
+                my, mx = divmod(m, 4)
+                got = {
+                    frame[(my * 16 + i) * W + mx * 16 + j]
+                    for i in range(16)
+                    for j in range(16)
+                }
+                assert got == {val}, (doc_id, bi, m)
+        assert (dec["n_b_l0"], dec["n_b_l1"], dec["n_b_bi"]) == (
+            exp_tally[1], exp_tally[2], exp_tally[3],
+        )
+        assert dec["sum_abs_mv_l0_q"] == exp_l0
+        assert dec["sum_abs_mv_l1_q"] == exp_l1
+        assert dec["n_coded_blocks"] == 1 + 16 + exp_coded
+        # non-reference B frames must NOT enter the prediction chain:
+        # the P frame is still c0 + one bump
+        from collections import Counter
+
+        counts = Counter(dec["frames"][1])
+        assert counts == Counter({c0: W * H - 256, c0 + r_p: 256})
+
+
+def test_h264_b_slice_subset_boundaries_fail_loudly():
+    """B_Skip/direct, sub-pel B MVs, reference B slices, and a B slice
+    with fewer than two references raise instead of mis-decoding."""
+    import pytest
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.h264_codec import (
+        _split_nals,
+        decode_h264,
+        encode_h264_bgop,
+    )
+
+    i_level, p_spec, b_frames = _bgop_fixture(3)
+    good = encode_h264_bgop(64, 32, i_level, p_spec, b_frames, 3)
+    assert decode_h264(good)["n_b_bi"] > 0  # sanity: fixture decodes
+    # sub-pel L1 MV: structurally valid, rejected by the decoder
+    bad = [[(2, None, (2, 0), 1)] + b_frames[0][1:]]
+    with pytest.raises(ValueError, match="sub-pel"):
+        decode_h264(encode_h264_bgop(64, 32, i_level, p_spec, bad, 3))
+    # B slice with only the IDR decoded (P NAL dropped): < 2 references
+    nals = _split_nals(good)
+    kept = []
+    dropped_p = False
+    for n in nals:
+        if (n[0] & 0x1F) == 1 and not dropped_p:
+            dropped_p = True  # the P slice comes first among type-1 NALs
+            continue
+        kept.append(n)
+    no_p = b"".join(b"\x00\x00\x00\x01" + n for n in kept)
+    with pytest.raises(ValueError, match="two reference"):
+        decode_h264(no_p)
+    # encoder refuses non-16x16 B types outright
+    with pytest.raises(ValueError, match="B_L0/B_L1/B_Bi"):
+        encode_h264_bgop(
+            64, 32, i_level, p_spec,
+            [[(0, None, None, 0)] + b_frames[0][1:]], 3,
+        )
+
+
 def test_h264_skip_and_median_mv_rules():
     """Direct pins of 8.4.1.1 (P_Skip zero conditions) and 8.4.1.3
     (median predictor with the B&C-unavailable and single-available

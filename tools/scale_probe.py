@@ -112,9 +112,57 @@ def _semantic_lsh_builder(spark, sf_dir):
     return dedup_semantic_lsh(spark, sf_dir)
 
 
+def _simhash_decollided_builder(spark, sf_dir):
+    """``dedup_simhash`` over copy-DECOLLIDED text. The word-shuffle
+    scale generator preserves each document's DISTINCT-TOKEN SET, and
+    SimHash is a unigram-set fingerprint: at 100x every doc therefore
+    has 99 identical-fingerprint twins, and the probe would measure an
+    adversarial all-duplicates corpus whose pair OUTPUT is
+    Θ(copies² · source_docs) by construction — the r13 first attempt
+    spent 31 minutes inside one sort-spill task on exactly that mass —
+    not a bigger corpus (the media-fingerprint fixtures dodge this with
+    square-mod-prime entropy; text got it for free from trigram
+    shingles, which the shuffle DOES decollide). Suffixing every token
+    with the doc's copy block (doc_id div the source corpus size)
+    de-collides the copies while preserving each copy's internal
+    near-dup structure, so the probe measures the banded-join PLAN at
+    100x corpus mass. On the sf0.1 source itself the block is 0 for
+    every doc — the denominator corpus is the same workload, suffixed.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    n_src = (
+        pq.read_table(
+            os.path.join(SRC_SF_DIR, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"]
+        .to_pandas()
+        .max()
+        + 1
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    blk = F.floor(F.col("doc_id") / F.lit(int(n_src))).cast("long")
+    decollided = docs.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t: F.concat(t, F.lit("_"), blk.cast("string")),
+            ),
+            " ",
+        ),
+    )
+    return simhash_pairs(decollided.select("doc_id", "text"))
+
+
 CUSTOM_PROBES = {
     "dedup_semantic_kmeans_kprop": _semantic_kprop_builder,
     "emb_neardup_lsh_sem095": _semantic_lsh_builder,
+    "dedup_simhash_decollided": _simhash_decollided_builder,
 }
 
 
@@ -157,10 +205,6 @@ PROBE_WAIVERS: dict[str, str] = {
         "10x:domain_mix_waterfill — one per-source agg then iterate on"
         " the tiny source-count frame; data-proportional work is the"
         " first agg only"
-    ),
-    "dedup_bloom_prefilter": (
-        "100x:dedup_bloom_prefilter — probed directly this round"
-        " (fixed-size bit-rows + broadcast membership)"
     ),
     "embedding_kmeans_iter": (
         "100x:dedup_semantic_kmeans — the integer-Lloyd iterate IS the"
@@ -233,17 +277,9 @@ PROBE_WAIVERS: dict[str, str] = {
         "10x:corpus_epoch_schedule — broadcast plan join + source-keyed"
         " cumulative sum; measured at 10x"
     ),
-    "corpus_snapshot_diff": (
-        "100x:corpus_snapshot_diff — probed directly this round"
-        " (digest-keyed full-outer release diff)"
-    ),
     "q1_pricing_summary": (
         "scan-shaped — TPC-H Q1: one lineitem scan into a"
         " 4-group-key decimal agg; the bench control query"
-    ),
-    "graph_triangle_count": (
-        "100x:graph_triangle_count — probed directly this round"
-        " (canonical-edge two-join over the trade edge table)"
     ),
     "promo_revenue_share": (
         "scan-shaped — lineitem scan + broadcast part join into a"
