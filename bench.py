@@ -129,6 +129,11 @@ HEADLINE = [
     "ann_incremental_serve",
     # round-13: H.264 Main-profile B-slice biprediction GOP decode
     "mm_h264_bipred_stats",
+    # round-13: BM25 top-k retrieval (NEW family: inverted tf index +
+    # query-vocab broadcast pruning + per-query ranked serving)
+    "text_bm25_topk",
+    # round-13: H.264 half-sample 6-tap motion compensation GOP decode
+    "mm_h264_subpel_stats",
 ]
 
 

@@ -3,8 +3,13 @@ the BASELINE-PROFILE subset: I-slices (CAVLC + Intra_4x4 prediction)
 and, since r12, P-slices (P_Skip + P_L0_16x16 with CAVLC motion-vector
 differences, the 8.4.1.1/8.4.1.3 MV derivations, Table 9-4 Inter
 coded_block_pattern, and full-pel motion compensation with picture-
-boundary clamping — sub-pel MC, smaller partitions, and intra MBs in P
-slices are rejected with ValueError).
+boundary clamping). Since r13 the P path also implements the FULL
+FRACTIONAL-SAMPLE luma interpolation (8.4.2.2.1: the (1,-5,20,20,-5,1)
+6-tap filter at the b/h half positions, the two-stage 10-bit j
+position, and all twelve Table 8-12 quarter positions as averages of
+the nearest integer/half samples, with per-tap picture-boundary
+clamping). Smaller partitions and intra MBs in P slices are rejected
+with ValueError.
 
 Closes the r10 verdict's last media gap honestly: real H.264 bitstream
 machinery without ffmpeg (re-verified uninstallable in-container), the
@@ -428,10 +433,13 @@ def encode_h264(
 # P_L0_16x16 macroblocks with CAVLC motion-vector differences against
 # the REAL 8.4.1.3 median predictor, the Table 9-4 Inter
 # coded_block_pattern mapping, and full-pel motion compensation with
-# the spec's picture-boundary sample clamping. Sub-pel MVs (the 6-tap
-# half-sample filter) are outside the subset and rejected with
-# ValueError, as are partitions smaller than 16x16 and intra MBs in P
-# slices — narrow but real, every omitted path fails loudly.
+# the spec's picture-boundary sample clamping. Fractional MVs run the
+# REAL 8.4.2.2.1 interpolation (``_mc_subpel``: the 6-tap b/h half
+# positions, the two-stage 10-bit j position, and the twelve Table
+# 8-12 quarter positions as integer/half-sample averages). Partitions
+# smaller than 16x16 and intra MBs in P slices stay outside the subset
+# and are rejected with ValueError — narrow but real, every omitted
+# path fails loudly.
 
 
 def _mv_pred(
@@ -794,6 +802,102 @@ def _mc_fetch(
     return out
 
 
+_TAP6 = (1, -5, 20, 20, -5, 1)  # 8.4.2.2.1 half-sample luma filter
+
+
+def _mc_subpel(
+    dst: list[list[int]],
+    ref: list[list[int]],
+    mx: int,
+    my: int,
+    mv_q: tuple[int, int],
+    width: int,
+    height: int,
+) -> None:
+    """8.4.2.2.1 fractional-sample 16x16 luma motion compensation.
+
+    ``mv_q`` is quarter-pel with at least one fractional component.
+    Half-sample positions per the spec's figure 8-4: ``b`` (horizontal
+    6-tap), ``h`` (vertical 6-tap), ``j`` (the 6-tap applied to
+    UNROUNDED intermediate half-sums, then ``(v + 512) >> 10``).
+    Quarter-sample positions are the Table 8-12 averages of the two
+    nearest integer/half samples: a=(G+b+1)>>1, c=(H+b+1)>>1,
+    d=(G+h+1)>>1, n=(M+h+1)>>1, e=(b+h+1)>>1, g=(b+m+1)>>1,
+    p=(h+s+1)>>1, r=(m+s+1)>>1, f=(b+j+1)>>1, i=(h+j+1)>>1,
+    k=(j+m+1)>>1, q=(j+s+1)>>1 — where m is h one column right and s
+    is b one row down. Every full-sample fetch is independently
+    clamped to the picture (the spec's Clip3 on xZL/yZL), matching the
+    full-pel path's boundary rule.
+    """
+    fx, fy = mv_q[0] & 3, mv_q[1] & 3
+    dx, dy = mv_q[0] >> 2, mv_q[1] >> 2
+    x0, y0 = mx * 16, my * 16
+    wm, hm = width - 1, height - 1
+
+    def s(y: int, x: int) -> int:
+        return ref[min(hm, max(0, y))][min(wm, max(0, x))]
+
+    def bh(y: int, x: int) -> int:  # horizontal half-sample b at (x+1/2, y)
+        v = sum(t * s(y, x - 2 + u) for u, t in enumerate(_TAP6))
+        return min(255, max(0, (v + 16) >> 5))
+
+    def hv(y: int, x: int) -> int:  # vertical half-sample h at (x, y+1/2)
+        v = sum(t * s(y - 2 + u, x) for u, t in enumerate(_TAP6))
+        return min(255, max(0, (v + 16) >> 5))
+
+    def jc(y: int, x: int) -> int:  # centre half-sample j (two-stage 10-bit)
+        acc = 0
+        for u, t in enumerate(_TAP6):
+            b1 = sum(tt * s(y - 2 + u, x - 2 + w) for w, tt in enumerate(_TAP6))
+            acc += t * b1
+        return min(255, max(0, (acc + 512) >> 10))
+
+    def avg(p: int, q: int) -> int:
+        return (p + q + 1) >> 1
+
+    for i in range(16):
+        sy = y0 + i + dy
+        out = dst[y0 + i]
+        for j in range(16):
+            sx = x0 + j + dx
+            if fy == 0:
+                if fx == 2:
+                    v = bh(sy, sx)  # b
+                elif fx == 1:
+                    v = avg(s(sy, sx), bh(sy, sx))  # a
+                else:
+                    v = avg(s(sy, sx + 1), bh(sy, sx))  # c
+            elif fx == 0:
+                if fy == 2:
+                    v = hv(sy, sx)  # h
+                elif fy == 1:
+                    v = avg(s(sy, sx), hv(sy, sx))  # d
+                else:
+                    v = avg(s(sy + 1, sx), hv(sy, sx))  # n
+            elif fx == 2 and fy == 2:
+                v = jc(sy, sx)  # j
+            elif fy == 1:  # e, f, g: average with the upper half-row
+                if fx == 1:
+                    v = avg(bh(sy, sx), hv(sy, sx))  # e
+                elif fx == 2:
+                    v = avg(bh(sy, sx), jc(sy, sx))  # f
+                else:
+                    v = avg(bh(sy, sx), hv(sy, sx + 1))  # g
+            elif fy == 3:  # p, q, r: average with the lower half-row
+                if fx == 1:
+                    v = avg(hv(sy, sx), bh(sy + 1, sx))  # p
+                elif fx == 2:
+                    v = avg(jc(sy, sx), bh(sy + 1, sx))  # q
+                else:
+                    v = avg(hv(sy, sx + 1), bh(sy + 1, sx))  # r
+            else:  # fy == 2, fx odd: i, k
+                if fx == 1:
+                    v = avg(hv(sy, sx), jc(sy, sx))  # i
+                else:
+                    v = avg(jc(sy, sx), hv(sy, sx + 1))  # k
+            out[x0 + j] = v
+
+
 def decode_h264(data: bytes) -> dict:
     """Decode an Annex-B baseline stream from ``encode_h264`` /
     ``encode_h264_gop``: IDR I-slices plus P-slices (P_Skip +
@@ -810,7 +914,7 @@ def decode_h264(data: bytes) -> dict:
     frames: list[list[int]] = []
     n_mode = [0, 0, 0]
     n_coded_blocks = 0
-    n_skip_mb = n_p_mb = 0
+    n_skip_mb = n_p_mb = n_subpel_mb = 0
     n_b_l0 = n_b_l1 = n_b_bi = 0
     sum_abs_mvx_q = sum_abs_mvy_q = 0
     sum_abs_mv_l0_q = sum_abs_mv_l1_q = 0
@@ -1045,11 +1149,11 @@ def decode_h264(data: bytes) -> dict:
                 for _ in range(run):
                     my, mx = divmod(addr, mbs_x)
                     mv = _skip_mv(mvs, mx, my, mbs_x)
-                    if mv[0] % 4 or mv[1] % 4:
-                        raise ValueError(
-                            "H.264 decoder subset: sub-pel MC unsupported"
-                        )
-                    _mc_16x16(luma, ref2d, mx, my, mv, width, height)
+                    if mv[0] & 3 or mv[1] & 3:
+                        _mc_subpel(luma, ref2d, mx, my, mv, width, height)
+                        n_subpel_mb += 1
+                    else:
+                        _mc_16x16(luma, ref2d, mx, my, mv, width, height)
                     mvs[my][mx] = mv
                     n_skip_mb += 1
                     addr += 1
@@ -1063,17 +1167,17 @@ def decode_h264(data: bytes) -> dict:
                 pmv = _mv_pred(mvs, mx, my, mbs_x)
                 mvd = (r.se(), r.se())
                 mv = (pmv[0] + mvd[0], pmv[1] + mvd[1])
-                if mv[0] % 4 or mv[1] % 4:
-                    raise ValueError(
-                        "H.264 decoder subset: sub-pel MC unsupported"
-                    )
                 codenum = r.ue()
                 if codenum not in _CODENUM_TO_CBP_INTER:
                     raise ValueError(
                         "H.264 decoder subset: inter cbp outside subset"
                     )
                 cbp = _CODENUM_TO_CBP_INTER[codenum]
-                _mc_16x16(luma, ref2d, mx, my, mv, width, height)
+                if mv[0] & 3 or mv[1] & 3:
+                    _mc_subpel(luma, ref2d, mx, my, mv, width, height)
+                    n_subpel_mb += 1
+                else:
+                    _mc_16x16(luma, ref2d, mx, my, mv, width, height)
                 if cbp:
                     qp_y += r.se()  # mb_qp_delta
                     for i in range(16):
@@ -1125,6 +1229,7 @@ def decode_h264(data: bytes) -> dict:
         "n_coded_blocks": n_coded_blocks,
         "n_skip_mb": n_skip_mb,
         "n_p_mb": n_p_mb,
+        "n_subpel_mb": n_subpel_mb,
         "sum_abs_mvx_q": sum_abs_mvx_q,
         "sum_abs_mvy_q": sum_abs_mvy_q,
         "n_b_l0": n_b_l0,

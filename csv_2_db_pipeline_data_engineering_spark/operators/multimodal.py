@@ -1611,6 +1611,352 @@ ORDER BY doc_id
 """
 
 
+# --- H.264 half-pel (6-tap) motion-compensation GOP decode -------------------
+
+H264S_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_mb", T.IntegerType()),
+        T.StructField("n_skip_mb", T.IntegerType()),
+        T.StructField("n_p_mb", T.IntegerType()),
+        T.StructField("n_halfpel_mb", T.IntegerType()),
+        T.StructField("n_coded_blocks", T.IntegerType()),
+        T.StructField("sum_mvx_q", T.IntegerType()),
+        T.StructField("sum_mvy_q", T.IntegerType()),
+        T.StructField("n_mode_v", T.IntegerType()),
+        T.StructField("n_mode_h", T.IntegerType()),
+        T.StructField("n_mode_dc", T.IntegerType()),
+        T.StructField("qp", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def mm_h264_subpel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 GOP decode through HALF-SAMPLE motion compensation —
+    the 8.4.2.2.1 (1,-5,20,20,-5,1) 6-tap luma interpolation
+    (``operators/h264_codec._mc_halfpel``), exercised across a real
+    luma step edge so the filter output is value-load-bearing, not a
+    constant-plane identity.
+
+    Per doc a 3-frame GOP: an IDR (constant plane c0 = 128 +
+    dequant(L0)), then P1 bumps macroblock 1 (columns 16..31, top row)
+    by r1 with a zero MV — creating a step edge in the reference — and
+    P2 codes one MB with a HALF-PEL MV whose 6-tap window straddles
+    that edge. Even docs take the horizontal half position ``b`` (MV
+    (4·dxp+2, 0) on MB 0, taps crossing the x=16 edge); odd docs the
+    vertical half position ``h`` (MV (0, -4·m+2) on MB 5, taps
+    crossing the y=16 edge from below). Because 32·c0 is a multiple of
+    32, every interpolated sample is exactly c0 + ((r1·w + 16) >> 5)
+    where w is the 6-tap prefix/suffix mass that lands in the bumped
+    region — so the whole decode is closed-form: a wrong tap weight,
+    rounding constant, shift, or boundary clamp shifts ``mean_luma``.
+
+    Scale design: one Arrow ``mapInPandas`` over ``_spread`` ids, zero
+    joins, zero shuffles beyond the final display ``orderBy`` — the
+    same plan as the certified intra/inter queries.
+    """
+    from .h264_codec import decode_h264, encode_h264_gop
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in H264S_STATS_SCHEMA}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                i_level = 1 + doc_id % 7
+                q1 = 1 + doc_id % 6
+                q2 = 1 + (doc_id * 5) % 6
+                if doc_id % 2 == 0:
+                    dxp = 4 + doc_id % 9
+                    mb2, mv2 = 0, (4 * dxp + 2, 0)
+                else:
+                    m = 1 + doc_id % 9
+                    mb2, mv2 = 5, (0, -4 * m + 2)
+                dec = decode_h264(
+                    encode_h264_gop(
+                        H264P_W,
+                        H264P_H,
+                        i_level,
+                        [(1, (0, 0), q1), (mb2, mv2, q2)],
+                        doc_id,
+                    )
+                )
+                if dec["width"] != H264P_W or dec["height"] != H264P_H:
+                    raise ValueError("H.264 SPS dims disagree")
+                luma = sum(sum(f) for f in dec["frames"])
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_frames"].append(len(dec["frames"]))
+                rows["n_mb"].append(
+                    len(dec["frames"]) * (H264P_W // 16) * (H264P_H // 16)
+                )
+                rows["n_skip_mb"].append(dec["n_skip_mb"])
+                rows["n_p_mb"].append(dec["n_p_mb"])
+                rows["n_halfpel_mb"].append(dec["n_subpel_mb"])
+                rows["n_coded_blocks"].append(dec["n_coded_blocks"])
+                rows["sum_mvx_q"].append(dec["sum_abs_mvx_q"])
+                rows["sum_mvy_q"].append(dec["sum_abs_mvy_q"])
+                rows["n_mode_v"].append(dec["n_mode_v"])
+                rows["n_mode_h"].append(dec["n_mode_h"])
+                rows["n_mode_dc"].append(dec["n_mode_dc"])
+                rows["qp"].append(dec["qp"])
+                rows["mean_luma"].append(
+                    float(luma) / (len(dec["frames"]) * H264P_W * H264P_H)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    **{
+                        c: pd.array(rows[c], dtype="int32")
+                        for c in (
+                            "width", "height", "n_frames", "n_mb",
+                            "n_skip_mb", "n_p_mb", "n_halfpel_mb",
+                            "n_coded_blocks", "sum_mvx_q", "sum_mvy_q",
+                            "n_mode_v", "n_mode_h", "n_mode_dc", "qp",
+                        )
+                    },
+                    "mean_luma": rows["mean_luma"],
+                }
+            )
+
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .transform(_spread)
+        .mapInPandas(decode_batches, H264S_STATS_SCHEMA)
+    )
+    return feats.select(
+        "doc_id", "width", "height", "n_frames", "n_mb", "n_skip_mb",
+        "n_p_mb", "n_halfpel_mb", "n_coded_blocks", "sum_mvx_q",
+        "sum_mvy_q", "n_mode_v", "n_mode_h", "n_mode_dc", "qp",
+        F.round("mean_luma", 4).alias("mean_luma"),
+    ).orderBy("doc_id")
+
+
+# Closed forms: F0 = 2048·c0; F1 = F0 + 256·r1 (MB 1 bumped, zero-MV
+# skips elsewhere); F2 = F1 + 16·OFF + 256·r2 where OFF is the 6-tap
+# edge mass — per interpolated column/row j, the filter adds
+# (r1·w(j) + 16) >> 5 on top of c0, w(j) = 32 − prefix(18−dxp−j) for
+# the horizontal ``b`` case (suffix of the tap weights inside the
+# bumped columns x ≥ 16) and prefix(m+2−i) for the vertical ``h`` case
+# (taps inside the bumped rows y ≤ 15); prefix over (1,−5,20,20,−5,1)
+# is (0,1,−4,16,36,31,32). FLOOR((…)/32.0) matches the decoder's
+# arithmetic >> on the (possibly negative) 16−4·r1 term.
+_H264S_PREFIX_SQL = (
+    "CASE LEAST(6, GREATEST(0, {c})) WHEN 0 THEN 0 WHEN 1 THEN 1"
+    " WHEN 2 THEN -4 WHEN 3 THEN 16 WHEN 4 THEN 36 WHEN 5 THEN 31"
+    " ELSE 32 END"
+)
+
+MM_H264_SUBPEL_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         128 + (160 * (1 + doc_id % 7) + 32) // 64 AS c0,
+         (160 * (1 + doc_id % 6) + 32) // 64 AS r1,
+         (160 * (1 + (doc_id * 5) % 6) + 32) // 64 AS r2,
+         4 + doc_id % 9 AS dxp,
+         1 + doc_id % 9 AS m,
+         doc_id % 2 = 0 AS horiz
+  FROM documents),
+edge AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(FLOOR((r1 * (CASE WHEN horiz
+             THEN 32 - ({_H264S_PREFIX_SQL.format(c="18 - dxp - t.range")})
+             ELSE {_H264S_PREFIX_SQL.format(c="m + 2 - t.range")}
+           END) + 16) / 32.0) AS BIGINT)) AS BIGINT) AS off
+  FROM d CROSS JOIN range(16) t GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, bx.range AS bx, by.range AS by,
+         doc_id + bx.range + by.range AS cand
+  FROM d CROSS JOIN range(16) bx CROSS JOIN range(8) by),
+modes AS (
+  SELECT doc_id,
+         CASE WHEN bx = 0 AND by = 0 THEN 2
+              WHEN by = 0 THEN CASE WHEN cand % 2 = 0 THEN 1 ELSE 2 END
+              WHEN bx = 0 THEN CASE WHEN cand % 2 = 0 THEN 0 ELSE 2 END
+              ELSE cand % 3 END AS mode
+  FROM blocks),
+mtal AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN mode = 0 THEN 1 ELSE 0 END) AS INT) AS n_mode_v,
+         CAST(SUM(CASE WHEN mode = 1 THEN 1 ELSE 0 END) AS INT) AS n_mode_h,
+         CAST(SUM(CASE WHEN mode = 2 THEN 1 ELSE 0 END) AS INT) AS n_mode_dc
+  FROM modes GROUP BY doc_id)
+SELECT d.doc_id, {H264P_W} AS width, {H264P_H} AS height,
+       3 AS n_frames, 24 AS n_mb, 14 AS n_skip_mb, 2 AS n_p_mb,
+       1 AS n_halfpel_mb, 33 AS n_coded_blocks,
+       CAST(CASE WHEN horiz THEN 4 * dxp + 2 ELSE 0 END AS INT) AS sum_mvx_q,
+       CAST(CASE WHEN horiz THEN 0 ELSE 4 * m - 2 END AS INT) AS sum_mvy_q,
+       n_mode_v, n_mode_h, n_mode_dc, 24 AS qp,
+       ROUND(CAST(6144 * c0 + 512 * r1 + 16 * off + 256 * r2 AS DOUBLE)
+             / 6144, 4) AS mean_luma
+FROM d JOIN edge USING (doc_id) JOIN mtal USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --- H.264 quarter-pel (Table 8-12) motion-compensation GOP decode -----------
+
+H264Q_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_mb", T.IntegerType()),
+        T.StructField("n_skip_mb", T.IntegerType()),
+        T.StructField("n_p_mb", T.IntegerType()),
+        T.StructField("n_qpel_mb", T.IntegerType()),
+        T.StructField("n_coded_blocks", T.IntegerType()),
+        T.StructField("sum_mvx_q", T.IntegerType()),
+        T.StructField("sum_mvy_q", T.IntegerType()),
+        T.StructField("qp", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def mm_h264_qpel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 GOP decode through QUARTER-SAMPLE motion compensation
+    — the Table 8-12 quarter positions (``a``/``c``/``d``/``n``:
+    average-with-upward-rounding of the nearest integer sample and the
+    6-tap half sample), exercised across a real luma step edge.
+
+    Same 3-frame fixture as the half-pel query (IDR constant plane,
+    P1 bumps MB 1 by r1 creating the edge), but P2's coded MB carries
+    a quarter-pel MV: ``doc_id % 4`` rotates through a (fx=1) and c
+    (fx=3) horizontally on MB 0 and d (fy=1) and n (fy=3) vertically
+    on MB 5. Each interpolated sample is exactly
+    ``c0 + ((g + bo + 1) >> 1)`` where ``g`` is the integer-sample
+    bump mass (r1 when the full-sample sits in the bumped region) and
+    ``bo`` the half-sample's 6-tap edge mass — so a wrong averaging
+    direction (a vs c, d vs n), rounding constant, or clip order
+    shifts ``mean_luma``.
+
+    Scale design: one Arrow ``mapInPandas`` over ``_spread`` ids,
+    zero joins — the certified intra/inter plan shape.
+    """
+    from .h264_codec import decode_h264, encode_h264_gop
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in H264Q_STATS_SCHEMA}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                i_level = 1 + doc_id % 7
+                q1 = 1 + doc_id % 6
+                q2 = 1 + (doc_id * 5) % 6
+                qf = doc_id % 4
+                if qf < 2:  # horizontal: a (fx=1) / c (fx=3) on MB 0
+                    dxp = 4 + doc_id % 9
+                    mb2, mv2 = 0, (4 * dxp + (1 if qf == 0 else 3), 0)
+                else:  # vertical: d (fy=1) / n (fy=3) on MB 5
+                    m = 1 + doc_id % 9
+                    mb2, mv2 = 5, (0, -4 * m + (1 if qf == 2 else 3))
+                dec = decode_h264(
+                    encode_h264_gop(
+                        H264P_W,
+                        H264P_H,
+                        i_level,
+                        [(1, (0, 0), q1), (mb2, mv2, q2)],
+                        doc_id,
+                    )
+                )
+                luma = sum(sum(f) for f in dec["frames"])
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_frames"].append(len(dec["frames"]))
+                rows["n_mb"].append(
+                    len(dec["frames"]) * (H264P_W // 16) * (H264P_H // 16)
+                )
+                rows["n_skip_mb"].append(dec["n_skip_mb"])
+                rows["n_p_mb"].append(dec["n_p_mb"])
+                rows["n_qpel_mb"].append(dec["n_subpel_mb"])
+                rows["n_coded_blocks"].append(dec["n_coded_blocks"])
+                rows["sum_mvx_q"].append(dec["sum_abs_mvx_q"])
+                rows["sum_mvy_q"].append(dec["sum_abs_mvy_q"])
+                rows["qp"].append(dec["qp"])
+                rows["mean_luma"].append(
+                    float(luma) / (len(dec["frames"]) * H264P_W * H264P_H)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    **{
+                        c: pd.array(rows[c], dtype="int32")
+                        for c in (
+                            "width", "height", "n_frames", "n_mb",
+                            "n_skip_mb", "n_p_mb", "n_qpel_mb",
+                            "n_coded_blocks", "sum_mvx_q", "sum_mvy_q", "qp",
+                        )
+                    },
+                    "mean_luma": rows["mean_luma"],
+                }
+            )
+
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .transform(_spread)
+        .mapInPandas(decode_batches, H264Q_STATS_SCHEMA)
+    )
+    return feats.select(
+        "doc_id", "width", "height", "n_frames", "n_mb", "n_skip_mb",
+        "n_p_mb", "n_qpel_mb", "n_coded_blocks", "sum_mvx_q",
+        "sum_mvy_q", "qp",
+        F.round("mean_luma", 4).alias("mean_luma"),
+    ).orderBy("doc_id")
+
+
+# Closed forms: as the half-pel oracle, plus the quarter average —
+# per position t, v = c0 + FLOOR((g + bo + 1)/2) with g the
+# integer-sample bump mass (a: full sample at sx, in the bump iff
+# dxp+t >= 16; c: at sx+1, iff dxp+t+1 >= 16; d: at sy, iff t <= m-1;
+# n: at sy+1, iff t <= m-2) and bo the half-sample 6-tap edge mass of
+# the subpel oracle.
+MM_H264_QPEL_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         128 + (160 * (1 + doc_id % 7) + 32) // 64 AS c0,
+         (160 * (1 + doc_id % 6) + 32) // 64 AS r1,
+         (160 * (1 + (doc_id * 5) % 6) + 32) // 64 AS r2,
+         4 + doc_id % 9 AS dxp,
+         1 + doc_id % 9 AS m,
+         doc_id % 4 AS qf
+  FROM documents),
+edge AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(FLOOR((
+           (CASE WHEN qf = 0 THEN CASE WHEN dxp + t.range >= 16 THEN r1 ELSE 0 END
+                 WHEN qf = 1 THEN CASE WHEN dxp + t.range + 1 >= 16 THEN r1 ELSE 0 END
+                 WHEN qf = 2 THEN CASE WHEN t.range <= m - 1 THEN r1 ELSE 0 END
+                 ELSE CASE WHEN t.range <= m - 2 THEN r1 ELSE 0 END END)
+           + CAST(FLOOR((r1 * (CASE WHEN qf < 2
+               THEN 32 - ({_H264S_PREFIX_SQL.format(c="18 - dxp - t.range")})
+               ELSE {_H264S_PREFIX_SQL.format(c="m + 2 - t.range")}
+             END) + 16) / 32.0) AS BIGINT)
+           + 1) / 2.0) AS BIGINT)) AS BIGINT) AS off
+  FROM d CROSS JOIN range(16) t GROUP BY doc_id)
+SELECT d.doc_id, {H264P_W} AS width, {H264P_H} AS height,
+       3 AS n_frames, 24 AS n_mb, 14 AS n_skip_mb, 2 AS n_p_mb,
+       1 AS n_qpel_mb, 33 AS n_coded_blocks,
+       CAST(CASE WHEN qf = 0 THEN 4 * dxp + 1
+                 WHEN qf = 1 THEN 4 * dxp + 3 ELSE 0 END AS INT) AS sum_mvx_q,
+       CAST(CASE WHEN qf = 2 THEN 4 * m - 1
+                 WHEN qf = 3 THEN 4 * m - 3 ELSE 0 END AS INT) AS sum_mvy_q,
+       24 AS qp,
+       ROUND(CAST(6144 * c0 + 512 * r1 + 16 * off + 256 * r2 AS DOUBLE)
+             / 6144, 4) AS mean_luma
+FROM d JOIN edge USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # --- MPEG-1: real INTER-FRAME (motion-compensated) video decode -------------
 
 MPEG_W, MPEG_H = 48, 32  # 3x2 macroblock grid
@@ -2475,6 +2821,19 @@ QUERIES = [
           "weighted prediction (p0+p1+1)>>1) — per-type tallies, "
           "per-list |MV| sums + mean luma value-checked",
           mm_h264_bipred_stats, MM_H264_BIPRED_ORACLE),
+    Query("mm_h264_subpel_stats",
+          "REAL H.264 GOP decode through HALF-SAMPLE motion compensation "
+          "(the 8.4.2.2.1 (1,-5,20,20,-5,1) 6-tap luma interpolation "
+          "across a genuine step edge, b and h positions, per-tap "
+          "boundary clamping) — half-pel MB tally, |MV| sums + "
+          "edge-mass mean luma value-checked",
+          mm_h264_subpel_stats, MM_H264_SUBPEL_ORACLE),
+    Query("mm_h264_qpel_stats",
+          "REAL H.264 GOP decode through QUARTER-SAMPLE motion "
+          "compensation (Table 8-12 a/c/d/n averages of the nearest "
+          "integer + 6-tap half samples, across a genuine step edge) "
+          "— quarter-pel MB tally, |MV| sums + mean luma value-checked",
+          mm_h264_qpel_stats, MM_H264_QPEL_ORACLE),
     Query("mm_decode_features", "Arrow-batched decode/feature-extract (stub kernel)",
           mm_decode_features, MM_DECODE_ORACLE),
     Query("mm_frame_sample_stats", "fan-out frame sampling via mapInPandas",

@@ -344,6 +344,32 @@ class Query:
 # stays registered + locally oracle-checked). With this swap every one
 # of the 151 registered queries has a driver-green CORRECTNESS row in
 # some round's gate.
+#
+# Mid-r13 swap: text_bm25_topk in (NEW retrieval family —
+# operators/retrieval.py: inverted (doc, term) tf index with dl riding
+# the same shuffle, query-vocabulary broadcast pruning, BM25 scoring
+# rounded BEFORE ranking so ties resolve identically on both engines;
+# its MaxScore/WAND pruning-certificate twin text_bm25_maxscore is
+# registered + locally oracle-checked). Out goes text_vocab_zipf
+# (driver-green four consecutive rounds r9-r12; the token explode →
+# map-side-combined term-count shuffle — its only data-proportional
+# stage — is exactly the tf aggregate the incoming text_bm25_topk
+# carries in-window, and the vocabulary-frame rank/fit surface stays
+# registered + locally oracle-checked).
+#
+# Mid-r13 media swaps (drive the never-driver-checked codec tail
+# through the window while it is fresh): in come mm_h264_bipred_stats
+# (NEW r13: Main-profile B-slice biprediction — per-list CAVLC MVDs,
+# 8.2.4.2.4 two-deep reference lists, 8.4.2.3 default weighted
+# prediction) and mm_h264_subpel_stats (NEW r13: the 8.4.2.2.1
+# half-sample 6-tap luma interpolation across a real step edge). Out
+# go mm_mpeg1_video_stats (driver-green three consecutive rounds
+# r10-r12; the temporal/motion-compensated decode class keeps
+# mm_h264_inter_stats in-window plus the two incoming queries) and
+# mm_jpeg_decode_stats (driver-green since r3; the JPEG entropy+DCT
+# kernel stays value-checked in-window INSIDE mm_avi_mjpeg_stats —
+# Motion-JPEG decodes every frame through the same jpeg_codec path).
+# Both rotated-out queries stay registered + locally oracle-checked.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",
@@ -373,7 +399,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_linear_probe",  # NEW r10: integer-GD classifier training curve
     "embedding_probe_confusion",  # NEW r11 window: probe SERVING twin (r10 tail)
     # LLM-pipeline: text analysis + hygiene.
-    "text_vocab_zipf",  # NEW r9 window: vocabulary Zipf-law audit
+    "text_bm25_topk",  # NEW r13 window: BM25 top-k retrieval (new family)
     "text_span_strip",  # NEW r9 window: ExactSubstr span removal
     "text_length_hdr_quantiles",  # NEW r11: HDR quantile sketch (4th algebra)
     # Mid-r10: HyperLogLog in (NEW: the third mergeable-sketch merge
@@ -391,12 +417,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "epoch_schedule_incremental",  # NEW r11: incremental training-loader schedule
     "ann_ivf_neighbors",  # NEW r13 window: integer-exact IVF neighbor list
     # LLM-pipeline: multimodal + continuous aggregate.
-    "mm_jpeg_decode_stats",
     "mm_png_deadletter_stats",
     "mm_h264_intra_stats",  # NEW r11: from-spec H.264 I-slice decode
     "mm_h264_inter_stats",  # NEW r12 window: H.264 P-slice GOP decode
+    "mm_h264_bipred_stats",  # NEW r13 window: B-slice biprediction GOP
+    "mm_h264_subpel_stats",  # NEW r13 window: half-pel 6-tap MC GOP
     "mm_avi_mjpeg_stats",  # NEW r10 window: AVI/Motion-JPEG container decode
-    "mm_mpeg1_video_stats",  # NEW r10: inter-frame (motion-compensated) MPEG-1
     "mm_audio_fp_dedup",  # NEW r9 window: audio fingerprint dedup
     "mm_video_fp_dedup",  # NEW r11 window: temporal-delta video fp (r10 tail)
     "user_hourly_interpolate",  # NEW r9 window: gap-fill interpolation
@@ -431,6 +457,7 @@ def get_catalog() -> dict[str, Query]:
         dsir,
         gopher,
         multimodal,
+        retrieval,
         rollup,
         scrub,
         semantic,
@@ -447,7 +474,7 @@ def get_catalog() -> dict[str, Query]:
     all_queries: dict[str, Query] = {}
     for module in (
         analytics, advanced, stats_windows, subqueries, quality, etl_queries,
-        graph, dedup, similarity, semantic, sketch, spans, text, scrub,
+        graph, dedup, similarity, semantic, sketch, spans, text, retrieval, scrub,
         gopher, dsir, boilerplate, multimodal, rollup, curation, versioning,
     ):
         for q in module.QUERIES:

@@ -1,0 +1,116 @@
+"""BM25 retrieval: formula pin, ranking invariants, MaxScore safety."""
+
+from __future__ import annotations
+
+import math
+
+from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    BM25_NQ,
+    BM25_QTERMS,
+    BM25_TOPK,
+    text_bm25_maxscore,
+    text_bm25_topk,
+)
+
+DOCS = [
+    (0, "apple banana apple cherry"),
+    (1, "banana banana banana durian"),
+    (2, "cherry durian elderberry fig"),
+    (3, "apple apple apple apple"),
+    (4, "grape honeydew kiwi lemon"),
+]
+
+
+def _pure_python_bm25(docs):
+    """Independent implementation of the registered scoring contract."""
+    split = {i: t.split(" ") for i, t in docs}
+    n = len(docs)
+    avgdl = math.floor(1000 * sum(len(w) for w in split.values()) / n) / 1000.0
+    tf = {
+        (i, t): split[i].count(t) for i in split for t in set(split[i])
+    }
+    df = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    queries = sorted(split)[:BM25_NQ]
+    out = {}
+    for q in queries:
+        qterms = split[q][:BM25_QTERMS]
+        qtf = {t: qterms.count(t) for t in set(qterms)}
+        for i in split:
+            s = 0.0
+            hit = False
+            for t, qt in qtf.items():
+                if (i, t) not in tf:
+                    continue
+                hit = True
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                dl = len(split[i])
+                tfn = (tf[(i, t)] * (BM25_K1 + 1.0)) / (
+                    tf[(i, t)] + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+                )
+                s += qt * idf * tfn
+            if hit:
+                out[(q, i)] = round(s, 6)
+    return out
+
+
+def _write(spark, tmp_path, docs):
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_bm25_matches_pure_python(spark, tmp_path):
+    sf = _write(spark, tmp_path, DOCS)
+    expected = _pure_python_bm25(DOCS)
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in text_bm25_topk(spark, sf).collect()
+    }
+    # every returned (query, doc) score must equal the reference formula
+    for key, score in got.items():
+        assert math.isclose(score, expected[key], rel_tol=0, abs_tol=1e-6), (
+            key,
+            score,
+            expected[key],
+        )
+    # and the top hit for the all-apple query doc is the apple-heavy doc
+    q3 = [(r.rnk, r.doc_id) for r in text_bm25_topk(spark, sf).collect()
+          if r.query_id == 3]
+    assert min(q3)[1] == 3  # rnk 1 -> doc 3 (itself: four apples)
+
+
+def test_bm25_rank_invariants(spark, tmp_path):
+    sf = _write(spark, tmp_path, DOCS)
+    rows = text_bm25_topk(spark, sf).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOPK
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_maxscore_never_loses_topk(spark, tmp_path):
+    sf = _write(spark, tmp_path, DOCS)
+    rows = text_bm25_maxscore(spark, sf).collect()
+    assert rows, "certificate must cover every query"
+    for r in rows:
+        assert r.topk_preserved, r
+        assert 0 < r.n_pruned_survivors <= r.n_candidates
+
+
+def test_maxscore_on_testdata(spark):
+    rows = text_bm25_maxscore(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == BM25_NQ
+    assert all(r.topk_preserved for r in rows)
+    # pruning must be non-trivial somewhere on a real corpus: at least
+    # one query's upper-bound gate excludes candidates
+    assert any(r.n_pruned_survivors < r.n_candidates for r in rows)

@@ -220,10 +220,6 @@ PROBE_WAIVERS: dict[str, str] = {
         "10x:embedding_linear_probe — trains the identical model, then"
         " one broadcast-weights scan agg for the confusion counts"
     ),
-    "text_vocab_zipf": (
-        "scan-shaped — token explode + map-side-combinable groupBy"
-        " count; the rank/fit runs on the bounded vocab frame"
-    ),
     "text_fluency_buckets": (
         "10x:text_bigram_logprob — built on the same"
         " bigram_logprob_frame; adds a width-4 bucket agg on top"
@@ -240,11 +236,6 @@ PROBE_WAIVERS: dict[str, str] = {
         "scan-shaped — canonical-key projection + digest groupBy"
         " (map-side-combinable exact-dedup hash shape); no join"
     ),
-    "mm_jpeg_decode_stats": (
-        "10x:mm_jpeg_decode_stats — Arrow mapInPandas kernel over"
-        " _spread ids, zero joins; plan-identical to the"
-        " 100x-certified mm_h264_intra_stats (24.5x)"
-    ),
     "mm_png_deadletter_stats": (
         "10x:mm_png_decode_stats — same PNG kernel map plus the"
         " dead-letter split projection; plan-identical to the"
@@ -252,10 +243,6 @@ PROBE_WAIVERS: dict[str, str] = {
     ),
     "mm_avi_mjpeg_stats": (
         "10x:mm_avi_mjpeg_stats — kernel map over _spread ids, zero"
-        " joins; same certified plan shape as mm_h264_intra_stats"
-    ),
-    "mm_mpeg1_video_stats": (
-        "10x:mm_mpeg1_video_stats — kernel map over _spread ids, zero"
         " joins; same certified plan shape as mm_h264_intra_stats"
     ),
     "mm_audio_fp_dedup": (
