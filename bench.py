@@ -134,6 +134,8 @@ HEADLINE = [
     "text_bm25_topk",
     # round-13: H.264 half-sample 6-tap motion compensation GOP decode
     "mm_h264_subpel_stats",
+    # round-13: incremental BM25 serving (history index + O(delta) fold)
+    "bm25_serve_incremental",
 ]
 
 

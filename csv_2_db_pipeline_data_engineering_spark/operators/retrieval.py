@@ -185,6 +185,35 @@ def _topk_per_query(scored: DataFrame) -> DataFrame:
     )
 
 
+def _bm25_topk_frame(tf: DataFrame, qterm: DataFrame, stats: DataFrame) -> DataFrame:
+    """Score + rank a (possibly multi-source) postings frame.
+
+    ``tf``: (doc_id, term, dl, tf) postings already restricted to the
+    query vocabulary; ``qterm``: (query_id, term, qtf); ``stats``: one
+    row of MERGEABLE corpus partials (n_docs, total_dl) — avgdl is
+    derived here with the integer-exact floor so merged partials give
+    bit-identical normalization to a from-scratch build.
+    """
+    st = stats.select(
+        "n_docs",
+        (F.floor(1000 * F.col("total_dl") / F.col("n_docs")) / 1000.0).alias(
+            "avgdl"
+        ),
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qdf = df_.join(F.broadcast(qterm), "term")
+    contrib = F.col("qtf") * _idf(F.col("n_docs"), F.col("df")) * _tf_norm(
+        F.col("tf"), F.col("dl"), F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(st))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    return _topk_per_query(scored)
+
+
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k BM25 serving: k best candidate docs per query."""
     return (
@@ -357,6 +386,166 @@ GROUP BY p.query_id
 ORDER BY p.query_id
 """
 
+# --- persisted postings index + incremental serving --------------------------
+#
+# The production shape for retrieval over a growing corpus: the
+# inverted index is a tagged-partition LSM store (the shared
+# ``operators/lsm`` machinery: O(delta) extends, history partitions
+# never rewritten, crash-safe versioned compaction). Postings rows are
+# immutable per document (a doc lives in exactly one delta), so the
+# fold is a plain union; the corpus-level normalization state
+# (n_docs, total_dl) is a one-row MERGEABLE partial per tag — summing
+# partials and flooring once gives the identical avgdl a from-scratch
+# rebuild computes, which is what makes serve-from-index == rebuild an
+# exact certificate rather than an approximation.
+
+
+def bm25_postings(docs: DataFrame) -> DataFrame:
+    """Full-vocabulary postings (doc_id, term, dl, tf) for the index
+    WRITE path (one-time/amortized; the serve path reads back only the
+    query-vocabulary slice via partition/predicate pushdown)."""
+    toks = F.split(F.col("text"), " ")
+    dr = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return (
+        dr.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.min("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def corpus_stats_partial(docs: DataFrame) -> DataFrame:
+    """The one-row mergeable normalization partial for a delta."""
+    toks = F.split(F.col("text"), " ")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_dl"),
+    )
+
+
+def write_postings_index(docs: DataFrame, path: str, tag: str = "base") -> None:
+    """Persist a corpus slice's postings + stats under ``delta=<tag>``
+    (the two-sub ``write_span_index`` layout). Same-tag replay
+    overwrites with identical content — idempotent."""
+    import os
+
+    bm25_postings(docs).write.mode("overwrite").parquet(
+        os.path.join(path, "postings", f"delta={tag}")
+    )
+    corpus_stats_partial(docs).write.mode("overwrite").parquet(
+        os.path.join(path, "stats", f"delta={tag}")
+    )
+
+
+def extend_postings_index(delta_docs: DataFrame, path: str, tag: str) -> None:
+    """Fold a delta's postings INTO the persisted index: O(delta) —
+    history partitions are never read or rewritten."""
+    write_postings_index(delta_docs, path, tag)
+
+
+def read_postings_index(spark: SparkSession, path: str):
+    """(postings, merged one-row stats) across visible delta tags."""
+    from . import lsm
+
+    postings = lsm.read_visible(spark, path, "postings")
+    stats = lsm.read_visible(spark, path, "stats")
+    if postings is None or stats is None:
+        raise FileNotFoundError(f"no postings-index partitions under {path}")
+    return postings, stats.agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("total_dl").alias("total_dl")
+    )
+
+
+def compact_postings_index(spark: SparkSession, path: str) -> None:
+    """Merge every visible delta into one base version (``lsm.compact``
+    crash-safe commit). Postings are immutable per doc — the fold is a
+    rewrite into one partition; the stats partials re-aggregate to one
+    row, after which reads cost one partition until new extends land."""
+    from . import lsm
+
+    lsm.compact(
+        spark,
+        path,
+        {
+            "postings": None,
+            "stats": lambda df: df.agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("total_dl").alias("total_dl"),
+            ),
+        },
+    )
+
+
+def serve_bm25_from_index(
+    spark: SparkSession, path: str, qterm: DataFrame
+) -> DataFrame:
+    """Top-k BM25 over the persisted index: postings restricted to the
+    query vocabulary (term-keyed pushdown read), stats partials merged
+    once — the from-disk twin of the in-plan serve."""
+    qvocab = sorted({r.term for r in qterm.select("term").distinct().collect()})
+    postings, stats = read_postings_index(spark, path)
+    return (
+        _bm25_topk_frame(
+            postings.filter(F.col("term").isin(qvocab)), qterm, stats
+        )
+        .select("query_id", "rnk", "doc_id", "score")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def bm25_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered incremental demo: documents split by id into an
+    already-indexed history (doc_id % 10 != 0) and an arriving delta
+    (doc_id % 10 == 0); queries are served against history-index +
+    delta-extend WITHOUT ever rebuilding over the union corpus. The
+    in-plan twin models exactly what the persistence path does (two
+    postings builds restricted to the query vocabulary — the pushdown
+    read — and two one-row stats partials merged before the single
+    floor); the write/extend/read-back/compact path itself is
+    exercised in ``tests/test_retrieval.py`` and certified identical.
+
+    The oracle is the FULL-CORPUS BM25 top-k SQL — so the driver's
+    value hash IS the merge == rebuild certificate: any drift between
+    folded partials and a from-scratch build (df splits, avgdl
+    rounding, tie-break order) fails the gate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    qrows = (
+        d.orderBy("doc_id")
+        .limit(BM25_NQ)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(toks, 1, BM25_QTERMS)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+        .collect()
+    )
+    qvocab = sorted({r.term for r in qrows})
+    qterm = spark.createDataFrame(
+        [(r.query_id, r.term, r.qtf) for r in qrows],
+        "query_id long, term string, qtf long",
+    )
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    in_vocab = F.col("term").isin(qvocab)
+    tf = bm25_postings(base).filter(in_vocab).unionByName(
+        bm25_postings(delta).filter(in_vocab)
+    )
+    stats = (
+        corpus_stats_partial(base)
+        .unionByName(corpus_stats_partial(delta))
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("total_dl").alias("total_dl"))
+    )
+    return (
+        _bm25_topk_frame(tf, qterm, stats)
+        .select("query_id", "rnk", "doc_id", "score")
+        .orderBy("query_id", "rnk")
+    )
+
+
 QUERIES = [
     Query(
         "text_bm25_topk",
@@ -371,5 +560,13 @@ QUERIES = [
         "never drop a true top-k member",
         text_bm25_maxscore,
         BM25_MAXSCORE_ORACLE,
+    ),
+    Query(
+        "bm25_serve_incremental",
+        "incremental BM25 serving: history postings index + O(delta) "
+        "extend, mergeable (n_docs, total_dl) partials — the full-corpus "
+        "oracle makes the hash check a merge == rebuild certificate",
+        bm25_serve_incremental,
+        BM25_TOPK_ORACLE,
     ),
 ]

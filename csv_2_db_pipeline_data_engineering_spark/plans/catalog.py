@@ -370,6 +370,17 @@ class Query:
 # kernel stays value-checked in-window INSIDE mm_avi_mjpeg_stats —
 # Motion-JPEG decodes every frame through the same jpeg_codec path).
 # Both rotated-out queries stay registered + locally oracle-checked.
+#
+# Late-r13 swap: bm25_serve_incremental in (NEW: the retrieval
+# family's incremental member — history postings as a persisted
+# tagged-partition LSM index, O(delta) extends, mergeable
+# (n_docs, total_dl) normalization partials; its oracle is the
+# FULL-CORPUS BM25 top-k SQL, so the driver hash check IS the
+# merge == rebuild certificate). Out goes canary_contamination_scan
+# (driver-green four consecutive rounds r9-r12; the broadcast
+# eval-index containment family keeps corpus_decontaminate in-window,
+# which runs the same n-gram scan plus the excision on top; stays
+# registered + locally oracle-checked).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",
@@ -427,7 +438,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_video_fp_dedup",  # NEW r11 window: temporal-delta video fp (r10 tail)
     "user_hourly_interpolate",  # NEW r9 window: gap-fill interpolation
     # LLM-pipeline: curation decisions (contamination / sampling / keep-drop).
-    "canary_contamination_scan",  # NEW r9 window: canary-string scan
+    "bm25_serve_incremental",  # NEW r13 window: incremental BM25 serving
     "corpus_curation_decision",
     "corpus_curation_report",  # NEW r9 window: per-reason curation audit
     "corpus_decontaminate",  # NEW r11 window: surgical span excision (r10 tail)

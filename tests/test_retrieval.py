@@ -114,3 +114,50 @@ def test_maxscore_on_testdata(spark):
     # pruning must be non-trivial somewhere on a real corpus: at least
     # one query's upper-bound gate excludes candidates
     assert any(r.n_pruned_survivors < r.n_candidates for r in rows)
+
+
+def test_postings_index_extend_equals_rebuild_and_compact(spark, tmp_path):
+    """Serve-from-disk against base+extend must equal both the in-plan
+    incremental serve AND a from-scratch full-corpus serve; compaction
+    must not change a single row (the merge == rebuild certificate)."""
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+        bm25_serve_incremental,
+        compact_postings_index,
+        extend_postings_index,
+        read_postings_index,
+        serve_bm25_from_index,
+        text_bm25_topk,
+        write_postings_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    idx = str(tmp_path / "bm25_idx")
+    write_postings_index(docs.filter(F.col("doc_id") % 10 != 0), idx, "base")
+    extend_postings_index(docs.filter(F.col("doc_id") % 10 == 0), idx, "d1")
+
+    toks = F.split(F.col("text"), " ")
+    qterm = (
+        docs.orderBy("doc_id").limit(16)
+        .select(F.col("doc_id").alias("query_id"),
+                F.explode(F.slice(toks, 1, 4)).alias("term"))
+        .groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    from_disk = [tuple(r) for r in serve_bm25_from_index(spark, idx, qterm).collect()]
+    in_plan = [tuple(r) for r in bm25_serve_incremental(spark, sf).collect()]
+    rebuild = [tuple(r) for r in text_bm25_topk(spark, sf).collect()]
+    assert from_disk == in_plan == rebuild
+    assert from_disk  # non-empty
+
+    # stats partials: two tags merge to the exact full-corpus totals
+    _, stats = read_postings_index(spark, idx)
+    row = stats.collect()[0]
+    n_docs = docs.count()
+    total_dl = docs.select(F.sum(F.size(toks)).alias("t")).collect()[0].t
+    assert (row.n_docs, row.total_dl) == (n_docs, total_dl)
+
+    compact_postings_index(spark, idx)
+    after = [tuple(r) for r in serve_bm25_from_index(spark, idx, qterm).collect()]
+    assert after == from_disk

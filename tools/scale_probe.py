@@ -254,12 +254,6 @@ PROBE_WAIVERS: dict[str, str] = {
         "10x:mm_video_fp_dedup — Y4M kernel map + fingerprint-keyed"
         " pair join; measured at 10x"
     ),
-    "canary_contamination_scan": (
-        "100x:corpus_decontaminate — the same broadcast eval-index"
-        " n-gram containment scan (operators/contamination.py);"
-        " decontaminate ADDS the span excision on top, so its probe"
-        " upper-bounds the canary scan"
-    ),
     "corpus_epoch_schedule": (
         "10x:corpus_epoch_schedule — broadcast plan join + source-keyed"
         " cumulative sum; measured at 10x"
