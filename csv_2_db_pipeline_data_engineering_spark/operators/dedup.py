@@ -259,8 +259,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap², never corpus²), self-join on the shingle, count shared
     shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|) where the sets are
     the capped sets on both sides of the ratio.
+
+    The corpus is spread to defaultParallelism before shingling — a
+    single-file corpus splits into at most its row-group count, so
+    the scan-fused shingle explode ran on 14 of 32 cores at the 100x
+    probe (the ``_spread`` lesson applied to a text scan; at
+    production layout the many-file scan parallelizes itself).
     """
-    kept = scoped_cache(capped_shingle_rows(load_table(spark, sf_dir, "documents")))
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    kept = scoped_cache(capped_shingle_rows(docs))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

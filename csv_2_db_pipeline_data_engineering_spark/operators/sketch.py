@@ -697,8 +697,19 @@ def text_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (register, split) partial frame (``_hll_split_partials``); the
     ORACLE still builds r_full from scratch and r_merged from split
     partials independently, so the cross-engine hash match continues
-    to prove merge == rebuild, not merely max-associativity."""
-    docs = load_table(spark, sf_dir, "documents")
+    to prove merge == rebuild, not merely max-associativity.
+
+    The corpus is spread to defaultParallelism before the gram scan:
+    a single-file corpus splits into at most its row-group count
+    (14 splits at the 100x probe), so the scan-fused explode+md5 —
+    the dominant per-byte cost — ran on 14 of 32 cores. The
+    repartition is the ``_spread`` lesson (operators/multimodal.py:142)
+    applied to a text scan; measured 67.2s -> 22.2s at 100x. At
+    production layout (many files) the scan parallelizes itself.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     parts = _hll_split_partials(docs).localCheckpoint(eager=True)
     full = parts.groupBy("reg").agg(F.max("rho").alias("rho"))
     merged = merge_hll(
