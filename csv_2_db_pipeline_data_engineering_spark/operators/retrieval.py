@@ -6,23 +6,20 @@ Robertson/Spärck-Jones BM25 scoring, top-k serving per query, and the
 MaxScore/WAND upper-bound pruning certificate that justifies the
 100 TB serving path.
 
-Scale story (the part the small-SF oracle can't see):
+Scale story (the part the small-SF oracle can't see — each bullet was
+probe-driven at 100x, see ``SCALE_PROBE_100X.json`` notes):
 
-* The ONLY corpus-sized shuffle is the ``(doc_id, term)`` tf aggregate
-  (explode → groupBy, map-side combined). Document length rides that
-  same shuffle as a ``min`` aggregate, so there is no second
-  corpus-sized join to attach ``dl``.
-* df-per-term is derived FROM tf with a value-dependent ``count_if``
-  (same ReusedExchange trick as ``text_tfidf``), so the corpus is
-  exploded exactly once.
-* The query set is a constant-size frontier (``BM25_NQ`` docs) and its
-  term table is ≤ ``BM25_NQ × BM25_QTERMS`` rows — broadcast. Joining
-  the vocabulary-sized df table against THAT broadcast first prunes df
-  to the query vocabulary before it ever touches the postings, so the
-  candidate set is "postings of ≤64 terms", a broadcast-hash join with
-  no extra shuffle of the index.
-* Ranking is a window over ``query_id`` — ``BM25_NQ`` partitions, each
-  candidate-set-sized, never corpus-sized.
+* The query frontier is BOUNDED (``BM25_NQ × BM25_QTERMS`` ≤ 64
+  terms), collected once and pushed INTO the exploded corpus scan as a
+  literal IN-filter — so the only shuffle is the ``(doc_id, term)`` tf
+  aggregate of the MATCHING postings, with document length riding it
+  as a ``min`` aggregate. Vocabulary-sized work never happens: df per
+  query term equals its posting-list length.
+* The corpus is spread to defaultParallelism before the explode (a
+  single-file corpus splits into at most its row-group count).
+* Ranking is the salted two-stage top-k (rank inside (query, salt),
+  then rank the ≤ k·SALTS survivors) — parallelism is never capped at
+  one partition per query.
 
 The MaxScore certificate (``text_bm25_maxscore``) verifies on-corpus
 that per-term score upper bounds prune the candidate set WITHOUT
@@ -157,7 +154,7 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOPK_SALTS = 32  # stage-1 fan-out of the two-stage top-k
 
 
-def _topk_per_query(scored: DataFrame) -> DataFrame:
+def _topk_per_query(scored: DataFrame, k: int = BM25_TOPK) -> DataFrame:
     """Two-stage top-k: rank inside (query, salt) first, then rank the
     ≤ k·SALTS survivors per query.
 
@@ -178,9 +175,9 @@ def _topk_per_query(scored: DataFrame) -> DataFrame:
     return (
         scored.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(_TOPK_SALTS)))
         .withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= BM25_TOPK)
+        .filter(F.col("r1") <= k)
         .withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= BM25_TOPK)
+        .filter(F.col("rnk") <= k)
         .drop("salt", "r1")
     )
 
@@ -386,6 +383,125 @@ GROUP BY p.query_id
 ORDER BY p.query_id
 """
 
+# --- reciprocal-rank fusion over two lexical rankers --------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+RRF_FUSE_DEPTH = 10  # fuse each ranker's top-10 list
+RRF_TOPK = 5  # fused results served per query
+
+
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two DIFFERENT lexical rankers over the
+    same query frontier: BM25 (length-normalized, saturated tf) and a
+    raw TF-IDF dot product (``qtf · tf · ln(N/df)`` — the
+    ``text_tfidf`` weighting, no length normalization). Each ranker
+    contributes its top-``RRF_FUSE_DEPTH`` list; a candidate's fused
+    score is ``Σ 1/(RRF_K + rank_i)`` over the lists it appears in,
+    and the served result is the fused top-``RRF_TOPK``.
+
+    The production rank-fusion shape: rankers never exchange scores
+    (RRF is scale-free — only ranks cross the boundary), so any mix of
+    retrieval tiers (sparse, dense, metadata) fuses the same way.
+
+    Scale design: BOTH rankers score from the same pruned postings
+    frame (one corpus scan, one tf shuffle — the scan is not repeated
+    per ranker); each ranker ranks via the salted two-stage top-k; the
+    fusion itself joins two ≤ NQ·DEPTH-row lists — constant-sized.
+    Determinism: both rankers round scores to 6 BEFORE ranking with a
+    doc_id tie-break, and the fused score is a sum of exact reciprocals
+    of small integers rounded to 6, tie-broken by doc_id again.
+    """
+    tf, qdf, stats = _corpus_index(spark, sf_dir)
+    base = tf.join(F.broadcast(qdf), "term").join(F.broadcast(stats))
+    bm25 = F.col("qtf") * _idf(F.col("n_docs"), F.col("df")) * _tf_norm(
+        F.col("tf"), F.col("dl"), F.col("avgdl")
+    )
+    tfidf = F.col("qtf") * F.col("tf") * F.log(
+        F.col("n_docs") / F.col("df")
+    )
+    scored = base.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(bm25), 6).alias("bm25_score"),
+        F.round(F.sum(tfidf), 6).alias("tfidf_score"),
+    )
+    r1 = _topk_per_query(
+        scored.select("query_id", "doc_id", F.col("bm25_score").alias("score")),
+        RRF_FUSE_DEPTH,
+    ).select("query_id", "doc_id", F.col("rnk").alias("rank_bm25"))
+    r2 = _topk_per_query(
+        scored.select("query_id", "doc_id", F.col("tfidf_score").alias("score")),
+        RRF_FUSE_DEPTH,
+    ).select("query_id", "doc_id", F.col("rnk").alias("rank_tfidf"))
+    fused = (
+        r1.join(r2, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.when(
+                    F.col("rank_bm25").isNotNull(),
+                    1.0 / (RRF_K + F.col("rank_bm25")),
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.col("rank_tfidf").isNotNull(),
+                    1.0 / (RRF_K + F.col("rank_tfidf")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RRF_TOPK)
+        .select(
+            "query_id", "rnk", "doc_id", "rrf_score",
+            "rank_bm25", "rank_tfidf",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+RRF_FUSION_ORACLE = f"""
+WITH {_BM25_COMMON_SQL},
+tfidf_scored AS (
+  SELECT p.query_id, p.doc_id, ROUND(SUM(p.qtf * p.tf
+           * ln(p.n_docs::DOUBLE / p.df)), 6) AS score
+  FROM (SELECT qt.query_id, tf.doc_id, qt.qtf, tf.tf, d.df, s.n_docs
+        FROM tf JOIN qterm qt USING (term)
+        JOIN dfv d ON tf.term = d.term CROSS JOIN stats s) p
+  GROUP BY p.query_id, p.doc_id
+),
+r1 AS (
+  SELECT query_id, doc_id, rnk AS rank_bm25
+  FROM ranked WHERE rnk <= {RRF_FUSE_DEPTH}
+),
+r2 AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank_tfidf
+  FROM tfidf_scored
+  QUALIFY rank_tfidf <= {RRF_FUSE_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(r1.query_id, r2.query_id) AS query_id,
+         COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+         r1.rank_bm25, r2.rank_tfidf,
+         ROUND(COALESCE(1.0 / ({RRF_K} + r1.rank_bm25), 0)
+               + COALESCE(1.0 / ({RRF_K} + r2.rank_tfidf), 0), 6)
+           AS rrf_score
+  FROM r1 FULL OUTER JOIN r2
+    ON r1.query_id = r2.query_id AND r1.doc_id = r2.doc_id
+)
+SELECT query_id, rnk, doc_id, rrf_score, rank_bm25, rank_tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM fused)
+WHERE rnk <= {RRF_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
 # --- persisted postings index + incremental serving --------------------------
 #
 # The production shape for retrieval over a growing corpus: the
@@ -560,6 +676,13 @@ QUERIES = [
         "never drop a true top-k member",
         text_bm25_maxscore,
         BM25_MAXSCORE_ORACLE,
+    ),
+    Query(
+        "retrieval_rrf_fusion",
+        "reciprocal-rank fusion of BM25 and TF-IDF rankers (scale-free "
+        "rank-only combination, the multi-tier retrieval shape)",
+        retrieval_rrf_fusion,
+        RRF_FUSION_ORACLE,
     ),
     Query(
         "bm25_serve_incremental",

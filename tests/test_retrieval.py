@@ -161,3 +161,37 @@ def test_postings_index_extend_equals_rebuild_and_compact(spark, tmp_path):
     compact_postings_index(spark, idx)
     after = [tuple(r) for r in serve_bm25_from_index(spark, idx, qterm).collect()]
     assert after == from_disk
+
+
+def test_rrf_fusion_invariants(spark):
+    """Fused score must equal the reciprocal-rank sum of the two
+    rankers' (possibly missing) ranks; ranks are contiguous per query;
+    fused order is (score desc, doc_id asc)."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+        RRF_FUSE_DEPTH,
+        RRF_K,
+        RRF_TOPK,
+        retrieval_rrf_fusion,
+    )
+
+    rows = retrieval_rrf_fusion(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        got = r.rrf_score
+        want = 0.0
+        if r.rank_bm25 is not None:
+            assert 1 <= r.rank_bm25 <= RRF_FUSE_DEPTH
+            want += 1.0 / (RRF_K + r.rank_bm25)
+        if r.rank_tfidf is not None:
+            assert 1 <= r.rank_tfidf <= RRF_FUSE_DEPTH
+            want += 1.0 / (RRF_K + r.rank_tfidf)
+        assert r.rank_bm25 is not None or r.rank_tfidf is not None
+        assert abs(got - round(want, 6)) < 1e-9, r
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= RRF_TOPK
+        keys = [(-r.rrf_score, r.doc_id) for r in rs]
+        assert keys == sorted(keys)
