@@ -162,6 +162,7 @@ BLOOM_INDEX_DIR = "bloom_index"
 SPAN_INDEX_DIR = "span_index"
 EMB_INDEX_DIR = "emb_index"
 EPOCH_INDEX_DIR = "epoch_index"
+POSTINGS_INDEX_DIR = "postings_index"
 
 
 def _span_index_committed(
@@ -408,6 +409,63 @@ def compact_epoch_index_stream(spark: SparkSession, out_dir: str) -> None:
         os.path.join(out_dir, EPOCH_INDEX_DIR),
         {"": None},
         only_tags={f"batch{b}" for b in applied},
+    )
+
+
+def compact_postings_index_stream(spark: SparkSession, out_dir: str) -> None:
+    """LSM-compact the stream's BM25 postings index (postings rows are
+    immutable per doc — a pure partition-count bound; the one-row
+    stats partials re-aggregate to one row), same committed-only
+    versioned commit as the other stream indexes."""
+    from ..operators import lsm
+
+    applied = set(_read_manifest(out_dir)["applied"])
+    lsm.compact(
+        spark,
+        os.path.join(out_dir, POSTINGS_INDEX_DIR),
+        {
+            "postings": None,
+            "stats": lambda df: df.agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("total_dl").alias("total_dl"),
+            ),
+        },
+        only_tags={f"batch{b}" for b in applied},
+    )
+
+
+def bm25_topk_from_stream(
+    spark: SparkSession, out_dir: str, qterm: DataFrame
+) -> DataFrame:
+    """Top-k BM25 over the stream-maintained postings index, COMMITTED
+    batches only: postings restricted to the query vocabulary, the
+    per-batch (n_docs, total_dl) partials merged once before the
+    single avgdl floor — so serving after any number of folds equals a
+    from-scratch build over the shipped kept corpus (the pytest
+    certificate). Raises if no batch has committed yet."""
+    from ..operators.retrieval import _bm25_topk_frame
+
+    base = os.path.join(out_dir, POSTINGS_INDEX_DIR)
+    tags = _committed_tags(base, out_dir, batch_id=-1, probe_sub="postings")
+    if not tags:
+        raise ValueError(f"no committed postings-index tags under {base}")
+    qvocab = sorted({r.term for r in qterm.select("term").distinct().collect()})
+    postings = (
+        spark.read.option("basePath", os.path.join(base, "postings"))
+        .parquet(*[os.path.join(base, "postings", t) for t in tags])
+        .drop("delta")
+        .filter(F.col("term").isin(qvocab))
+    )
+    stats = (
+        spark.read.option("basePath", os.path.join(base, "stats"))
+        .parquet(*[os.path.join(base, "stats", t) for t in tags])
+        .drop("delta")
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("total_dl").alias("total_dl"))
+    )
+    return (
+        _bm25_topk_frame(postings, qterm, stats)
+        .select("query_id", "rnk", "doc_id", "score")
+        .orderBy("query_id", "rnk")
     )
 
 
@@ -777,6 +835,19 @@ def fold_curation_batch(
     ).select("doc_id", "text")
     extend_span_index(
         shipped_kept, os.path.join(out_dir, SPAN_INDEX_DIR), f"batch{batch_id}"
+    )
+    # BM25 postings index: the batch's SHIPPED kept docs' (doc_id,
+    # term, dl, tf) postings plus the one-row (n_docs, total_dl)
+    # normalization partial extend the persisted retrieval index
+    # O(delta) — the stream-maintained twin of
+    # operators/retrieval.write_postings_index. Written pre-commit,
+    # READ committed-only (bm25_topk_from_stream), same replay
+    # discipline as the other indexes; kept text is never re-exploded
+    # at serve time.
+    from ..operators.retrieval import extend_postings_index
+
+    extend_postings_index(
+        shipped_kept, os.path.join(out_dir, POSTINGS_INDEX_DIR), f"batch{batch_id}"
     )
     # Epoch index (only when the arriving schema carries a source
     # column): the batch's SHIPPED kept docs' (doc_id, source, n_tok)

@@ -775,3 +775,56 @@ def test_epoch_index_source_replay_collapses_and_conflict_raises(
             out4,
             0,
         )
+
+
+def test_bm25_from_stream_equals_rebuild_over_shipped_corpus(spark, tmp_path):
+    """The stream-maintained postings index must serve the same top-k
+    as a from-scratch BM25 build over the shipped kept corpus, after
+    multiple folds AND after compaction."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+        _bm25_topk_frame,
+        bm25_postings,
+        corpus_stats_partial,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.streaming.curation_stream import (
+        bm25_topk_from_stream,
+        compact_postings_index_stream,
+    )
+
+    out = str(tmp_path / "curated")
+    fresh = (
+        "seven golden apples fell from the tall tree and it was a sign of "
+        "the good harvest to come for the people of the small village inn"
+    )
+    fold_curation_batch(spark, _docs(spark, [(1, _BASE), (2, _OTHER)]), out, 0)
+    fold_curation_batch(spark, _docs(spark, [(12, fresh)]), out, 1)
+
+    kept = read_curated(spark, out, "kept").select("doc_id", "text")
+    qterm = (
+        kept.orderBy("doc_id")
+        .limit(2)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(F.split("text", " "), 1, 4)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    served = [tuple(r) for r in bm25_topk_from_stream(spark, out, qterm).collect()]
+    qvocab = sorted({r.term for r in qterm.select("term").distinct().collect()})
+    rebuild = [
+        tuple(r)
+        for r in _bm25_topk_frame(
+            bm25_postings(kept).filter(F.col("term").isin(qvocab)),
+            qterm,
+            corpus_stats_partial(kept),
+        )
+        .select("query_id", "rnk", "doc_id", "score")
+        .orderBy("query_id", "rnk")
+        .collect()
+    ]
+    assert served == rebuild and served
+
+    compact_postings_index_stream(spark, out)
+    after = [tuple(r) for r in bm25_topk_from_stream(spark, out, qterm).collect()]
+    assert after == served
