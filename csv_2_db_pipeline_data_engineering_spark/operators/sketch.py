@@ -287,7 +287,12 @@ def text_heavy_hitters_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     rides along).  The disk round trip of the same algebra is
     pytest-verified (``tests/test_sketch.py``).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # Spread before the gram scans (the single-file row-group-count
+    # split bound — see text_distinct_hll): measured 38.2s -> 10.3s at
+    # the 100x probe corpus.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     history = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     merged = merge_cms(cms_rows(history), cms_rows(delta))

@@ -611,8 +611,13 @@ def span_strip_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     persistence path — write, extend, fold against the read-back — is
     exercised in ``tests/test_spans.py``.
     """
+    # Spread before the shingle scans (the single-file row-group-count
+    # split bound — see text_distinct_hll): measured 40.3s -> 28.6s at
+    # the 100x probe corpus.
     docs = plant_boilerplate(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     base = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)

@@ -195,3 +195,44 @@ def test_rrf_fusion_invariants(spark):
         assert len(rs) <= RRF_TOPK
         keys = [(-r.rrf_score, r.doc_id) for r in rs]
         assert keys == sorted(keys)
+
+
+def test_two_stage_topk_equals_single_window(spark):
+    """The salted two-stage top-k must equal the naive one-window
+    ranking on adversarial inputs: heavy score ties (forcing the
+    doc_id tie-break across salt boundaries) and queries with fewer
+    candidates than k."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+        _topk_per_query,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for q in range(6):
+        n = rng.choice([1, 2, 3, 50, 400])
+        for d in rng.sample(range(10_000), n):
+            # coarse score grid -> many exact ties
+            rows.append((q, d, round(rng.choice([0.1, 0.2, 0.3]), 6)))
+    scored = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double"
+    )
+    for k in (1, 5, 17):
+        got = {
+            (r.query_id, r.rnk, r.doc_id, r.score)
+            for r in _topk_per_query(scored, k).collect()
+        }
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        want = {
+            (r.query_id, r.rnk, r.doc_id, r.score)
+            for r in scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .collect()
+        }
+        assert got == want, k
