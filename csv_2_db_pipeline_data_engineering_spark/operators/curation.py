@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
-from ..sources.tables import load_table
+from ..sources.tables import load_embeddings_spread, load_table
 from .boilerplate import (
     quality_nscaled,
     quality_nscaled_sql,
@@ -334,7 +334,7 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sem_losers = (
         semantic_keep_plan_lsh(
-            _with_planted_twins(load_table(spark, sf_dir, "embeddings"))
+            _with_planted_twins(load_embeddings_spread(spark, sf_dir))
         )
         .filter(~F.col("keep"))
         .select(F.col("vec_id").alias("doc_id"))

@@ -33,7 +33,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_embeddings_spread, load_table
 from ..plans.catalog import Query
 from .lifecycle import scoped_cache
 
@@ -1150,7 +1150,7 @@ def allpairs_cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
 
 def dedup_embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_cosine_pairs(
-        load_table(spark, sf_dir, "embeddings"), BLOCK_COSINE_THRESHOLD
+        load_embeddings_spread(spark, sf_dir), BLOCK_COSINE_THRESHOLD
     )
 
 
@@ -1287,7 +1287,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-table sizing, which kept the 100x probe at 213x wall — the
     constant-vs-n² trade documented at the constant's definition."""
     return embedding_near_dup_pairs(
-        _with_planted_twins(load_table(spark, sf_dir, "embeddings")),
+        _with_planted_twins(load_embeddings_spread(spark, sf_dir)),
         max_tables=EMB_LSH_MAX_TABLES_TIGHT_GAP,
     )
 
@@ -1342,7 +1342,7 @@ def dedup_embedding_cosine_block(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    src = load_table(spark, sf_dir, "embeddings")
+    src = load_embeddings_spread(spark, sf_dir)
     if not allow_quadratic:
         n = src.count()
         if n > max_rows:

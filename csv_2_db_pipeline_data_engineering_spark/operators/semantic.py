@@ -51,7 +51,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
-from ..sources.tables import load_table
+from ..sources.tables import load_embeddings_spread, load_table
 from .lifecycle import scoped_cache
 
 #: quantization scale: |x| <= 0.56 on this corpus -> |xq| <= 560, so
@@ -199,7 +199,7 @@ def kmeans_assignments(
 def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered clustering query: cluster sizes + exact integer SSE
     after SEM_ITERS deterministic Lloyd iterations."""
-    fin = kmeans_assignments(load_table(spark, sf_dir, "embeddings"))
+    fin = kmeans_assignments(load_embeddings_spread(spark, sf_dir))
     return (
         fin.groupBy(F.col("cid").alias("cluster_id"))
         .agg(
@@ -386,7 +386,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _with_planted_twins
 
     return semantic_dedup_pairs(
-        _with_planted_twins(load_table(spark, sf_dir, "embeddings"))
+        _with_planted_twins(load_embeddings_spread(spark, sf_dir))
     )
 
 
@@ -441,7 +441,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _with_planted_twins
 
     return semantic_keep_plan(
-        _with_planted_twins(load_table(spark, sf_dir, "embeddings"))
+        _with_planted_twins(load_embeddings_spread(spark, sf_dir))
     )
 
 
@@ -484,7 +484,7 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _with_planted_twins
 
     return semantic_near_dup_lsh(
-        _with_planted_twins(load_table(spark, sf_dir, "embeddings"))
+        _with_planted_twins(load_embeddings_spread(spark, sf_dir))
     )
 
 
@@ -619,7 +619,7 @@ def embedding_probe_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts per (true label, predicted label). Every cell depends on
     every trained weight, so the 4-row result value-checks the whole
     train-then-serve path."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_spread(spark, sf_dir)
     w = trained_probe_weights(emb)
     q = _probe_quantized(emb)
     pred = F.when(
@@ -676,7 +676,7 @@ def linear_probe_metrics(emb: DataFrame, iters: int = PROBE_ITERS) -> DataFrame:
 def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered trainer query: the per-iteration training curve of
     the integer linear probe on the embeddings + labels table."""
-    return linear_probe_metrics(load_table(spark, sf_dir, "embeddings"))
+    return linear_probe_metrics(load_embeddings_spread(spark, sf_dir))
 
 
 def _linear_probe_sql(iters: int = PROBE_ITERS) -> str:

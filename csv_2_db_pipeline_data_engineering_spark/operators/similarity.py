@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..plans.catalog import Query
-from ..sources.tables import load_table
+from ..sources.tables import load_embeddings_spread, load_table
 from .lifecycle import scoped_cache
 
 TOP_K = 5
@@ -36,7 +36,7 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_embeddings_spread(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return e.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
@@ -292,7 +292,7 @@ def ann_pq_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_embeddings_spread(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     dim = 64
@@ -381,7 +381,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialization tricks; ``array_sort(collect_list(struct(dim, v)))``
     re-assembles vectors when a consumer needs them.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_embeddings_spread(spark, sf_dir)
     return (
         e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
         .groupBy("label", "dim")
@@ -410,7 +410,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Elements are cast to double BEFORE squaring on both engines so the
     fold is the same IEEE sequence; map-side only + one tiny group-agg.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_embeddings_spread(spark, sf_dir).select(
         "label", F.col("embedding").cast("array<double>").alias("v")
     )
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
@@ -466,7 +466,7 @@ def _recall_certificate(
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
     all_q = (
-        load_table(spark, sf_dir, "embeddings")
+        load_embeddings_spread(spark, sf_dir)
         .filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"))
     )
@@ -675,7 +675,7 @@ def ann_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     arriving queries served against the history index, per-query recall
     vs exact brute force over the same history, floors as in
     ``ann_lsh_certified``."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_spread(spark, sf_dir)
     hist = emb.filter(F.col("vec_id") % 10 != 0)
     qs = emb.filter(
         (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < ANN_SERVE_QUERY_CAP)
@@ -811,7 +811,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .boilerplate import _round4_exact
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_embeddings_spread(spark, sf_dir)
     xq = scoped_cache(_pca_xq(e))
     v = xq.select("dim").distinct().select(
         "dim",
@@ -1002,7 +1002,7 @@ def ann_lsh_neighbor_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query side, and the verify join — uncached it would re-scan and
     # re-quantize the embeddings table once per consumer
     q = scoped_cache(
-        _sem_quantized(load_table(spark, sf_dir, "embeddings")).withColumn(
+        _sem_quantized(load_embeddings_spread(spark, sf_dir)).withColumn(
             "n2", _dot_q("xq", "xq")
         )
     )
@@ -1049,7 +1049,7 @@ def ann_ivf_neighbor_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoped_cache: the Lloyd loop scans the quantized frame once per
     # iteration plus the seed/final assigns (the kmeans_assignments
     # pattern) — uncached it would re-read the embeddings table ~5x
-    q = scoped_cache(_sem_quantized(load_table(spark, sf_dir, "embeddings")))
+    q = scoped_cache(_sem_quantized(load_embeddings_spread(spark, sf_dir)))
     cents = _sem_init_centroids(q)
     for _ in range(SEM_ITERS):
         cents = _sem_update(_sem_assign(q, cents))

@@ -64,3 +64,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works too."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def load_embeddings_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table spread to defaultParallelism.
+
+    Every embeddings consumer is vector-compute-heavy (k-means, LSH
+    hashing, cosine verifies), and a single-file corpus scans into at
+    most its row-group count of splits — at the 100x probe that
+    serialized the whole vector pipeline onto a couple of cores
+    (``ann_ivf_neighbors`` measured 59.2s as-is vs 7.7s spread; the
+    ``_spread`` lesson from the media kernels). The id+vector rows are
+    tiny relative to the per-row compute, so the exchange is cheap at
+    any scale; at production layout (many files) the scan parallelizes
+    itself and AQE coalesces the no-op-sized shuffle.
+    """
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
