@@ -167,16 +167,24 @@ class _BitWriter:
 
 
 class _BitReader:
+    """MSB-first bit reader over one big int — ~2x the u(1) throughput
+    of the earlier per-byte binary-string form (the decode loop is
+    dominated by 1-bit reads: Exp-Golomb prefixes and VLC walks), with
+    identical semantics including u(0) == 0."""
+
+    __slots__ = ("val", "nbits", "pos")
+
     def __init__(self, data: bytes) -> None:
-        self.s = "".join(format(b, "08b") for b in data)
+        self.val = int.from_bytes(data, "big")
+        self.nbits = 8 * len(data)
         self.pos = 0
 
     def u(self, n: int) -> int:
-        if self.pos + n > len(self.s):
+        pos = self.pos + n
+        if pos > self.nbits:
             raise ValueError("H.264: bitstream underrun")
-        v = int(self.s[self.pos : self.pos + n] or "0", 2)
-        self.pos += n
-        return v
+        self.pos = pos
+        return (self.val >> (self.nbits - pos)) & ((1 << n) - 1)
 
     def ue(self) -> int:
         zeros = 0
