@@ -327,9 +327,16 @@ def user_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes (last-before, first-after) plus exact-ratio arithmetic on
     identical doubles, so the interpolation is bit-identical on both
     engines.  Shape at scale: one shuffle on user_id for the windows;
-    the spine explode is map-side.
+    the spine explode is map-side. The events scan is spread to
+    defaultParallelism first (the single-file row-group split bound —
+    measured 122.1s -> 27.3s at the 100x probe corpus; a many-file
+    production layout parallelizes on its own).
     """
-    return hourly_interpolate_frame(load_table(spark, sf_dir, "events"))
+    return hourly_interpolate_frame(
+        load_table(spark, sf_dir, "events").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
 
 
 def hourly_interpolate_frame(ev: DataFrame) -> DataFrame:
