@@ -551,7 +551,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one agg forces the whole aggregate onto the ObjectHashAggregate
     # path (collect_set is object-based), which kicks the 128 min
     # expressions out of whole-stage codegen — measured 2x slower cold.
-    gh = scoped_cache(gram_hash_rows(load_table(spark, sf_dir, "documents")))
+    # Spread before the gram-hash scan (the single-file row-group split
+    # bound; the banded join itself dominates, so this buys ~18% at the
+    # 100x probe rather than the multiples seen on scan-bound queries).
+    gh = scoped_cache(
+        gram_hash_rows(
+            load_table(spark, sf_dir, "documents").repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        )
+    )
     cands = lsh_candidate_pairs(minhash_signatures(gh))
     sh = scoped_cache(
         gh.groupBy("doc_id")
