@@ -401,8 +401,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly by the oracle). Verify is an exact substring check on the
     candidate pair's texts; pair multiplicity (one hit per shared
     shingle) collapses AFTER the verify, like the LSH pipeline.
+
+    Spread before shingling (the single-file row-group split bound
+    measured across the scan-parallelism sweep).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     # cache: the self-join would otherwise recompute the whole
     # shingle + windowed-df subtree (two source scans) per side
     kept = scoped_cache(capped_shingle_rows(docs))
