@@ -381,12 +381,32 @@ class Query:
 # eval-index containment family keeps corpus_decontaminate in-window,
 # which runs the same n-gram scan plus the excision on top; stays
 # registered + locally oracle-checked).
+# Round-14 rotation (VERDICT r13 #1): in come the THREE never-
+# driver-checked r13 additions (all verified locally green by the r13
+# judge and by tools/check_oracles.py): text_bm25_maxscore (the
+# MaxScore/WAND pruning certificate — proves the upper-bound pruned
+# top-k equals the exhaustive ranking), retrieval_rrf_fusion
+# (reciprocal-rank fusion of the BM25 and embedding rankers), and
+# mm_h264_qpel_stats (quarter-sample MC — the 8.4.2.2.1/8.4.2.2.2
+# two-stage 6-tap + bilinear averaging path). Out go three entries
+# each driver-green >= 3 consecutive checked rounds with in-window
+# family twins: dedup_semantic_lsh (green r10-r13; the sign-LSH
+# SemDeDup pair search keeps dedup_semantic_keep + dedup_semantic_kmeans
+# in-window, and the banded-signature-join shape stays via
+# dedup_clusters_lsh + ann_lsh_neighbors), mm_h264_intra_stats (green
+# r11-r13; the CAVLC/Intra_4x4 kernel runs INSIDE every in-window GOP
+# query — inter/bipred/subpel all decode their I-frame through the same
+# path), text_gopher_gate (green r10-r13; the document-gate surface
+# keeps corpus_curation_decision's gate stack in-window and the
+# nine-rule thresholds stay pytest-pinned). All three stay registered
+# and locally oracle-checked via tools/check_oracles.py. After this
+# rotation every one of the 158 registered queries has a driver-green
+# CORRECTNESS row in some round's gate.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",
     "normalize_and_serialize",
-    # LLM-pipeline: quality + selection (NEW r10).
-    "text_gopher_gate",
+    # LLM-pipeline: quality + selection.
     "text_dsir_select",
     # Mid-r10: incremental DSIR (O(delta) mergeable model extends) in;
     # out goes text_quality_logit (driver-green three consecutive
@@ -399,7 +419,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_clusters_lsh",  # NEW r9 window: LSH-banded clustering (covers minhash+CC)
     "ann_lsh_neighbors",  # NEW r12 window: integer-exact LSH neighbor list
     "dedup_semantic_keep",  # NEW r9 window: SemDeDup keep-frame
-    "dedup_semantic_lsh",  # NEW r10: scale-safe sign-LSH SemDeDup pair search
     "line_dedup_incremental",  # NEW r9 window: O(delta) line-index extend
     "span_strip_incremental",  # NEW r10 window: incremental ExactSubstr index
     "dedup_semantic_kmeans",  # NEW r8: SemDeDup (within-cluster cosine)
@@ -411,6 +430,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_probe_confusion",  # NEW r11 window: probe SERVING twin (r10 tail)
     # LLM-pipeline: text analysis + hygiene.
     "text_bm25_topk",  # NEW r13 window: BM25 top-k retrieval (new family)
+    "text_bm25_maxscore",  # NEW r14 window: MaxScore/WAND pruning certificate
+    "retrieval_rrf_fusion",  # NEW r14 window: reciprocal-rank fusion
     "text_span_strip",  # NEW r9 window: ExactSubstr span removal
     "text_length_hdr_quantiles",  # NEW r11: HDR quantile sketch (4th algebra)
     # Mid-r10: HyperLogLog in (NEW: the third mergeable-sketch merge
@@ -429,10 +450,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_ivf_neighbors",  # NEW r13 window: integer-exact IVF neighbor list
     # LLM-pipeline: multimodal + continuous aggregate.
     "mm_png_deadletter_stats",
-    "mm_h264_intra_stats",  # NEW r11: from-spec H.264 I-slice decode
     "mm_h264_inter_stats",  # NEW r12 window: H.264 P-slice GOP decode
     "mm_h264_bipred_stats",  # NEW r13 window: B-slice biprediction GOP
     "mm_h264_subpel_stats",  # NEW r13 window: half-pel 6-tap MC GOP
+    "mm_h264_qpel_stats",  # NEW r14 window: quarter-pel MC GOP
     "mm_avi_mjpeg_stats",  # NEW r10 window: AVI/Motion-JPEG container decode
     "mm_audio_fp_dedup",  # NEW r9 window: audio fingerprint dedup
     "mm_video_fp_dedup",  # NEW r11 window: temporal-delta video fp (r10 tail)
