@@ -33,7 +33,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_embeddings_spread, load_table
+from ..sources.tables import load_embeddings_spread, load_table, load_table_spread
 from ..plans.catalog import Query
 from .lifecycle import scoped_cache
 
@@ -266,9 +266,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe (the ``_spread`` lesson applied to a text scan; at
     production layout the many-file scan parallelizes itself).
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table_spread(spark, sf_dir, "documents")
     kept = scoped_cache(capped_shingle_rows(docs))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
@@ -405,11 +403,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spread before shingling (the single-file row-group split bound
     measured across the scan-parallelism sweep).
     """
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = load_table_spread(spark, sf_dir, "documents").select("doc_id", "text")
     # cache: the self-join would otherwise recompute the whole
     # shingle + windowed-df subtree (two source scans) per side
     kept = scoped_cache(capped_shingle_rows(docs))
@@ -562,11 +556,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound; the banded join itself dominates, so this buys ~18% at the
     # 100x probe rather than the multiples seen on scan-bound queries).
     gh = scoped_cache(
-        gram_hash_rows(
-            load_table(spark, sf_dir, "documents").repartition(
-                spark.sparkContext.defaultParallelism
-            )
-        )
+        gram_hash_rows(load_table_spread(spark, sf_dir, "documents"))
     )
     cands = lsh_candidate_pairs(minhash_signatures(gh))
     sh = scoped_cache(

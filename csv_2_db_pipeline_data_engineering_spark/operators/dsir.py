@@ -47,7 +47,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
-from ..sources.tables import load_table
+from ..sources.tables import load_table, load_table_spread
 from .lifecycle import scoped_cache
 
 N_BUCKETS = 512
@@ -195,9 +195,7 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scan is spread to defaultParallelism first (the single-file
     row-group split bound measured on the incremental twin: 37.1s ->
     9.8s at the 100x probe corpus)."""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load_table_spread(spark, sf_dir, "documents")
     return dsir_select(d).orderBy("doc_id")
 
 
@@ -225,9 +223,7 @@ def dsir_select_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spread before the gram streams (the single-file row-group split
     bound): measured 37.1s -> 9.8s at the 100x probe corpus."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table_spread(spark, sf_dir, "documents")
     g_h = dsir_gram_stream(docs.filter(F.col("doc_id") % 10 != 0), _planted())
     g_d = scoped_cache(
         dsir_gram_stream(docs.filter(F.col("doc_id") % 10 == 0), _planted())

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..plans.catalog import Query
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_scan
 from .lifecycle import scoped_cache
 
 # Metadata struct carried beside every payload.
@@ -146,14 +146,14 @@ def _spread(df: DataFrame) -> DataFrame:
     A single-file scan yields one input partition, which would serialize
     an embarrassingly-parallel decode onto one Python worker regardless
     of core count (measured: the sf0.1 documents scan is 1 partition, so
-    mm_jpeg/mm_avi ran 1-way). The repartition shuffles ONLY the ids (a
-    few bytes/row) — decode cost per row dwarfs it at any scale, and the
-    explicit partition count is respected (not AQE-coalesced away for
-    being byte-tiny, which it is precisely because the heavy work
-    happens AFTER the exchange).
+    mm_jpeg/mm_avi ran 1-way). Decode cost per row dwarfs bytes, so the
+    spread is always FULL (``nbytes=None``) — but conditional: when the
+    planned scan parallelism already reaches defaultParallelism
+    (production many-file layout) no exchange is added, because an
+    explicit ``repartition(N)`` always materializes a full shuffle (AQE
+    does not coalesce a user-specified count).
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n)
+    return spread_scan(df)
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -1638,7 +1638,7 @@ H264S_STATS_SCHEMA = T.StructType(
 def mm_h264_subpel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL H.264 GOP decode through HALF-SAMPLE motion compensation —
     the 8.4.2.2.1 (1,-5,20,20,-5,1) 6-tap luma interpolation
-    (``operators/h264_codec._mc_halfpel``), exercised across a real
+    (``operators/h264_codec._mc_subpel``), exercised across a real
     luma step edge so the filter output is value-load-bearing, not a
     constant-plane identity.
 
@@ -1866,6 +1866,8 @@ def mm_h264_qpel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         doc_id,
                     )
                 )
+                if dec["width"] != H264P_W or dec["height"] != H264P_H:
+                    raise ValueError("H.264 SPS dims disagree")
                 luma = sum(sum(f) for f in dec["frames"])
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(dec["width"])

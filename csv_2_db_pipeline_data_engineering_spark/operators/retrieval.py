@@ -15,8 +15,10 @@ probe-driven at 100x, see ``SCALE_PROBE_100X.json`` notes):
   aggregate of the MATCHING postings, with document length riding it
   as a ``min`` aggregate. Vocabulary-sized work never happens: df per
   query term equals its posting-list length.
-* The corpus is spread to defaultParallelism before the explode (a
-  single-file corpus splits into at most its row-group count).
+* The corpus is spread before the explode when — and only when — the
+  planned scan parallelism falls short of the cluster (a single-file
+  corpus splits into at most its row-group count; a many-file
+  production layout parallelizes itself and gets no extra exchange).
 * Ranking is the salted two-stage top-k (rank inside (query, salt),
   then rank the ≤ k·SALTS survivors) — parallelism is never capped at
   one partition per query.
@@ -38,13 +40,43 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_scan, table_bytes
+from .lifecycle import scoped_cache
 
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 5
 BM25_NQ = 16  # constant-size query frontier: the NQ smallest doc_ids
 BM25_QTERMS = 4  # first QTERMS tokens of each query doc
+
+
+def _query_frontier(spark: SparkSession, sf_dir: str):
+    """The bounded query frontier, collected ONCE per query plan.
+
+    ``BM25_NQ × BM25_QTERMS`` ≤ 64 terms — the same bounded-collect
+    precedent as ``ann_incremental_serve``'s 50-query batch. Returns
+    (sorted vocabulary list for the IN-pushdown, (query_id, term, qtf)
+    frame for the broadcast side).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    qrows = (
+        d.orderBy("doc_id")
+        .limit(BM25_NQ)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(toks, 1, BM25_QTERMS)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+        .collect()
+    )
+    qvocab = sorted({r.term for r in qrows})
+    qterm = spark.createDataFrame(
+        [(r.query_id, r.term, r.qtf) for r in qrows],
+        "query_id long, term string, qtf long",
+    )
+    return qvocab, qterm
 
 
 def _corpus_index(spark: SparkSession, sf_dir: str):
@@ -69,34 +101,24 @@ def _corpus_index(spark: SparkSession, sf_dir: str):
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    # Bounded query frontier: NQ smallest doc_ids, first QTERMS tokens.
-    qrows = (
-        d.orderBy("doc_id")
-        .limit(BM25_NQ)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(F.slice(toks, 1, BM25_QTERMS)).alias("term"),
-        )
-        .groupBy("query_id", "term")
-        .agg(F.count(F.lit(1)).alias("qtf"))
-        .collect()
-    )
-    qvocab = sorted({r.term for r in qrows})
-    qterm = spark.createDataFrame(
-        [(r.query_id, r.term, r.qtf) for r in qrows],
-        "query_id long, term string, qtf long",
-    )
+    qvocab, qterm = _query_frontier(spark, sf_dir)
     # A single-file corpus scans as ONE input partition (the _spread
-    # lesson, operators/multimodal.py:142): without this repartition
-    # the explode + map-side partial agg below runs on one core — the
+    # lesson, operators/multimodal.py:142): without spreading, the
+    # explode + map-side partial agg below runs on one core — the
     # 100x probe measured the tf stage at 102 s serial vs ~6 s spread.
-    # At production layout (many files) the scan parallelizes itself
-    # and this exchange coalesces to a no-op-sized shuffle.
-    dr = d.repartition(spark.sparkContext.defaultParallelism)
+    # spread_scan is conditional: at production layout (many files) the
+    # scan parallelizes itself and NO exchange is added (an explicit
+    # repartition(N) always materializes a full shuffle — AQE does not
+    # coalesce a user-specified count).
+    dr = spread_scan(d, table_bytes(sf_dir, "documents"))
     # Postings of the query vocabulary only: the IN-literal filter runs
     # map-side inside the explode, so the tf shuffle carries just the
-    # matching (doc, term) rows, never the whole corpus.
-    tf = (
+    # matching (doc, term) rows, never the whole corpus. The result is
+    # bounded by the frontier's posting lists — tiny — so it is
+    # scoped-cached: every downstream consumer (scoring, df counts, the
+    # MaxScore per-term frame) reuses it instead of re-exploding the
+    # corpus.
+    tf = scoped_cache(
         dr.select(
             "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
         )
@@ -237,7 +259,9 @@ def text_bm25_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = F.col("qtf") * _idf(F.col("n_docs"), F.col("df")) * _tf_norm(
         F.col("tf"), F.col("dl"), F.col("avgdl")
     )
-    per_term = (
+    # Bounded by the frontier's posting lists; cached because three
+    # consumers (ub, scored, doc_ub) fan out from it.
+    per_term = scoped_cache(
         tf.join(F.broadcast(qdf), "term")
         .join(F.broadcast(stats))
         .select("query_id", "term", "doc_id", contrib.alias("contrib"))
@@ -516,12 +540,15 @@ ORDER BY query_id, rnk
 # exact certificate rather than an approximation.
 
 
-def bm25_postings(docs: DataFrame) -> DataFrame:
+def bm25_postings(docs: DataFrame, spread: bool = True) -> DataFrame:
     """Full-vocabulary postings (doc_id, term, dl, tf) for the index
     WRITE path (one-time/amortized; the serve path reads back only the
-    query-vocabulary slice via partition/predicate pushdown)."""
+    query-vocabulary slice via partition/predicate pushdown).
+
+    ``spread=False`` when the caller already arranged partitioning
+    (e.g. a cached pre-spread corpus frame)."""
     toks = F.split(F.col("text"), " ")
-    dr = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    dr = spread_scan(docs) if spread else docs
     return (
         dr.select(
             "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
@@ -626,29 +653,23 @@ def bm25_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded partials and a from-scratch build (df splits, avgdl
     rounding, tie-break order) fails the gate.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    qrows = (
-        d.orderBy("doc_id")
-        .limit(BM25_NQ)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(F.slice(toks, 1, BM25_QTERMS)).alias("term"),
+    qvocab, qterm = _query_frontier(spark, sf_dir)
+    # One spread corpus scan, scoped-cached: the two postings builds and
+    # the two stats partials below are four consumers of the same frame
+    # (this in-plan DEMO re-derives both sides; the production path
+    # serves from the persisted LSM index instead, where history is
+    # never rescanned at all).
+    dr = scoped_cache(
+        spread_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            table_bytes(sf_dir, "documents"),
         )
-        .groupBy("query_id", "term")
-        .agg(F.count(F.lit(1)).alias("qtf"))
-        .collect()
     )
-    qvocab = sorted({r.term for r in qrows})
-    qterm = spark.createDataFrame(
-        [(r.query_id, r.term, r.qtf) for r in qrows],
-        "query_id long, term string, qtf long",
-    )
-    base = d.filter(F.col("doc_id") % 10 != 0)
-    delta = d.filter(F.col("doc_id") % 10 == 0)
+    base = dr.filter(F.col("doc_id") % 10 != 0)
+    delta = dr.filter(F.col("doc_id") % 10 == 0)
     in_vocab = F.col("term").isin(qvocab)
-    tf = bm25_postings(base).filter(in_vocab).unionByName(
-        bm25_postings(delta).filter(in_vocab)
+    tf = bm25_postings(base, spread=False).filter(in_vocab).unionByName(
+        bm25_postings(delta, spread=False).filter(in_vocab)
     )
     stats = (
         corpus_stats_partial(base)

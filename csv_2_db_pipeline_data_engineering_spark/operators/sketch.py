@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
-from ..sources.tables import load_table
+from ..sources.tables import load_table, load_table_spread
 from .lifecycle import scoped_cache
 
 # --- Count-min sketch over word 3-grams -----------------------------------
@@ -290,9 +290,7 @@ def text_heavy_hitters_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     # Spread before the gram scans (the single-file row-group-count
     # split bound — see text_distinct_hll): measured 38.2s -> 10.3s at
     # the 100x probe corpus.
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table_spread(spark, sf_dir, "documents")
     history = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     merged = merge_cms(cms_rows(history), cms_rows(delta))
@@ -712,9 +710,7 @@ def text_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to a text scan; measured 67.2s -> 22.2s at 100x. At
     production layout (many files) the scan parallelizes itself.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table_spread(spark, sf_dir, "documents")
     parts = _hll_split_partials(docs).localCheckpoint(eager=True)
     full = parts.groupBy("reg").agg(F.max("rho").alias("rho"))
     merged = merge_hll(

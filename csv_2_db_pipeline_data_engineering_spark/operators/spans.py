@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
-from ..sources.tables import load_table
+from ..sources.tables import load_table, load_table_spread
 
 #: shingle width (tokens); an island of c matches = span of c + L - 1
 SPAN_SHINGLE = 8
@@ -187,9 +187,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     split bound): measured 31.5s -> 17.1s at the 100x probe corpus.
     """
     docs = plant_boilerplate(
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents").select("doc_id", "text")
     )
     spans = verbatim_span_pairs(docs)
     return (
@@ -621,9 +619,7 @@ def span_strip_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split bound — see text_distinct_hll): measured 40.3s -> 28.6s at
     # the 100x probe corpus.
     docs = plant_boilerplate(
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents").select("doc_id", "text")
     )
     base = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)

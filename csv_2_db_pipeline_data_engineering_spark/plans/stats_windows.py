@@ -26,7 +26,7 @@ import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under PEP 5
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, load_table_spread
 from .catalog import Query
 
 
@@ -332,11 +332,7 @@ def user_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 122.1s -> 27.3s at the 100x probe corpus; a many-file
     production layout parallelizes on its own).
     """
-    return hourly_interpolate_frame(
-        load_table(spark, sf_dir, "events").repartition(
-            spark.sparkContext.defaultParallelism
-        )
-    )
+    return hourly_interpolate_frame(load_table_spread(spark, sf_dir, "events"))
 
 
 def hourly_interpolate_frame(ev: DataFrame) -> DataFrame:

@@ -8,6 +8,7 @@ which is why every query in this engine is expressed declaratively.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,19 +67,79 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
-def load_embeddings_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The embeddings table spread to defaultParallelism.
+# Compressed-parquet bytes a single spread slice should carry. Sized so
+# the 100x probe corpora (tens of MB) always hit the defaultParallelism
+# cap — identical behavior to an unconditional spread — while sf0.1-toy
+# frames (hundreds of KB) get a handful of partitions instead of 32,
+# which matters because iterative consumers (k-means, GD probes, CMS
+# extends) pay per-stage task-scheduling overhead ONCE PER ITERATION.
+_SPREAD_SLICE_BYTES = 128 * 1024
 
-    Every embeddings consumer is vector-compute-heavy (k-means, LSH
-    hashing, cosine verifies), and a single-file corpus scans into at
-    most its row-group count of splits — at the 100x probe that
-    serialized the whole vector pipeline onto a couple of cores
-    (``ann_ivf_neighbors`` measured 59.2s as-is vs 7.7s spread; the
-    ``_spread`` lesson from the media kernels). The id+vector rows are
-    tiny relative to the per-row compute, so the exchange is cheap at
-    any scale; at production layout (many files) the scan parallelizes
-    itself and AQE coalesces the no-op-sized shuffle.
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a testdata table; 0 when not locally statable
+    (e.g. an object-store URI) — callers treat 0 as "unknown, spread
+    fully"."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def spread_scan(
+    df: DataFrame, nbytes: int | None = None, slice_bytes: int = _SPREAD_SLICE_BYTES
+) -> DataFrame:
+    """Fan a narrow scan across the cluster before compute-heavy work —
+    but only when the planned scan parallelism actually needs it.
+
+    A single-file corpus scans into at most its row-group count of
+    splits, which serialized every heavy kernel onto a fraction of the
+    box at the 100x probes (``ann_ivf_neighbors`` measured 59.2s as-is
+    vs 7.7s spread). The unconditional fix cost ~7s of pure shuffle /
+    task-scheduling overhead at sf0.1, so the spread is now gated:
+
+    * planned partitions >= defaultParallelism (production many-file
+      layout): return ``df`` unchanged. An explicit ``repartition(N)``
+      always materializes a full exchange — AQE does NOT coalesce a
+      user-specified partition count — so skipping is the only way to
+      avoid a redundant whole-corpus shuffle there.
+    * ``nbytes`` given (byte-proportional kernels — embeddings math,
+      shingling, gram scans): spread to ``ceil(nbytes/slice_bytes)``
+      capped at defaultParallelism. Probe-scale corpora hit the cap
+      (identical to the unconditional spread); toy frames get a
+      partition count their size justifies.
+    * ``nbytes`` None or 0 (per-row cost dwarfs bytes — media decode —
+      or size unknowable): spread fully to defaultParallelism.
+
+    The planned-partition probe (``df.rdd.getNumPartitions()``) plans
+    the scan but launches no job; its driver cost is milliseconds.
     """
-    return load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    cur = df.rdd.getNumPartitions()
+    if cur >= n:
+        return df
+    want = n if not nbytes else min(n, max(cur, math.ceil(nbytes / slice_bytes)))
+    if want <= cur:
+        return df
+    return df.repartition(want)
+
+
+def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` + size-aware :func:`spread_scan` in one step."""
+    return spread_scan(load_table(spark, sf_dir, name), table_bytes(sf_dir, name))
+
+
+def load_embeddings_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table, spread for its vector-compute consumers
+    (k-means, LSH hashing, cosine verifies) via :func:`spread_scan` —
+    fully at probe/production data sizes, proportionally at toy sizes,
+    not at all when the scan already parallelizes itself."""
+    return load_table_spread(spark, sf_dir, "embeddings")
