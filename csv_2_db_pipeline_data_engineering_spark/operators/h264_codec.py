@@ -69,6 +69,8 @@ from __future__ import annotations
 from functools import lru_cache
 from itertools import chain
 
+import numpy as np
+
 H264_QP = 24  # QP%6 == 0, QP//6 == 4 -> DC dequant scale 10 << 4 = 160
 
 #: LevelScale4x4 normAdjust values per QP%6 (8.5.9): index 0 applies to
@@ -187,11 +189,17 @@ class _BitReader:
         return (self.val >> (self.nbits - pos)) & ((1 << n) - 1)
 
     def ue(self) -> int:
-        zeros = 0
-        while self.u(1) == 0:
-            zeros += 1
-            if zeros > 31:
-                raise ValueError("H.264: bad Exp-Golomb code")
+        # Count the Exp-Golomb zero prefix in one step: the remaining
+        # stream's bit_length gives the position of the next set bit
+        # (semantically identical to reading u(1) until a 1, including
+        # the underrun error when no 1 remains).
+        rem = self.nbits - self.pos
+        zeros = rem - (self.val & ((1 << rem) - 1)).bit_length()
+        if zeros > 31:
+            raise ValueError("H.264: bad Exp-Golomb code")
+        if zeros >= rem:  # all-zero tail: reading past the last bit
+            raise ValueError("H.264: bitstream underrun")
+        self.pos += zeros + 1
         return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
 
     def se(self) -> int:
@@ -255,14 +263,9 @@ _CBP_INTER_TO_CODENUM = {0: 0, 15: 11}
 _CODENUM_TO_CBP_INTER = {0: 0, 11: 15}
 
 
-def _read_vlc(r: _BitReader, table: dict[str, object], what: str):
-    bits = ""
-    while True:
-        bits += str(r.u(1))
-        if bits in table:
-            return table[bits]
-        if len(bits) > 16:
-            raise ValueError(f"H.264: VLC outside the {what} subset: {bits}")
+# (The generic bit-by-bit VLC table walk these tables used to feed was
+# inlined into _decode_coeff_block as direct bit reads — it runs once
+# per 4x4 block and dominated the entropy-decode profile.)
 
 
 # --- intra-mode rotation rule (shared closed form with the oracle) ---------
@@ -730,15 +733,23 @@ def _split_nals(data: bytes) -> list[bytes]:
 
 
 def _decode_coeff_block(r: _BitReader, nc: int) -> int:
-    """Inverse of ``_encode_coeff_block``: the block's DC level."""
+    """Inverse of ``_encode_coeff_block``: the block's DC level.
+
+    The two VLC walks are inlined as direct bit reads (the decode loop
+    runs this once per 4x4 block): coeff_token over Table 9-5's
+    nC∈{0,1} column codes the subset emits — "1"→(0,0), "01"→(1,1),
+    "000101"→(1,0) (``_COEFF_TOKEN_NC01``) — and total_zeros over
+    Table 9-7's TotalCoeff==1 single code "1"→0
+    (``_TOTAL_ZEROS_TC1``). Semantics identical to the table-driven
+    bit-by-bit walk they replace, including the outside-subset errors.
+    """
     if nc >= 2:
         raise ValueError("H.264 decoder subset: nC >= 2 table not implemented")
-    total, t1s = _read_vlc(r, _COEFF_TOKEN_NC01_INV, "coeff_token")
-    if total == 0:
+    if r.u(1):  # "1" -> TotalCoeff 0
         return 0
-    if t1s == 1:
+    if r.u(1):  # "01" -> TotalCoeff 1, TrailingOnes 1
         level = 1 if r.u(1) == 0 else -1
-    else:
+    elif r.u(4) == 0b0101:  # "000101" -> TotalCoeff 1, TrailingOnes 0
         prefix = 0
         while r.u(1) == 0:
             prefix += 1
@@ -746,8 +757,10 @@ def _decode_coeff_block(r: _BitReader, nc: int) -> int:
                 raise ValueError("H.264 decoder subset: level escape")
         level_code = prefix + 2  # undo the TrailingOnes<3 first-level shift
         level = (level_code + 2) >> 1 if level_code % 2 == 0 else -((level_code + 1) >> 1)
-    if _read_vlc(r, _TOTAL_ZEROS_TC1_INV, "total_zeros") != 0:
-        raise ValueError("H.264 decoder subset: total_zeros != 0")
+    else:
+        raise ValueError("H.264: VLC outside the coeff_token subset")
+    if r.u(1) != 1:  # total_zeros: the single TotalCoeff==1 code "1" -> 0
+        raise ValueError("H.264: VLC outside the total_zeros subset")
     return level
 
 
@@ -767,6 +780,9 @@ def _mc_16x16(
     x0, y0 = mx * 16, my * 16
     sx0 = x0 + dx
     in_bounds = 0 <= sx0 and sx0 + 16 <= width
+    if not in_bounds:
+        # the clamped column indices are row-invariant: compute once
+        colidx = [min(width - 1, max(0, sx0 + j)) for j in range(16)]
     for i in range(16):
         sy = min(height - 1, max(0, y0 + i + dy))
         row = ref[sy]
@@ -776,9 +792,7 @@ def _mc_16x16(
             # the pure-Python GOP decode when done per-pixel
             dst[y0 + i][x0 : x0 + 16] = row[sx0 : sx0 + 16]
         else:
-            for j in range(16):
-                sx = min(width - 1, max(0, sx0 + j))
-                dst[y0 + i][x0 + j] = row[sx]
+            dst[y0 + i][x0 : x0 + 16] = [row[c] for c in colidx]
 
 
 def _mc_fetch(
@@ -797,6 +811,8 @@ def _mc_fetch(
     x0, y0 = mx * 16, my * 16
     sx0 = x0 + dx
     in_bounds = 0 <= sx0 and sx0 + 16 <= width
+    if not in_bounds:
+        colidx = [min(width - 1, max(0, sx0 + j)) for j in range(16)]
     out = []
     for i in range(16):
         sy = min(height - 1, max(0, y0 + i + dy))
@@ -804,13 +820,38 @@ def _mc_fetch(
         if in_bounds:
             out.append(row[sx0 : sx0 + 16])
         else:
-            out.append(
-                [row[min(width - 1, max(0, sx0 + j))] for j in range(16)]
-            )
+            out.append([row[c] for c in colidx])
     return out
 
 
 _TAP6 = (1, -5, 20, 20, -5, 1)  # 8.4.2.2.1 half-sample luma filter
+
+
+def _gather_window(
+    ref: list[list[int]], ry0: int, cx0: int, n: int, width: int, height: int
+) -> "np.ndarray":
+    """Boundary-clamped ``n``x``n`` sample window starting at global
+    (ry0, cx0), as int32 — the Clip3(xZL/yZL) fetch of 8.4.2.2.1 done
+    once for the whole macroblock instead of per tap."""
+    wm, hm = width - 1, height - 1
+    if 0 <= cx0 and cx0 + n <= width:
+        rows = [ref[min(hm, max(0, ry))][cx0 : cx0 + n] for ry in range(ry0, ry0 + n)]
+    else:
+        cols = [min(wm, max(0, c)) for c in range(cx0, cx0 + n)]
+        rows = []
+        for ry in range(ry0, ry0 + n):
+            row = ref[min(hm, max(0, ry))]
+            rows.append([row[c] for c in cols])
+    return np.array(rows, dtype=np.int32)
+
+
+def _conv6(w: "np.ndarray", axis: int, count: int) -> "np.ndarray":
+    """UNROUNDED 6-tap sums along ``axis``: output index i is the
+    half-sample between samples i+2 and i+3 of the input (taps at
+    offsets -2..+3), for ``count`` outputs."""
+    if axis == 1:
+        return sum(t * w[:, u : u + count] for u, t in enumerate(_TAP6))
+    return sum(t * w[u : u + count, :] for u, t in enumerate(_TAP6))
 
 
 def _mc_subpel(
@@ -836,74 +877,83 @@ def _mc_subpel(
     is b one row down. Every full-sample fetch is independently
     clamped to the picture (the spec's Clip3 on xZL/yZL), matching the
     full-pel path's boundary rule.
+
+    Implemented as numpy row-slice convolutions over one clamped 21x21
+    sample window (the row-slice rewrite precedent from the intra/inter
+    kernels, r12-r14): the whole 16x16 block's b/h/j half-planes are
+    six shifted-slice multiply-adds each instead of 256 per-pixel
+    Python tap loops. Integer arithmetic is exact — int32 never
+    overflows (|j| accumulators are bounded by 52·52·255 < 2^23) and
+    numpy's ``>>`` on negatives is the same arithmetic shift as
+    Python's.
     """
     fx, fy = mv_q[0] & 3, mv_q[1] & 3
     dx, dy = mv_q[0] >> 2, mv_q[1] >> 2
     x0, y0 = mx * 16, my * 16
-    wm, hm = width - 1, height - 1
+    # Window rows/cols span every sample any tap of any position below
+    # touches: base -2 (leftmost/topmost tap) .. base+15+3 (rightmost
+    # tap of the +1-shifted half-samples) — 21 in each dimension.
+    w = _gather_window(ref, y0 + dy - 2, x0 + dx - 2, 21, width, height)
 
-    def s(y: int, x: int) -> int:
-        return ref[min(hm, max(0, y))][min(wm, max(0, x))]
+    def half(raw: "np.ndarray") -> "np.ndarray":
+        return np.clip((raw + 16) >> 5, 0, 255)
 
-    def bh(y: int, x: int) -> int:  # horizontal half-sample b at (x+1/2, y)
-        v = sum(t * s(y, x - 2 + u) for u, t in enumerate(_TAP6))
-        return min(255, max(0, (v + 16) >> 5))
-
-    def hv(y: int, x: int) -> int:  # vertical half-sample h at (x, y+1/2)
-        v = sum(t * s(y - 2 + u, x) for u, t in enumerate(_TAP6))
-        return min(255, max(0, (v + 16) >> 5))
-
-    def jc(y: int, x: int) -> int:  # centre half-sample j (two-stage 10-bit)
-        acc = 0
-        for u, t in enumerate(_TAP6):
-            b1 = sum(tt * s(y - 2 + u, x - 2 + w) for w, tt in enumerate(_TAP6))
-            acc += t * b1
-        return min(255, max(0, (acc + 512) >> 10))
-
-    def avg(p: int, q: int) -> int:
+    def avg(p: "np.ndarray", q: "np.ndarray") -> "np.ndarray":
         return (p + q + 1) >> 1
 
+    G = w[2:18, 2:18]  # full sample at (sy, sx)
+    if fy == 0:  # a / b / c: horizontal-only row
+        braw = _conv6(w[2:18, :], 1, 16)
+        b = half(braw)
+        if fx == 2:
+            out = b
+        elif fx == 1:
+            out = avg(G, b)  # a
+        else:
+            out = avg(w[2:18, 3:19], b)  # c: full sample one right
+    elif fx == 0:  # d / h / n: vertical-only column
+        hraw = _conv6(w[:, 2:18], 0, 16)
+        h = half(hraw)
+        if fy == 2:
+            out = h
+        elif fy == 1:
+            out = avg(G, h)  # d
+        else:
+            out = avg(w[3:19, 2:18], h)  # n: full sample one down
+    else:
+        # Diagonal positions need b and/or h at shifted rows/cols plus
+        # the two-stage j: compute the full half-planes over the window.
+        braw = _conv6(w, 1, 16)  # (21, 16): b at all window rows
+        hraw = _conv6(w, 0, 16)  # (16, 21): h at all window cols
+        b = half(braw[2:18, :])
+        if fx == 2 or fy == 2:
+            # j: the 6-tap applied to UNROUNDED horizontal half-sums,
+            # then (v + 512) >> 10 — the spec's two-stage 10-bit rule.
+            j = np.clip((_conv6(braw, 0, 16) + 512) >> 10, 0, 255)
+        if fy == 1:  # e, f, g: average with the upper half-row
+            if fx == 1:
+                out = avg(b, half(hraw[:, 2:18]))  # e
+            elif fx == 2:
+                out = avg(b, j)  # f
+            else:
+                out = avg(b, half(hraw[:, 3:19]))  # g
+        elif fy == 3:  # p, q, r: average with the lower half-row
+            b_dn = half(braw[3:19, :])
+            if fx == 1:
+                out = avg(half(hraw[:, 2:18]), b_dn)  # p
+            elif fx == 2:
+                out = avg(j, b_dn)  # q
+            else:
+                out = avg(half(hraw[:, 3:19]), b_dn)  # r
+        elif fx == 2:  # fy == 2: the centre j itself
+            out = j
+        elif fx == 1:  # i
+            out = avg(half(hraw[:, 2:18]), j)
+        else:  # k
+            out = avg(j, half(hraw[:, 3:19]))
+    rows = out.tolist()
     for i in range(16):
-        sy = y0 + i + dy
-        out = dst[y0 + i]
-        for j in range(16):
-            sx = x0 + j + dx
-            if fy == 0:
-                if fx == 2:
-                    v = bh(sy, sx)  # b
-                elif fx == 1:
-                    v = avg(s(sy, sx), bh(sy, sx))  # a
-                else:
-                    v = avg(s(sy, sx + 1), bh(sy, sx))  # c
-            elif fx == 0:
-                if fy == 2:
-                    v = hv(sy, sx)  # h
-                elif fy == 1:
-                    v = avg(s(sy, sx), hv(sy, sx))  # d
-                else:
-                    v = avg(s(sy + 1, sx), hv(sy, sx))  # n
-            elif fx == 2 and fy == 2:
-                v = jc(sy, sx)  # j
-            elif fy == 1:  # e, f, g: average with the upper half-row
-                if fx == 1:
-                    v = avg(bh(sy, sx), hv(sy, sx))  # e
-                elif fx == 2:
-                    v = avg(bh(sy, sx), jc(sy, sx))  # f
-                else:
-                    v = avg(bh(sy, sx), hv(sy, sx + 1))  # g
-            elif fy == 3:  # p, q, r: average with the lower half-row
-                if fx == 1:
-                    v = avg(hv(sy, sx), bh(sy + 1, sx))  # p
-                elif fx == 2:
-                    v = avg(jc(sy, sx), bh(sy + 1, sx))  # q
-                else:
-                    v = avg(hv(sy, sx + 1), bh(sy + 1, sx))  # r
-            else:  # fy == 2, fx odd: i, k
-                if fx == 1:
-                    v = avg(hv(sy, sx), jc(sy, sx))  # i
-                else:
-                    v = avg(jc(sy, sx), hv(sy, sx + 1))  # k
-            out[x0 + j] = v
+        dst[y0 + i][x0 : x0 + 16] = rows[i]
 
 
 def decode_h264(data: bytes) -> dict:
@@ -1207,10 +1257,13 @@ def decode_h264(data: bytes) -> dict:
                             # (see _residual_dc) — add per row slice
                             rv = _residual_dc(lvl, qp_y)
                             x0, y0 = bx * 4, by * 4
+                            # conditional-expression clip: ~2x the
+                            # min/max-builtin form on this hot path
                             for i2 in range(4):
                                 row = luma[y0 + i2]
                                 row[x0 : x0 + 4] = [
-                                    min(255, max(0, p + rv))
+                                    0 if (v := p + rv) < 0
+                                    else (255 if v > 255 else v)
                                     for p in row[x0 : x0 + 4]
                                 ]
                             n_coded_blocks += 1
@@ -1366,7 +1419,8 @@ def _decode_b_slice(
                     for i2 in range(4):
                         row = luma[by0 + i2]
                         row[bx0 : bx0 + 4] = [
-                            min(255, max(0, p + rv))
+                            0 if (v := p + rv) < 0
+                            else (255 if v > 255 else v)
                             for p in row[bx0 : bx0 + 4]
                         ]
                     st["n_coded_blocks"] += 1
