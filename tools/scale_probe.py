@@ -167,13 +167,26 @@ CUSTOM_PROBES = {
 
 
 # ---------------------------------------------------------------------------
-# Probe-coverage audit (VERDICT r12 #4): every DRIVER_WINDOW entry must
-# carry EITHER a measured entry in SCALE_PROBE_100X.json OR an explicit
-# waiver below, so window rotations can't silently skip the scale
-# question. Waiver grammar (machine-checked by audit_probe_coverage):
+# Probe-coverage audit (VERDICT r12 #4, widened to the FULL catalog by
+# r13 #4): every registered catalog entry — not just the driver window
+# — must carry EITHER a measured entry in SCALE_PROBE_100X.json OR an
+# explicit waiver below, so window rotations can't pull a never-probed
+# entry in and silently skip the "would this survive 100 TB" question.
+# Waiver grammar (machine-checked by audit_probe_coverage):
 #   "scan-shaped — <why no probe is needed>"
 #       the plan is a scan + projection/bounded agg with no join or
 #       data-proportional shuffle state; linearity is structural.
+#   "shuffle-linear — <why no probe is needed>"
+#       the plan's shuffles are key-partitioned joins / aggregates /
+#       windows whose shuffled volume is O(input) and whose per-key
+#       state is bounded (no quadratic candidate generation, no
+#       iteration-unbounded state) — the textbook Spark SQL scaling
+#       story that AQE/partitioning covers; the probe regime exists
+#       for the CUSTOM kernels, not these.
+#   "quadratic-oracle — <why the quadratic term is intentional>"
+#       an exact exhaustive differential oracle that is quadratic BY
+#       CONSTRUCTION and API-guarded against production use; the scale
+#       path is its named linear twin.
 #   "10x:<probe_name> — <why that measured 10x entry covers this>"
 #       a measured SCALE_PROBE.json entry exercises the same plan
 #       (audit fails if the named entry is missing from the JSON).
@@ -275,22 +288,377 @@ PROBE_WAIVERS: dict[str, str] = {
         "scan-shaped — TPC-H Q19 shape: lineitem scan + broadcast part"
         " join with pushed disjunctive brackets into a single-row agg"
     ),
+    # --- out-of-window catalog entries (r13 verdict #4: full-catalog
+    # audit). Analytics / ETL parity surface: classic key-partitioned
+    # Spark SQL plans — shuffles carry O(input) volume with bounded
+    # per-key state; pinned plan shapes in tests/test_plan_shapes.py.
+    "q3_shipping_priority": (
+        "shuffle-linear — customer⋈orders⋈lineitem equi joins into a"
+        " group-agg top-k; key-partitioned shuffles only"
+    ),
+    "q5_supplier_volume": (
+        "shuffle-linear — multi-way equi joins (dims broadcast) into a"
+        " bounded nation-keyed agg"
+    ),
+    "top_customers": (
+        "shuffle-linear — orders group-agg + broadcast customer join,"
+        " ranked top-k"
+    ),
+    "orders_per_month": "scan-shaped — bounded month-keyed count agg",
+    "last_event_per_user": (
+        "shuffle-linear — user-partitioned ranked window, one exchange"
+    ),
+    "running_revenue": (
+        "shuffle-linear — cumulative window PARTITIONED BY o_custkey"
+        " (never a global single-partition sort)"
+    ),
+    "user_event_gaps": (
+        "shuffle-linear — user-partitioned lag window, one exchange"
+    ),
+    "rollup_status_year": "scan-shaped — bounded ROLLUP grouping-set agg",
+    "cube_event_type_dow": "scan-shaped — bounded CUBE grouping-set agg",
+    "grouping_sets_priority_status": (
+        "scan-shaped — bounded GROUPING SETS agg"
+    ),
+    "customers_with_orders": (
+        "shuffle-linear — key-partitioned LEFT SEMI join"
+    ),
+    "customers_without_orders": (
+        "shuffle-linear — key-partitioned LEFT ANTI join"
+    ),
+    "rich_active_customers": (
+        "shuffle-linear — semi join + filter; key-partitioned"
+    ),
+    "idle_suppliers": "shuffle-linear — anti join; key-partitioned",
+    "all_account_balances": (
+        "scan-shaped — UNION ALL of two projections, bounded agg"
+    ),
+    "distinct_suppliers_per_flag": (
+        "shuffle-linear — distinct-per-key agg (map-side partial)"
+    ),
+    "part_scalar_functions": "scan-shaped — per-row scalar projection",
+    "order_price_bands": "scan-shaped — bounded price-band CASE agg",
+    "events_hourly_window": (
+        "scan-shaped — time-bucketed agg with bounded hour keys"
+    ),
+    "user_sessions": (
+        "shuffle-linear — user-partitioned lag window + session"
+        " cumulative sum, one exchange"
+    ),
+    "events_json_stats": (
+        "scan-shaped — JSON extract projection + bounded agg"
+    ),
+    "nations_with_presence": "shuffle-linear — semi join on nationkey",
+    "customer_order_years": (
+        "shuffle-linear — distinct (customer, year) agg"
+    ),
+    "part_brand_regex": (
+        "scan-shaped — regex predicate + extraction projection"
+    ),
+    "asof_last_order_per_event": (
+        "shuffle-linear — as-of via ONE shuffle on the equi key +"
+        " ranked window; no per-row subquery, no range scan"
+    ),
+    "range_join_followup_orders": (
+        "shuffle-linear — equi key (customer) carries the shuffle; the"
+        " date-interval predicate is a post-join filter (plain hash"
+        " join, never cartesian)"
+    ),
+    "pivot_status_by_priority": (
+        "scan-shaped — bounded pivot over enumerated statuses"
+    ),
+    "price_percentiles": (
+        "shuffle-linear — exact percentiles via distributed sort;"
+        " O(n log n) with no skew key"
+    ),
+    "top3_orders_per_priority": (
+        "shuffle-linear — ranked window with WindowGroupLimit pushdown"
+        " (plan-pinned in tests/test_plan_shapes.py)"
+    ),
+    "salted_event_type_counts": (
+        "scan-shaped — salted two-stage count agg (the skew pattern"
+        " demo itself)"
+    ),
+    "parts_above_brand_avg": (
+        "shuffle-linear — brand-keyed avg subframe joined back on the"
+        " bounded brand key"
+    ),
+    "approx_aggregates": (
+        "scan-shaped — fixed-size sketch aggregates (approx distinct /"
+        " percentile), map-side combinable"
+    ),
+    "lineitem_price_stats": "scan-shaped — single-scan moment aggs",
+    "priority_price_geomean": (
+        "scan-shaped — bounded priority-keyed log-mean agg"
+    ),
+    "customer_order_moving_avg": (
+        "shuffle-linear — customer-partitioned frame window"
+    ),
+    "order_price_quartiles": (
+        "shuffle-linear — priority-partitioned ntile window sharing one"
+        " Window exchange"
+    ),
+    "daily_order_spine": (
+        "shuffle-linear — bounded agg + sequence()/explode() spine,"
+        " broadcast back; no driver loop"
+    ),
+    "deterministic_sample_stats": (
+        "scan-shaped — md5-prefix deterministic sample filter + agg"
+    ),
+    "large_volume_orders": (
+        "shuffle-linear — group-agg with HAVING on the group key"
+    ),
+    "late_order_priority_counts": (
+        "shuffle-linear — semi join + bounded priority count"
+    ),
+    "idle_rich_customers": (
+        "shuffle-linear — anti join + filter; key-partitioned"
+    ),
+    "sole_late_suppliers": (
+        "shuffle-linear — per-order supplier-count agg + filter"
+    ),
+    "profile_lineitem": (
+        "scan-shaped — one-scan data-profile aggregates"
+    ),
+    "event_value_outliers": (
+        "scan-shaped — stddev agg broadcast back as a filter bound"
+    ),
+    "multiformat_date_parse": (
+        "scan-shaped — coalesce(try_to_date×3) projection, zero shuffle"
+    ),
+    "coerce_cast_semantics": (
+        "scan-shaped — try_cast coercion projection, zero shuffle"
+    ),
+    "rejection_reason_counts": (
+        "scan-shaped — validate projection + bounded reason-count agg"
+    ),
+    "duplicate_user_events": (
+        "shuffle-linear — key-count agg (map-side partial), warn-only"
+    ),
+    # --- dedup / similarity / embeddings (out-of-window) ------------------
+    "graph_pagerank_trade": (
+        "10x:graph_pagerank_trade — fixed-iteration integer PageRank;"
+        " per-iteration edge-keyed agg measured at 10x"
+    ),
+    "dedup_exact": (
+        "scan-shaped — full-row digest groupBy (map-side-combinable"
+        " exact-dedup hash shape)"
+    ),
+    "dedup_exact_hash": (
+        "scan-shaped — content-digest groupBy, map-side combinable"
+    ),
+    "dedup_minhash_lsh": (
+        "10x:dedup_minhash_lsh — banded signature join measured at 10x;"
+        " the 100x gram-hash scan + banded join is additionally"
+        " measured via dedup_ngram_jaccard/dedup_clusters_lsh"
+    ),
+    "dedup_simhash": (
+        "100x:dedup_simhash_decollided — the same pigeonhole-banded"
+        " fingerprint join, probed at 100x on the decollided generator"
+        " (word-shuffle copies share token sets, so the plain 100x"
+        " corpus would measure a different pair structure)"
+    ),
+    "dedup_incremental": (
+        "10x:dedup_minhash_lsh — delta signatures against the persisted"
+        " index use the identical gram-hash + banded-join kernels, with"
+        " history partitions never rescanned (O(delta) tagged extends)"
+    ),
+    "dedup_embedding_cosine_block": (
+        "quadratic-oracle — exact exhaustive cosine pair search,"
+        " Θ(n²) BY CONSTRUCTION as the differential oracle for the"
+        " sign-LSH path (dedup_embedding_cosine, 100x-probed);"
+        " API-guarded: corpora > 100k vectors raise unless"
+        " allow_quadratic=True (operators/dedup.py)"
+    ),
+    "ann_topk_bruteforce": (
+        "scan-shaped — per-row work bounded by the broadcast ≤50-query"
+        " batch; one corpus scan, salted top-k, no join"
+    ),
+    "embedding_label_centroids": (
+        "shuffle-linear — dim-keyed centroid agg, map-side combinable"
+    ),
+    "embedding_norm_stats": "scan-shaped — one-scan vector-norm aggs",
+    "embedding_pca_power": (
+        "shuffle-linear — fixed-iteration power method: per-iteration"
+        " dim-keyed aggregates with a k-row broadcast iterate"
+    ),
+    "ann_lsh_bucketed": (
+        "100x:ann_lsh_neighbors — the same seeded-hyperplane bucket"
+        " join kernel (_table_buckets), probed integer-exact at 100x"
+    ),
+    # --- sketches / text (out-of-window) -----------------------------------
+    "text_heavy_hitters_cms": (
+        "100x:text_heavy_hitters_incremental — the incremental probe"
+        " BUILDS the same cms_rows sketch (history + delta) and runs"
+        " the same broadcast probe on top"
+    ),
+    "text_token_stats": "scan-shaped — per-doc token-count projection",
+    "text_bpe_tokenize": (
+        "10x:text_bpe_tokenize — codegen literal-rewrite cascade"
+        " measured at 10x; zero joins"
+    ),
+    "text_vocab_zipf": (
+        "100x:text_bm25_topk — its only data-proportional stage (token"
+        " explode → map-side-combined term-count shuffle) is exactly"
+        " the tf aggregate the BM25 probe measures; the rank/fit runs"
+        " on the vocabulary frame"
+    ),
+    "text_bpe_train": (
+        "10x:text_bpe_train — iterative pair-count vocab aggregation"
+        " measured at 10x"
+    ),
+    "text_bigram_logprob": (
+        "10x:text_bigram_logprob — bigram explode + model agg measured"
+        " at 10x"
+    ),
+    "text_tfidf": (
+        "100x:text_bm25_topk — same tf explode/df shuffle shape the"
+        " BM25 probe measures (tf-idf is the unsaturated weighting of"
+        " the same postings)"
+    ),
+    "text_top_term": (
+        "shuffle-linear — term-count agg + per-doc max_by; both"
+        " key-partitioned"
+    ),
+    "text_winnow_stats": (
+        "shuffle-linear — shingle scan + per-doc rolling-min window;"
+        " fingerprint density bounded by the winnow window"
+    ),
+    "text_quality_score": (
+        "scan-shaped — length/punct/stopword ratio projection"
+    ),
+    "text_lang_id": (
+        "scan-shaped — n-gram heuristic score projection, zero shuffle"
+    ),
+    "text_fingerprint": (
+        "scan-shaped — per-doc rolling-hash projection"
+    ),
+    "text_pii_scrub": (
+        "scan-shaped — regex detect/redact projection chain"
+    ),
+    "text_repetition_stats": (
+        "shuffle-linear — within-doc n-gram explode + doc-keyed ratio"
+        " agg"
+    ),
+    "doc_chunk_plan": (
+        "scan-shaped — per-doc chunk arithmetic projection"
+    ),
+    "text_char_entropy": (
+        "shuffle-linear — per-doc char histogram agg (sorted-summation"
+        " entropy on bounded 256-key state)"
+    ),
+    "text_line_dedup": (
+        "10x:text_line_dedup — line-digest inverted shape measured at"
+        " 10x; the digest machinery is additionally 100x-probed via"
+        " line_dedup_incremental"
+    ),
+    "text_intradoc_dedup": (
+        "shuffle-linear — within-doc line digests, doc-keyed agg only"
+    ),
+    "text_quality_logit": (
+        "scan-shaped — frozen broadcast weights, per-doc dot-product"
+        " projection"
+    ),
+    # --- multimodal (out-of-window) ----------------------------------------
+    "mm_phash_dedup": (
+        "10x:mm_phash_dedup — aHash kernel + pigeonhole-banded pair"
+        " join measured at 10x"
+    ),
+    "mm_payload_stats": "scan-shaped — octet-length aggregate per source",
+    "mm_png_decode_stats": (
+        "10x:mm_png_decode_stats — stdlib-inflate PNG kernel map"
+        " measured at 10x; zero joins"
+    ),
+    "mm_png_resize_stats": (
+        "10x:mm_png_decode_stats — same PNG kernel map through two"
+        " codec round trips; zero joins"
+    ),
+    "mm_wav_decode_stats": (
+        "10x:mm_audio_fp_dedup — the identical WAV/PCM decode kernel"
+        " (media_codecs) runs inside that probe's fingerprint map"
+    ),
+    "mm_wav_vad_stats": (
+        "10x:mm_audio_fp_dedup — same PCM decode + energy framing"
+        " kernel; VAD thresholding is a per-frame projection on top"
+    ),
+    "mm_jpeg_decode_stats": (
+        "10x:mm_jpeg_decode_stats — JPEG entropy+DCT kernel measured at"
+        " 10x; also runs per-frame inside the 10x mm_avi_mjpeg probe"
+    ),
+    "mm_gif_decode_stats": (
+        "10x:mm_gif_decode_stats — LZW kernel map measured at 10x"
+    ),
+    "mm_y4m_video_stats": (
+        "10x:mm_video_fp_dedup — the identical Y4M frame-parse kernel"
+        " runs inside that probe's fingerprint map"
+    ),
+    "mm_mpeg1_video_stats": (
+        "10x:mm_mpeg1_video_stats — MPEG-1 inter decode kernel measured"
+        " at 10x; same certified map-only plan shape as the 100x H.264"
+        " probes"
+    ),
+    "mm_decode_features": (
+        "scan-shaped — Arrow map over _spread ids with the documented"
+        " stub kernel; zero joins"
+    ),
+    "mm_frame_sample_stats": (
+        "scan-shaped — Arrow map frame sampler, zero joins"
+    ),
+    # --- rollup / curation / lifecycle (out-of-window) ----------------------
+    "hourly_rollup_serve": (
+        "shuffle-linear — hour-bucketed agg + union with the persisted"
+        " rollup; bucket keys bounded by the time range"
+    ),
+    "contamination_ngram_overlap": (
+        "100x:corpus_decontaminate — runs the same broadcast eval-index"
+        " n-gram containment scan (decontaminate adds the excision on"
+        " top); eval side corpus-size-independent"
+    ),
+    "canary_contamination_scan": (
+        "100x:corpus_decontaminate — same broadcast eval-index n-gram"
+        " scan kernel over planted canaries"
+    ),
+    "corpus_sample_strata": (
+        "scan-shaped — modulus sampling filter + bounded strata agg"
+    ),
+    "corpus_pack_plan": (
+        "shuffle-linear — token-count agg + source-keyed cumulative"
+        " window pack assignment"
+    ),
+    "corpus_shuffle_plan": (
+        "shuffle-linear — deterministic hash-bucket assignment +"
+        " bounded bucket agg"
+    ),
+    "domain_mix_allocation": (
+        "10x:domain_mix_waterfill — the same per-source aggregate"
+        " feeds both; allocation is the single-pass variant of the"
+        " measured waterfill"
+    ),
+    "corpus_split_plan": (
+        "shuffle-linear — content-keyed split assignment + certificate"
+        " agg; no join"
+    ),
 }
 
 
 def audit_probe_coverage(verbose: bool = True) -> list[str]:
-    """Check every DRIVER_WINDOW entry for scale-probe coverage.
+    """Check EVERY registered catalog entry for scale-probe coverage.
 
     Returns the list of problems (empty = pass). A problem is an entry
     with neither a SCALE_PROBE_100X.json measurement nor a valid
     waiver, a waiver whose referenced probe entry does not exist, a
     waiver for an entry that IS probed at 100x (stale waiver — drop
-    it), or a waiver for a name not in the window (dead weight).
+    it), or a waiver for a name not in the catalog (dead weight).
+    Originally window-only (r12 #4); widened to the full catalog
+    (r13 #4) so a rotation can never pull a never-probed entry into
+    the driver window.
     """
     from csv_2_db_pipeline_data_engineering_spark.plans.catalog import (
         DRIVER_WINDOW,
+        get_catalog,
     )
 
+    catalog = list(get_catalog())
     root = os.path.dirname(_SCALEPROBE_ROOT)
 
     def _queries(fname: str) -> dict:
@@ -303,7 +671,7 @@ def audit_probe_coverage(verbose: bool = True) -> list[str]:
     q100 = _queries("SCALE_PROBE_100X.json")
     q10 = _queries("SCALE_PROBE.json")
     problems: list[str] = []
-    for name in DRIVER_WINDOW:
+    for name in catalog:
         if name in q100:
             if name in PROBE_WAIVERS:
                 problems.append(
@@ -313,7 +681,7 @@ def audit_probe_coverage(verbose: bool = True) -> list[str]:
         waiver = PROBE_WAIVERS.get(name)
         if waiver is None:
             problems.append(
-                f"{name}: in DRIVER_WINDOW with no SCALE_PROBE_100X.json"
+                f"{name}: registered with no SCALE_PROBE_100X.json"
                 " entry and no waiver"
             )
             continue
@@ -331,23 +699,25 @@ def audit_probe_coverage(verbose: bool = True) -> list[str]:
                     f"{name}: waiver cites 100x probe '{ref}' which is not"
                     " in SCALE_PROBE_100X.json"
                 )
-        elif not waiver.startswith("scan-shaped"):
+        elif not waiver.startswith(
+            ("scan-shaped", "shuffle-linear", "quadratic-oracle")
+        ):
             problems.append(f"{name}: waiver has unknown grammar: {waiver!r}")
     for name in PROBE_WAIVERS:
-        from csv_2_db_pipeline_data_engineering_spark.plans.catalog import (
-            DRIVER_WINDOW as _W,
-        )
-        if name not in _W:
+        if name not in catalog:
             problems.append(
                 f"{name}: waiver exists but the entry is not in"
-                " DRIVER_WINDOW — retire it"
+                " the catalog — retire it"
             )
     if verbose:
-        n = len(DRIVER_WINDOW)
-        probed = sum(1 for x in DRIVER_WINDOW if x in q100)
+        n = len(catalog)
+        probed = sum(1 for x in catalog if x in q100)
+        w_probed = sum(1 for x in DRIVER_WINDOW if x in q100)
         print(
-            f"probe audit: {n} window entries, {probed} probed at 100x,"
-            f" {n - probed} waived, {len(problems)} problems"
+            f"probe audit: {n} catalog entries, {probed} probed at 100x,"
+            f" {n - probed} waived ({len(DRIVER_WINDOW)} in-window:"
+            f" {w_probed} probed, {len(DRIVER_WINDOW) - w_probed} waived),"
+            f" {len(problems)} problems"
         )
         for p in problems:
             print(f"  PROBLEM: {p}")
