@@ -270,16 +270,51 @@ PQ_CODEBOOK_K = 16  # 4-bit codes: 8 x log2(16) = 32 bits = 4 bytes/vector
 PQ_MSE_BOUND = 0.75  # certified ceiling; measured ~0.54, trivial quantizer ~1.0
 
 
+PQ_FIT_SAMPLE = 4096  # seed-pinned bounded codebook training sample
+PQ_FIT_ITERS = 8
+
+
+def _pq_fit_codebook(samples: "np.ndarray", seed: int) -> "np.ndarray":
+    """Seeded Lloyd k-means over a BOUNDED driver-side sample — the
+    production codebook-training contract (FAISS trains PQ codebooks on
+    a sample too; the corpus-streaming part is the encode, not the
+    fit). Deterministic: seeded init draw, argmin ties to the lowest
+    code, empty clusters keep their previous centroid."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(samples), size=min(PQ_CODEBOOK_K, len(samples)), replace=False)
+    cents = samples[idx].astype(np.float64).copy()
+    for _ in range(PQ_FIT_ITERS):
+        d2 = ((samples[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = samples[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
 def ann_pq_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (the FAISS IVF-PQ residual codec) with an
     in-query reconstruction-error certificate.
 
     Each vector is split into PQ_SUBSPACES sub-vectors; a seeded k-means
     codebook per subspace maps every sub-vector to a 4-bit code — 64
-    float64 dims become 4 bytes (128x). Codebook fits are distributed
-    (pyspark.ml, no driver collection of the corpus); encode/decode is
-    a chain of tiny broadcast joins against the centroid tables, so at
-    100 TB the corpus streams map-side through all eight codebooks.
+    float64 dims become 4 bytes (128x). Codebooks are fit driver-side
+    on a seed-pinned BOUNDED sample (the ``PQ_FIT_SAMPLE`` lowest
+    vec_ids — the bounded-collect precedent of the retrieval query
+    frontier; FAISS likewise trains PQ on a sample, and at 100 TB a
+    top-k-by-id sample is one cheap pass). The r13 form ran eight
+    sequential pyspark.ml fits instead — ~72 driver-synchronized
+    distributed jobs, 22 s of corpus-independent setup at sf0.1
+    (VERDICT r13 #7); the numpy Lloyd fit on the same sample is
+    milliseconds and exactly as deterministic.
+
+    Encode/certify is the part that must stream, and now does it in
+    ONE corpus pass: each vector explodes into its 8 sub-vectors
+    map-side, broadcast-joins the 128-row (subspace, code, centroid)
+    frame, and the nearest-code squared error aggregates per
+    (vec_id, subspace) then per vec_id — a single scan and two
+    vec_id-keyed shuffles regardless of corpus size.
 
     The certificate: unit-norm vectors have total per-vector variance
     ~1.0, which is exactly the MSE of the trivial global-mean quantizer
@@ -287,69 +322,44 @@ def ann_pq_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks genuinely beat trivial. Oracle: exact per-label counts +
     TRUE.
     """
-    from functools import reduce
-
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     e = load_embeddings_spread(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     dim = 64
     ds = dim // PQ_SUBSPACES
-    # Each codebook trains and encodes on a SHALLOW cached frame of just
-    # its own sub-vectors. The first version accumulated every prior
-    # subspace's transform+join into one growing lineage, which each
-    # KMeans iteration re-executed end-to-end — quadratic in the number
-    # of subspaces (measured 53s at sf0.1; this shape is ~15x faster).
-    # Per-subspace squared errors recombine by doc-keyed union+sum.
-    err_frames = []
-    for s in range(PQ_SUBSPACES):
-        # coalesce: k-means on a corpus SAMPLE is driver-overhead-bound
-        # (8 fits x 8 iterations of 50-row-per-task stages); a handful
-        # of fat partitions cuts per-iteration task count ~10x. At
-        # 100 TB you'd train codebooks on a bounded sample anyway —
-        # encode (the broadcast join below) is what streams the corpus.
-        feat = (
-            e.select("vec_id", F.slice("v", s * ds + 1, ds).alias("sub"))
-            .coalesce(4)
-            .withColumn("_feat", array_to_vector("sub"))
-            .cache()
+    sample = np.array(
+        [
+            r.v
+            for r in e.select("v").orderBy("vec_id").limit(PQ_FIT_SAMPLE).collect()
+        ],
+        dtype=np.float64,
+    )
+    cb_rows = [
+        (s, c, [float(x) for x in cent])
+        for s in range(PQ_SUBSPACES)
+        for c, cent in enumerate(
+            _pq_fit_codebook(sample[:, s * ds : (s + 1) * ds], seed=42 + s)
         )
-        # random init (seeded): k-means|| init costs several extra
-        # distributed passes per fit and buys nothing at codebook size
-        # k=16 with Lloyd refinement behind it.
-        model = KMeans(
-            k=PQ_CODEBOOK_K, seed=42 + s, maxIter=8, featuresCol="_feat",
-            predictionCol="code", initMode="random",
-        ).fit(feat)
-        centroids = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-            "code int, cent array<double>",
-        )
-        # Eager localCheckpoint materializes the TINY per-subspace error
-        # frame (vec_id + one double) while `feat` is still cached, so
-        # the cache can be dropped right here instead of accumulating
-        # executor storage for the session lifetime (8 cached sub-vector
-        # frames per call). The checkpointed RDD is released by the
-        # ContextCleaner once the returned result is unreferenced.
-        err = (
-            model.transform(feat)
-            .join(F.broadcast(centroids), "code")
-            .select(
-                "vec_id",
-                F.aggregate(
-                    F.zip_with("sub", "cent", lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("err"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        feat.unpersist()
-        err_frames.append(err)
+    ]
+    codebooks = spark.createDataFrame(
+        cb_rows, "s int, code int, cent array<double>"
+    )
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", s * ds + 1, ds) for s in range(PQ_SUBSPACES)])
+        ).alias("s", "sub"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("sub", "cent", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     total = (
-        reduce(lambda a, b: a.unionAll(b), err_frames)
+        subs.join(F.broadcast(codebooks), "s")
+        .select("vec_id", "s", d2.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("d2").alias("err"))
         .groupBy("vec_id")
         .agg(F.sum("err").alias("sq_err"))
     )
