@@ -36,7 +36,7 @@ alongside ``operators/similarity.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
@@ -683,6 +683,355 @@ def bm25_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- pseudo-relevance-feedback query expansion (RM3/Rocchio family) ----------
+
+PRF_EXP_TERMS = 3  # expansion terms appended per query
+PRF_FB_DEPTH = BM25_TOPK  # feedback set: round-1 top-k docs
+
+
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round retrieval with pseudo-relevance-feedback query
+    expansion — the RM3/Rocchio production shape: round 1 ranks with
+    BM25, the top-``PRF_FB_DEPTH`` docs per query become the feedback
+    set, the ``PRF_EXP_TERMS`` highest-weight NEW terms from that set
+    (weight = feedback tf × ln(N/df), rounded before ranking, ties to
+    the lexicographically smaller term) join the query with qtf 1, and
+    round 2 re-ranks with the expanded query.
+
+    Scale design (every stage bounded or map-side):
+    * round 1 is the certified ``text_bm25_topk`` plan (frontier
+      IN-pushdown, cached pruned postings, salted top-k);
+    * the feedback set is ≤ NQ·k = 80 (query, doc) pairs — collected
+      once (the bounded-collect precedent) and pushed into the corpus
+      scan as a doc_id IN-literal, so the feedback-term explode is
+      map-side over ~80 docs;
+    * candidate df comes from ONE corpus pass with the candidate-term
+      frame broadcast into the explode (bounded by feedback-set total
+      length, corpus-count-independent) — never a full-vocabulary
+      shuffle (the r13 BM25 lesson);
+    * the expanded vocabulary (≤ NQ·(QTERMS+EXP_TERMS) ≤ 112 terms) is
+      collected and pushed down exactly like the round-1 frontier.
+    A serving tier with the persisted postings index
+    (``serve_bm25_from_index``) runs both rounds as index reads
+    instead of corpus scans.
+    """
+    qvocab, qterm = _query_frontier(spark, sf_dir)
+    tf, qdf, stats = _corpus_index(spark, sf_dir)
+    contrib = F.col("qtf") * _idf(F.col("n_docs"), F.col("df")) * _tf_norm(
+        F.col("tf"), F.col("dl"), F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    fb_rows = (
+        _topk_per_query(scored, PRF_FB_DEPTH)
+        .select("query_id", "doc_id")
+        .collect()
+    )  # bounded: <= NQ * k rows
+    fb_doc_ids = sorted({r.doc_id for r in fb_rows})
+    fb_map = spark.createDataFrame(
+        [(r.query_id, r.doc_id) for r in fb_rows], "query_id long, doc_id long"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # Feedback-term frequencies: explode ONLY the feedback docs (the
+    # IN-literal prunes map-side), fan out to their queries.
+    fb_tf = (
+        d.filter(F.col("doc_id").isin(fb_doc_ids))
+        .select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf_fb"))
+        .join(F.broadcast(fb_map), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf_fb").alias("tf_fb"))
+        # expansion terms must be NEW: drop the original query terms
+        .join(
+            F.broadcast(qterm.select("query_id", "term")),
+            ["query_id", "term"],
+            "left_anti",
+        )
+    )
+    cand_terms = fb_tf.select("term").distinct()
+    dr = spread_scan(d, table_bytes(sf_dir, "documents"))
+    df_cand = (
+        dr.select("doc_id", F.explode(toks).alias("term"))
+        .join(F.broadcast(cand_terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w_exp = Window.partitionBy("query_id").orderBy(
+        F.desc("w"), F.asc("term")
+    )
+    expansion = (
+        fb_tf.join(df_cand, "term")
+        .join(F.broadcast(stats.select("n_docs")))
+        .select(
+            "query_id",
+            "term",
+            F.round(
+                F.col("tf_fb") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("w"),
+        )
+        .withColumn("r", F.row_number().over(w_exp))
+        .filter(F.col("r") <= PRF_EXP_TERMS)
+        .select("query_id", "term")
+        .collect()
+    )  # bounded: <= NQ * PRF_EXP_TERMS rows
+    qterm2 = spark.createDataFrame(
+        [(r.query_id, r.term, r.qtf) for r in qterm.collect()]
+        + [(r.query_id, r.term, 1) for r in expansion],
+        "query_id long, term string, qtf long",
+    )
+    vocab2 = sorted(set(qvocab) | {r.term for r in expansion})
+    tf2 = (
+        dr.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        )
+        .filter(F.col("term").isin(vocab2))
+        .groupBy("doc_id", "term")
+        .agg(F.min("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+    )
+    partials = dr.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_dl"),
+    )
+    return (
+        _bm25_topk_frame(tf2, qterm2, partials)
+        .select(
+            "query_id", "rnk", "doc_id", F.col("score").alias("score_prf")
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+PRF_EXPANSION_ORACLE = f"""
+WITH {_BM25_COMMON_SQL},
+fb AS (
+  SELECT query_id, doc_id FROM ranked WHERE rnk <= {PRF_FB_DEPTH}
+),
+fb_tf AS (
+  SELECT f.query_id, t.term, SUM(t.tf) AS tf_fb
+  FROM tf t JOIN fb f USING (doc_id)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM qterm qt
+    WHERE qt.query_id = f.query_id AND qt.term = t.term
+  )
+  GROUP BY f.query_id, t.term
+),
+expansion AS (
+  SELECT query_id, term FROM (
+    SELECT ft.query_id, ft.term,
+           ROW_NUMBER() OVER (
+             PARTITION BY ft.query_id
+             ORDER BY ROUND(ft.tf_fb * ln(s.n_docs / d.df), 6) DESC,
+                      ft.term
+           ) AS r
+    FROM fb_tf ft JOIN dfv d USING (term) CROSS JOIN stats s
+  ) WHERE r <= {PRF_EXP_TERMS}
+),
+qterm2 AS (
+  SELECT query_id, term, qtf FROM qterm
+  UNION ALL
+  SELECT query_id, term, 1 AS qtf FROM expansion
+),
+per_term2 AS (
+  SELECT qt.query_id, tf.term, tf.doc_id,
+         qt.qtf * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+           AS contrib
+  FROM tf
+  JOIN qterm2 qt USING (term)
+  JOIN dfv d ON tf.term = d.term
+  CROSS JOIN stats s
+),
+scored2 AS (
+  SELECT query_id, doc_id, ROUND(SUM(contrib), 6) AS score_prf
+  FROM per_term2 GROUP BY query_id, doc_id
+)
+SELECT query_id, rnk, doc_id, score_prf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_prf DESC, doc_id) AS rnk
+      FROM scored2)
+WHERE rnk <= {BM25_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+# --- ranking-quality evaluation (MRR / nDCG / recall@k) -----------------------
+#
+# The eval harness a serving tier needs: deterministic planted graded
+# relevance (a modulus rule both engines compute bit-identically), the
+# BM25 top-k ranking scored with MRR, nDCG@k (exact 2^rel-1 gains,
+# log2 discounts, ideal ranking from per-level relevance counts), and
+# recall@k against the per-query corpus-wide relevant count.
+
+EVAL_REL_MOD_HI = 31  # (query_id + doc_id) % 31 == 0 -> rel 2
+EVAL_REL_MOD_LO = 7  # else (query_id + doc_id) % 7 == 0 -> rel 1
+
+
+def _rel_expr(qcol: Column, dcol: Column) -> Column:
+    return (
+        F.when((qcol + dcol) % EVAL_REL_MOD_HI == 0, F.lit(2))
+        .when((qcol + dcol) % EVAL_REL_MOD_LO == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ranking-quality metrics over the BM25 top-k serving
+    list: MRR, nDCG@k, recall@k, and the relevant-in-top-k count.
+
+    Relevance is PLANTED (graded: ``(query_id + doc_id) % 31 == 0`` →
+    2, else ``% 7 == 0`` → 1, else 0) so both engines derive identical
+    judgments without a label table — the certificate is that the
+    whole metric pipeline (ranking, gains, log2 discounts, ideal-DCG
+    construction, rounding) is bit-identical, which is what makes an
+    eval harness trustworthy enough to gate a retriever change.
+
+    Scale design: metrics aggregate the ≤ NQ·k serving list (constant)
+    plus ONE corpus pass for the per-query relevant totals (the tiny
+    query frame broadcast into the scan — 16·n map-side rows, no
+    shuffle wider than the per-query count agg). Ideal DCG needs only
+    the per-level relevance COUNTS, never a corpus-wide sort: rank i
+    of the ideal list has rel 2 iff i ≤ n2, rel 1 iff i ≤ n2+n1.
+    """
+    topk = text_bm25_topk(spark, sf_dir)
+    hits = topk.withColumn(
+        "rel", _rel_expr(F.col("query_id"), F.col("doc_id"))
+    )
+    per_rank = hits.select(
+        "query_id",
+        "rnk",
+        "rel",
+        ((F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("rnk") + 1.0)).alias(
+            "gain"
+        ),
+        F.when(F.col("rel") > 0, 1.0 / F.col("rnk")).otherwise(F.lit(None)).alias(
+            "rr"
+        ),
+    )
+    agg = per_rank.groupBy("query_id").agg(
+        F.round(F.coalesce(F.max("rr"), F.lit(0.0)), 6).alias("mrr"),
+        F.sum("gain").alias("dcg"),
+        F.count_if(F.col("rel") > 0).alias("n_rel_at_k"),
+    )
+    # Per-query corpus-wide relevant counts: tiny query frame broadcast
+    # into one documents pass.
+    queries = topk.select("query_id").distinct()
+    rel_all = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "query_id", _rel_expr(F.col("query_id"), F.col("doc_id")).alias("rel")
+        )
+        .filter(F.col("rel") > 0)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rel_total"),
+            F.count_if(F.col("rel") == 2).alias("n2"),
+        )
+    )
+    ideal = (
+        rel_all.select(
+            "query_id",
+            "n_rel_total",
+            F.explode(F.sequence(F.lit(1), F.lit(BM25_TOPK))).alias("i"),
+            F.col("n2"),
+        )
+        .select(
+            "query_id",
+            "n_rel_total",
+            (
+                (
+                    F.pow(
+                        F.lit(2.0),
+                        F.when(F.col("i") <= F.col("n2"), 2)
+                        .when(F.col("i") <= F.col("n_rel_total"), 1)
+                        .otherwise(0),
+                    )
+                    - 1.0
+                )
+                / F.log2(F.col("i") + 1.0)
+            ).alias("ig"),
+        )
+        .groupBy("query_id", "n_rel_total")
+        .agg(F.sum("ig").alias("idcg"))
+    )
+    return (
+        agg.join(ideal, "query_id")
+        .select(
+            "query_id",
+            "mrr",
+            F.round(
+                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("ndcg_at_k"),
+            F.round(F.col("n_rel_at_k") / F.col("n_rel_total"), 6).alias(
+                "recall_at_k"
+            ),
+            "n_rel_at_k",
+        )
+        .orderBy("query_id")
+    )
+
+
+EVAL_METRICS_ORACLE = f"""
+WITH {_BM25_COMMON_SQL},
+topk AS (
+  SELECT query_id, rnk, doc_id,
+         CASE WHEN (query_id + doc_id) % {EVAL_REL_MOD_HI} = 0 THEN 2
+              WHEN (query_id + doc_id) % {EVAL_REL_MOD_LO} = 0 THEN 1
+              ELSE 0 END AS rel
+  FROM ranked WHERE rnk <= {BM25_TOPK}
+),
+agg AS (
+  SELECT query_id,
+         ROUND(COALESCE(MAX(CASE WHEN rel > 0 THEN 1.0 / rnk END), 0), 6)
+           AS mrr,
+         SUM((POW(2.0, rel) - 1.0) / log2(rnk + 1.0)) AS dcg,
+         COUNT(*) FILTER (WHERE rel > 0) AS n_rel_at_k
+  FROM topk GROUP BY query_id
+),
+rel_all AS (
+  SELECT q.query_id,
+         COUNT(*) AS n_rel_total,
+         COUNT(*) FILTER (
+           WHERE (q.query_id + d.doc_id) % {EVAL_REL_MOD_HI} = 0
+         ) AS n2
+  FROM documents d
+  CROSS JOIN (SELECT DISTINCT query_id FROM topk) q
+  WHERE (q.query_id + d.doc_id) % {EVAL_REL_MOD_HI} = 0
+     OR (q.query_id + d.doc_id) % {EVAL_REL_MOD_LO} = 0
+  GROUP BY q.query_id
+),
+ideal AS (
+  SELECT r.query_id, r.n_rel_total,
+         SUM((POW(2.0, CASE WHEN i.i <= r.n2 THEN 2
+                            WHEN i.i <= r.n_rel_total THEN 1
+                            ELSE 0 END) - 1.0) / log2(i.i + 1.0)) AS idcg
+  FROM rel_all r
+  CROSS JOIN (SELECT UNNEST(range(1, {BM25_TOPK} + 1)) AS i) i
+  GROUP BY r.query_id, r.n_rel_total
+)
+SELECT a.query_id, a.mrr,
+       ROUND(CASE WHEN i.idcg > 0 THEN a.dcg / i.idcg ELSE 0 END, 6)
+         AS ndcg_at_k,
+       ROUND(a.n_rel_at_k * 1.0 / i.n_rel_total, 6) AS recall_at_k,
+       a.n_rel_at_k
+FROM agg a JOIN ideal i USING (query_id)
+ORDER BY a.query_id
+"""
+
+
 QUERIES = [
     Query(
         "text_bm25_topk",
@@ -712,5 +1061,20 @@ QUERIES = [
         "oracle makes the hash check a merge == rebuild certificate",
         bm25_serve_incremental,
         BM25_TOPK_ORACLE,
+    ),
+    Query(
+        "retrieval_prf_expansion",
+        "pseudo-relevance-feedback query expansion (RM3/Rocchio): BM25 "
+        "round 1, bounded feedback set, tf·idf-weighted new terms, "
+        "re-ranked round 2",
+        retrieval_prf_expansion,
+        PRF_EXPANSION_ORACLE,
+    ),
+    Query(
+        "retrieval_eval_metrics",
+        "ranking-quality eval harness: MRR / nDCG@k / recall@k over the "
+        "BM25 serving list against planted graded relevance",
+        retrieval_eval_metrics,
+        EVAL_METRICS_ORACLE,
     ),
 ]

@@ -400,8 +400,16 @@ class Query:
 # keeps corpus_curation_decision's gate stack in-window and the
 # nine-rule thresholds stay pytest-pinned). All three stay registered
 # and locally oracle-checked via tools/check_oracles.py. After this
-# rotation every one of the 158 registered queries has a driver-green
-# CORRECTNESS row in some round's gate.
+# rotation every one of the 158 pre-r14 registered queries has a
+# driver-green CORRECTNESS row in some round's gate.
+#
+# r14 additions (registered + locally oracle-checked, OUTSIDE the
+# window this round — the natural r15 rotation candidates, the only
+# entries without a driver hash-check): retrieval_prf_expansion
+# (RM3/Rocchio pseudo-relevance-feedback two-round retrieval) and
+# retrieval_eval_metrics (MRR / nDCG@k / recall@k eval harness over
+# the BM25 serving list with planted graded relevance) — both in
+# operators/retrieval.py, both with full SQL oracles.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",

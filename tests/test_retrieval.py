@@ -236,3 +236,136 @@ def test_two_stage_topk_equals_single_window(spark):
             .collect()
         }
         assert got == want, k
+
+
+def test_prf_expansion_matches_pure_python(spark, tmp_path):
+    """Differential: the full two-round PRF pipeline against an
+    independent pure-python twin on the hand fixture — round-1 top-k,
+    new-terms-only exclusion, tf·idf expansion weights with the
+    (w desc, term asc) tie-break, qtf-1 expansion, round-2 scores."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+        PRF_EXP_TERMS,
+        PRF_FB_DEPTH,
+        retrieval_prf_expansion,
+    )
+
+    sf = _write(spark, tmp_path, DOCS)
+
+    split = {i: t.split(" ") for i, t in DOCS}
+    n = len(DOCS)
+    avgdl = math.floor(1000 * sum(len(w) for w in split.values()) / n) / 1000.0
+    tf = {(i, t): split[i].count(t) for i in split for t in set(split[i])}
+    df = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+
+    def score(qtf, d):
+        s, hit = 0.0, False
+        for t, qt in qtf.items():
+            if (d, t) not in tf:
+                continue
+            hit = True
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            dl = len(split[d])
+            s += qt * idf * (tf[(d, t)] * (BM25_K1 + 1.0)) / (
+                tf[(d, t)] + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+        return round(s, 6) if hit else None
+
+    expected = {}
+    for q in sorted(split)[:BM25_NQ]:
+        qterms = split[q][:BM25_QTERMS]
+        qtf = {t: qterms.count(t) for t in set(qterms)}
+        r1 = sorted(
+            ((s, d) for d in split if (s := score(qtf, d)) is not None),
+            key=lambda x: (-x[0], x[1]),
+        )
+        fb = [d for _, d in r1[:PRF_FB_DEPTH]]
+        w = {}
+        for d in fb:
+            for t in set(split[d]):
+                if t in qtf:
+                    continue
+                w[t] = w.get(t, 0) + split[d].count(t)
+        weights = sorted(
+            ((round(c * math.log(n / df[t]), 6), t) for t, c in w.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        qtf2 = dict(qtf)
+        for _, t in weights[:PRF_EXP_TERMS]:
+            qtf2[t] = qtf2.get(t, 0) + 1
+        r2 = sorted(
+            ((s, d) for d in split if (s := score(qtf2, d)) is not None),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rnk, (s, d) in enumerate(r2[: BM25_TOPK], start=1):
+            expected[(q, rnk)] = (d, s)
+
+    got = retrieval_prf_expansion(spark, sf).collect()
+    assert got
+    for r in got:
+        want_d, want_s = expected[(r.query_id, r.rnk)]
+        assert r.doc_id == want_d, (r, want_d)
+        assert math.isclose(r.score_prf, want_s, rel_tol=0, abs_tol=1e-6), (
+            r,
+            want_s,
+        )
+
+
+def test_eval_metrics_match_hand_computation(spark):
+    """Differential: MRR / nDCG@k / recall@k recomputed in python from
+    the served ranking + the planted relevance rule + the corpus."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+        EVAL_REL_MOD_HI,
+        EVAL_REL_MOD_LO,
+        retrieval_eval_metrics,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def rel(q, d):
+        if (q + d) % EVAL_REL_MOD_HI == 0:
+            return 2
+        if (q + d) % EVAL_REL_MOD_LO == 0:
+            return 1
+        return 0
+
+    top = text_bm25_topk(spark, sf).collect()
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(sf + "/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    rows = {r.query_id: r for r in retrieval_eval_metrics(spark, sf).collect()}
+    assert set(rows) == set(by_q)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        rels = [rel(q, r.doc_id) for r in rs]
+        mrr = round(
+            max((1.0 / r.rnk for r, v in zip(rs, rels) if v > 0), default=0.0),
+            6,
+        )
+        dcg = sum(
+            (2.0 ** v - 1.0) / math.log2(r.rnk + 1.0) for r, v in zip(rs, rels)
+        )
+        all_rels = sorted((rel(q, d) for d in doc_ids), reverse=True)
+        pos = [v for v in all_rels if v > 0]
+        idcg = sum(
+            (2.0 ** v - 1.0) / math.log2(i + 1.0)
+            for i, v in enumerate(all_rels[: BM25_TOPK], start=1)
+        )
+        got = rows[q]
+        assert math.isclose(got.mrr, mrr, abs_tol=1e-6), (q, got.mrr, mrr)
+        assert math.isclose(
+            got.ndcg_at_k, round(dcg / idcg, 6) if idcg > 0 else 0.0, abs_tol=1e-6
+        ), q
+        assert math.isclose(
+            got.recall_at_k, round(sum(1 for v in rels if v > 0) / len(pos), 6),
+            abs_tol=1e-6,
+        ), q
+        assert 0 <= got.ndcg_at_k <= 1 + 1e-9
+        assert got.n_rel_at_k == sum(1 for v in rels if v > 0)
