@@ -145,8 +145,67 @@ SHINGLE_DF_CAP = 64
 # ~30% (codegen compile + per-row agg work both scale with k) for a
 # recall loss only at the extreme low edge of the threshold — and
 # precision is always exact (candidates are verified with true Jaccard).
+#
+# MEASURED candidate-mass law (r14, tools/lsh_pair_mass.py): this
+# recall-first r=2 parameterization admits BACKGROUND collisions —
+# unrelated docs sharing a couple of common trigrams (j_bg ~ 0.003)
+# band-collide at rate ~ LSH_BANDS·j_bg² ≈ 3.1e-4 per pair, so the
+# banded join's candidate mass is Θ(n²·3.1e-4), NOT linear (the r12
+# "linear by construction" note was wrong; the 100x probe measured
+# 3,895 -> 40.5M distinct candidates for n×100 — n² exactly — with
+# intra-duplicate-group pairs only 0.2% of the mass). At the probe
+# scale verification still dominates nothing (40M cheap integer
+# verifies), but at 10⁹ docs the background term is the bottleneck:
+# tune (rows-per-band, bands) with ``minhash_params_for_scale`` below
+# — raising r suppresses background as j_bg^r while more bands buy
+# the recall back. The BY-CONSTRUCTION-linear family member remains
+# the df-capped exact-Jaccard plan (SHINGLE_DF_CAP above).
 MINHASH_K = 64  # hash functions
 LSH_BANDS = 32  # k/bands rows per band = 2
+
+
+def minhash_params_for_scale(
+    threshold: float = 0.4,
+    recall: float = 0.996,
+    j_bg: float = 0.003,
+    max_k: int = 1024,
+) -> tuple[int, int, int, float]:
+    """(rows_per_band, bands, k, bg_rate): the cheapest MinHash-LSH
+    banding whose per-pair recall AT the threshold meets ``recall``,
+    choosing the smallest background-collision rate
+    ``bands · j_bg^rows`` that the hash budget ``max_k`` allows.
+
+    The scale knob the r14 pair-mass measurement exposed: candidate
+    mass is ``C(n,2) · bands · j_bg^rows`` for unrelated docs, so at a
+    growing corpus one raises rows-per-band (background shrinks
+    geometrically) and pays bands = ceil(ln(1-recall)/ln(1-θ^rows))
+    hashes to keep recall. Shipped default (0.4, 0.996): r=2, b=32,
+    k=64 with bg 2.9e-4 — the measured law; at r=3 the same recall
+    costs k=252 and cuts background 128x. Closed-form driver math,
+    no data-dependent tuning (the ``lsh_params_for_threshold``
+    precedent from the sign-LSH family).
+    """
+    import math
+
+    miss = math.log(1.0 - recall)
+    best = None
+    for rows in range(2, 9):
+        q = threshold**rows
+        if q >= 1.0:
+            continue
+        bands = math.ceil(miss / math.log(1.0 - q))
+        k = rows * bands
+        if k > max_k:
+            continue
+        bg = bands * (j_bg**rows)
+        if best is None or bg < best[3]:
+            best = (rows, bands, k, bg)
+    if best is None:
+        raise ValueError(
+            f"no (rows, bands) meets recall {recall} at threshold "
+            f"{threshold} within k <= {max_k}"
+        )
+    return best
 
 
 # --- exact dedup -----------------------------------------------------------

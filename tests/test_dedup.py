@@ -254,3 +254,36 @@ def test_registered_near_dup_recovers_exactly_the_planted_twins(spark):
     for r in out:
         assert r.id_b == r.id_a + PLANT_TWIN_ID_OFFSET
         assert 0.95 <= r.cosine < 1.0
+
+
+def test_minhash_params_for_scale_law():
+    """The banding law the r14 pair-mass measurement exposed: the
+    shipped (r=2, b=32, k=64) is exactly the k<=64 budget's answer, its
+    predicted background rate matches the measured per-pair candidate
+    rate (3.1e-4), and raising the hash budget suppresses background
+    geometrically while holding the recall contract."""
+    import math
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_K,
+        minhash_params_for_scale,
+    )
+
+    rows, bands, k, bg = minhash_params_for_scale(max_k=64)
+    assert (rows, bands, k) == (MINHASH_K // LSH_BANDS, LSH_BANDS, MINHASH_K)
+    # measured r14: 3,895 distinct candidates / C(5000,2) pairs = 3.1e-4
+    assert math.isclose(bg, 2.88e-4, rel_tol=0.01)
+    prev = None
+    for mk in (64, 256, 1024):
+        r, b, kk, bgr = minhash_params_for_scale(max_k=mk)
+        # recall contract holds at every budget
+        assert 1 - (1 - 0.4**r) ** b >= 0.996
+        assert kk <= mk
+        if prev is not None:
+            assert bgr < prev / 50  # geometric background suppression
+        prev = bgr
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_params_for_scale(threshold=0.01, recall=0.999999, max_k=8)
