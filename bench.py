@@ -136,6 +136,10 @@ HEADLINE = [
     "mm_h264_subpel_stats",
     # round-13: incremental BM25 serving (history index + O(delta) fold)
     "bm25_serve_incremental",
+    # round-14: two-round RM3/Rocchio pseudo-relevance-feedback retrieval
+    "retrieval_prf_expansion",
+    # round-14: ranking-eval harness (MRR / nDCG@k / recall@k)
+    "retrieval_eval_metrics",
 ]
 
 

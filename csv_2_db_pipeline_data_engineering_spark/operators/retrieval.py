@@ -79,7 +79,7 @@ def _query_frontier(spark: SparkSession, sf_dir: str):
     return qvocab, qterm
 
 
-def _corpus_index(spark: SparkSession, sf_dir: str):
+def _corpus_index(spark: SparkSession, sf_dir: str, frontier=None):
     """(query-term postings, query-vocab df+qtf broadcast, stats).
 
     The serving plan a 100 TB tier would run against a prebuilt
@@ -101,7 +101,12 @@ def _corpus_index(spark: SparkSession, sf_dir: str):
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    qvocab, qterm = _query_frontier(spark, sf_dir)
+    # ``frontier`` lets two-round callers (PRF expansion) reuse an
+    # already-collected frontier instead of re-running the bounded
+    # collect.
+    qvocab, qterm = frontier if frontier is not None else _query_frontier(
+        spark, sf_dir
+    )
     # A single-file corpus scans as ONE input partition (the _spread
     # lesson, operators/multimodal.py:142): without spreading, the
     # explode + map-side partial agg below runs on one core — the
@@ -716,7 +721,7 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of corpus scans.
     """
     qvocab, qterm = _query_frontier(spark, sf_dir)
-    tf, qdf, stats = _corpus_index(spark, sf_dir)
+    tf, qdf, stats = _corpus_index(spark, sf_dir, frontier=(qvocab, qterm))
     contrib = F.col("qtf") * _idf(F.col("n_docs"), F.col("df")) * _tf_norm(
         F.col("tf"), F.col("dl"), F.col("avgdl")
     )
