@@ -638,20 +638,10 @@ PROBE_WAIVERS: dict[str, str] = {
         "shuffle-linear — content-keyed split assignment + certificate"
         " agg; no join"
     ),
-    # --- r14 retrieval additions -------------------------------------------
-    "retrieval_prf_expansion": (
-        "100x:text_bm25_topk — both scoring rounds run the probed BM25"
-        " plan (_corpus_index / _bm25_topk_frame); the PRF stages"
-        " between them are a ≤80-row bounded collect, a map-side"
-        " explode of ~80 feedback docs, and a broadcast-pruned"
-        " candidate-df pass (bounded by feedback-set length,"
-        " corpus-count-independent)"
-    ),
-    "retrieval_eval_metrics": (
-        "100x:text_bm25_topk — the ranking under evaluation IS that"
-        " probed query; the metrics add a constant-size (≤ NQ·k)"
-        " serving-list agg plus one broadcast-query corpus count pass"
-    ),
+    # (the r14 retrieval additions retrieval_prf_expansion /
+    # retrieval_eval_metrics were first waived via 100x:text_bm25_topk,
+    # then probed directly at 100x — 6.2x / 4.29x — so their waivers
+    # retired.)
 }
 
 
