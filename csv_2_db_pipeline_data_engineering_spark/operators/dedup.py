@@ -556,11 +556,12 @@ def minhash_signatures(gh_rows: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return gh_rows.groupBy("doc_id").agg(*mins)
 
 
-def band_rows(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+def band_rows(
+    signed: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
     """Explode a signature frame into (doc_id, band, bh) rows — the LSH
     join key stream, derived map-side from the m0..m{k-1} columns (so a
     persisted signature index needs no stored band table)."""
-    k = MINHASH_K
     r = k // bands
     band_structs = F.array(
         *[
@@ -576,7 +577,9 @@ def band_rows(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+def lsh_candidate_pairs(
+    signed: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
     """Banded LSH: docs collide if any band of the signature matches.
 
     rows-per-band r = k/bands; P(collide | jaccard=j) = 1-(1-j^r)^bands.
@@ -586,7 +589,7 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     caller dedupes after the (cheap, broadcast) verify step, which saves
     a full shuffle on the candidate stream.
     """
-    ex = band_rows(signed, bands)
+    ex = band_rows(signed, bands, k)
     a, b = ex.alias("a"), ex.alias("b")
     return a.join(
         b,
@@ -594,6 +597,28 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
         & (F.col("a.bh") == F.col("b.bh"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+
+def lsh_candidate_pairs_scaled(
+    gh_rows: DataFrame,
+    threshold: float = 0.4,
+    recall: float = 0.996,
+    j_bg: float = 0.003,
+    max_k: int = 1024,
+) -> DataFrame:
+    """Banded candidates with the (rows-per-band, bands, k) that
+    ``minhash_params_for_scale`` derives — the scale knob the r14
+    pair-mass measurement exposed, as a CODE PATH (the r10
+    knob-becomes-code precedent from the sign-LSH family).
+
+    The shipped registered queries keep the recall-first (2, 32, 64)
+    banding because their oracle contract is exact pair recovery on
+    the test corpora; a growing production corpus calls this with a
+    larger ``max_k`` budget and gets geometrically less background
+    candidate mass (bands·j_bg^rows per unrelated pair) at the same
+    at-threshold recall."""
+    rows, bands, k, _bg = minhash_params_for_scale(threshold, recall, j_bg, max_k)
+    return lsh_candidate_pairs(minhash_signatures(gh_rows, k), bands, k)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

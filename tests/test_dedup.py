@@ -287,3 +287,36 @@ def test_minhash_params_for_scale_law():
 
     with pytest.raises(ValueError):
         minhash_params_for_scale(threshold=0.01, recall=0.999999, max_k=8)
+
+
+def test_lsh_candidate_pairs_scaled_banding(spark):
+    """The scaled banding (r=3, b=84, k=252 at the 256-hash budget)
+    still surfaces a planted high-Jaccard pair while generating no
+    more candidates than the shipped recall-first r=2 banding on the
+    same corpus — the background-suppression direction of the r14
+    pair-mass law, as a code path."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        gram_hash_rows,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_scaled,
+        minhash_signatures,
+    )
+
+    base = "w{} x{} y{} z{} common alpha beta gamma delta epsilon"
+    docs = [(i, base.format(i, i, i, i)) for i in range(30)]
+    # planted near-dup: doc 100 is doc 0 with one word changed (j ~ 0.8
+    # on trigram shingles)
+    docs.append((100, base.format(0, 0, 0, 0).replace("epsilon", "zeta")))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    gh = gram_hash_rows(df).cache()
+    scaled = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs_scaled(gh, max_k=256).distinct().collect()
+    }
+    default = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(minhash_signatures(gh)).distinct().collect()
+    }
+    gh.unpersist()
+    assert (0, 100) in scaled
+    assert len(scaled) <= len(default)
