@@ -843,6 +843,76 @@ ORDER BY source"""
 WATERFILL_ORACLE = _waterfill_sql()
 
 
+# --- temperature (alpha) sampling: the multilingual-LM mix rule -------------
+
+MIX_TEMP_ALPHA = 0.3  # the mT5/XLM-R exponent: p_s ∝ q_s^alpha
+
+
+def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights — the standard
+    multilingual/multi-domain LM mix rule (mT5 / XLM-R alpha-sampling):
+    with natural shares ``q_s = n_tok_s / N``, the sampling share is
+    ``p_s = q_s^alpha / Σ q^alpha`` — alpha < 1 upsamples small sources
+    and downsamples large ones while preserving order.
+
+    Columns: token count, natural share, sampling share, and the
+    up/down-sampling boost ``p/q`` (the factor a loader repeats or
+    subsamples each source by). All shares are doubles rounded to 6
+    AFTER normalization — the ln/idf precedent for irrational math —
+    with the count-side arithmetic exact.
+
+    Scale design: one token-count aggregate per source is the only
+    data-proportional stage; the power/normalize math runs on the
+    bounded source-count frame (scan-shaped, the waterfill family's
+    plan).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tok")
+    )
+    totals = per_src.agg(
+        F.sum("n_tok").alias("n_total"),
+        F.sum(F.pow(F.col("n_tok"), F.lit(MIX_TEMP_ALPHA))).alias("sum_pa"),
+    )
+    # q^alpha / Σ q^alpha == n^alpha / Σ n^alpha (the N^alpha cancels):
+    # compute the cancelled form so both engines exponentiate the same
+    # exact integers instead of two different float quotients.
+    q = F.col("n_tok") / F.col("n_total")
+    p = F.pow(F.col("n_tok"), F.lit(MIX_TEMP_ALPHA)) / F.col("sum_pa")
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_tok",
+            F.round(q, 6).alias("nat_frac"),
+            F.round(p, 6).alias("samp_frac"),
+            F.round(p / q, 6).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+MIX_TEMPERATURE_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_tok) AS n_total,
+         SUM(POW(n_tok, {MIX_TEMP_ALPHA})) AS sum_pa
+  FROM per_src
+)
+SELECT source, n_tok,
+       ROUND(n_tok / n_total, 6) AS nat_frac,
+       ROUND(POW(n_tok, {MIX_TEMP_ALPHA}) / sum_pa, 6) AS samp_frac,
+       ROUND((POW(n_tok, {MIX_TEMP_ALPHA}) / sum_pa)
+             / (n_tok / n_total), 6) AS boost
+FROM per_src, tot
+ORDER BY source
+"""
+
+
 def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the waterfilled allocation into a per-doc repeat
     schedule — the row-level artifact a training loader consumes.
@@ -1335,6 +1405,10 @@ QUERIES = [
     Query("domain_mix_waterfill",
           "UniMax-style epoch-capped waterfilling token budget per source",
           domain_mix_waterfill, WATERFILL_ORACLE),
+    Query("domain_mix_temperature",
+          "temperature/alpha-sampling source weights (the mT5/XLM-R "
+          "multilingual mix rule: p ∝ q^alpha)",
+          domain_mix_temperature, MIX_TEMPERATURE_ORACLE),
     Query("corpus_epoch_schedule",
           "per-doc repeat schedule realizing the waterfilled allocation "
           "(full epochs + deterministic fractional pass)",

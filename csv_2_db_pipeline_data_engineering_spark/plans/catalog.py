@@ -409,7 +409,10 @@ class Query:
 # (RM3/Rocchio pseudo-relevance-feedback two-round retrieval) and
 # retrieval_eval_metrics (MRR / nDCG@k / recall@k eval harness over
 # the BM25 serving list with planted graded relevance) — both in
-# operators/retrieval.py, both with full SQL oracles.
+# operators/retrieval.py, both with full SQL oracles. Late r14 also
+# adds domain_mix_temperature (the mT5/XLM-R alpha-sampling mix rule,
+# operators/curation.py) — likewise registered + locally green,
+# outside the window, an r15 rotation candidate.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",

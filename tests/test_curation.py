@@ -380,3 +380,42 @@ def test_zero_token_source_schedules_zero_repeats_not_null(spark):
     assert not out[3]["frac_pick"] and not out[4]["frac_pick"]
     assert all(r["n_repeats"] is not None for r in out.values())
     assert out[1]["n_repeats"] >= 1  # the live source still schedules
+
+
+def test_domain_mix_temperature_matches_hand_computation(spark):
+    """Alpha-sampling invariants + differential: shares recomputed in
+    python from the per-source token counts; alpha < 1 must upsample
+    below-average sources (boost > 1) and downsample above-average
+    ones, with sampling shares summing to ~1 and order preserved."""
+    import math
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        MIX_TEMP_ALPHA,
+        domain_mix_temperature,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = domain_mix_temperature(spark, sf).collect()
+    assert rows
+    docs = spark.read.parquet(sf + "/documents.parquet").collect()
+    n_tok = {}
+    for r in docs:
+        n_tok[r.source] = n_tok.get(r.source, 0) + len(r.text.split(" "))
+    total = sum(n_tok.values())
+    sum_pa = sum(c ** MIX_TEMP_ALPHA for c in n_tok.values())
+    assert abs(sum(r.samp_frac for r in rows) - 1.0) < 1e-4
+    mean_share = 1.0 / len(n_tok)
+    for r in rows:
+        c = n_tok[r.source]
+        assert math.isclose(r.nat_frac, round(c / total, 6), abs_tol=1e-6)
+        p = c ** MIX_TEMP_ALPHA / sum_pa
+        assert math.isclose(r.samp_frac, round(p, 6), abs_tol=1e-6)
+        assert math.isclose(r.boost, round(p / (c / total), 6), abs_tol=1e-6)
+        if c / total < mean_share * 0.9:
+            assert r.boost > 1.0, r
+        if c / total > mean_share * 1.1:
+            assert r.boost < 1.0, r
+    # order preserved: bigger source never gets a smaller sampling share
+    by_tok = sorted(rows, key=lambda r: n_tok[r.source])
+    shares = [r.samp_frac for r in by_tok]
+    assert shares == sorted(shares)

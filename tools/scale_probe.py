@@ -638,6 +638,11 @@ PROBE_WAIVERS: dict[str, str] = {
         "shuffle-linear — content-keyed split assignment + certificate"
         " agg; no join"
     ),
+    "domain_mix_temperature": (
+        "scan-shaped — one per-source token-count agg; the alpha-power"
+        " normalize runs on the bounded source-count frame (the"
+        " waterfill family's plan)"
+    ),
     # (the r14 retrieval additions retrieval_prf_expansion /
     # retrieval_eval_metrics were first waived via 100x:text_bm25_topk,
     # then probed directly at 100x — 6.2x / 4.29x — so their waivers
