@@ -267,3 +267,57 @@ def test_mojibake_fix_is_idempotent(spark):
     rows = df.select(once.alias("f1"), fix_mojibake(once).alias("f2")).collect()
     for r in rows:
         assert r["f1"] == r["f2"]
+
+
+@given(
+    threshold=st.floats(min_value=0.1, max_value=0.9),
+    recall=st.floats(min_value=0.9, max_value=0.999),
+    budget_step=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=60, deadline=None)
+def test_minhash_banding_law_properties(threshold, recall, budget_step):
+    """minhash_params_for_scale: the returned banding always meets the
+    at-threshold recall contract within the hash budget, and growing
+    the budget never increases the background-collision rate."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        minhash_params_for_scale,
+    )
+
+    budgets = [64, 128, 256, 512, 1024]
+    prev_bg = None
+    for max_k in budgets[budget_step:]:
+        try:
+            rows, bands, k, bg = minhash_params_for_scale(
+                threshold, recall, max_k=max_k
+            )
+        except ValueError:
+            prev_bg = None
+            continue
+        assert 2 <= rows <= 8 and rows * bands == k <= max_k
+        assert 1 - (1 - threshold**rows) ** bands >= recall - 1e-12
+        if prev_bg is not None:
+            assert bg <= prev_bg + 1e-18
+        prev_bg = bg
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=20, deadline=None)
+def test_pq_codebook_fit_is_deterministic_and_in_range(seed):
+    """_pq_fit_codebook: same seed+sample -> identical centroids;
+    centroids stay inside the sample's bounding box (means of sample
+    subsets can never escape it)."""
+    import numpy as np
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.similarity import (
+        PQ_CODEBOOK_K,
+        _pq_fit_codebook,
+    )
+
+    rng = np.random.RandomState(seed % 9973)
+    samples = rng.randn(200, 8)
+    a = _pq_fit_codebook(samples, seed=seed)
+    b = _pq_fit_codebook(samples.copy(), seed=seed)
+    assert (a == b).all()
+    assert a.shape == (min(PQ_CODEBOOK_K, len(samples)), 8)
+    assert (a >= samples.min(axis=0) - 1e-12).all()
+    assert (a <= samples.max(axis=0) + 1e-12).all()
