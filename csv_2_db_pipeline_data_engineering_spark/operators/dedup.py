@@ -1187,6 +1187,82 @@ ORDER BY doc_a, doc_b
 SIMHASH_ORACLE = _simhash_oracle_sql()
 
 
+def dedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline QA harness: precision / recall / F1 of the
+    SimHash pair detector against the exact capped-Jaccard gold pairs —
+    the one-row report a pipeline dashboard publishes before swapping a
+    near-dup detector (the dedup twin of ``retrieval_eval_metrics``).
+
+    Gold = ``dedup_ngram_jaccard`` (exact trigram capped-Jaccard ≥
+    threshold); system = ``dedup_simhash`` (unigram fingerprint,
+    Hamming ≤ cap). The two measure deliberately different similarity
+    notions, so the metrics are non-vacuous; every input is an
+    oracle-checked registered query, and the metric arithmetic is pure
+    integer-count ratios (no transcendental drift — F1 derives from the
+    UNROUNDED p/r, then rounds).
+
+    Scale design: both pair sets are the probed pipelines
+    (`SCALE_PROBE_100X.json`); the eval adds one pair-keyed join of two
+    bounded pair frames plus a single-row agg.
+    """
+    gold = scoped_cache(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    sys_ = scoped_cache(
+        simhash_pairs(load_table(spark, sf_dir, "documents")).select(
+            "doc_a", "doc_b"
+        )
+    )
+    counts = (
+        gold.agg(F.count(F.lit(1)).alias("n_gold"))
+        .crossJoin(sys_.agg(F.count(F.lit(1)).alias("n_sys")))
+        .crossJoin(
+            gold.join(sys_, ["doc_a", "doc_b"]).agg(
+                F.count(F.lit(1)).alias("n_overlap")
+            )
+        )
+    )
+    prec = F.when(
+        F.col("n_sys") == 0, F.lit(0.0)
+    ).otherwise(F.col("n_overlap") / F.col("n_sys"))
+    rec = F.when(
+        F.col("n_gold") == 0, F.lit(0.0)
+    ).otherwise(F.col("n_overlap") / F.col("n_gold"))
+    f1 = F.when(F.col("n_overlap") == 0, F.lit(0.0)).otherwise(
+        2.0 * prec * rec / (prec + rec)
+    )
+    return counts.select(
+        "n_gold",
+        "n_sys",
+        "n_overlap",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+DEDUP_EVAL_ORACLE = f"""
+WITH gold AS (SELECT doc_a, doc_b FROM ({{NGRAM_JACCARD_CAPPED}})),
+sys AS (SELECT doc_a, doc_b FROM ({{SIMHASH}})),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM gold) AS n_gold,
+         (SELECT COUNT(*) FROM sys) AS n_sys,
+         (SELECT COUNT(*) FROM gold JOIN sys USING (doc_a, doc_b))
+           AS n_overlap
+)
+SELECT n_gold, n_sys, n_overlap,
+       ROUND(CASE WHEN n_sys = 0 THEN 0
+                  ELSE n_overlap * 1.0 / n_sys END, 6) AS precision,
+       ROUND(CASE WHEN n_gold = 0 THEN 0
+                  ELSE n_overlap * 1.0 / n_gold END, 6) AS recall,
+       ROUND(CASE WHEN n_overlap = 0 THEN 0
+                  ELSE 2.0 * (n_overlap * 1.0 / n_sys) * (n_overlap * 1.0 / n_gold)
+                       / (n_overlap * 1.0 / n_sys + n_overlap * 1.0 / n_gold)
+             END, 6) AS f1
+FROM counts
+"""
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 
 
@@ -1588,6 +1664,14 @@ QUERIES = [
     Query("dedup_simhash",
           "SimHash Hamming-distance near-dup pairs (md5 bit votes, banded join)",
           dedup_simhash, SIMHASH_ORACLE),
+    Query("dedup_eval_metrics",
+          "dedup-pipeline QA: precision/recall/F1 of SimHash pairs against "
+          "the exact capped-Jaccard gold set (one-row report)",
+          dedup_eval_metrics,
+          DEDUP_EVAL_ORACLE.format(
+              NGRAM_JACCARD_CAPPED=NGRAM_JACCARD_CAPPED_ORACLE,
+              SIMHASH=SIMHASH_ORACLE,
+          )),
     Query("dedup_clusters",
           "near-dup connected components via min-label propagation over the "
           "exact capped-Jaccard pair set (unconditional oracle)",

@@ -320,3 +320,24 @@ def test_lsh_candidate_pairs_scaled_banding(spark):
     gh.unpersist()
     assert (0, 100) in scaled
     assert len(scaled) <= len(default)
+
+
+def test_dedup_eval_metrics_invariants(spark):
+    """One-row QA report: overlap bounded by both sides, ratios in
+    [0, 1], F1 the harmonic mean of the unrounded precision/recall."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        dedup_eval_metrics,
+    )
+
+    r = dedup_eval_metrics(spark, "/root/testdata/sf0.001").collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_overlap <= min(r.n_gold, r.n_sys)
+    assert 0.0 <= r.precision <= 1.0
+    assert 0.0 <= r.recall <= 1.0
+    assert 0.0 <= r.f1 <= 1.0
+    if r.n_overlap:
+        p, rc = r.n_overlap / r.n_sys, r.n_overlap / r.n_gold
+        assert abs(r.f1 - round(2 * p * rc / (p + rc), 6)) < 1e-9
+    else:
+        assert r.f1 == 0.0

@@ -638,6 +638,12 @@ PROBE_WAIVERS: dict[str, str] = {
         "shuffle-linear — content-keyed split assignment + certificate"
         " agg; no join"
     ),
+    "dedup_eval_metrics": (
+        "100x:dedup_ngram_jaccard — the gold side IS that probed plan;"
+        " the system side is the simhash banded join (probed as"
+        " dedup_simhash_decollided); the eval adds one pair-keyed join"
+        " of the two bounded pair sets plus a single-row agg"
+    ),
     "domain_mix_temperature": (
         "scan-shaped — one per-source token-count agg; the alpha-power"
         " normalize runs on the bounded source-count frame (the"
