@@ -411,8 +411,11 @@ class Query:
 # the BM25 serving list with planted graded relevance) — both in
 # operators/retrieval.py, both with full SQL oracles. Late r14 also
 # adds domain_mix_temperature (the mT5/XLM-R alpha-sampling mix rule,
-# operators/curation.py) — likewise registered + locally green,
-# outside the window, an r15 rotation candidate.
+# operators/curation.py) and dedup_eval_metrics (the dedup-pipeline
+# precision/recall/F1 QA report, operators/dedup.py) — all four r14
+# additions are registered + locally green, outside the window, the
+# natural r15 rotation candidates (the only entries without a driver
+# hash-check).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",
