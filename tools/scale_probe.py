@@ -642,7 +642,13 @@ PROBE_WAIVERS: dict[str, str] = {
         "100x:dedup_ngram_jaccard — the gold side IS that probed plan;"
         " the system side is the simhash banded join (probed as"
         " dedup_simhash_decollided); the eval adds one pair-keyed join"
-        " of the two bounded pair sets plus a single-row agg"
+        " of the two bounded pair sets plus a single-row agg. A direct"
+        " raw-generator probe was attempted (r14) and killed: the"
+        " word-shuffle copies share unigram sets, so at 100x every doc"
+        " has 99 identical-SimHash twins and the pair OUTPUT is"
+        " Θ(copies²·sources) by construction — it measures the"
+        " generator's adversarial duplicate density, not the plan"
+        " (the documented dedup_simhash_decollided rationale)"
     ),
     "domain_mix_temperature": (
         "scan-shaped — one per-source token-count agg; the alpha-power"
