@@ -416,6 +416,28 @@ class Query:
 # additions are registered + locally green, outside the window, the
 # natural r15 rotation candidates (the only entries without a driver
 # hash-check).
+#
+# Round-15 rotation (VERDICT r14 #1): in come the FOUR never-
+# driver-checked r14 additions (all verified locally green by the r14
+# judge and by tools/check_oracles.py): retrieval_prf_expansion
+# (RM3/Rocchio pseudo-relevance-feedback two-round retrieval),
+# retrieval_eval_metrics (MRR / nDCG@k / recall@k eval harness),
+# domain_mix_temperature (mT5/XLM-R alpha-sampling mix rule), and
+# dedup_eval_metrics (dedup-pipeline precision/recall/F1 QA report).
+# Out go four entries each driver-green >= 3 consecutive checked
+# rounds with in-window family twins: corpus_snapshot_diff (green
+# r11-r14; the digest-keyed full-outer lifecycle shape stays via the
+# curation pipelines' keep/drop diffs), mm_avi_mjpeg_stats (green
+# r10-r14; the container+JPEG entropy/DCT kernel keeps four H.264 GOP
+# queries in-window, and the AVI demux stays pytest-pinned),
+# text_fluency_buckets (green r9-r14; the bigram-logprob surface stays
+# inside corpus_curation_decision's fluency gate), and
+# dedup_bloom_prefilter (green r8-r14; the sketch-membership family
+# keeps text_distinct_hll + text_heavy_hitters_incremental in-window).
+# All four stay registered and locally oracle-checked via
+# tools/check_oracles.py. After this rotation every one of the 162
+# pre-r15 registered queries has a driver-green CORRECTNESS row in
+# some round's gate.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",
@@ -437,7 +459,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "span_strip_incremental",  # NEW r10 window: incremental ExactSubstr index
     "dedup_semantic_kmeans",  # NEW r8: SemDeDup (within-cluster cosine)
     "dedup_exact_substring",  # NEW r8: verbatim-span (ExactSubstr) family
-    "dedup_bloom_prefilter",  # NEW r8: Bloom membership pre-filter (sketch family)
     # LLM-pipeline: similarity / embeddings.
     "embedding_kmeans_iter",  # NEW r8: deterministic integer k-means
     "embedding_linear_probe",  # NEW r10: integer-GD classifier training curve
@@ -446,6 +467,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_bm25_topk",  # NEW r13 window: BM25 top-k retrieval (new family)
     "text_bm25_maxscore",  # NEW r14 window: MaxScore/WAND pruning certificate
     "retrieval_rrf_fusion",  # NEW r14 window: reciprocal-rank fusion
+    "retrieval_prf_expansion",  # NEW r15 window: RM3/Rocchio PRF two-round
+    "retrieval_eval_metrics",  # NEW r15 window: MRR/nDCG@k/recall@k eval
+    "domain_mix_temperature",  # NEW r15 window: alpha-sampling mix rule
+    "dedup_eval_metrics",  # NEW r15 window: dedup precision/recall/F1 QA
     "text_span_strip",  # NEW r9 window: ExactSubstr span removal
     "text_length_hdr_quantiles",  # NEW r11: HDR quantile sketch (4th algebra)
     # Mid-r10: HyperLogLog in (NEW: the third mergeable-sketch merge
@@ -455,7 +480,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # and the boilerplate strip inside both curation pipelines).
     "text_distinct_hll",
     "text_heavy_hitters_incremental",  # NEW r10 window: persisted CMS extends
-    "text_fluency_buckets",  # NEW r9 window: bigram-logprob fluency buckets
     "text_encoding_fix",  # NEW r10 window: mojibake repair (r7 tail)
     "text_boilerplate_strip",  # NEW r10 window: boilerplate line removal
     # LLM-pipeline: boilerplate removal + classifier inference (NEW r7).
@@ -468,7 +492,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_h264_bipred_stats",  # NEW r13 window: B-slice biprediction GOP
     "mm_h264_subpel_stats",  # NEW r13 window: half-pel 6-tap MC GOP
     "mm_h264_qpel_stats",  # NEW r14 window: quarter-pel MC GOP
-    "mm_avi_mjpeg_stats",  # NEW r10 window: AVI/Motion-JPEG container decode
     "mm_audio_fp_dedup",  # NEW r9 window: audio fingerprint dedup
     "mm_video_fp_dedup",  # NEW r11 window: temporal-delta video fp (r10 tail)
     "user_hourly_interpolate",  # NEW r9 window: gap-fill interpolation
@@ -478,7 +501,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_curation_report",  # NEW r9 window: per-reason curation audit
     "corpus_decontaminate",  # NEW r11 window: surgical span excision (r10 tail)
     "corpus_epoch_schedule",  # NEW r11 window: per-doc epoch schedule (r10 tail)
-    "corpus_snapshot_diff",  # NEW r8: release-diff audit (lifecycle family)
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
     "ann_incremental_serve",  # NEW r11: incremental ANN serving certificate
