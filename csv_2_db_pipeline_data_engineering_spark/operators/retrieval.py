@@ -79,7 +79,7 @@ def _query_frontier(spark: SparkSession, sf_dir: str):
     return qvocab, qterm
 
 
-def _corpus_index(spark: SparkSession, sf_dir: str, frontier=None):
+def _corpus_index(spark: SparkSession, sf_dir: str, frontier=None, corpus=None):
     """(query-term postings, query-vocab df+qtf broadcast, stats).
 
     The serving plan a 100 TB tier would run against a prebuilt
@@ -99,7 +99,6 @@ def _corpus_index(spark: SparkSession, sf_dir: str, frontier=None):
     ``avgdl`` is integer-exact (``floor(1000·Σdl/N)/1000``) so both
     engines compute bit-identical normalization — no float-avg drift.
     """
-    d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     # ``frontier`` lets two-round callers (PRF expansion) reuse an
     # already-collected frontier instead of re-running the bounded
@@ -114,8 +113,17 @@ def _corpus_index(spark: SparkSession, sf_dir: str, frontier=None):
     # spread_scan is conditional: at production layout (many files) the
     # scan parallelizes itself and NO exchange is added (an explicit
     # repartition(N) always materializes a full shuffle — AQE does not
-    # coalesce a user-specified count).
-    dr = spread_scan(d, table_bytes(sf_dir, "documents"))
+    # coalesce a user-specified count). Multi-pass callers (PRF) pass a
+    # pre-spread scoped-cached ``corpus`` frame instead, so their extra
+    # passes re-read the cache rather than the parquet.
+    dr = (
+        corpus
+        if corpus is not None
+        else spread_scan(
+            load_table(spark, sf_dir, "documents"),
+            table_bytes(sf_dir, "documents"),
+        )
+    )
     # Postings of the query vocabulary only: the IN-literal filter runs
     # map-side inside the explode, so the tf shuffle carries just the
     # matching (doc, term) rows, never the whole corpus. The result is
@@ -217,6 +225,14 @@ def _bm25_topk_frame(tf: DataFrame, qterm: DataFrame, stats: DataFrame) -> DataF
     row of MERGEABLE corpus partials (n_docs, total_dl) — avgdl is
     derived here with the integer-exact floor so merged partials give
     bit-identical normalization to a from-scratch build.
+
+    The postings frame has two consumers (the per-term df aggregate on
+    the broadcast side, and the scoring path), so the upstream subtree
+    executes twice per round. Measured at sf0.1, a scoped cache here is
+    a net LOSS (~0.6 s/round: the InMemoryRelation write + pipelining
+    break costs more than the duplicated pruned-postings subtree) —
+    callers whose subtree is expensive pass an already-cached frame
+    (``_corpus_index`` does) instead of this helper caching blindly.
     """
     st = stats.select(
         "n_docs",
@@ -718,34 +734,58 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
       collected and pushed down exactly like the round-1 frontier.
     A serving tier with the persisted postings index
     (``serve_bm25_from_index``) runs both rounds as index reads
-    instead of corpus scans.
+    instead of corpus scans — registered as ``prf_serve_incremental``.
+
+    The five corpus passes this two-round plan needs (round-1 tf,
+    corpus stats, feedback-doc tf, candidate df, round-2 tf) all read
+    ONE scoped-cached spread frame (the ``bm25_serve_incremental``
+    lesson): the parquet is scanned once; every later pass is a cache
+    read. Corpus partials (n_docs, total_dl) are a ONE-ROW bounded
+    collect reused by both rounds as a local relation — the r15 trim:
+    the first draft re-derived the stats agg (plus its broadcast
+    exchange) inside every consuming job, pure per-stage overhead at
+    bench scale. At 100 TB the cache is the serving tier's postings
+    index — this in-plan twin models that reuse at bench scale.
     """
     qvocab, qterm = _query_frontier(spark, sf_dir)
-    tf, qdf, stats = _corpus_index(spark, sf_dir, frontier=(qvocab, qterm))
-    contrib = F.col("qtf") * _idf(F.col("n_docs"), F.col("df")) * _tf_norm(
-        F.col("tf"), F.col("dl"), F.col("avgdl")
+    toks = F.split(F.col("text"), " ")
+    dr = scoped_cache(
+        spread_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            table_bytes(sf_dir, "documents"),
+        )
     )
-    scored = (
-        tf.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    st = dr.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_dl"),
+    ).collect()[0]  # bounded: ONE row; also materializes the corpus cache
+    partials = spark.createDataFrame(
+        [(st.n_docs, st.total_dl)], "n_docs long, total_dl long"
+    )
+    tf1 = (
+        dr.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        )
+        .filter(F.col("term").isin(qvocab))
+        .groupBy("doc_id", "term")
+        .agg(F.min("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
     )
     fb_rows = (
-        _topk_per_query(scored, PRF_FB_DEPTH)
+        _bm25_topk_frame(tf1, qterm, partials)
         .select("query_id", "doc_id")
         .collect()
-    )  # bounded: <= NQ * k rows
+    )  # bounded: <= NQ * k rows (PRF_FB_DEPTH == BM25_TOPK)
     fb_doc_ids = sorted({r.doc_id for r in fb_rows})
     fb_map = spark.createDataFrame(
         [(r.query_id, r.doc_id) for r in fb_rows], "query_id long, doc_id long"
     )
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
     # Feedback-term frequencies: explode ONLY the feedback docs (the
-    # IN-literal prunes map-side), fan out to their queries.
-    fb_tf = (
-        d.filter(F.col("doc_id").isin(fb_doc_ids))
+    # IN-literal prunes against the cached frame), fan out to their
+    # queries. Two consumers below (the candidate-term broadcast side
+    # and the expansion-weight join) — scoped-cached so the bounded
+    # (~80-doc-vocab) frame computes once.
+    fb_tf = scoped_cache(
+        dr.filter(F.col("doc_id").isin(fb_doc_ids))
         .select("doc_id", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf_fb"))
@@ -760,26 +800,25 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand_terms = fb_tf.select("term").distinct()
-    dr = spread_scan(d, table_bytes(sf_dir, "documents"))
+    # df per candidate term == distinct containing docs: a single
+    # term-keyed exchange (map-side partial distinct) — one fewer
+    # shuffle than the (doc, term)-agg-then-count first draft.
     df_cand = (
         dr.select("doc_id", F.explode(toks).alias("term"))
         .join(F.broadcast(cand_terms), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.count_distinct(F.col("doc_id")).alias("df"))
     )
     w_exp = Window.partitionBy("query_id").orderBy(
         F.desc("w"), F.asc("term")
     )
     expansion = (
         fb_tf.join(df_cand, "term")
-        .join(F.broadcast(stats.select("n_docs")))
         .select(
             "query_id",
             "term",
             F.round(
-                F.col("tf_fb") * F.log(F.col("n_docs") / F.col("df")), 6
+                F.col("tf_fb") * F.log(F.lit(st.n_docs) / F.col("df")), 6
             ).alias("w"),
         )
         .withColumn("r", F.row_number().over(w_exp))
@@ -787,10 +826,11 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "term")
         .collect()
     )  # bounded: <= NQ * PRF_EXP_TERMS rows
-    qterm2 = spark.createDataFrame(
-        [(r.query_id, r.term, r.qtf) for r in qterm.collect()]
-        + [(r.query_id, r.term, 1) for r in expansion],
-        "query_id long, term string, qtf long",
+    qterm2 = qterm.unionByName(
+        spark.createDataFrame(
+            [(r.query_id, r.term, 1) for r in expansion],
+            "query_id long, term string, qtf long",
+        )
     )
     vocab2 = sorted(set(qvocab) | {r.term for r in expansion})
     tf2 = (
@@ -800,10 +840,6 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isin(vocab2))
         .groupBy("doc_id", "term")
         .agg(F.min("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
-    )
-    partials = dr.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks)).alias("total_dl"),
     )
     return (
         _bm25_topk_frame(tf2, qterm2, partials)
