@@ -904,6 +904,146 @@ ORDER BY query_id, rnk
 """
 
 
+def prf_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRF expansion served from the incremental postings index — the
+    serving tier ``retrieval_prf_expansion``'s docstring promises: BOTH
+    rounds run as index reads, never as corpus scans.
+
+    Corpus split like ``bm25_serve_incremental``: an already-indexed
+    history (doc_id % 10 != 0) plus an arriving delta (doc_id % 10 ==
+    0); postings = history-segment ∪ delta-segment, normalization
+    partials summed once before the single floor. Index reads, per
+    stage:
+
+    * round-1 tf: the query-vocabulary slice — the term IN-literal
+      pushes through the union and each segment's aggregate, so only
+      matching postings ever shuffle (the pushdown read);
+    * feedback term vectors: a doc_id-keyed slice of the same index
+      (the forward-index read a serving tier keeps alongside; the
+      doc_id filter pushes below each segment's explode to the scan);
+    * candidate df: the feedback docs' vocabulary is BOUNDED
+      (≤ NQ·k·dl ≈ 80 doc term vectors — the in-memory feedback model
+      every RM3 implementation materializes), so it is collected and
+      pushed down exactly like the round-1 frontier; df is then one
+      count per term over already-distinct (doc, term) postings rows;
+    * round-2 tf: the expanded-vocabulary slice, same pushdown.
+
+    The oracle is the FULL-CORPUS two-round PRF SQL, so the driver's
+    value hash certifies serve-from-segments == from-scratch rebuild
+    across BOTH rounds (df splits, avgdl partial-merge rounding,
+    expansion tie-breaks, final ranking).
+
+    The write/extend/read-back path for the same index is exercised in
+    ``tests/test_retrieval.py``; this in-plan twin re-derives the two
+    segments so the registered query is self-contained (no tmp dirs).
+    """
+    qvocab, qterm = _query_frontier(spark, sf_dir)
+    dr = scoped_cache(
+        spread_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            table_bytes(sf_dir, "documents"),
+        )
+    )
+    base = dr.filter(F.col("doc_id") % 10 != 0)
+    delta = dr.filter(F.col("doc_id") % 10 == 0)
+    postings = bm25_postings(base, spread=False).unionByName(
+        bm25_postings(delta, spread=False)
+    )
+    stats = corpus_stats_partial(base).unionByName(
+        corpus_stats_partial(delta)
+    ).agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("total_dl").alias("total_dl")
+    )
+    return _prf_rounds_from_postings(spark, postings, stats, (qvocab, qterm))
+
+
+def _prf_rounds_from_postings(
+    spark: SparkSession, postings, stats, frontier
+) -> DataFrame:
+    """Both PRF rounds as reads of a (possibly multi-segment) postings
+    frame (doc_id, term, dl, tf) + mergeable stats partials — shared by
+    the in-plan ``prf_serve_incremental`` twin and the from-disk
+    ``serve_prf_from_index`` path."""
+    qvocab, qterm = frontier
+    st = stats.collect()[0]  # bounded: ONE merged (n_docs, total_dl) row
+    partials = spark.createDataFrame(
+        [(st.n_docs, st.total_dl)], "n_docs long, total_dl long"
+    )
+    fb_rows = (
+        _bm25_topk_frame(
+            postings.filter(F.col("term").isin(qvocab)), qterm, partials
+        )
+        .select("query_id", "doc_id")
+        .collect()
+    )  # bounded: <= NQ * k rows
+    fb_doc_ids = sorted({r.doc_id for r in fb_rows})
+    fb_map = spark.createDataFrame(
+        [(r.query_id, r.doc_id) for r in fb_rows], "query_id long, doc_id long"
+    )
+    fb_tf = scoped_cache(
+        postings.filter(F.col("doc_id").isin(fb_doc_ids))
+        .select("doc_id", "term", F.col("tf").alias("tf_fb"))
+        .join(F.broadcast(fb_map), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf_fb").alias("tf_fb"))
+        .join(
+            F.broadcast(qterm.select("query_id", "term")),
+            ["query_id", "term"],
+            "left_anti",
+        )
+    )
+    cand_vocab = sorted(
+        r.term for r in fb_tf.select("term").distinct().collect()
+    )  # bounded: the feedback docs' vocabulary (the RM3 feedback model)
+    df_cand = (
+        postings.filter(F.col("term").isin(cand_vocab))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w_exp = Window.partitionBy("query_id").orderBy(F.desc("w"), F.asc("term"))
+    expansion = (
+        fb_tf.join(df_cand, "term")
+        .select(
+            "query_id",
+            "term",
+            F.round(
+                F.col("tf_fb") * F.log(F.lit(st.n_docs) / F.col("df")), 6
+            ).alias("w"),
+        )
+        .withColumn("r", F.row_number().over(w_exp))
+        .filter(F.col("r") <= PRF_EXP_TERMS)
+        .select("query_id", "term")
+        .collect()
+    )  # bounded: <= NQ * PRF_EXP_TERMS rows
+    qterm2 = qterm.unionByName(
+        spark.createDataFrame(
+            [(r.query_id, r.term, 1) for r in expansion],
+            "query_id long, term string, qtf long",
+        )
+    )
+    vocab2 = sorted(set(qvocab) | {r.term for r in expansion})
+    return (
+        _bm25_topk_frame(
+            postings.filter(F.col("term").isin(vocab2)), qterm2, partials
+        )
+        .select(
+            "query_id", "rnk", "doc_id", F.col("score").alias("score_prf")
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+def serve_prf_from_index(
+    spark: SparkSession, path: str, qterm: DataFrame
+) -> DataFrame:
+    """Two-round PRF over the PERSISTED postings index: the from-disk
+    twin of ``prf_serve_incremental`` (same rounds, postings and stats
+    read back from the LSM store's visible delta tags)."""
+    qvocab = sorted({r.term for r in qterm.select("term").distinct().collect()})
+    postings, stats = read_postings_index(spark, path)
+    return _prf_rounds_from_postings(spark, postings, stats, (qvocab, qterm))
+
+
 # --- ranking-quality evaluation (MRR / nDCG / recall@k) -----------------------
 #
 # The eval harness a serving tier needs: deterministic planted graded
@@ -1109,6 +1249,15 @@ QUERIES = [
         "round 1, bounded feedback set, tf·idf-weighted new terms, "
         "re-ranked round 2",
         retrieval_prf_expansion,
+        PRF_EXPANSION_ORACLE,
+    ),
+    Query(
+        "prf_serve_incremental",
+        "PRF expansion served from the incremental postings index: both "
+        "rounds as term-/doc-keyed index reads over history + delta "
+        "segments — the full-corpus PRF oracle makes the hash check a "
+        "merge == rebuild certificate",
+        prf_serve_incremental,
         PRF_EXPANSION_ORACLE,
     ),
     Query(

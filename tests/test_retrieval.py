@@ -312,6 +312,42 @@ def test_prf_expansion_matches_pure_python(spark, tmp_path):
         )
 
 
+def test_prf_serve_from_index_equals_in_plan_and_rebuild(spark, tmp_path):
+    """The PRF serving tier: from-disk (base index + delta extend) and
+    the in-plan segment twin must both equal the from-scratch
+    full-corpus PRF — the two-round merge == rebuild certificate."""
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+        extend_postings_index,
+        prf_serve_incremental,
+        retrieval_prf_expansion,
+        serve_prf_from_index,
+        write_postings_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    idx = str(tmp_path / "prf_idx")
+    write_postings_index(docs.filter(F.col("doc_id") % 10 != 0), idx, "base")
+    extend_postings_index(docs.filter(F.col("doc_id") % 10 == 0), idx, "d1")
+
+    toks = F.split(F.col("text"), " ")
+    qterm = (
+        docs.orderBy("doc_id").limit(16)
+        .select(F.col("doc_id").alias("query_id"),
+                F.explode(F.slice(toks, 1, 4)).alias("term"))
+        .groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    from_disk = [
+        tuple(r) for r in serve_prf_from_index(spark, idx, qterm).collect()
+    ]
+    in_plan = [tuple(r) for r in prf_serve_incremental(spark, sf).collect()]
+    rebuild = [tuple(r) for r in retrieval_prf_expansion(spark, sf).collect()]
+    assert from_disk == in_plan == rebuild
+    assert from_disk  # non-empty
+
+
 def test_eval_metrics_match_hand_computation(spark):
     """Differential: MRR / nDCG@k / recall@k recomputed in python from
     the served ranking + the planted relevance rule + the corpus."""

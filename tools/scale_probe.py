@@ -650,15 +650,13 @@ PROBE_WAIVERS: dict[str, str] = {
         " generator's adversarial duplicate density, not the plan"
         " (the documented dedup_simhash_decollided rationale)"
     ),
-    "domain_mix_temperature": (
-        "scan-shaped — one per-source token-count agg; the alpha-power"
-        " normalize runs on the bounded source-count frame (the"
-        " waterfill family's plan)"
-    ),
     # (the r14 retrieval additions retrieval_prf_expansion /
     # retrieval_eval_metrics were first waived via 100x:text_bm25_topk,
     # then probed directly at 100x — 6.2x / 4.29x — so their waivers
-    # retired.)
+    # retired. domain_mix_temperature's scan-shaped waiver was likewise
+    # retired in r15 with a direct 100x measurement: 4.62x. The r15
+    # addition prf_serve_incremental was probed directly at 100x on
+    # arrival — no waiver ever issued.)
 }
 
 
