@@ -140,6 +140,13 @@ HEADLINE = [
     "retrieval_prf_expansion",
     # round-14: ranking-eval harness (MRR / nDCG@k / recall@k)
     "retrieval_eval_metrics",
+    # (round-15 additions prf_serve_incremental and
+    # dedup_clusters_lsh_scaled stay OUT of the headline by design:
+    # both are regime twins of in-headline entries — bm25_serve /
+    # dedup_minhash_lsh — whose toy-scale constants are the k=252
+    # signature agg and the two-round serve plan, fixed work the 100x
+    # probes already price (5.89x / 5.09x). The --all sweep covers
+    # them for regressions; they are the natural r16 window rotations.)
 ]
 
 

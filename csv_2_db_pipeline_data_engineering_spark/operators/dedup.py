@@ -180,10 +180,19 @@ def minhash_params_for_scale(
     growing corpus one raises rows-per-band (background shrinks
     geometrically) and pays bands = ceil(ln(1-recall)/ln(1-θ^rows))
     hashes to keep recall. Shipped default (0.4, 0.996): r=2, b=32,
-    k=64 with bg 2.9e-4 — the measured law; at r=3 the same recall
-    costs k=252 and cuts background 128x. Closed-form driver math,
+    k=64 with bg 2.9e-4 — the measured law. Closed-form driver math,
     no data-dependent tuning (the ``lsh_params_for_threshold``
     precedent from the sign-LSH family).
+
+    MEASURED reductions (r15, tools/lsh_pair_mass.py --scaled, 100x
+    corpus, distinct candidate pairs vs the shipped r=2 banding):
+    r=3/b=84/k=252 cuts 31.7x (40.5M → 1.28M); r=4/b=213/k=852 cuts
+    497x (→ 81.5k). Both fall SHORT of the point-mass closed forms
+    (127x / 1.7e4x at j_bg=0.003) because background Jaccard is a
+    DISTRIBUTION, not a point: the surviving collisions are its upper
+    tail (pairs at j≈0.01-0.1), which higher r suppresses more slowly
+    than the median. The closed form sizes the banding; the measured
+    curve is the certificate.
     """
     import math
 
@@ -642,7 +651,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     gh = scoped_cache(
         gram_hash_rows(load_table_spread(spark, sf_dir, "documents"))
     )
-    cands = lsh_candidate_pairs(minhash_signatures(gh))
+    return _jaccard_verified_pairs(
+        gh, lsh_candidate_pairs(minhash_signatures(gh))
+    )
+
+
+def _jaccard_verified_pairs(gh: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact uncapped-Jaccard verify of a banded candidate stream
+    (shared by the shipped and scale-regime bandings): stored gram-hash
+    sets joined to both pair sides, candidate multiplicity collapsed
+    AFTER the threshold filter."""
     sh = scoped_cache(
         gh.groupBy("doc_id")
         .agg(F.collect_set("gh").alias("sh"))
@@ -664,6 +682,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.min("jaccard").alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# Hash budget for the REGISTERED scale-regime banding: 256 keeps the
+# whole signature aggregate inside whole-stage codegen (the session
+# raises spark.sql.codegen.maxFields to 256) and yields r=3/b=84/k=252
+# at the shipped 0.4/0.996 contract — MEASURED 31.7x fewer distinct
+# candidates at 100x (tools/lsh_pair_mass.py --scaled; the point-mass
+# closed form said 127x — see minhash_params_for_scale's docstring for
+# why the background-Jaccard tail halves the exponent's bite). The
+# function default (max_k=1024) picks r=4/b=213/k=852 — measured 497x —
+# for callers who accept the codegen fallback on a 10⁹-doc corpus
+# where candidate mass dominates everything else.
+MINHASH_SCALED_MAX_K = 256
+
+
+def dedup_minhash_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_minhash_lsh`` under the SCALE-REGIME banding that
+    ``minhash_params_for_scale`` derives (r=3 rows/band, 84 bands,
+    k=252 at the shipped 0.4/0.996 contract within the
+    ``MINHASH_SCALED_MAX_K`` codegen budget): distinct candidate mass
+    MEASURED 31.7x lower at the 100x corpus (40.5M → 1.28M pairs,
+    tools/lsh_pair_mass.py --scaled) while at-threshold recall stays
+    ≥ 0.996. Same exact-Jaccard verify, same output contract; the
+    oracle is the SAME uncapped exact-pair SQL, so the driver hash
+    check certifies that the regime switch changes candidate MASS,
+    not results."""
+    gh = scoped_cache(
+        gram_hash_rows(load_table_spread(spark, sf_dir, "documents"))
+    )
+    return _jaccard_verified_pairs(
+        gh, lsh_candidate_pairs_scaled(gh, max_k=MINHASH_SCALED_MAX_K)
     )
 
 
@@ -752,6 +802,25 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster topology (one missed edge would change component counts).
     """
     pairs = dedup_minhash_lsh(spark, sf_dir)
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
+def dedup_clusters_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters_lsh`` under the scale-regime banding (the r14
+    pair-mass certificate's mitigation as a REGISTERED, oracle-checked
+    query — the r10 semantic-0.95 precedent): candidates from the
+    ``minhash_params_for_scale`` (r=3, b=84, k=252) parameterization,
+    exact-Jaccard verified, min-label components. The oracle is the
+    same exact-pair recursive-CC SQL as ``dedup_clusters_lsh``, so a
+    green hash proves the lower-candidate-mass regime (measured 31.7x
+    at 100x, ``tools/lsh_pair_mass.py --scaled``) reproduces the
+    identical cluster topology."""
+    pairs = dedup_minhash_lsh_scaled(spark, sf_dir)
     labels = connected_components(pairs)
     return (
         labels.groupBy("cluster_id")
@@ -1698,6 +1767,12 @@ QUERIES = [
           "near-dup connected components over MinHash-LSH edges (the 100 TB "
           "pipeline shape; seeded-LSH recall contract extends to topology)",
           dedup_clusters_lsh, DEDUP_CLUSTERS_LSH_ORACLE),
+    Query("dedup_clusters_lsh_scaled",
+          "dedup_clusters_lsh under the scale-regime banding (r=3/b=84/k=252 "
+          "from minhash_params_for_scale): measured 31.7x less candidate "
+          "mass at 100x, same 0.996 recall contract, identical cluster "
+          "topology certified by the same exact-pair oracle",
+          dedup_clusters_lsh_scaled, DEDUP_CLUSTERS_LSH_ORACLE),
     Query("dedup_embedding_cosine_block",
           "exhaustive-recall embedding-cosine pairs via k-means block join "
           f"(cos >= {BLOCK_COSINE_THRESHOLD}; Theta(n^2) keyed join on isotropic data)",

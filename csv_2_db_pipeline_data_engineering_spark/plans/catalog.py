@@ -438,6 +438,15 @@ class Query:
 # tools/check_oracles.py. After this rotation every one of the 162
 # pre-r15 registered queries has a driver-green CORRECTNESS row in
 # some round's gate.
+#
+# r15 additions (registered + locally oracle-checked + 100x-probed,
+# OUTSIDE the window this round — the natural r16 rotation candidates,
+# the only entries without a driver hash-check): prf_serve_incremental
+# (PRF expansion served from the incremental postings index,
+# operators/retrieval.py; 100x ratio 5.09x) and dedup_clusters_lsh_scaled
+# (the scale-regime r=3/b=84/k=252 MinHash banding as an oracle-checked
+# query, operators/dedup.py; 100x ratio 5.89x, measured 31.7x candidate-
+# mass cut via tools/lsh_pair_mass.py --scaled).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",

@@ -5,6 +5,7 @@ from __future__ import annotations
 from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
     connected_components,
     dedup_minhash_lsh,
+    dedup_minhash_lsh_scaled,
 )
 from tests.conftest import SF_DIR
 
@@ -48,3 +49,20 @@ def test_components_match_union_find_on_real_pairs(spark):
     assert pairs, "expected some near-dup pairs at this SF"
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs_df).collect()}
     assert got == _union_find(pairs)
+
+
+def test_scaled_banding_recovers_identical_pairs(spark):
+    """The scale-regime banding (r=3/b=84/k=252) must change candidate
+    MASS only: after the exact-Jaccard verify, the surviving pair set —
+    ids and rounded Jaccard values — is identical to the shipped r=2
+    banding's (the regime-switch contract of dedup_clusters_lsh_scaled)."""
+    shipped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    scaled = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh_scaled(spark, SF_DIR).collect()
+    }
+    assert shipped, "expected some near-dup pairs at this SF"
+    assert scaled == shipped
