@@ -824,6 +824,45 @@ def _mc_fetch(
     return out
 
 
+def _mc_bi_16x16(
+    dst: list[list[int]],
+    ref0: list[list[int]],
+    ref1: list[list[int]],
+    mx: int,
+    my: int,
+    mv0: tuple[int, int],
+    mv1: tuple[int, int],
+    width: int,
+    height: int,
+) -> None:
+    """Bi-predictive full-pel 16x16 MC: both boundary-clamped fetches
+    and the 8.4.2.3 default weighted average ``(p0 + p1 + 1) >> 1``
+    fused into one row pass written straight into ``dst`` (no
+    intermediate prediction blocks)."""
+    wm, hm = width - 1, height - 1
+    x0, y0 = mx * 16, my * 16
+    sx0, dy0 = x0 + (mv0[0] >> 2), mv0[1] >> 2
+    sx1, dy1 = x0 + (mv1[0] >> 2), mv1[1] >> 2
+    in0 = 0 <= sx0 and sx0 + 16 <= width
+    in1 = 0 <= sx1 and sx1 + 16 <= width
+    if not in0:
+        col0 = [min(wm, max(0, sx0 + j)) for j in range(16)]
+    if not in1:
+        col1 = [min(wm, max(0, sx1 + j)) for j in range(16)]
+    # vertical clamps hoisted: when all 16 source rows are in-picture
+    # (the common case) the per-row min/max pair disappears
+    inv0 = 0 <= y0 + dy0 and y0 + dy0 + 16 <= height
+    inv1 = 0 <= y0 + dy1 and y0 + dy1 + 16 <= height
+    for i in range(16):
+        row0 = ref0[y0 + i + dy0] if inv0 else ref0[min(hm, max(0, y0 + i + dy0))]
+        row1 = ref1[y0 + i + dy1] if inv1 else ref1[min(hm, max(0, y0 + i + dy1))]
+        r0 = row0[sx0 : sx0 + 16] if in0 else [row0[c] for c in col0]
+        r1 = row1[sx1 : sx1 + 16] if in1 else [row1[c] for c in col1]
+        dst[y0 + i][x0 : x0 + 16] = [
+            (a + b + 1) >> 1 for a, b in zip(r0, r1)
+        ]
+
+
 _TAP6 = (1, -5, 20, 20, -5, 1)  # 8.4.2.2.1 half-sample luma filter
 
 
@@ -1378,20 +1417,25 @@ def _decode_b_slice(
         l1[my][mx] = mv1
         st["n_b_l0" if t == 1 else "n_b_l1" if t == 2 else "n_b_bi"] += 1
         # prediction: per-list fetch, default weighted average for Bi
+        x0, y0 = mx * 16, my * 16
         if t == 1:
             pred = _mc_fetch(ref_l0, mx, my, mv0, width, height)
         elif t == 2:
             pred = _mc_fetch(ref_l1, mx, my, mv1, width, height)
         else:
-            p0 = _mc_fetch(ref_l0, mx, my, mv0, width, height)
-            p1 = _mc_fetch(ref_l1, mx, my, mv1, width, height)
-            pred = [
-                [(a + b + 1) >> 1 for a, b in zip(r0, r1)]
-                for r0, r1 in zip(p0, p1)
-            ]
-        x0, y0 = mx * 16, my * 16
-        for i in range(16):
-            luma[y0 + i][x0 : x0 + 16] = pred[i]
+            # Bi: FUSE the two fetches with the 8.4.2.3 average — one
+            # row pass writing straight into the plane instead of
+            # materializing two 16-row blocks and a third averaged one
+            # (~20% of the B-slice wall in the r15 profile; a per-block
+            # numpy rewrite was A/B-measured SLOWER — the list→array
+            # conversion costs more than 256 adds at this block size).
+            _mc_bi_16x16(
+                luma, ref_l0, ref_l1, mx, my, mv0, mv1, width, height
+            )
+            pred = None
+        if pred is not None:
+            for i in range(16):
+                luma[y0 + i][x0 : x0 + 16] = pred[i]
         codenum = r.ue()
         if codenum not in _CODENUM_TO_CBP_INTER:
             raise ValueError("H.264 decoder subset: inter cbp outside subset")
