@@ -469,6 +469,42 @@ def bm25_topk_from_stream(
     )
 
 
+def prf_topk_from_stream(
+    spark: SparkSession, out_dir: str, qterm: DataFrame
+) -> DataFrame:
+    """Two-round PRF expansion over the stream-maintained postings
+    index, COMMITTED batches only — the streaming twin of
+    ``prf_serve_incremental``: round-1 ranking, the bounded feedback
+    term vectors (a doc_id-keyed slice of the same index), candidate
+    df, and the round-2 re-rank are all reads of the committed tags;
+    the per-batch (n_docs, total_dl) partials merge once before the
+    single avgdl floor, so PRF after any number of folds equals a
+    from-scratch two-round build over the shipped kept corpus (the
+    pytest certificate). Raises if no batch has committed yet."""
+    from ..operators.retrieval import _prf_rounds_from_postings
+
+    base = os.path.join(out_dir, POSTINGS_INDEX_DIR)
+    tags = _committed_tags(base, out_dir, batch_id=-1, probe_sub="postings")
+    if not tags:
+        raise ValueError(f"no committed postings-index tags under {base}")
+    qvocab = sorted({r.term for r in qterm.select("term").distinct().collect()})
+    # NOT pre-filtered to the query vocabulary: the PRF rounds apply
+    # their own term-/doc-keyed pushdown slices (round-1 vocab, the
+    # feedback doc ids, the candidate vocabulary, the expanded vocab).
+    postings = (
+        spark.read.option("basePath", os.path.join(base, "postings"))
+        .parquet(*[os.path.join(base, "postings", t) for t in tags])
+        .drop("delta")
+    )
+    stats = (
+        spark.read.option("basePath", os.path.join(base, "stats"))
+        .parquet(*[os.path.join(base, "stats", t) for t in tags])
+        .drop("delta")
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("total_dl").alias("total_dl"))
+    )
+    return _prf_rounds_from_postings(spark, postings, stats, (qvocab, qterm))
+
+
 def epoch_schedule_from_stream(spark: SparkSession, out_dir: str) -> DataFrame:
     """The repeat schedule a training loader pulls after any number of
     folds: waterfill + per-source fractional cumsum over the epoch

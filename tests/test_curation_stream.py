@@ -828,3 +828,53 @@ def test_bm25_from_stream_equals_rebuild_over_shipped_corpus(spark, tmp_path):
     compact_postings_index_stream(spark, out)
     after = [tuple(r) for r in bm25_topk_from_stream(spark, out, qterm).collect()]
     assert after == served
+
+
+def test_prf_from_stream_equals_rebuild_over_shipped_corpus(spark, tmp_path):
+    """The streaming twin of prf_serve_incremental: two-round PRF over
+    the stream-maintained postings index must equal the from-scratch
+    two-round PRF over the shipped kept corpus, after multiple folds
+    AND after compaction."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+        _prf_rounds_from_postings,
+        bm25_postings,
+        corpus_stats_partial,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.streaming.curation_stream import (
+        compact_postings_index_stream,
+        prf_topk_from_stream,
+    )
+
+    out = str(tmp_path / "curated")
+    fresh = (
+        "seven golden apples fell from the tall tree and it was a sign of "
+        "the good harvest to come for the people of the small village inn"
+    )
+    fold_curation_batch(spark, _docs(spark, [(1, _BASE), (2, _OTHER)]), out, 0)
+    fold_curation_batch(spark, _docs(spark, [(12, fresh)]), out, 1)
+
+    kept = read_curated(spark, out, "kept").select("doc_id", "text")
+    qterm = (
+        kept.orderBy("doc_id")
+        .limit(2)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(F.split("text", " "), 1, 4)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    served = [tuple(r) for r in prf_topk_from_stream(spark, out, qterm).collect()]
+    qvocab = sorted({r.term for r in qterm.select("term").distinct().collect()})
+    rebuild = [
+        tuple(r)
+        for r in _prf_rounds_from_postings(
+            spark, bm25_postings(kept), corpus_stats_partial(kept),
+            (qvocab, qterm),
+        ).collect()
+    ]
+    assert served == rebuild and served
+
+    compact_postings_index_stream(spark, out)
+    after = [tuple(r) for r in prf_topk_from_stream(spark, out, qterm).collect()]
+    assert after == served
