@@ -850,8 +850,9 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PRF_EXPANSION_ORACLE = f"""
-WITH {_BM25_COMMON_SQL},
+# The PRF CTE chain (round-1 feedback set through round-2 scores),
+# shared by the expansion / serve oracles and the uplift report.
+_PRF_COMMON_SQL = f"""
 fb AS (
   SELECT query_id, doc_id FROM ranked WHERE rnk <= {PRF_FB_DEPTH}
 ),
@@ -894,11 +895,20 @@ per_term2 AS (
 scored2 AS (
   SELECT query_id, doc_id, ROUND(SUM(contrib), 6) AS score_prf
   FROM per_term2 GROUP BY query_id, doc_id
+),
+ranked2 AS (
+  SELECT query_id, doc_id, score_prf,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_prf DESC, doc_id) AS rnk
+  FROM scored2
 )
+"""
+
+PRF_EXPANSION_ORACLE = f"""
+WITH {_BM25_COMMON_SQL},
+{_PRF_COMMON_SQL}
 SELECT query_id, rnk, doc_id, score_prf
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY score_prf DESC, doc_id) AS rnk
-      FROM scored2)
+FROM ranked2
 WHERE rnk <= {BM25_TOPK}
 ORDER BY query_id, rnk
 """
@@ -1213,6 +1223,166 @@ ORDER BY a.query_id
 """
 
 
+def retrieval_prf_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does PRF help? Per-query nDCG@k of the round-1 BM25 ranking vs
+    the round-2 PRF ranking over the SAME planted graded relevance,
+    plus the uplift — the A/B report a retrieval team reads before
+    shipping a query-expansion change (the eval-harness twin of
+    ``retrieval_eval_metrics``, applied across the two rankers).
+
+    Scale design: both rankings are the certified serving plans
+    (bounded frontiers, pushed-down postings, salted top-k); the
+    metric layer aggregates two ≤ NQ·k serving lists plus ONE corpus
+    pass for the per-query relevant totals (the ideal-DCG needs only
+    per-level relevance COUNTS, never a corpus sort). Uplift is
+    computed from the ROUNDED per-ranker nDCGs so both engines
+    difference identical fixed-precision values.
+    """
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("rnk") + 1.0)
+
+    def _dcg(ranked: DataFrame, tag: str) -> DataFrame:
+        return (
+            ranked.select("query_id", "rnk", "doc_id")
+            .withColumn("rel", _rel_expr(F.col("query_id"), F.col("doc_id")))
+            .groupBy("query_id")
+            .agg(
+                F.sum(gain).alias(f"dcg_{tag}"),
+                F.count_if(F.col("rel") > 0).alias(f"n_rel_at_k_{tag}"),
+            )
+        )
+
+    base = _dcg(text_bm25_topk(spark, sf_dir), "bm25")
+    prf = _dcg(retrieval_prf_expansion(spark, sf_dir), "prf")
+    queries = base.select("query_id").distinct()
+    rel_all = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "query_id", _rel_expr(F.col("query_id"), F.col("doc_id")).alias("rel")
+        )
+        .filter(F.col("rel") > 0)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rel_total"),
+            F.count_if(F.col("rel") == 2).alias("n2"),
+        )
+    )
+    ideal = (
+        rel_all.select(
+            "query_id",
+            F.explode(F.sequence(F.lit(1), F.lit(BM25_TOPK))).alias("i"),
+            F.col("n2"),
+            F.col("n_rel_total"),
+        )
+        .select(
+            "query_id",
+            (
+                (
+                    F.pow(
+                        F.lit(2.0),
+                        F.when(F.col("i") <= F.col("n2"), 2)
+                        .when(F.col("i") <= F.col("n_rel_total"), 1)
+                        .otherwise(0),
+                    )
+                    - 1.0
+                )
+                / F.log2(F.col("i") + 1.0)
+            ).alias("ig"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("ig").alias("idcg"))
+    )
+    ndcg_b = F.round(
+        F.when(F.col("idcg") > 0, F.col("dcg_bm25") / F.col("idcg")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    ndcg_p = F.round(
+        F.when(F.col("idcg") > 0, F.col("dcg_prf") / F.col("idcg")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        base.join(prf, "query_id")
+        .join(ideal, "query_id")
+        .select(
+            "query_id",
+            ndcg_b.alias("ndcg_bm25"),
+            ndcg_p.alias("ndcg_prf"),
+            F.round(ndcg_p - ndcg_b, 6).alias("ndcg_uplift"),
+            "n_rel_at_k_bm25",
+            "n_rel_at_k_prf",
+        )
+        .orderBy("query_id")
+    )
+
+
+PRF_UPLIFT_ORACLE = f"""
+WITH {_BM25_COMMON_SQL},
+{_PRF_COMMON_SQL},
+base_hits AS (
+  SELECT query_id, rnk,
+         CASE WHEN (query_id + doc_id) % {EVAL_REL_MOD_HI} = 0 THEN 2
+              WHEN (query_id + doc_id) % {EVAL_REL_MOD_LO} = 0 THEN 1
+              ELSE 0 END AS rel
+  FROM ranked WHERE rnk <= {BM25_TOPK}
+),
+prf_hits AS (
+  SELECT query_id, rnk,
+         CASE WHEN (query_id + doc_id) % {EVAL_REL_MOD_HI} = 0 THEN 2
+              WHEN (query_id + doc_id) % {EVAL_REL_MOD_LO} = 0 THEN 1
+              ELSE 0 END AS rel
+  FROM ranked2 WHERE rnk <= {BM25_TOPK}
+),
+dcg_b AS (
+  SELECT query_id, SUM((POW(2.0, rel) - 1.0) / log2(rnk + 1.0)) AS dcg_bm25,
+         COUNT(*) FILTER (WHERE rel > 0) AS n_rel_at_k_bm25
+  FROM base_hits GROUP BY query_id
+),
+dcg_p AS (
+  SELECT query_id, SUM((POW(2.0, rel) - 1.0) / log2(rnk + 1.0)) AS dcg_prf,
+         COUNT(*) FILTER (WHERE rel > 0) AS n_rel_at_k_prf
+  FROM prf_hits GROUP BY query_id
+),
+rel_all AS (
+  SELECT q.query_id,
+         COUNT(*) AS n_rel_total,
+         COUNT(*) FILTER (
+           WHERE (q.query_id + d.doc_id) % {EVAL_REL_MOD_HI} = 0
+         ) AS n2
+  FROM documents d
+  CROSS JOIN (SELECT query_id FROM q) q
+  WHERE (q.query_id + d.doc_id) % {EVAL_REL_MOD_HI} = 0
+     OR (q.query_id + d.doc_id) % {EVAL_REL_MOD_LO} = 0
+  GROUP BY q.query_id
+),
+ideal AS (
+  SELECT r.query_id,
+         SUM((POW(2.0, CASE WHEN i.i <= r.n2 THEN 2
+                            WHEN i.i <= r.n_rel_total THEN 1
+                            ELSE 0 END) - 1.0) / log2(i.i + 1.0)) AS idcg
+  FROM rel_all r
+  CROSS JOIN (SELECT UNNEST(range(1, {BM25_TOPK} + 1)) AS i) i
+  GROUP BY r.query_id
+)
+SELECT b.query_id,
+       ROUND(CASE WHEN i.idcg > 0 THEN b.dcg_bm25 / i.idcg ELSE 0 END, 6)
+         AS ndcg_bm25,
+       ROUND(CASE WHEN i.idcg > 0 THEN p.dcg_prf / i.idcg ELSE 0 END, 6)
+         AS ndcg_prf,
+       ROUND(ROUND(CASE WHEN i.idcg > 0 THEN p.dcg_prf / i.idcg ELSE 0 END, 6)
+             - ROUND(CASE WHEN i.idcg > 0 THEN b.dcg_bm25 / i.idcg ELSE 0 END, 6),
+             6) AS ndcg_uplift,
+       b.n_rel_at_k_bm25,
+       p.n_rel_at_k_prf
+FROM dcg_b b JOIN dcg_p p USING (query_id) JOIN ideal i USING (query_id)
+ORDER BY b.query_id
+"""
+
+
 QUERIES = [
     Query(
         "text_bm25_topk",
@@ -1266,5 +1436,13 @@ QUERIES = [
         "BM25 serving list against planted graded relevance",
         retrieval_eval_metrics,
         EVAL_METRICS_ORACLE,
+    ),
+    Query(
+        "retrieval_prf_uplift",
+        "PRF A/B report: per-query nDCG@k of the round-1 BM25 ranking vs "
+        "the round-2 PRF ranking over the same planted relevance, plus "
+        "the rounded uplift",
+        retrieval_prf_uplift,
+        PRF_UPLIFT_ORACLE,
     ),
 ]

@@ -443,10 +443,13 @@ class Query:
 # OUTSIDE the window this round — the natural r16 rotation candidates,
 # the only entries without a driver hash-check): prf_serve_incremental
 # (PRF expansion served from the incremental postings index,
-# operators/retrieval.py; 100x ratio 5.09x) and dedup_clusters_lsh_scaled
+# operators/retrieval.py; 100x ratio 5.09x), dedup_clusters_lsh_scaled
 # (the scale-regime r=3/b=84/k=252 MinHash banding as an oracle-checked
 # query, operators/dedup.py; 100x ratio 5.89x, measured 31.7x candidate-
-# mass cut via tools/lsh_pair_mass.py --scaled).
+# mass cut via tools/lsh_pair_mass.py --scaled), and retrieval_prf_uplift
+# (the PRF A/B report: per-query nDCG@k of round-1 BM25 vs round-2 PRF
+# over the same planted relevance — non-vacuous, 8/16 queries move at
+# sf0.01; waived via the probed constituent plans).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",

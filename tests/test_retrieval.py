@@ -348,6 +348,26 @@ def test_prf_serve_from_index_equals_in_plan_and_rebuild(spark, tmp_path):
     assert from_disk  # non-empty
 
 
+def test_prf_uplift_invariants(spark):
+    """The uplift report's invariants on real data: per-ranker nDCG in
+    [0, 1], uplift equal to the rounded difference of the rounded
+    nDCGs, one row per served query, and the report is NON-VACUOUS
+    (PRF moves at least one query on this corpus — a report that can
+    only ever print zeros certifies nothing)."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+        BM25_NQ,
+        retrieval_prf_uplift,
+    )
+
+    rows = retrieval_prf_uplift(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= BM25_NQ
+    assert len({r.query_id for r in rows}) == len(rows)
+    for r in rows:
+        assert 0.0 <= r.ndcg_bm25 <= 1.0 and 0.0 <= r.ndcg_prf <= 1.0
+        assert r.ndcg_uplift == round(round(r.ndcg_prf, 6) - round(r.ndcg_bm25, 6), 6)
+    assert any(r.ndcg_uplift != 0 for r in rows)
+
+
 def test_eval_metrics_match_hand_computation(spark):
     """Differential: MRR / nDCG@k / recall@k recomputed in python from
     the served ranking + the planted relevance rule + the corpus."""

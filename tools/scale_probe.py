@@ -650,6 +650,14 @@ PROBE_WAIVERS: dict[str, str] = {
         " generator's adversarial duplicate density, not the plan"
         " (the documented dedup_simhash_decollided rationale)"
     ),
+    "retrieval_prf_uplift": (
+        "100x:retrieval_prf_expansion — the uplift report RUNS that"
+        " probed plan verbatim as one input (6.05x) and the probed"
+        " text_bm25_topk plan as the other; the metric layer on top is"
+        " retrieval_eval_metrics' exact rel/ideal-DCG code shape"
+        " (probed directly at 4.29x): two <= NQ*k serving-list aggs"
+        " plus the one broadcast-query corpus pass for relevant totals"
+    ),
     # (the r14 retrieval additions retrieval_prf_expansion /
     # retrieval_eval_metrics were first waived via 100x:text_bm25_topk,
     # then probed directly at 100x — 6.2x / 4.29x — so their waivers
