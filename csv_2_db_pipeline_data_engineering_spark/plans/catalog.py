@@ -450,6 +450,24 @@ class Query:
 # (the PRF A/B report: per-query nDCG@k of round-1 BM25 vs round-2 PRF
 # over the same planted relevance — non-vacuous, 8/16 queries move at
 # sf0.01; waived via the probed constituent plans).
+#
+# Late-r15 swap: rather than leaving the three r15 additions as next
+# round's rotation debt, they enter the window NOW (all three verified
+# locally green by tools/check_oracles.py's full 165/165 run this
+# round), so a green r15 gate leaves the ENTIRE catalog driver-checked
+# cross-round — no never-hash-checked entries remain. Out go three
+# entries each driver-green >= 3 consecutive checked rounds with
+# in-window family twins: line_dedup_incremental (green r9-r14; the
+# O(delta) tagged-index family keeps span_strip_incremental,
+# epoch_schedule_incremental, dsir_select_incremental,
+# text_heavy_hitters_incremental, bm25_serve_incremental, and now
+# prf_serve_incremental in-window), dedup_exact_substring (green
+# r8-r14; the ExactSubstr shingle-island family keeps text_span_strip
+# + span_strip_incremental in-window), and embedding_kmeans_iter
+# (green r8-r14; the integer-iterative embedding family keeps
+# dedup_semantic_kmeans, embedding_linear_probe, and
+# embedding_probe_confusion in-window). All three stay registered and
+# locally oracle-checked.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",
@@ -467,12 +485,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_clusters_lsh",  # NEW r9 window: LSH-banded clustering (covers minhash+CC)
     "ann_lsh_neighbors",  # NEW r12 window: integer-exact LSH neighbor list
     "dedup_semantic_keep",  # NEW r9 window: SemDeDup keep-frame
-    "line_dedup_incremental",  # NEW r9 window: O(delta) line-index extend
     "span_strip_incremental",  # NEW r10 window: incremental ExactSubstr index
     "dedup_semantic_kmeans",  # NEW r8: SemDeDup (within-cluster cosine)
-    "dedup_exact_substring",  # NEW r8: verbatim-span (ExactSubstr) family
+    "dedup_clusters_lsh_scaled",  # NEW r15 window: scale-regime banding
     # LLM-pipeline: similarity / embeddings.
-    "embedding_kmeans_iter",  # NEW r8: deterministic integer k-means
     "embedding_linear_probe",  # NEW r10: integer-GD classifier training curve
     "embedding_probe_confusion",  # NEW r11 window: probe SERVING twin (r10 tail)
     # LLM-pipeline: text analysis + hygiene.
@@ -481,6 +497,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "retrieval_rrf_fusion",  # NEW r14 window: reciprocal-rank fusion
     "retrieval_prf_expansion",  # NEW r15 window: RM3/Rocchio PRF two-round
     "retrieval_eval_metrics",  # NEW r15 window: MRR/nDCG@k/recall@k eval
+    "retrieval_prf_uplift",  # NEW late-r15 window: PRF vs BM25 nDCG A/B
+    "prf_serve_incremental",  # NEW late-r15 window: PRF as index reads
     "domain_mix_temperature",  # NEW r15 window: alpha-sampling mix rule
     "dedup_eval_metrics",  # NEW r15 window: dedup precision/recall/F1 QA
     "text_span_strip",  # NEW r9 window: ExactSubstr span removal
