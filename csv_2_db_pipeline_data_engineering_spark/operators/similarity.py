@@ -87,6 +87,117 @@ ORDER BY query_id, rank
 """
 
 
+def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-hard triplet mining over the labeled embedding corpus —
+    the contrastive-training data op (FaceNet-style batch-hard): for
+    each anchor (vec_id < N_QUERIES), the HARDEST POSITIVE (same label,
+    LOWEST cosine — the most distant example the model must pull in)
+    and the HARDEST NEGATIVE (different label, HIGHEST cosine — the
+    closest impostor it must push out), the margin between them, and a
+    violation flag (negative closer than positive — the triplets a
+    trainer actually keeps).
+
+    Determinism: cosines are rounded to 6 BEFORE selection and ties
+    break to the lowest candidate id on both engines. Scale design:
+    the bounded anchor set broadcasts into ONE corpus pass and both
+    extrema are AGGREGATES (struct max/min — map-side partial combine,
+    no per-anchor sort window), so the only shuffle is the 16-row
+    anchor aggregate; counts ride the same pass.
+    """
+    e = _normalized(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    e = e.join(labels, "vec_id")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("label").alias("anchor_label"),
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("cand_id"),
+            cos.alias("cos"),
+            (F.col("label") == F.col("anchor_label")).alias("same"),
+        )
+    )
+    # struct extrema give exact (rounded-cos, lowest-id) tie-breaks as
+    # ordinary aggregates: max(struct(cos, -id)) == "cos DESC, id ASC"
+    # rank 1; min(struct(cos, id)) == "cos ASC, id ASC" rank 1.
+    hp = F.min(F.when(F.col("same"), F.struct(F.col("cos"), F.col("cand_id"))))
+    hn = F.max(
+        F.when(~F.col("same"), F.struct(F.col("cos"), (-F.col("cand_id")).alias("nid")))
+    )
+    agg = scored.groupBy("anchor_id", "anchor_label").agg(
+        hp.alias("hp"),
+        hn.alias("hn"),
+        F.count_if(F.col("same")).alias("n_pos"),
+        F.count_if(~F.col("same")).alias("n_neg"),
+    )
+    margin = F.round(F.col("hp.cos") - F.col("hn.cos"), 6)
+    return (
+        agg.filter(F.col("hp").isNotNull() & F.col("hn").isNotNull())
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("hp.cand_id").alias("hard_pos_id"),
+            F.col("hp.cos").alias("hard_pos_cos"),
+            (-F.col("hn.nid")).alias("hard_neg_id"),
+            F.col("hn.cos").alias("hard_neg_cos"),
+            margin.alias("margin"),
+            F.when(margin < 0, 1).otherwise(0).alias("is_violation"),
+            "n_pos",
+            "n_neg",
+        )
+        .orderBy("anchor_id")
+    )
+
+
+TRIPLET_MINING_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+         c.vec_id AS cand_id,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos,
+         c.label = q.label AS same
+  FROM e q JOIN e c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+hp AS (
+  SELECT anchor_id, cand_id AS hard_pos_id, cos AS hard_pos_cos
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos ASC, cand_id ASC) AS r
+        FROM scored WHERE same) WHERE r = 1
+),
+hn AS (
+  SELECT anchor_id, cand_id AS hard_neg_id, cos AS hard_neg_cos
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos DESC, cand_id ASC) AS r
+        FROM scored WHERE NOT same) WHERE r = 1
+),
+cnt AS (
+  SELECT anchor_id, anchor_label,
+         COUNT(*) FILTER (WHERE same) AS n_pos,
+         COUNT(*) FILTER (WHERE NOT same) AS n_neg
+  FROM scored GROUP BY anchor_id, anchor_label
+)
+SELECT c.anchor_id, c.anchor_label,
+       p.hard_pos_id, p.hard_pos_cos,
+       n.hard_neg_id, n.hard_neg_cos,
+       ROUND(p.hard_pos_cos - n.hard_neg_cos, 6) AS margin,
+       CASE WHEN ROUND(p.hard_pos_cos - n.hard_neg_cos, 6) < 0
+            THEN 1 ELSE 0 END AS is_violation,
+       c.n_pos, c.n_neg
+FROM cnt c JOIN hp p USING (anchor_id) JOIN hn n USING (anchor_id)
+ORDER BY c.anchor_id
+"""
+
+
 def hyperplanes(
     dim: int = 64, n_tables: int = N_TABLES, n_planes: int = N_PLANES, seed: int = 42
 ) -> list[list[list[float]]]:
@@ -1188,6 +1299,11 @@ ANN_IVF_NEIGHBORS_ORACLE = _ivf_neighbors_sql()
 QUERIES = [
     Query("ann_topk_bruteforce", "exact cosine top-k neighbors (broadcast queries)",
           ann_topk_bruteforce, ANN_TOPK_ORACLE),
+    Query("embedding_triplet_mining",
+          "batch-hard triplet mining: hardest same-label positive + hardest "
+          "cross-label negative per anchor, margin and violation flag "
+          "(struct-extrema aggregates, no per-anchor sort)",
+          embedding_triplet_mining, TRIPLET_MINING_ORACLE),
     Query("embedding_label_centroids", "per-label centroid components (long form)",
           embedding_label_centroids, CENTROIDS_ORACLE),
     Query("embedding_norm_stats", "per-label L2-norm distribution",

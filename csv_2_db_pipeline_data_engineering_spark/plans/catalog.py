@@ -468,6 +468,16 @@ class Query:
 # dedup_semantic_kmeans, embedding_linear_probe, and
 # embedding_probe_confusion in-window). All three stay registered and
 # locally oracle-checked.
+#
+# Later still in r15, embedding_triplet_mining (batch-hard contrastive
+# triplet mining over the labeled embeddings — hardest positive,
+# hardest negative, margin, violation flag; struct-extrema aggregates,
+# hand-computed differential fixture where BOTH flag values occur)
+# enters the window on arrival under the same no-rotation-debt rule;
+# out goes embedding_probe_confusion (green r11-r14; the probe family
+# keeps embedding_linear_probe in-window, and confusion is that
+# entry's serving twin). Every registered query is now either
+# driver-green in a past round or inside this round's window.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",
@@ -490,7 +500,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_clusters_lsh_scaled",  # NEW r15 window: scale-regime banding
     # LLM-pipeline: similarity / embeddings.
     "embedding_linear_probe",  # NEW r10: integer-GD classifier training curve
-    "embedding_probe_confusion",  # NEW r11 window: probe SERVING twin (r10 tail)
+    "embedding_triplet_mining",  # NEW late-r15 window: batch-hard triplets
     # LLM-pipeline: text analysis + hygiene.
     "text_bm25_topk",  # NEW r13 window: BM25 top-k retrieval (new family)
     "text_bm25_maxscore",  # NEW r14 window: MaxScore/WAND pruning certificate

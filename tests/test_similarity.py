@@ -157,3 +157,58 @@ def test_ann_index_extend_serve_equals_inplan_rebuild(spark, tmp_path):
 
     compact_ann_index(spark, path)
     assert serve(*read_ann_index(spark, path)) == want2
+
+
+def test_triplet_mining_hand_computed_fixture(spark, tmp_path):
+    """Differential on a crafted labeled corpus where BOTH flag values
+    occur: anchor 0 has a near-identical same-label twin (no violation);
+    anchor 1's only positive is far while an impostor sits next to it
+    (violation). Extrema, ids, margins, and counts recomputed by hand."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.similarity import (
+        embedding_triplet_mining,
+    )
+
+    dim = 4
+    vecs = {
+        0: ([1.0, 0.0, 0.0, 0.0], 0),
+        1: ([0.0, 1.0, 0.0, 0.0], 1),
+        2: ([0.9, 0.1, 0.0, 0.0], 0),   # anchor 0's close positive
+        3: ([0.0, -1.0, 0.1, 0.0], 1),  # anchor 1's far positive
+        4: ([0.1, 0.9, 0.0, 0.0], 0),   # impostor next to anchor 1
+        5: ([0.0, 0.0, 1.0, 0.0], 2),
+    }
+    rows = [(i, [float(x) for x in v], lab) for i, (v, lab) in vecs.items()]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/embeddings.parquet")
+
+    got = {r.anchor_id: r for r in embedding_triplet_mining(spark, sf).collect()}
+
+    def cos(a, b):
+        va, vb = vecs[a][0], vecs[b][0]
+        num = sum(x * y for x, y in zip(va, vb))
+        den = math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(x * x for x in vb))
+        return round(num / den, 6)
+
+    # hand-computed expectations over the full candidate sets
+    for anchor in (0, 1):
+        lab = vecs[anchor][1]
+        pos = [(cos(anchor, c), c) for c, (v, l) in vecs.items() if c != anchor and l == lab]
+        neg = [(cos(anchor, c), c) for c, (v, l) in vecs.items() if c != anchor and l != lab]
+        hp = min(pos)  # (cos ASC, id ASC)
+        hn = max((c, -i) for c, i in neg)  # (cos DESC, id ASC)
+        r = got[anchor]
+        assert (r.hard_pos_cos, r.hard_pos_id) == hp
+        assert (r.hard_neg_cos, r.hard_neg_id) == (hn[0], -hn[1])
+        assert r.margin == round(r.hard_pos_cos - r.hard_neg_cos, 6)
+        assert r.is_violation == (1 if r.margin < 0 else 0)
+        assert r.n_pos == len(pos) and r.n_neg == len(neg)
+    # both flag values occur on this fixture
+    assert got[0].is_violation == 0, got[0]
+    assert got[1].is_violation == 1, got[1]

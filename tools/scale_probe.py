@@ -650,6 +650,13 @@ PROBE_WAIVERS: dict[str, str] = {
         " generator's adversarial duplicate density, not the plan"
         " (the documented dedup_simhash_decollided rationale)"
     ),
+    "embedding_triplet_mining": (
+        "shuffle-linear — the bounded anchor frame (N_QUERIES=10 rows)"
+        " broadcasts into ONE embeddings pass (the ann_topk_bruteforce"
+        " shape); both extrema are struct aggregates with map-side"
+        " partial combine, so the only shuffle is the 10-row anchor agg"
+        " and no per-anchor sort window exists"
+    ),
     "retrieval_prf_uplift": (
         "100x:retrieval_prf_expansion — the uplift report RUNS that"
         " probed plan verbatim as one input (6.05x) and the probed"
