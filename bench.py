@@ -140,6 +140,9 @@ HEADLINE = [
     "retrieval_prf_expansion",
     # round-14: ranking-eval harness (MRR / nDCG@k / recall@k)
     "retrieval_eval_metrics",
+    # round-15: batch-hard contrastive triplet mining (one broadcast-
+    # anchor corpus pass; struct-extrema aggregates, ~0.9s at sf0.1)
+    "embedding_triplet_mining",
     # (round-15 additions prf_serve_incremental and
     # dedup_clusters_lsh_scaled stay OUT of the headline by design:
     # both are regime twins of in-headline entries — bm25_serve /
