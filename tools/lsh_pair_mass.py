@@ -23,7 +23,9 @@ bucket would show up as sum_bucket_sq growing ~n².
 
 Usage: python tools/lsh_pair_mass.py   (expects .scaleprobe/sf1 and
 .scaleprobe/sf10 to exist — run tools/scale_probe.py first) — prints
-one JSON line per scale and a verdict line.
+one JSON line per scale and a verdict line. The r15 measured
+numbers for all three bandings are persisted in LSH_PAIR_MASS.json
+at the repo root.
 
 ``--scaled`` (r15, VERDICT r14 #3): additionally measures the SAME
 quantities under the ``minhash_params_for_scale`` banding the
