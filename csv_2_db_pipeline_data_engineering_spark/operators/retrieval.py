@@ -79,7 +79,7 @@ def _query_frontier(spark: SparkSession, sf_dir: str):
     return qvocab, qterm
 
 
-def _corpus_index(spark: SparkSession, sf_dir: str, frontier=None, corpus=None):
+def _corpus_index(spark: SparkSession, sf_dir: str, frontier=None):
     """(query-term postings, query-vocab df+qtf broadcast, stats).
 
     The serving plan a 100 TB tier would run against a prebuilt
@@ -113,16 +113,12 @@ def _corpus_index(spark: SparkSession, sf_dir: str, frontier=None, corpus=None):
     # spread_scan is conditional: at production layout (many files) the
     # scan parallelizes itself and NO exchange is added (an explicit
     # repartition(N) always materializes a full shuffle — AQE does not
-    # coalesce a user-specified count). Multi-pass callers (PRF) pass a
-    # pre-spread scoped-cached ``corpus`` frame instead, so their extra
-    # passes re-read the cache rather than the parquet.
-    dr = (
-        corpus
-        if corpus is not None
-        else spread_scan(
-            load_table(spark, sf_dir, "documents"),
-            table_bytes(sf_dir, "documents"),
-        )
+    # coalesce a user-specified count). Multi-pass callers (PRF
+    # expansion) build their passes over their own scoped-cached spread
+    # frame in ``retrieval_prf_expansion`` rather than through here.
+    dr = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        table_bytes(sf_dir, "documents"),
     )
     # Postings of the query vocabulary only: the IN-literal filter runs
     # map-side inside the explode, so the tf shuffle carries just the
@@ -1253,7 +1249,12 @@ def retrieval_prf_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _dcg(text_bm25_topk(spark, sf_dir), "bm25")
     prf = _dcg(retrieval_prf_expansion(spark, sf_dir), "prf")
-    queries = base.select("query_id").distinct()
+    # Enumerate the query ids from the bounded frontier (one tiny
+    # collect over BM25_NQ docs), NOT from ``base`` — deriving them
+    # from the serving list would execute the whole BM25 ranking
+    # subtree an extra time just to list <=16 already-bounded ids.
+    _, qterm = _query_frontier(spark, sf_dir)
+    queries = qterm.select("query_id").distinct()
     rel_all = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")

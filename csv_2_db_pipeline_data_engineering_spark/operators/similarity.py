@@ -101,8 +101,8 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     break to the lowest candidate id on both engines. Scale design:
     the bounded anchor set broadcasts into ONE corpus pass and both
     extrema are AGGREGATES (struct max/min — map-side partial combine,
-    no per-anchor sort window), so the only shuffle is the 16-row
-    anchor aggregate; counts ride the same pass.
+    no per-anchor sort window), so the only shuffle is the
+    N_QUERIES-row (10) anchor aggregate; counts ride the same pass.
     """
     e = _normalized(spark, sf_dir)
     labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
