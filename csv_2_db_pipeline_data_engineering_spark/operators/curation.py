@@ -32,7 +32,7 @@ from .boilerplate import (
 )
 from .dedup import NGRAM_JACCARD_CAPPED_ORACLE, dedup_ngram_jaccard, shingle_rows
 from .lifecycle import scoped_cache
-from .text import _STOPWORD_LIST_SQL, EN_STOPWORDS, bigram_logprob_frame
+from .text import _STOPWORD_LIST_SQL, EN_STOPWORDS, _kn_cte_sql, kn_logprob_frame
 
 # Documents with doc_id below this stand in for the held-out eval /
 # benchmark set (real pipelines load benchmark text from a reference
@@ -63,8 +63,21 @@ LOW_QUALITY_TTR = 0.2  # repetition gate: type-token ratio floor
 # smoothing-floor singletons — lands far below any fluent document.
 # Measured on this corpus: fluent docs spread ≤ ~0.23 below the median,
 # planted salad sits ≥ ~1.1 below — the 0.35 margin cuts through a wide
-# empty band on both sides.
+# empty band on both sides. (Still the batch/stream pipeline's gate —
+# curation_pipeline.py — whose incremental batches cannot assume the
+# KN reference slice is present in every batch.)
 FLUENCY_MARGIN = 0.35
+
+# r16: the registered decision query upgrades its fluency gate from the
+# bigram proxy to the reference-trained Kneser-Ney TRIGRAM model
+# (text.kn_logprob_frame — the CCNet filter class proper: KenLM-style
+# discounted counts + continuation backoff, trained on the fixed
+# doc_id < KN_REF_MAX_ID reference slice, scored via broadcast joins).
+# Margin measured at sf0.01/sf0.1 over corpus + planted witnesses:
+# natural docs spread <= ~0.77 below the median KN score, planted
+# salad sits >= ~3.0 below — 1.5 cuts through the empty band with
+# >= 2x headroom on both sides.
+KN_FLUENCY_MARGIN = 1.5
 
 # Classifier gate (fastText/DCLM-style frozen quality model, served by
 # operators/boilerplate.py): drop documents whose logistic quality
@@ -295,9 +308,11 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard-verified partner (semi-join against the pair list, which is
     small); the language and repetition gates are map-side ratios shared
     with ``text_lang_id`` / ``text_quality_score``; the fluency gate
-    drops docs scoring > FLUENCY_MARGIN below the corpus-median bigram
-    log-probability (``bigram_logprob_frame`` — the CCNet perplexity
-    filter with the corpus's own bigram MLE standing in for the LM).
+    drops docs scoring > KN_FLUENCY_MARGIN below the corpus-median
+    Kneser-Ney trigram log-probability (``kn_logprob_frame`` — the
+    CCNet perplexity filter class proper: a reference-slice-trained KN
+    model with continuation backoff, upgraded in r16 from the add-one
+    bigram proxy the batch pipeline still runs).
     Runs over the corpus plus planted salad witnesses (low_fluency)
     and planted semantic-twin witnesses (semantic_dup), so both gate
     families are value-checked, not vacuously absent.
@@ -340,9 +355,13 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("doc_id"))
         .withColumn("sem_loser", F.lit(True))
     )
-    # Fluency: per-doc score over the SAME augmented corpus, median as a
-    # 1-row broadcast (never a driver action).
-    scores = bigram_logprob_frame(d).select("doc_id", "avg_logprob")
+    # Fluency: per-doc KN score over the SAME augmented corpus (the
+    # reference slice is doc_id-bounded, so planted witnesses can never
+    # train the model), median as a 1-row broadcast (never a driver
+    # action).
+    scores = kn_logprob_frame(d).select(
+        "doc_id", F.col("kn_logprob").alias("avg_logprob")
+    )
     med = scores.agg(F.median("avg_logprob").alias("fluency_med"))
     reason = (
         F.when(F.col("exact_loser"), "exact_dup")
@@ -351,7 +370,7 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("stop_ratio") < LANG_STOP_RATIO, "non_english")
         .when(F.col("ttr") < LOW_QUALITY_TTR, "low_quality")
         .when(
-            F.col("fluency_med") - F.col("avg_logprob") > FLUENCY_MARGIN,
+            F.col("fluency_med") - F.col("avg_logprob") > KN_FLUENCY_MARGIN,
             "low_fluency",
         )
         .when(
@@ -416,26 +435,8 @@ sreach(a, b) AS (
 semlosers AS (
   SELECT a AS doc_id FROM sreach GROUP BY a HAVING LEAST(a, MIN(b)) < a
 ),
-bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
-bi AS (
-  SELECT doc_id,
-         unnest([{{'w1': w[i], 'w2': w[i+1]}} for i in range(1, len(w))]) AS b
-  FROM bw WHERE len(w) >= 2
-),
-bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
-c2 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bb GROUP BY w1, w2),
-c1 AS (SELECT w1, COUNT(*) AS n1 FROM bb GROUP BY w1),
-vs AS (
-  SELECT COUNT(DISTINCT tok) AS v
-  FROM (SELECT unnest(w) AS tok FROM bw WHERE len(w) >= 2)
-),
-scored AS (
-  SELECT doc_id,
-         list_reduce(list(lp ORDER BY lp), (a, b) -> a + b) / COUNT(*) AS lp
-  FROM (SELECT doc_id, ln((n12 + 1)::DOUBLE / (n1 + v)) AS lp
-        FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs)
-  GROUP BY doc_id
-),
+{_kn_cte_sql("aug")},
+scored AS (SELECT doc_id, kn_lp AS lp FROM kn_doc),
 med AS (SELECT quantile_cont(lp, 0.5) AS m FROM scored),
 fp AS (
   SELECT doc_id,
@@ -458,7 +459,7 @@ SELECT doc_id, reason, reason = 'keep' AS keep FROM (
               WHEN semlosers.doc_id IS NOT NULL THEN 'semantic_dup'
               WHEN stop_ratio < {LANG_STOP_RATIO} THEN 'non_english'
               WHEN ttr < {LOW_QUALITY_TTR} THEN 'low_quality'
-              WHEN med.m - scored.lp > {FLUENCY_MARGIN} THEN 'low_fluency'
+              WHEN med.m - scored.lp > {KN_FLUENCY_MARGIN} THEN 'low_fluency'
               WHEN clf_nscaled < {CLASSIFIER_FLOOR_E2} * clf_ntok
                 THEN 'low_classifier'
               ELSE 'keep' END AS reason

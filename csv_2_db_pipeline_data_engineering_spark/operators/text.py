@@ -478,6 +478,202 @@ FROM bucketed ORDER BY doc_id
 """
 
 
+#: Absolute discount for interpolated Kneser-Ney (Chen & Goodman 1999
+#: report 0.75 as the robust single-discount choice; CCNet's KenLM
+#: filter uses modified KN with per-count discounts — one discount
+#: keeps the oracle arithmetic simple while preserving the model class).
+KN_DISCOUNT = 0.75
+
+
+#: Fixed reference slice the KN model trains on (doc_id < this). CCNet
+#: scores candidate text against a KenLM trained on TRUSTED text
+#: (Wikipedia), never on the corpus being filtered — training on the
+#: scored corpus lets junk boost itself: a salad trigram seen once in
+#: a once-seen context gets max(1-D,0)/1 = 0.25 of the mass (measured:
+#: self-trained KN put planted salad ABOVE the corpus median). A fixed
+#: reference also fixes the 100 TB shape: the model frames are bounded
+#: by the reference, so scoring is broadcast joins over the corpus
+#: stream — no corpus-sized model shuffle. Planted witnesses
+#: (doc_id >= 20M) can never enter the reference.
+KN_REF_MAX_ID = 250
+
+
+def kn_logprob_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_trigrams, kn_logprob): interpolated Kneser-Ney
+    TRIGRAM log-probability of every doc against the model trained on
+    the fixed reference slice (doc_id < KN_REF_MAX_ID), UNROUNDED —
+    the CCNet LM-perplexity quality filter class (Wenzek et al. 2020
+    score with a Wikipedia-trained 5-gram KenLM; the reference-slice
+    KN trigram model is the self-contained equivalent, one order up
+    from ``bigram_logprob_frame``'s add-one proxy). Docs with < 3
+    tokens get no row.
+
+    Model (Chen & Goodman 1999, interpolated form, discount D), with
+    KenLM-style immediate backoff for unseen contexts and an add-one
+    continuation floor standing in for <unk>:
+
+      P(w3|w1,w2) = max(c(w123)-D,0)/c(w12·)
+                    + D·N1+(w12·)/c(w12·) · P(w3|w2)   [ctx seen]
+                  = P(w3|w2)                            [ctx unseen]
+      P(w3|w2)    = max(N1+(·w23)-D,0)/N1+(·w2·)
+                    + D·N1+(w2*)/N1+(·w2·) · P_c(w3)   [w2 seen]
+                  = P_c(w3)                             [w2 unseen]
+      P_c(w3)     = (N1+(*w3) + 1) / (T + U + 1)
+
+    where c(w12·)=Σ_w3 c(w123), N1+ are distinct-continuation type
+    counts, T = distinct (w2,w3) types, U = distinct continuation
+    words — all INTEGER aggregates of the reference trigram type
+    table, so both engines build bit-identical count frames; the
+    float combination is written with the identical operation order
+    on both sides. The add-one floor is proper (U seen continuations
+    + one OOV bucket sum to 1) and puts out-of-model salad at
+    ~ln(1/(T+U+1)) — far below any fluent document.
+
+    Plan shape (100 TB): the trigram stream is posexplode + two
+    window leads, cached once (scoped); the MODEL aggregates only the
+    reference slice's trigrams (bounded frames), and scoring is five
+    BROADCAST left-joins over the occurrence stream — entirely
+    map-side — followed by the per-doc aggregate. No corpus-sized
+    shuffle except that final doc_id-keyed agg.
+    """
+    from pyspark.sql import Window as W
+
+    D = F.lit(KN_DISCOUNT)
+    d = docs.filter(F.size(F.split("text", " ")) >= 3)
+    words = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1"))
+    win = W.partitionBy("doc_id").orderBy("pos")
+    tri = scoped_cache(
+        words.withColumn("w2", F.lead("w1").over(win))
+        .withColumn("w3", F.lead("w1", 2).over(win))
+        .filter(F.col("w3").isNotNull())
+        .select("doc_id", "w1", "w2", "w3")
+    )
+    # scoped_cache: the reference type table feeds four statistic
+    # aggregates plus the scoring join — bounded by the reference slice
+    t3 = scoped_cache(
+        tri.filter(F.col("doc_id") < KN_REF_MAX_ID)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n3"))
+    )
+    ctx2 = t3.groupBy("w1", "w2").agg(
+        F.sum("n3").alias("c_ctx"), F.count(F.lit(1)).alias("n1f")
+    )
+    midb = t3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nb"))
+    mid2 = midb.groupBy("w2").agg(
+        F.sum("nb").alias("nmid"), F.count(F.lit(1)).alias("nfol")
+    )
+    cont = midb.groupBy("w3").agg(F.count(F.lit(1)).alias("nc"))
+    tot = midb.agg(
+        F.count(F.lit(1)).alias("tt"), F.countDistinct("w3").alias("uu")
+    )
+    pcont = (F.coalesce(F.col("nc"), F.lit(0)) + 1) / (
+        F.col("tt") + F.col("uu") + 1
+    )
+    pmid = F.when(
+        F.col("nmid").isNotNull(),
+        F.greatest(F.coalesce(F.col("nb"), F.lit(0)) - D, F.lit(0.0))
+        / F.col("nmid")
+        + D * F.col("nfol") / F.col("nmid") * pcont,
+    ).otherwise(pcont)
+    p = F.when(
+        F.col("c_ctx").isNotNull(),
+        F.greatest(F.coalesce(F.col("n3"), F.lit(0)) - D, F.lit(0.0))
+        / F.col("c_ctx")
+        + D * F.col("n1f") / F.col("c_ctx") * pmid,
+    ).otherwise(pmid)
+    occ = (
+        tri.join(F.broadcast(t3), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(ctx2), ["w1", "w2"], "left")
+        .join(F.broadcast(midb), ["w2", "w3"], "left")
+        .join(F.broadcast(mid2), "w2", "left")
+        .join(F.broadcast(cont), "w3", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(p).alias("lp"))
+    )
+    # sorted fold (the bigram_logprob_frame determinism contract)
+    lps = F.sort_array(F.collect_list("lp"))
+    avg_sorted = F.aggregate(lps, F.lit(0.0), lambda a, x: a + x) / F.size(lps)
+    return occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        avg_sorted.alias("kn_logprob"),
+    )
+
+
+def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered Kneser-Ney trigram perplexity score (display wrapper
+    over :func:`kn_logprob_frame`, which the curation fluency gate
+    consumes unrounded): per-doc trigram count, average KN
+    log-probability, and perplexity exp(-avg)."""
+    scored = kn_logprob_frame(load_table(spark, sf_dir, "documents"))
+    return scored.select(
+        "doc_id",
+        "n_trigrams",
+        F.round("kn_logprob", 4).alias("kn_logprob"),
+        F.round(F.exp(-F.col("kn_logprob")), 4).alias("kn_ppl"),
+    ).orderBy("doc_id")
+
+
+def _kn_cte_sql(docs_rel: str) -> str:
+    """The KN trigram scoring chain as reusable CTE text over any
+    (doc_id, text) relation — shared verbatim by the registered oracle
+    and the curation-decision oracle so both engines' gate inputs stay
+    definitionally identical."""
+    return f"""tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM {docs_rel}),
+tr AS (
+  SELECT doc_id,
+         unnest([{{'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]}}
+                 for i in range(1, len(w) - 1)]) AS t
+  FROM tw WHERE len(w) >= 3),
+tt3 AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3 FROM tr),
+t3 AS (SELECT w1, w2, w3, COUNT(*) AS n3 FROM tt3
+       WHERE doc_id < {KN_REF_MAX_ID} GROUP BY w1, w2, w3),
+ctx2 AS (SELECT w1, w2, CAST(SUM(n3) AS BIGINT) AS c_ctx, COUNT(*) AS n1f
+         FROM t3 GROUP BY w1, w2),
+midb AS (SELECT w2, w3, COUNT(*) AS nb FROM t3 GROUP BY w2, w3),
+mid2 AS (SELECT w2, CAST(SUM(nb) AS BIGINT) AS nmid, COUNT(*) AS nfol
+         FROM midb GROUP BY w2),
+cont AS (SELECT w3, COUNT(*) AS nc FROM midb GROUP BY w3),
+tot AS (SELECT COUNT(*) AS tt, COUNT(DISTINCT w3) AS uu FROM midb),
+kn_j AS (
+  SELECT tt3.doc_id, n3, c_ctx, n1f, nb, nmid, nfol, nc, tt, uu
+  FROM tt3
+  LEFT JOIN t3 USING (w1, w2, w3)
+  LEFT JOIN ctx2 USING (w1, w2)
+  LEFT JOIN midb USING (w2, w3)
+  LEFT JOIN mid2 USING (w2)
+  LEFT JOIN cont USING (w3)
+  CROSS JOIN tot),
+kn_p AS (
+  SELECT doc_id, n3, c_ctx, n1f,
+         CASE WHEN nmid IS NOT NULL THEN
+                GREATEST(COALESCE(nb, 0) - {KN_DISCOUNT}, 0.0) / nmid
+                + {KN_DISCOUNT} * nfol / nmid
+                  * ((COALESCE(nc, 0) + 1) / (tt + uu + 1))
+              ELSE (COALESCE(nc, 0) + 1) / (tt + uu + 1) END AS pmid
+  FROM kn_j),
+kn_occ AS (
+  SELECT doc_id,
+         ln(CASE WHEN c_ctx IS NOT NULL THEN
+                   GREATEST(COALESCE(n3, 0) - {KN_DISCOUNT}, 0.0) / c_ctx
+                   + {KN_DISCOUNT} * n1f / c_ctx * pmid
+                 ELSE pmid END) AS lp
+  FROM kn_p),
+kn_doc AS (
+  SELECT doc_id, COUNT(*) AS n_trigrams,
+         list_reduce(list(lp ORDER BY lp), (a, b) -> a + b) / COUNT(*)
+           AS kn_lp
+  FROM kn_occ GROUP BY doc_id)"""
+
+
+KN_PERPLEXITY_ORACLE = f"""
+WITH {_kn_cte_sql("documents")}
+SELECT doc_id, n_trigrams,
+       ROUND(kn_lp, 4) AS kn_logprob,
+       ROUND(exp(-kn_lp), 4) AS kn_ppl
+FROM kn_doc ORDER BY doc_id
+"""
+
+
 def text_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary rank-frequency statistics (Zipf's law): word
     counts ranked by (count DESC, word) and the log-log regression
@@ -754,6 +950,11 @@ QUERIES = [
           "corpus-MLE bigram log-probability fluency score (perplexity-style "
           "quality proxy, CCNet-inspired)",
           text_bigram_logprob, BIGRAM_LOGPROB_ORACLE),
+    Query("text_kn_perplexity",
+          "interpolated Kneser-Ney trigram perplexity (the CCNet LM-quality "
+          "filter class: discounted counts + continuation-type backoff, "
+          "integer count algebra, sorted-fold per-doc average)",
+          text_kn_perplexity, KN_PERPLEXITY_ORACLE),
     Query("text_tfidf", "exact corpus TF-IDF per (doc, term)", text_tfidf,
           TFIDF_ORACLE),
     Query("text_top_term", "most distinctive term per doc (TF-IDF argmax)",

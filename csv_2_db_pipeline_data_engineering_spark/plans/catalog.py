@@ -478,6 +478,25 @@ class Query:
 # keeps embedding_linear_probe in-window, and confusion is that
 # entry's serving twin). Every registered query is now either
 # driver-green in a past round or inside this round's window.
+# Round-16 rotation (no-rotation-debt invariant, VERDICT r15 #8): the
+# two r16 additions enter the window ON ARRIVAL — ann_ivfpq_neighbors
+# (VERDICT r15 #1: the composed FAISS production shape — integer
+# k-means coarse routing + residual PQ codebooks + cell-local ADC
+# scoring + exact refine, value-checked end-to-end; recall certificate
+# in tests/test_similarity.py, 100x probe 8.84x) and text_kn_perplexity
+# (VERDICT r15 #2: reference-slice-trained interpolated Kneser-Ney
+# trigram perplexity — the CCNet LM-filter class — also wired in as
+# corpus_curation_decision's upgraded low_fluency gate, where the
+# planted salads keep it non-vacuous). Out go two ANN-family entries
+# each driver-green >= 4 consecutive checked rounds: ann_lsh_neighbors
+# (green r12-r15; the banded-signature-join shape stays in-window via
+# dedup_clusters_lsh + dedup_clusters_lsh_scaled, and the ANN family
+# keeps ann_ivf_neighbors — whose coarse quantizer the incoming
+# ann_ivfpq_neighbors RUNS verbatim) and ann_incremental_serve (green
+# r11-r15; the O(delta) persisted-index serving family keeps
+# bm25_serve_incremental, prf_serve_incremental, and the four other
+# *_incremental entries in-window). Both stay registered and locally
+# oracle-checked via tools/check_oracles.py.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference-parity ETL core (SURVEY §2 P/A/F/U ids).
     "rejection_rate",
@@ -493,7 +512,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "domain_mix_waterfill",  # NEW r10: epoch-capped waterfilling mix pass
     # LLM-pipeline: deduplication family.
     "dedup_clusters_lsh",  # NEW r9 window: LSH-banded clustering (covers minhash+CC)
-    "ann_lsh_neighbors",  # NEW r12 window: integer-exact LSH neighbor list
+    "ann_ivfpq_neighbors",  # NEW r16 window: composed IVF-PQ + exact refine
     "dedup_semantic_keep",  # NEW r9 window: SemDeDup keep-frame
     "span_strip_incremental",  # NEW r10 window: incremental ExactSubstr index
     "dedup_semantic_kmeans",  # NEW r8: SemDeDup (within-cluster cosine)
@@ -543,7 +562,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_epoch_schedule",  # NEW r11 window: per-doc epoch schedule (r10 tail)
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
-    "ann_incremental_serve",  # NEW r11: incremental ANN serving certificate
+    "text_kn_perplexity",  # NEW r16 window: Kneser-Ney trigram LM filter
     "graph_triangle_count",  # NEW r9 window: triangle counting
     "promo_revenue_share",  # NEW r10 window: Q14-shape promo share (r8 tail)
     "top_revenue_supplier",  # NEW r10 window: Q15-shape view-equivalent topk

@@ -6,6 +6,7 @@ from csv_2_db_pipeline_data_engineering_spark.operators.similarity import (
     TOP_K,
     ann_ivf,
     ann_ivf_neighbor_list,
+    ann_ivfpq_neighbor_list,
     ann_lsh_bucketed,
     ann_lsh_neighbor_list,
     ann_topk_bruteforce,
@@ -55,6 +56,21 @@ def test_integer_ivf_neighbor_list_recall(spark):
     recall = len(exact & approx) / len(exact)
     # nprobe=4 of k=8 integer k-means clusters: half the corpus probed
     assert recall >= 0.6, f"integer-IVF recall {recall:.2f}"
+    n_queries = len({q for q, _ in approx})
+    assert all(q != n for q, n in approx)
+    assert len(approx) == n_queries * TOP_K
+
+
+def test_ann_ivfpq_recall_certificate(spark):
+    """Composed IVF-PQ (coarse routing + residual-PQ ADC shortlist +
+    exact refine) must hold near-IVF recall: the ADC@IVFPQ_SHORTLIST
+    stage keeps ~95% of the exact top-5 (measured sf0.001/sf0.01) and
+    the refine re-ranks those exactly, so losses come only from coarse
+    routing misses plus shortlist truncation."""
+    exact = _pairs(ann_topk_bruteforce(spark, SF_DIR))
+    approx = _pairs(ann_ivfpq_neighbor_list(spark, SF_DIR))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"IVF-PQ recall {recall:.2f}"
     n_queries = len({q for q, _ in approx})
     assert all(q != n for q, n in approx)
     assert len(approx) == n_queries * TOP_K

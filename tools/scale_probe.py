@@ -650,28 +650,17 @@ PROBE_WAIVERS: dict[str, str] = {
         " generator's adversarial duplicate density, not the plan"
         " (the documented dedup_simhash_decollided rationale)"
     ),
-    "embedding_triplet_mining": (
-        "shuffle-linear — the bounded anchor frame (N_QUERIES=10 rows)"
-        " broadcasts into ONE embeddings pass (the ann_topk_bruteforce"
-        " shape); both extrema are struct aggregates with map-side"
-        " partial combine, so the only shuffle is the 10-row anchor agg"
-        " and no per-anchor sort window exists"
-    ),
-    "retrieval_prf_uplift": (
-        "100x:retrieval_prf_expansion — the uplift report RUNS that"
-        " probed plan verbatim as one input (6.05x) and the probed"
-        " text_bm25_topk plan as the other; the metric layer on top is"
-        " retrieval_eval_metrics' exact rel/ideal-DCG code shape"
-        " (probed directly at 4.29x): two <= NQ*k serving-list aggs"
-        " plus the one broadcast-query corpus pass for relevant totals"
-    ),
     # (the r14 retrieval additions retrieval_prf_expansion /
     # retrieval_eval_metrics were first waived via 100x:text_bm25_topk,
     # then probed directly at 100x — 6.2x / 4.29x — so their waivers
     # retired. domain_mix_temperature's scan-shaped waiver was likewise
     # retired in r15 with a direct 100x measurement: 4.62x. The r15
     # addition prf_serve_incremental was probed directly at 100x on
-    # arrival — no waiver ever issued.)
+    # arrival — no waiver ever issued. The two r15 waivers —
+    # embedding_triplet_mining, retrieval_prf_uplift — were retired in
+    # r16 with direct 100x measurements: 1.96x / 5.42x (VERDICT r15
+    # #7); the r16 additions ann_ivfpq_neighbors (8.84x) and
+    # text_kn_perplexity were probed directly on arrival.)
 }
 
 
