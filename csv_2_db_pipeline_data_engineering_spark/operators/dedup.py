@@ -217,6 +217,58 @@ def minhash_params_for_scale(
     return best
 
 
+#: MEASURED per-pair background-collision rates by rows-per-band
+#: (tools/lsh_pair_mass.py, LSH_PAIR_MASS.json — distinct banded
+#: candidate pairs / C(n,2), stable across the 10x and 100x corpora):
+#: the closed form ``bands * j_bg^rows`` under-predicts because
+#: background Jaccard is a distribution whose upper tail survives
+#: higher r more stubbornly than the median (r=3 measured 1.0e-5 vs
+#: closed-form 2.3e-6; r=4 measured 7e-7 vs 1.7e-8). Regime selection
+#: must run on the measured curve, not the optimistic closed form.
+MINHASH_BG_RATE_MEASURED = {2: 3.1e-4, 3: 1.0e-5, 4: 7.0e-7}
+
+#: Candidate-budget slope for automatic regime selection: keep the
+#: expected background candidate mass within this many pairs PER
+#: CORPUS DOCUMENT — i.e. force the banded join to stay linear in the
+#: corpus. 8 pairs/doc keeps verification a small constant factor of
+#: the signature scan. Crossovers this implies (n = corpus docs):
+#: shipped r=2 up to n ~ 52k, r=3 to n ~ 1.6M, r=4 beyond.
+MINHASH_AUTO_PAIR_BUDGET = 8
+
+
+def minhash_banding_for_corpus(
+    n_docs: int, threshold: float = 0.4, recall: float = 0.996
+) -> tuple[int, int, int]:
+    """(rows_per_band, bands, k): the cheapest banding whose MEASURED
+    background candidate mass C(n,2)·rate(rows) stays within
+    ``MINHASH_AUTO_PAIR_BUDGET · n_docs`` — the automatic regime
+    selector VERDICT r15 #3 asked for. ``dedup_clusters_lsh`` (r=2)
+    and ``dedup_clusters_lsh_scaled`` (r=3) pin both regimes with the
+    same exact-pair oracle; this derives WHICH to run from the one
+    corpus statistic that matters (n_docs), using the two-point
+    measured law in ``MINHASH_BG_RATE_MEASURED`` for the mass and the
+    closed-form recall sizing for (bands, k).
+
+    Smallest qualifying r wins (signature hash mass and codegen cost
+    both grow with k); if even the largest measured r exceeds the
+    budget the selector returns it anyway — beyond n ~ 2.3e7 docs the
+    honest next step is a bigger hash budget via
+    ``minhash_params_for_scale(max_k=...)``, not silent acceptance,
+    and the returned r=4 regime is still the best measured banding.
+    """
+    import math
+
+    chosen = max(MINHASH_BG_RATE_MEASURED)
+    for rows in sorted(MINHASH_BG_RATE_MEASURED):
+        mass_per_doc = (n_docs - 1) / 2 * MINHASH_BG_RATE_MEASURED[rows]
+        if mass_per_doc <= MINHASH_AUTO_PAIR_BUDGET:
+            chosen = rows
+            break
+    q = threshold**chosen
+    bands = math.ceil(math.log(1.0 - recall) / math.log(1.0 - q))
+    return chosen, bands, chosen * bands
+
+
 # --- exact dedup -----------------------------------------------------------
 
 
@@ -717,6 +769,39 @@ def dedup_minhash_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_minhash_lsh`` with the banding chosen AUTOMATICALLY from
+    the corpus size by :func:`minhash_banding_for_corpus` — the default
+    entry point for MinHash near-dup at unknown scale. One cheap count
+    job reads the corpus statistic; at test scale (n <= 52k) the
+    selector picks the shipped r=2/b=32/k=64 banding, so the oracle
+    hash is IDENTICAL to ``dedup_minhash_lsh``; at the 100x probe
+    corpus (n = 500k) it picks the r=3/b=84/k=252 scale regime the
+    pair-mass law demands. Same exact-Jaccard verify either way —
+    regime selection changes candidate MASS, never results."""
+    d = load_table_spread(spark, sf_dir, "documents")
+    rows, bands, k = minhash_banding_for_corpus(d.count())
+    gh = scoped_cache(gram_hash_rows(d))
+    return _jaccard_verified_pairs(
+        gh, lsh_candidate_pairs(minhash_signatures(gh, k), bands, k)
+    )
+
+
+def dedup_clusters_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters_lsh`` over the automatically-selected banding
+    (:func:`dedup_minhash_lsh_auto`): the regime switch is derived from
+    n_docs, the verify and min-label components are unchanged, and the
+    oracle stays the exact-pair recursive-CC SQL — a green hash at any
+    scale certifies the selector changed only the candidate pruning."""
+    pairs = dedup_minhash_lsh_auto(spark, sf_dir)
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
 # --- near-dup clustering (connected components) --------------------------------
 
 
@@ -735,9 +820,24 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     iteration isn't single-statement SQL; a differential union-find
     test pins correctness.
     """
+    # Undirect the pair list with ONE explode, not a self-union: the
+    # union's two branches each re-evaluate the (uncached) upstream
+    # pair pipeline, which for the LSH cluster queries doubled the
+    # whole banded-join + verify cost — the r16 stage profile measured
+    # dedup_clusters_lsh_scaled at 11.7 s of which 5.3 s was exactly
+    # this second execution (gram 0.97 + 2 x 5.39 post-gram + ~0 CC).
+    # The explode scans the pair stream once and emits both directions
+    # map-side.
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1773,6 +1873,12 @@ QUERIES = [
           "mass at 100x, same 0.996 recall contract, identical cluster "
           "topology certified by the same exact-pair oracle",
           dedup_clusters_lsh_scaled, DEDUP_CLUSTERS_LSH_ORACLE),
+    Query("dedup_clusters_lsh_auto",
+          "dedup_clusters_lsh with the banding selected automatically from "
+          "n_docs via the measured pair-mass law (shipped r=2 regime at "
+          "test scale, r=3 scale regime past the ~52k-doc crossover, r=4 "
+          "past ~1.6M); same exact-pair oracle at any scale",
+          dedup_clusters_lsh_auto, DEDUP_CLUSTERS_LSH_ORACLE),
     Query("dedup_embedding_cosine_block",
           "exhaustive-recall embedding-cosine pairs via k-means block join "
           f"(cos >= {BLOCK_COSINE_THRESHOLD}; Theta(n^2) keyed join on isotropic data)",

@@ -478,6 +478,16 @@ class Query:
 # keeps embedding_linear_probe in-window, and confusion is that
 # entry's serving twin). Every registered query is now either
 # driver-green in a past round or inside this round's window.
+# Round-16 rotation, continued: dedup_clusters_lsh_auto (VERDICT r15
+# #3 — the banding regime selected automatically from n_docs via the
+# measured pair-mass law; identical exact-pair oracle) also enters on
+# arrival. Out goes dedup_clusters_lsh itself (driver-green SEVEN
+# consecutive rounds r9-r15): at oracle scale the incoming auto query
+# RUNS the identical shipped-banding plan (the selector picks
+# r=2/b=32/k=64 below the ~52k-doc crossover), so the shipped regime
+# remains value-checked in-window THROUGH the auto entry, and the
+# banded-LSH family keeps dedup_clusters_lsh_scaled beside it.
+#
 # Round-16 rotation (no-rotation-debt invariant, VERDICT r15 #8): the
 # two r16 additions enter the window ON ARRIVAL — ann_ivfpq_neighbors
 # (VERDICT r15 #1: the composed FAISS production shape — integer
@@ -511,7 +521,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dsir_select_incremental",
     "domain_mix_waterfill",  # NEW r10: epoch-capped waterfilling mix pass
     # LLM-pipeline: deduplication family.
-    "dedup_clusters_lsh",  # NEW r9 window: LSH-banded clustering (covers minhash+CC)
+    "dedup_clusters_lsh_auto",  # NEW r16 window: n_docs-derived banding regime
     "ann_ivfpq_neighbors",  # NEW r16 window: composed IVF-PQ + exact refine
     "dedup_semantic_keep",  # NEW r9 window: SemDeDup keep-frame
     "span_strip_incremental",  # NEW r10 window: incremental ExactSubstr index

@@ -341,3 +341,51 @@ def test_dedup_eval_metrics_invariants(spark):
         assert abs(r.f1 - round(2 * p * rc / (p + rc), 6)) < 1e-9
     else:
         assert r.f1 == 0.0
+
+
+def test_minhash_banding_auto_switchover():
+    """The automatic regime selector (VERDICT r15 #3): shipped banding
+    at test scale, scale regimes past the measured-law crossovers, and
+    the linear candidate budget actually holds at every selected
+    point below the top regime."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        MINHASH_AUTO_PAIR_BUDGET,
+        MINHASH_BG_RATE_MEASURED,
+        minhash_banding_for_corpus,
+    )
+
+    # the three regimes at their representative scales
+    assert minhash_banding_for_corpus(500) == (2, 32, 64)
+    assert minhash_banding_for_corpus(5_000) == (2, 32, 64)
+    assert minhash_banding_for_corpus(500_000) == (3, 84, 252)
+    assert minhash_banding_for_corpus(5_000_000) == (4, 213, 852)
+    # exact crossover boundaries from budget = (n-1)/2 * rate
+    n_cross_23 = int(2 * MINHASH_AUTO_PAIR_BUDGET / MINHASH_BG_RATE_MEASURED[2]) + 1
+    assert minhash_banding_for_corpus(n_cross_23)[0] == 2
+    assert minhash_banding_for_corpus(n_cross_23 + 2)[0] == 3
+    # properties over a scale sweep: r monotone in n, recall contract
+    # holds, and the budget is respected whenever a regime qualifies
+    prev_r = 0
+    for n in (10, 1_000, 50_000, 100_000, 1_000_000, 10_000_000, 10**9):
+        r, b, k = minhash_banding_for_corpus(n)
+        assert r >= prev_r
+        prev_r = r
+        assert k == r * b
+        assert 1 - (1 - 0.4**r) ** b >= 0.996
+        mass_per_doc = (n - 1) / 2 * MINHASH_BG_RATE_MEASURED[r]
+        if r < max(MINHASH_BG_RATE_MEASURED):
+            assert mass_per_doc <= MINHASH_AUTO_PAIR_BUDGET
+
+
+def test_clusters_lsh_auto_matches_shipped_at_test_scale(spark):
+    """At n=500 the selector picks the shipped banding, so the auto
+    query must reproduce dedup_clusters_lsh row-for-row."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.dedup import (
+        dedup_clusters_lsh,
+        dedup_clusters_lsh_auto,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {(r.cluster_id, r.n_members) for r in dedup_clusters_lsh_auto(spark, sf).collect()}
+    b = {(r.cluster_id, r.n_members) for r in dedup_clusters_lsh(spark, sf).collect()}
+    assert a == b and len(a) > 0
