@@ -150,6 +150,16 @@ HEADLINE = [
     # signature agg and the two-round serve plan, fixed work the 100x
     # probes already price (5.89x / 5.09x). The --all sweep covers
     # them for regressions; they are the natural r16 window rotations.)
+    # round-16: composed IVF-PQ (coarse routing + residual-PQ ADC
+    # shortlist + exact refine — the FAISS production serving shape)
+    "ann_ivfpq_neighbors",
+    # round-16: reference-slice Kneser-Ney trigram LM filter (CCNet
+    # class; broadcast model joins over the corpus stream)
+    "text_kn_perplexity",
+    # (round-16 addition dedup_clusters_lsh_auto stays OUT of the
+    # headline: below the ~52k-doc crossover it runs the in-headline
+    # dedup_minhash_lsh plan verbatim plus connected components — the
+    # --all sweep covers it.)
 ]
 
 
