@@ -940,13 +940,24 @@ def _twins_sql() -> str:
     )
 
 
-def _kmeans_sql(with_twins: bool, final_select: str) -> str:
+def _kmeans_sql(
+    with_twins: bool, final_select: str, train_max: int | None = None
+) -> str:
     """The identical iteration unrolled as chained CTEs (long form).
 
     Every SUM casts back to BIGINT (DuckDB widens to HUGEINT, which
     pandas would surface as float64 — the PCA dtype-drift precedent).
+
+    ``train_max`` restricts the Lloyd TRAINING rows (seeds and update
+    assignments) to ``vec_id < train_max`` — the frozen-sample model
+    contract of the incremental IVF-PQ serve twin; the FINAL
+    assignment (``afinal``/``d{T+1}``) always covers the whole corpus.
+    ``None`` (every pre-r16 oracle) emits byte-identical SQL to the
+    unparameterized form.
     """
     twins = _twins_sql() if with_twins else ""
+    tw = f" WHERE q.vec_id < {train_max}" if train_max is not None else ""
+    sw = f" WHERE vec_id < {train_max}" if train_max is not None else ""
     ctes = [
         "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"corpus AS (SELECT * FROM base{twins})",
@@ -957,7 +968,7 @@ def _kmeans_sql(with_twins: bool, final_select: str) -> str:
         " FROM corpus)",
         f"seed_ids AS (SELECT vec_id,"
         f" CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid"
-        f" FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT {SEM_K}))",
+        f" FROM (SELECT vec_id FROM corpus{sw} ORDER BY vec_id LIMIT {SEM_K}))",
         "c0 AS (SELECT i.cid, q.dim, q.xq AS cq"
         " FROM seed_ids i JOIN ql q USING (vec_id))",
     ]
@@ -966,7 +977,8 @@ def _kmeans_sql(with_twins: bool, final_select: str) -> str:
             # assignment vs c{t-1}: exact integer distances, tie -> min cid
             f"d{t} AS (SELECT q.vec_id, c.cid,"
             f" CAST(SUM((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS dist_q"
-            f" FROM ql q JOIN c{t-1} c USING (dim) GROUP BY q.vec_id, c.cid)",
+            f" FROM ql q JOIN c{t-1} c USING (dim){tw}"
+            f" GROUP BY q.vec_id, c.cid)",
             f"a{t} AS (SELECT vec_id, cid, dist_q FROM d{t}"
             f" QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id"
             f" ORDER BY dist_q, cid) = 1)",

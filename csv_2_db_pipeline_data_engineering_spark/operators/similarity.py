@@ -1362,6 +1362,23 @@ def ann_ivfpq_neighbor_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly; recall vs the exact brute-force baseline is certified in
     tests/test_similarity.py.
     """
+    return _ivfpq_neighbors_plan(spark, sf_dir)
+
+
+def _ivfpq_neighbors_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    train_max: int | None = None,
+    segmented: bool = False,
+) -> DataFrame:
+    """Shared IVF-PQ plan. ``train_max`` freezes the model on the
+    ``vec_id < train_max`` sample (the production contract: FAISS
+    trains on a sample and encodes everything with the frozen model);
+    ``segmented`` encodes the corpus as two independent segments
+    (vec_id % 10 != 0 history, % 10 == 0 delta) unioned before serve —
+    encode is map-side per row against the broadcast frozen model, so
+    the segment union is EXACTLY the full-corpus encode and the
+    full-rebuild oracle certifies merge == rebuild."""
     from .semantic import (
         SEM_ITERS,
         _dot_q,
@@ -1375,25 +1392,71 @@ def ann_ivfpq_neighbor_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoped_cache: the quantized frame feeds the Lloyd loop, the final
     # assignment, and the query side (the ann_ivf_neighbors pattern)
     q = scoped_cache(_sem_quantized(load_embeddings_spread(spark, sf_dir)))
-    cents = _sem_init_centroids(q)
+    train = q if train_max is None else q.filter(F.col("vec_id") < train_max)
+    cents = _sem_init_centroids(train)
     for _ in range(SEM_ITERS):
-        cents = _sem_update(_sem_assign(q, cents))
-    assigned = _sem_assign(q, cents)
+        cents = _sem_update(_sem_assign(train, cents))
 
-    # scoped_cache: the residual sub-vector frame is scanned once per
-    # PQ Lloyd round plus the final encode
-    sub = scoped_cache(_pq_residual_subvecs(assigned, cents))
-    cb = _pq_init_codebooks(sub)
+    # scoped_cache: the TRAINING residual sub-vector frame is scanned
+    # once per PQ Lloyd round (plus the final encode when the model
+    # trains on the whole corpus)
+    sub_t = scoped_cache(
+        _pq_residual_subvecs(_sem_assign(train, cents), cents)
+    )
+    cb = _pq_init_codebooks(sub_t)
     for _ in range(IVFPQ_ITERS):
-        cb = _pq_update_codebooks(_pq_assign_codes(sub, cb))
-    codes = _pq_assign_codes(sub, cb).select("vec_id", "cid", "s", "code")
+        cb = _pq_update_codebooks(_pq_assign_codes(sub_t, cb))
+
+    def encode(seg: DataFrame) -> DataFrame:
+        sub = (
+            sub_t
+            if train_max is None and not segmented
+            else _pq_residual_subvecs(_sem_assign(seg, cents), cents)
+        )
+        return _pq_assign_codes(sub, cb).select("vec_id", "cid", "s", "code")
+
+    if segmented:
+        codes = encode(q.filter(F.col("vec_id") % 10 != 0)).unionByName(
+            encode(q.filter(F.col("vec_id") % 10 == 0))
+        )
+    else:
+        codes = encode(q)
+    return ivfpq_serve_topk(
+        q.filter(F.col("vec_id") < N_QUERIES), cents, cb, codes, q
+    )
+
+
+def ivfpq_encode_segment(
+    seg_q: DataFrame, cents: DataFrame, cb: DataFrame
+) -> DataFrame:
+    """(vec_id, cid, s, code): one segment encoded against the FROZEN
+    model — broadcast-join + array_min per row, no shuffle; the
+    persisted-index content beside the stored integer vectors."""
+    from .semantic import _sem_assign
+
+    sub = _pq_residual_subvecs(_sem_assign(seg_q, cents), cents)
+    return _pq_assign_codes(sub, cb).select("vec_id", "cid", "s", "code")
+
+
+def ivfpq_serve_topk(
+    queries_q: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    vecs_q: DataFrame,
+) -> DataFrame:
+    """Serve a (vec_id, xq) query batch against an IVF-PQ code index:
+    coarse route -> cell-local ADC shortlist -> exact refine against
+    the stored integer vectors (vecs_q: (vec_id, xq, ...)). Shared by
+    the in-plan queries and the from-disk index path."""
+    from .semantic import _dot_q, _sq_dist_q
 
     # nprobe nearest FINAL centroids per query, with the query's
     # residual against EACH probed cell (by_residual makes ADC tables
     # cell-specific); tiny queries x k frame
     wq = Window.partitionBy("query_id").orderBy("dist_q", "cid")
     probes = (
-        q.filter(F.col("vec_id") < N_QUERIES)
+        queries_q
         .crossJoin(F.broadcast(cents))
         .select(
             F.col("vec_id").alias("query_id"),
@@ -1434,14 +1497,17 @@ def ann_ivfpq_neighbor_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     # exact refine: NQ x L rows against the stored integer vectors
-    qx = q.filter(F.col("vec_id") < N_QUERIES).select(
+    qx = queries_q.select(
         F.col("vec_id").alias("query_id"),
         F.col("xq").alias("qx"),
         _dot_q("xq", "xq").alias("na2"),
     )
     rescored = (
         shortlist.join(F.broadcast(qx), "query_id")
-        .join(q.select(F.col("vec_id").alias("neighbor_id"), "xq"), "neighbor_id")
+        .join(
+            vecs_q.select(F.col("vec_id").alias("neighbor_id"), "xq"),
+            "neighbor_id",
+        )
         .select(
             "query_id", "neighbor_id", "na2",
             _dot_q("xq", "xq").alias("nb2"),
@@ -1451,13 +1517,86 @@ def ann_ivfpq_neighbor_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_exact_cosine(rescored)
 
 
-def _ivfpq_sql() -> str:
+def extend_ivfpq_index(
+    seg_q: DataFrame, cents: DataFrame, cb: DataFrame, path: str, tag: str
+) -> None:
+    """O(delta) tagged extend of the persisted IVF-PQ index: the
+    segment's frozen-model codes plus its stored integer vectors (the
+    refine store), as two sub-tables (overwrite-idempotent per tag —
+    the ``extend_ann_index`` layout)."""
+    import os
+
+    ivfpq_encode_segment(seg_q, cents, cb).write.mode("overwrite").parquet(
+        os.path.join(path, "codes", f"delta={tag}")
+    )
+    seg_q.select("vec_id", "xq").write.mode("overwrite").parquet(
+        os.path.join(path, "vecs", f"delta={tag}")
+    )
+
+
+def read_ivfpq_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """(codes, vecs) across all visible tags (None if empty)."""
+    from . import lsm
+
+    c = lsm.read_visible(spark, path, "codes")
+    v = lsm.read_visible(spark, path, "vecs")
+    if c is None or v is None:
+        return None
+    return c, v
+
+
+#: Frozen-model training sample for the incremental serve twin:
+#: model (coarse centroids + PQ codebooks) trains ONCE on the
+#: vec_id < this fixed sample — corpus-size-independent, so at scale
+#: the model is a bounded broadcast and encode is pure map-side
+#: (FAISS likewise trains on a sample and freezes; re-training per
+#: delta would silently re-encode history).
+IVFPQ_TRAIN_MAX = 250
+
+
+def ann_ivfpq_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ serving: the composed index under the
+    production maintenance contract (VERDICT r15 #1's serving tier,
+    the ``bm25_serve_incremental`` pattern applied to ANN).
+
+    The model is FROZEN on the fixed ``IVFPQ_TRAIN_MAX`` sample; the
+    corpus arrives as two segments (history ``vec_id % 10 != 0``,
+    delta ``% 10 == 0``), each encoded INDEPENDENTLY against the
+    broadcast frozen model — per-row map-side work, O(delta) per
+    maintenance step, history never re-encoded. Serving reads the
+    segment-union code index: coarse route -> cell-local ADC
+    shortlist -> exact refine against the stored integer vectors.
+
+    The oracle is the FULL-CORPUS rebuild SQL with the same frozen
+    sample (``_ivfpq_sql(train_max=...)``), so the driver hash check
+    IS the merge == rebuild certificate: encode distributivity over
+    segments, frozen-model determinism, and the serve tail all have
+    to agree bit-for-bit. The on-disk tagged-partition write/extend/
+    read-back path for the same index is exercised in
+    tests/test_similarity.py; this in-plan twin re-derives the two
+    segments so the registered query is self-contained (the
+    ``prf_serve_incremental`` precedent).
+    """
+    return _ivfpq_neighbors_plan(
+        spark, sf_dir, train_max=IVFPQ_TRAIN_MAX, segmented=True
+    )
+
+
+def _ivfpq_sql(train_max: int | None = None) -> str:
     """The full composition unrolled over ``_kmeans_sql``'s CTE chain:
-    residual long form, per-subspace Lloyd, encode, probes, ADC."""
+    residual long form, per-subspace Lloyd, encode, probes, ADC.
+    ``train_max`` restricts MODEL training (coarse Lloyd + PQ seeds +
+    PQ Lloyd) to the frozen ``vec_id < train_max`` sample while
+    encode/serve still cover the whole corpus — the serve twin's
+    full-rebuild oracle."""
     from .semantic import SEM_ITERS, _kmeans_sql
 
     t = SEM_ITERS + 1  # d{t}: all (vec, cid) distances to final centroids
     cf = f"c{SEM_ITERS}"  # final coarse centroids, long form (cid, dim, cq)
+    ptw = f" WHERE p.vec_id < {train_max}" if train_max is not None else ""
+    psw = f" WHERE vec_id < {train_max}" if train_max is not None else ""
     ctes = [
         f"""rl AS (
   SELECT q.vec_id, a.cid, q.dim, q.xq - c.cq AS rq
@@ -1470,7 +1609,8 @@ def _ivfpq_sql() -> str:
         f"""pseed AS (
   SELECT vec_id,
          CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
-  FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT {IVFPQ_CB_K}))""",
+  FROM (SELECT vec_id FROM corpus{psw}
+        ORDER BY vec_id LIMIT {IVFPQ_CB_K}))""",
         """pc0 AS (
   SELECT p.s, i.code, p.sd, p.rq AS cq
   FROM pseed i JOIN pl p USING (vec_id))""",
@@ -1480,7 +1620,7 @@ def _ivfpq_sql() -> str:
             f"""pd{it} AS (
   SELECT p.vec_id, p.s, c.code,
          CAST(SUM((p.rq - c.cq) * (p.rq - c.cq)) AS BIGINT) AS d2
-  FROM pl p JOIN pc{it - 1} c ON c.s = p.s AND c.sd = p.sd
+  FROM pl p JOIN pc{it - 1} c ON c.s = p.s AND c.sd = p.sd{ptw}
   GROUP BY p.vec_id, p.s, c.code)""",
             f"""pa{it} AS (
   SELECT vec_id, s, code FROM pd{it}
@@ -1551,7 +1691,9 @@ def _ivfpq_sql() -> str:
         + ",\n"
         + _neighbors_rank_sql("rescored")
     )
-    return _kmeans_sql(with_twins=False, final_select=final)
+    return _kmeans_sql(
+        with_twins=False, final_select=final, train_max=train_max
+    )
 
 
 def _neighbors_rank_sql(scored_cte: str) -> str:
@@ -1648,6 +1790,7 @@ scored AS (
 ANN_LSH_NEIGHBORS_ORACLE = _lsh_neighbors_sql()
 ANN_IVF_NEIGHBORS_ORACLE = _ivf_neighbors_sql()
 ANN_IVFPQ_ORACLE = _ivfpq_sql()
+ANN_IVFPQ_SERVE_ORACLE = _ivfpq_sql(train_max=IVFPQ_TRAIN_MAX)
 
 
 QUERIES = [
@@ -1691,4 +1834,10 @@ QUERIES = [
           "coarse routing + residual PQ codebooks + cell-local ADC "
           "scoring within nprobe cells (value-checked neighbor list)",
           ann_ivfpq_neighbor_list, ANN_IVFPQ_ORACLE),
+    Query("ann_ivfpq_serve_incremental",
+          "incremental IVF-PQ serving: frozen fixed-sample model, "
+          "history/delta segments encoded independently map-side and "
+          "served as a union; full-rebuild oracle = merge==rebuild "
+          "certificate",
+          ann_ivfpq_serve_incremental, ANN_IVFPQ_SERVE_ORACLE),
 ]

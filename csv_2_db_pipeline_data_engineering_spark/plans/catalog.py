@@ -488,6 +488,19 @@ class Query:
 # remains value-checked in-window THROUGH the auto entry, and the
 # banded-LSH family keeps dedup_clusters_lsh_scaled beside it.
 #
+# Round-16 rotation, continued (2): ann_ivfpq_serve_incremental — the
+# composed index's serving tier (frozen fixed-sample model, history/
+# delta segments encoded independently map-side, full-rebuild oracle
+# as the merge==rebuild certificate; the bm25_serve_incremental
+# pattern applied to ANN) — also enters on arrival. Out goes
+# span_strip_incremental (driver-green SIX consecutive rounds
+# r10-r15): the O(delta) tagged-index family keeps
+# epoch_schedule_incremental, dsir_select_incremental,
+# text_heavy_hitters_incremental, bm25_serve_incremental,
+# prf_serve_incremental, and the incoming ann_ivfpq_serve_incremental
+# in-window, and the ExactSubstr span surface keeps text_span_strip.
+# Stays registered and locally oracle-checked.
+#
 # Round-16 rotation (no-rotation-debt invariant, VERDICT r15 #8): the
 # two r16 additions enter the window ON ARRIVAL — ann_ivfpq_neighbors
 # (VERDICT r15 #1: the composed FAISS production shape — integer
@@ -524,7 +537,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_clusters_lsh_auto",  # NEW r16 window: n_docs-derived banding regime
     "ann_ivfpq_neighbors",  # NEW r16 window: composed IVF-PQ + exact refine
     "dedup_semantic_keep",  # NEW r9 window: SemDeDup keep-frame
-    "span_strip_incremental",  # NEW r10 window: incremental ExactSubstr index
+    "ann_ivfpq_serve_incremental",  # NEW r16 window: IVF-PQ serving tier
     "dedup_semantic_kmeans",  # NEW r8: SemDeDup (within-cluster cosine)
     "dedup_clusters_lsh_scaled",  # NEW r15 window: scale-regime banding
     # LLM-pipeline: similarity / embeddings.

@@ -228,3 +228,60 @@ def test_triplet_mining_hand_computed_fixture(spark, tmp_path):
     # both flag values occur on this fixture
     assert got[0].is_violation == 0, got[0]
     assert got[1].is_violation == 1, got[1]
+
+
+def test_ivfpq_index_extend_serve_equals_inplan_rebuild(spark, tmp_path):
+    """The persisted IVF-PQ index path: train the frozen model once,
+    extend the on-disk index with the history and delta segments,
+    read it back, serve — and match the registered in-plan serve
+    query row-for-row (which itself hash-matches the full-rebuild
+    oracle, closing merge == rebuild across disk too)."""
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.semantic import (
+        SEM_ITERS,
+        _sem_assign,
+        _sem_init_centroids,
+        _sem_quantized,
+        _sem_update,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.operators.similarity import (
+        IVFPQ_ITERS,
+        IVFPQ_TRAIN_MAX,
+        N_QUERIES,
+        _pq_assign_codes,
+        _pq_init_codebooks,
+        _pq_residual_subvecs,
+        _pq_update_codebooks,
+        ann_ivfpq_serve_incremental,
+        extend_ivfpq_index,
+        ivfpq_serve_topk,
+        read_ivfpq_index,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.sources.tables import (
+        load_embeddings_spread,
+    )
+    from tests.conftest import SF_DIR
+
+    q = _sem_quantized(load_embeddings_spread(spark, SF_DIR)).cache()
+    train = q.filter(F.col("vec_id") < IVFPQ_TRAIN_MAX)
+    cents = _sem_init_centroids(train)
+    for _ in range(SEM_ITERS):
+        cents = _sem_update(_sem_assign(train, cents))
+    sub_t = _pq_residual_subvecs(_sem_assign(train, cents), cents).cache()
+    cb = _pq_init_codebooks(sub_t)
+    for _ in range(IVFPQ_ITERS):
+        cb = _pq_update_codebooks(_pq_assign_codes(sub_t, cb))
+
+    path = str(tmp_path / "ivfpq_index")
+    extend_ivfpq_index(q.filter(F.col("vec_id") % 10 != 0), cents, cb, path, "base")
+    extend_ivfpq_index(q.filter(F.col("vec_id") % 10 == 0), cents, cb, path, "d1")
+    codes, vecs = read_ivfpq_index(spark, path)
+    served = ivfpq_serve_topk(
+        q.filter(F.col("vec_id") < N_QUERIES), cents, cb, codes, vecs
+    )
+    got = {tuple(r) for r in served.collect()}
+    want = {tuple(r) for r in ann_ivfpq_serve_incremental(spark, SF_DIR).collect()}
+    q.unpersist()
+    sub_t.unpersist()
+    assert got == want and len(want) == N_QUERIES * TOP_K
