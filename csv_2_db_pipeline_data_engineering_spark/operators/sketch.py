@@ -1144,6 +1144,308 @@ ORDER BY q
 """
 
 
+# --- KMV distinct-value sketch: cross-corpus overlap (5th algebra) ----------
+#
+# CMS merges by ADDITION, Bloom by OR, HLL by register-MAX, HDR by
+# bucket-count addition; the k-minimum-values sketch (Beyer et al.,
+# SIGMOD 2007, "On Synopses for Distinct Value Estimation") completes
+# the set with the ORDER-STATISTIC merge: keep the K smallest distinct
+# hash values of a set, and kmv(A ∪ B) == K-smallest(kmv(A) ∪ kmv(B))
+# EXACTLY — certified in-plan below. Unlike HLL, a KMV sketch supports
+# INTERSECTION: every member of the union sketch L that belongs to both
+# A and B is necessarily in both per-slice sketches (A ⊆ U implies A's
+# kth min ≥ U's kth min), so ĵ = |{v ∈ L : v ∈ A ∧ v ∈ B}| / K is an
+# unbiased Jaccard estimator and |A ∩ B| ≈ ĵ · (K-1)/L_(K) — the
+# standard answer to "how much do two corpus snapshots overlap?"
+# WITHOUT joining them.
+#
+# 100 TB shape: the sketch build is SHUFFLE-FREE — one corpus scan with
+# a per-partition top-``KMV_BUDGET`` (Spark's TakeOrderedAndProject:
+# each task keeps a bounded heap; only ≤ BUDGET rows per partition ever
+# leave the scan), then all three sketches, both estimators, and every
+# certificate derive from that one ≤ BUDGET-row frame. The exact
+# distinct counts are the CERTIFICATE WITNESS (one content-keyed
+# aggregate, the same exact-twin cost ``text_distinct_hll`` pays for
+# ``n_exact``) — production callers at scale read only the estimates.
+#
+# Determinism: the hash is the first 15 hex digits of md5(text) parsed
+# as a 60-bit integer (exact in both engines); the TakeOrdered boundary
+# is made set-exact by trimming the budget to h < max(h in budget)
+# (every row of a surviving hash value sorts before the cut, so no
+# hash's slice-membership flags are truncated); the estimator numerator
+# (K-1)·2^60 is evaluated once in PYTHON and embedded as the same
+# double literal in both engines (the HLL_ALPHA_M2 precedent).
+
+KMV_K = 128
+#: TakeOrdered budget: 4x the sketch size so each slice (1/2 and 2/3 of
+#: the union by construction) still yields >= K distinct values among
+#: the kept rows — certified by ok_budget, never assumed.
+KMV_BUDGET = 4 * KMV_K
+#: (K-1) * 2^60, the unbiased estimator numerator over the 60-bit hash
+#: range — ONE Python-evaluated double literal shared by both engines.
+KMV_NUM = float((KMV_K - 1) * (1 << 60))
+#: 3 standard errors of the (K-1)/h_(K) estimator: CV ~ 1/sqrt(K-2).
+KMV_ERR_PCT = 27  # ceil(300 / sqrt(126))
+#: Jaccard gate: |ĵ - J| <= 3 * sqrt(J(1-J)/K) (binomial 3-sigma).
+KMV_J_SIGMA = 3.0
+
+#: The demo slices: two overlapping corpus snapshots drawn from the
+#: shared documents table (A = doc_id % 3 != 0, B = doc_id % 2 != 0 —
+#: the repo's % split convention), giving a content-space Jaccard of
+#: ~0.4 so every estimator column is non-vacuous.
+_KMV_IN_A = "doc_id % 3 != 0"
+_KMV_IN_B = "doc_id % 2 != 0"
+
+
+def _kmv_hash(col: Column) -> Column:
+    """60-bit integer hash: first 15 hex digits of md5, exact in both
+    engines (DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def kmv_kept(docs: DataFrame) -> DataFrame:
+    """The trimmed KMV candidate frame: (h, in_a, in_b), one row per
+    distinct hash among the budget's smallest values, with per-CONTENT
+    slice flags (a text present in both slices via different docs keeps
+    both flags).
+
+    Build: one shuffle-free TakeOrdered of the (h, doc_id) stream, then
+    the boundary trim (keep h strictly below the budget's max h, unless
+    the budget held the whole corpus) so no hash's flag rows are cut
+    mid-group, then a <= BUDGET-row flag-OR group.
+    """
+    rows = docs.select(
+        "doc_id",
+        _kmv_hash(F.col("text")).alias("h"),
+        F.expr(_KMV_IN_A).alias("in_a"),
+        F.expr(_KMV_IN_B).alias("in_b"),
+    ).filter(F.col("in_a") | F.col("in_b"))
+    budget = (
+        rows.orderBy("h", "doc_id")
+        .limit(KMV_BUDGET)
+        .localCheckpoint(eager=True)
+    )
+    hx = budget.agg(
+        F.max("h").alias("hmax"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return (
+        budget.crossJoin(F.broadcast(hx))
+        .filter((F.col("h") < F.col("hmax")) | (F.col("n_rows") < KMV_BUDGET))
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+
+
+def merge_kmv(*sketches: DataFrame) -> DataFrame:
+    """K-smallest of the distinct union — kmv(A) ⊕ kmv(B) ≡ kmv(A ∪ B)
+    exactly (any of the K smallest of A ∪ B is among the K smallest of
+    whichever set contains it)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    w = Window.orderBy("h")
+    return (
+        out.distinct()
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= KMV_K)
+        .select("h")
+    )
+
+
+def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap estimation via KMV sketches, with the exact
+    witness, the merge-exactness certificate, and per-estimator error
+    bounds in one hash-checked row.
+
+    Estimates |A|, |B|, |A ∪ B|, Jaccard(A, B), and |A ∩ B| for two
+    overlapping corpus slices in CONTENT space (distinct md5(text)),
+    touching only the one TakeOrdered frame — the "how much does this
+    snapshot overlap that one" question a 100 TB curation tier must
+    answer without shuffling either corpus. The merge certificate
+    re-derives the union sketch as K-smallest(kmv(A) ∪ kmv(B)) and
+    pins set equality against the directly-built union sketch; the
+    ORACLE re-derives everything independently in SQL, so the
+    cross-engine hash match proves the algebra, not the plumbing.
+    """
+    docs = load_table_spread(spark, sf_dir, "documents")
+    kept = kmv_kept(docs).localCheckpoint(eager=True)
+    wh = Window.orderBy("h")
+    lu = kept.withColumn("r", F.row_number().over(wh))
+    sa = kept.filter("in_a").withColumn("r", F.row_number().over(wh))
+    sb = kept.filter("in_b").withColumn("r", F.row_number().over(wh))
+    counts = kept.agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.sum(F.col("in_a").cast("long")).alias("n_a"),
+        F.sum(F.col("in_b").cast("long")).alias("n_b"),
+    )
+    kth = (
+        lu.filter(F.col("r") == KMV_K)
+        .select(F.col("h").alias("kth_u"))
+        .crossJoin(sa.filter(F.col("r") == KMV_K).select(F.col("h").alias("kth_a")))
+        .crossJoin(sb.filter(F.col("r") == KMV_K).select(F.col("h").alias("kth_b")))
+    )
+    l_k = lu.filter(F.col("r") <= KMV_K)
+    kint = l_k.agg(
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("k_int")
+    )
+    merged = merge_kmv(
+        sa.filter(F.col("r") <= KMV_K).select("h"),
+        sb.filter(F.col("r") <= KMV_K).select("h"),
+    )
+    mism = (
+        l_k.select("h", F.lit(1).alias("_l"))
+        .join(merged.select("h", F.lit(1).alias("_m")), "h", "full_outer")
+        .agg(
+            F.sum(
+                (F.col("_l").isNull() | F.col("_m").isNull()).cast("long")
+            ).alias("n_mismatch")
+        )
+    )
+    contents = (
+        docs.select(
+            F.md5("text").alias("ck"),
+            F.expr(_KMV_IN_A).alias("in_a"),
+            F.expr(_KMV_IN_B).alias("in_b"),
+        )
+        .filter(F.col("in_a") | F.col("in_b"))
+        .groupBy("ck")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    exact = contents.agg(
+        F.count(F.lit(1)).alias("ex_u"),
+        F.sum(F.col("in_a").cast("long")).alias("ex_a"),
+        F.sum(F.col("in_b").cast("long")).alias("ex_b"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("ex_i"),
+    )
+    row = (
+        exact.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(kint))
+        .crossJoin(F.broadcast(mism))
+    )
+    est_u = F.round(F.lit(KMV_NUM) / F.col("kth_u"), 4)
+    est_a = F.round(F.lit(KMV_NUM) / F.col("kth_a"), 4)
+    est_b = F.round(F.lit(KMV_NUM) / F.col("kth_b"), 4)
+    j_raw = F.col("k_int") / F.lit(float(KMV_K))  # /2^7: exact double
+    j_exact_raw = F.col("ex_i").cast("double") / F.col("ex_u")
+    ok_err = (
+        (F.abs(est_u - F.col("ex_u")) * 100 <= F.lit(KMV_ERR_PCT) * F.col("ex_u"))
+        & (F.abs(est_a - F.col("ex_a")) * 100 <= F.lit(KMV_ERR_PCT) * F.col("ex_a"))
+        & (F.abs(est_b - F.col("ex_b")) * 100 <= F.lit(KMV_ERR_PCT) * F.col("ex_b"))
+    )
+    ok_j = F.abs(F.round(j_raw, 4) - j_exact_raw) <= F.lit(KMV_J_SIGMA) * F.sqrt(
+        j_exact_raw * (1.0 - j_exact_raw) / F.lit(float(KMV_K))
+    )
+    return row.select(
+        F.col("ex_u").alias("exact_union"),
+        F.col("ex_a").alias("exact_a"),
+        F.col("ex_b").alias("exact_b"),
+        F.col("ex_i").alias("exact_inter"),
+        F.round(j_exact_raw, 4).alias("jaccard_exact"),
+        est_u.alias("est_union"),
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        F.col("k_int").alias("k_intersect"),
+        F.round(j_raw, 4).alias("jaccard_est"),
+        F.round(j_raw * est_u, 4).alias("est_inter"),
+        (
+            (F.col("n_u") >= KMV_K)
+            & (F.col("n_a") >= KMV_K)
+            & (F.col("n_b") >= KMV_K)
+        ).alias("ok_budget"),
+        (F.col("n_mismatch") == 0).alias("ok_merge_exact"),
+        ok_err.alias("ok_err_card"),
+        ok_j.alias("ok_err_jaccard"),
+    )
+
+
+OVERLAP_KMV_ORACLE = f"""
+WITH rows_ AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+         {_KMV_IN_A} AS in_a,
+         {_KMV_IN_B} AS in_b
+  FROM documents
+  WHERE ({_KMV_IN_A}) OR ({_KMV_IN_B})
+),
+budget AS (SELECT * FROM rows_ ORDER BY h, doc_id LIMIT {KMV_BUDGET}),
+hx AS (SELECT MAX(h) AS hmax, COUNT(*) AS n_rows FROM budget),
+kept AS (
+  SELECT h, BOOL_OR(in_a) AS in_a, BOOL_OR(in_b) AS in_b
+  FROM budget, hx
+  WHERE h < hmax OR n_rows < {KMV_BUDGET}
+  GROUP BY h
+),
+lu AS (SELECT h, in_a, in_b, ROW_NUMBER() OVER (ORDER BY h) AS r FROM kept),
+sa AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM kept WHERE in_a),
+sb AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM kept WHERE in_b),
+counts AS (
+  SELECT COUNT(*) AS n_u,
+         COUNT(*) FILTER (WHERE in_a) AS n_a,
+         COUNT(*) FILTER (WHERE in_b) AS n_b
+  FROM kept
+),
+kth AS (
+  SELECT (SELECT h FROM lu WHERE r = {KMV_K}) AS kth_u,
+         (SELECT h FROM sa WHERE r = {KMV_K}) AS kth_a,
+         (SELECT h FROM sb WHERE r = {KMV_K}) AS kth_b
+),
+l_k AS (SELECT h, in_a, in_b FROM lu WHERE r <= {KMV_K}),
+kint AS (SELECT COUNT(*) FILTER (WHERE in_a AND in_b) AS k_int FROM l_k),
+merged AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+    FROM (SELECT h FROM sa WHERE r <= {KMV_K}
+          UNION SELECT h FROM sb WHERE r <= {KMV_K})
+  ) WHERE r <= {KMV_K}
+),
+mism AS (
+  SELECT COUNT(*) FILTER (WHERE l_k.h IS NULL OR merged.h IS NULL)
+           AS n_mismatch
+  FROM l_k FULL OUTER JOIN merged ON l_k.h = merged.h
+),
+contents AS (
+  SELECT md5(text) AS ck,
+         BOOL_OR({_KMV_IN_A}) AS in_a,
+         BOOL_OR({_KMV_IN_B}) AS in_b
+  FROM documents
+  WHERE ({_KMV_IN_A}) OR ({_KMV_IN_B})
+  GROUP BY ck
+),
+exact AS (
+  SELECT COUNT(*) AS ex_u,
+         COUNT(*) FILTER (WHERE in_a) AS ex_a,
+         COUNT(*) FILTER (WHERE in_b) AS ex_b,
+         COUNT(*) FILTER (WHERE in_a AND in_b) AS ex_i
+  FROM contents
+)
+SELECT CAST(ex_u AS BIGINT) AS exact_union,
+       CAST(ex_a AS BIGINT) AS exact_a,
+       CAST(ex_b AS BIGINT) AS exact_b,
+       CAST(ex_i AS BIGINT) AS exact_inter,
+       ROUND(ex_i::DOUBLE / ex_u, 4) AS jaccard_exact,
+       ROUND(CAST({KMV_NUM!r} AS DOUBLE) / kth_u, 4) AS est_union,
+       ROUND(CAST({KMV_NUM!r} AS DOUBLE) / kth_a, 4) AS est_a,
+       ROUND(CAST({KMV_NUM!r} AS DOUBLE) / kth_b, 4) AS est_b,
+       CAST(k_int AS BIGINT) AS k_intersect,
+       ROUND(k_int / {KMV_K}.0, 4) AS jaccard_est,
+       ROUND((k_int / {KMV_K}.0)
+             * ROUND(CAST({KMV_NUM!r} AS DOUBLE) / kth_u, 4), 4) AS est_inter,
+       (n_u >= {KMV_K} AND n_a >= {KMV_K} AND n_b >= {KMV_K}) AS ok_budget,
+       n_mismatch = 0 AS ok_merge_exact,
+       (ABS(ROUND(CAST({KMV_NUM!r} AS DOUBLE) / kth_u, 4) - ex_u) * 100
+          <= {KMV_ERR_PCT} * ex_u
+        AND ABS(ROUND(CAST({KMV_NUM!r} AS DOUBLE) / kth_a, 4) - ex_a) * 100
+          <= {KMV_ERR_PCT} * ex_a
+        AND ABS(ROUND(CAST({KMV_NUM!r} AS DOUBLE) / kth_b, 4) - ex_b) * 100
+          <= {KMV_ERR_PCT} * ex_b) AS ok_err_card,
+       ABS(ROUND(k_int / {KMV_K}.0, 4) - ex_i::DOUBLE / ex_u)
+         <= {KMV_J_SIGMA!r} * sqrt((ex_i::DOUBLE / ex_u)
+              * (1.0 - ex_i::DOUBLE / ex_u) / {float(KMV_K)!r}) AS ok_err_jaccard
+FROM counts, kth, kint, mism, exact
+"""
+
+
 QUERIES = [
     Query(
         "text_heavy_hitters_cms",
@@ -1180,5 +1482,14 @@ QUERIES = [
         "and merge-exactness certificates",
         text_length_hdr_quantiles,
         HDR_QUANTILES_ORACLE,
+    ),
+    Query(
+        "corpus_overlap_kmv",
+        "KMV distinct-value sketch (5th mergeable algebra: k-smallest "
+        "order statistic): cross-corpus union/intersection/Jaccard "
+        "estimation from one shuffle-free TakeOrdered frame, with "
+        "exact-witness, merge-exactness and 3-sigma error certificates",
+        corpus_overlap_kmv,
+        OVERLAP_KMV_ORACLE,
     ),
 ]

@@ -501,6 +501,19 @@ class Query:
 # in-window, and the ExactSubstr span surface keeps text_span_strip.
 # Stays registered and locally oracle-checked.
 #
+# Round-16 rotation, continued (3): corpus_overlap_kmv — the 5th
+# mergeable-sketch algebra (k-minimum-values order statistic; Beyer et
+# al. SIGMOD 2007): cross-corpus union/intersection/Jaccard estimation
+# from ONE shuffle-free TakeOrdered frame, with exact-witness,
+# merge-exactness, and 3-sigma error certificates — enters on arrival.
+# Out goes text_distinct_hll (driver-green SIX consecutive rounds
+# r10-r15): the mergeable-sketch family keeps
+# text_heavy_hitters_incremental, text_length_hdr_quantiles, and the
+# incoming KMV entry in-window, and the distinct-cardinality
+# certificate shape (estimate + exact witness + merge proof) is
+# exactly what the KMV row re-exercises. Stays registered and locally
+# oracle-checked.
+#
 # Round-16 rotation (no-rotation-debt invariant, VERDICT r15 #8): the
 # two r16 additions enter the window ON ARRIVAL — ann_ivfpq_neighbors
 # (VERDICT r15 #1: the composed FAISS production shape — integer
@@ -560,7 +573,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # certificates); out goes text_line_dedup (driver-green r7-r9; the
     # line-digest surface stays in-window via line_dedup_incremental
     # and the boilerplate strip inside both curation pipelines).
-    "text_distinct_hll",
+    "corpus_overlap_kmv",  # NEW r16 window: KMV cross-corpus overlap sketch
     "text_heavy_hitters_incremental",  # NEW r10 window: persisted CMS extends
     "text_encoding_fix",  # NEW r10 window: mojibake repair (r7 tail)
     "text_boilerplate_strip",  # NEW r10 window: boilerplate line removal

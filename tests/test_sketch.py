@@ -426,3 +426,76 @@ def test_hdr_buckets_exact_across_the_full_long_range(spark):
     # monotone: sorted los carry sorted buckets
     los = sorted(got)
     assert [got[lo] for lo in los] == sorted(got.values())
+
+
+def test_kmv_overlap_certificates_hold(spark):
+    """The registered KMV overlap row: every in-plan certificate must
+    be TRUE at test sf (budget sufficiency, merge==direct-union set
+    equality, 3-sigma cardinality and Jaccard error bounds), and the
+    estimates must be non-vacuous (a genuine partial overlap)."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        corpus_overlap_kmv,
+    )
+
+    rows = corpus_overlap_kmv(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ok_budget"] and r["ok_merge_exact"]
+    assert r["ok_err_card"] and r["ok_err_jaccard"]
+    # Non-vacuous: the slices genuinely partially overlap.
+    assert 0 < r["exact_inter"] < r["exact_b"] < r["exact_a"] < r["exact_union"]
+    assert 0.0 < r["jaccard_est"] < 1.0
+    assert r["est_inter"] > 0
+
+
+def test_kmv_merge_is_exactly_kmv_of_union(spark):
+    """kmv(A) ⊕ kmv(B) == kmv(A ∪ B) — the defining order-statistic
+    merge property, checked against a Python-computed expectation on
+    synthetic hash sets with controlled overlap."""
+    import random
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        KMV_K,
+        merge_kmv,
+    )
+
+    rng = random.Random(42)
+    pool = rng.sample(range(1, 1 << 59), 500)
+    a = set(pool[:300])
+    b = set(pool[200:])  # 100-value overlap with a
+    fa = spark.createDataFrame([(h,) for h in sorted(a)], "h long")
+    fb = spark.createDataFrame([(h,) for h in sorted(b)], "h long")
+    ska = spark.createDataFrame(
+        [(h,) for h in sorted(a)[:KMV_K]], "h long"
+    )
+    skb = spark.createDataFrame(
+        [(h,) for h in sorted(b)[:KMV_K]], "h long"
+    )
+    merged = sorted(r["h"] for r in merge_kmv(ska, skb).collect())
+    expected = sorted(a | b)[:KMV_K]
+    assert merged == expected
+    # and the direct union sketch agrees
+    direct = sorted(
+        r["h"] for r in merge_kmv(fa.union(fb).distinct()).collect()
+    )
+    assert direct == expected
+
+
+def test_kmv_kept_flags_are_per_content(spark):
+    """A text present in slice A via one doc and slice B via another
+    must carry BOTH flags on its single kept hash row (the flag-OR
+    group is keyed on content hash, not doc)."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        kmv_kept,
+    )
+
+    # doc 1: in A (1%3!=0) and in B (1%2!=0). doc 2: in A only.
+    # doc 3: in B only, SAME text as doc 2 -> that content is in both.
+    docs = spark.createDataFrame(
+        [(1, "unique text one"), (2, "shared text"), (3, "shared text")],
+        "doc_id long, text string",
+    )
+    kept = {
+        (r["in_a"], r["in_b"]) for r in kmv_kept(docs).collect()
+    }
+    assert kept == {(True, True)}
