@@ -543,6 +543,176 @@ ORDER BY query_id, rnk
 """
 
 
+# --- hybrid dense + sparse retrieval fusion ----------------------------------
+
+HYBRID_ALPHA = 0.5  # convex weight on the sparse (BM25) side
+HYBRID_DEPTH = RRF_FUSE_DEPTH  # each ranker contributes its top-10
+HYBRID_TOPK = 5
+
+
+def _minmax_norm(top: DataFrame, out: str) -> DataFrame:
+    """Per-query min-max normalization of a ranker's top list — the
+    standard hybrid-search score calibration (scores from BM25 and
+    cosine live on incomparable scales; ranks alone would discard the
+    margin information RRF ignores). The min/max run over the ranker's
+    own top-``HYBRID_DEPTH`` list, so the frame is ≤ NQ·DEPTH rows and
+    the stats join is a broadcast. A degenerate list (max == min) maps
+    to 1.0 in both engines."""
+    mm = top.groupBy("query_id").agg(
+        F.min("score").alias("smin"), F.max("score").alias("smax")
+    )
+    norm = F.when(
+        F.col("smax") > F.col("smin"),
+        F.round((F.col("score") - F.col("smin")) / (F.col("smax") - F.col("smin")), 6),
+    ).otherwise(F.lit(1.0))
+    return top.join(F.broadcast(mm), "query_id").select(
+        "query_id", "doc_id", F.col("rnk").alias(f"rank_{out}"),
+        norm.alias(f"norm_{out}"),
+    )
+
+
+def retrieval_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense + sparse retrieval: min-max-normalized convex score
+    fusion of the certified BM25 ranker and an exact-cosine dense
+    ranker over the SAME query frontier — the production RAG serving
+    shape (a lexical tier and an embedding tier fused per query).
+
+    Queries are the BM25 frontier docs; each query's dense vector is
+    its own embedding row (documents and embeddings are id-aligned).
+    Self-hits are excluded on BOTH sides (the query doc would trivially
+    top each list). Each ranker serves its top-``HYBRID_DEPTH`` by its
+    own score (rounded to 6 BEFORE ranking, doc_id tie-break); scores
+    are min-max normalized within each list; the fused score is
+    ``α·norm_sparse + (1-α)·norm_dense`` with 0 for a candidate absent
+    from a list, rounded to 6 before the final rank.
+
+    Scale design: the sparse side is the probed BM25 plan verbatim
+    (bounded frontier IN-pushdown, salted two-stage top-k); the dense
+    side broadcasts the ≤ NQ query vectors into ONE embeddings pass
+    (the ``ann_topk_bruteforce`` shape — at 100 TB an ANN tier such as
+    ``ann_ivfpq_neighbors`` swaps in as the candidate generator without
+    touching the fusion, which only ever sees two ≤ NQ·DEPTH-row
+    lists). No stage shuffles the corpus beyond the BM25 tf aggregate.
+    """
+    from ..sources.tables import load_embeddings_spread
+    from .similarity import _dot
+
+    tf, qdf, stats = _corpus_index(spark, sf_dir)
+    contrib = F.col("qtf") * _idf(F.col("n_docs"), F.col("df")) * _tf_norm(
+        F.col("tf"), F.col("dl"), F.col("avgdl")
+    )
+    sparse_scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .filter(F.col("doc_id") != F.col("query_id"))
+    )
+    sparse = _minmax_norm(
+        _topk_per_query(sparse_scored, HYBRID_DEPTH), "sparse"
+    )
+    e = load_embeddings_spread(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    qids = qdf.select("query_id").distinct()
+    qvecs = e.join(
+        F.broadcast(qids), e.vec_id == F.col("query_id")
+    ).select("query_id", F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    dense_scored = e.join(
+        F.broadcast(qvecs), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cos, 6).alias("score"),
+    )
+    dense = _minmax_norm(_topk_per_query(dense_scored, HYBRID_DEPTH), "dense")
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").withColumn(
+        "hybrid_score",
+        F.round(
+            F.lit(HYBRID_ALPHA) * F.coalesce("norm_sparse", F.lit(0.0))
+            + F.lit(1.0 - HYBRID_ALPHA) * F.coalesce("norm_dense", F.lit(0.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("hybrid_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HYBRID_TOPK)
+        .select(
+            "query_id", "rnk", "doc_id", "hybrid_score",
+            "norm_sparse", "norm_dense", "rank_sparse", "rank_dense",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+HYBRID_FUSION_ORACLE = f"""
+WITH {_BM25_COMMON_SQL},
+r_s AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank_sparse
+  FROM scored WHERE doc_id != query_id
+  QUALIFY rank_sparse <= {HYBRID_DEPTH}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qd AS (SELECT DISTINCT query_id FROM qterm),
+dcos AS (
+  SELECT qd.query_id, c.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(qe.v, c.v), 6) AS score
+  FROM qd JOIN e qe ON qe.vec_id = qd.query_id
+  JOIN e c ON c.vec_id != qd.query_id
+),
+r_d AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank_dense
+  FROM dcos
+  QUALIFY rank_dense <= {HYBRID_DEPTH}
+),
+n_s AS (
+  SELECT query_id, doc_id, rank_sparse,
+         CASE WHEN MAX(score) OVER (PARTITION BY query_id)
+                   > MIN(score) OVER (PARTITION BY query_id)
+              THEN ROUND((score - MIN(score) OVER (PARTITION BY query_id))
+                   / (MAX(score) OVER (PARTITION BY query_id)
+                      - MIN(score) OVER (PARTITION BY query_id)), 6)
+              ELSE 1.0 END AS norm_sparse
+  FROM r_s
+),
+n_d AS (
+  SELECT query_id, doc_id, rank_dense,
+         CASE WHEN MAX(score) OVER (PARTITION BY query_id)
+                   > MIN(score) OVER (PARTITION BY query_id)
+              THEN ROUND((score - MIN(score) OVER (PARTITION BY query_id))
+                   / (MAX(score) OVER (PARTITION BY query_id)
+                      - MIN(score) OVER (PARTITION BY query_id)), 6)
+              ELSE 1.0 END AS norm_dense
+  FROM r_d
+),
+fused AS (
+  SELECT COALESCE(n_s.query_id, n_d.query_id) AS query_id,
+         COALESCE(n_s.doc_id, n_d.doc_id) AS doc_id,
+         ROUND({HYBRID_ALPHA!r} * COALESCE(norm_sparse, 0.0)
+               + {1.0 - HYBRID_ALPHA!r} * COALESCE(norm_dense, 0.0), 6)
+           AS hybrid_score,
+         norm_sparse, norm_dense, rank_sparse, rank_dense
+  FROM n_s FULL OUTER JOIN n_d
+    ON n_s.query_id = n_d.query_id AND n_s.doc_id = n_d.doc_id
+)
+SELECT query_id, rnk, doc_id, hybrid_score,
+       norm_sparse, norm_dense, rank_sparse, rank_dense
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY hybrid_score DESC, doc_id) AS rnk
+      FROM fused)
+WHERE rnk <= {HYBRID_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
 # --- persisted postings index + incremental serving --------------------------
 #
 # The production shape for retrieval over a growing corpus: the
@@ -1405,6 +1575,14 @@ QUERIES = [
         "rank-only combination, the multi-tier retrieval shape)",
         retrieval_rrf_fusion,
         RRF_FUSION_ORACLE,
+    ),
+    Query(
+        "retrieval_hybrid_fusion",
+        "hybrid dense+sparse retrieval: min-max-normalized convex score "
+        "fusion of the BM25 ranker and an exact-cosine embedding ranker "
+        "over the same query frontier (the production RAG serving shape)",
+        retrieval_hybrid_fusion,
+        HYBRID_FUSION_ORACLE,
     ),
     Query(
         "bm25_serve_incremental",

@@ -514,6 +514,15 @@ class Query:
 # exactly what the KMV row re-exercises. Stays registered and locally
 # oracle-checked.
 #
+# Round-16 rotation, continued (4): retrieval_hybrid_fusion — hybrid
+# dense + sparse retrieval (min-max-normalized convex score fusion of
+# the certified BM25 ranker and an exact-cosine embedding ranker over
+# the same query frontier; the production RAG serving shape) — enters
+# on arrival. Out goes mm_audio_fp_dedup (driver-green SEVEN
+# consecutive rounds r9-r15): the media-fingerprint dedup family keeps
+# mm_video_fp_dedup in-window, and the spectral-fingerprint surface
+# stays registered and locally oracle-checked.
+#
 # Round-16 rotation (no-rotation-debt invariant, VERDICT r15 #8): the
 # two r16 additions enter the window ON ARRIVAL — ann_ivfpq_neighbors
 # (VERDICT r15 #1: the composed FAISS production shape — integer
@@ -587,7 +596,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_h264_bipred_stats",  # NEW r13 window: B-slice biprediction GOP
     "mm_h264_subpel_stats",  # NEW r13 window: half-pel 6-tap MC GOP
     "mm_h264_qpel_stats",  # NEW r14 window: quarter-pel MC GOP
-    "mm_audio_fp_dedup",  # NEW r9 window: audio fingerprint dedup
+    "retrieval_hybrid_fusion",  # NEW r16 window: dense+sparse hybrid serving
     "mm_video_fp_dedup",  # NEW r11 window: temporal-delta video fp (r10 tail)
     "user_hourly_interpolate",  # NEW r9 window: gap-fill interpolation
     # LLM-pipeline: curation decisions (contamination / sampling / keep-drop).

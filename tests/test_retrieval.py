@@ -425,3 +425,48 @@ def test_eval_metrics_match_hand_computation(spark):
         ), q
         assert 0 <= got.ndcg_at_k <= 1 + 1e-9
         assert got.n_rel_at_k == sum(1 for v in rels if v > 0)
+
+
+def test_hybrid_fusion_invariants(spark):
+    """Hybrid fused score must equal the convex combination of the two
+    min-max-normalized per-list scores (0 for a missing list); norms
+    live in [0, 1] with each list's max at 1.0 and min at 0.0; no
+    self-hits; fused order is (score desc, doc_id asc); both rankers
+    and the full-outer (single-list) path are genuinely exercised."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+        HYBRID_ALPHA,
+        HYBRID_DEPTH,
+        HYBRID_TOPK,
+        retrieval_hybrid_fusion,
+    )
+
+    rows = retrieval_hybrid_fusion(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.doc_id != r.query_id, "self-hits must be excluded"
+        ns = r.norm_sparse if r.norm_sparse is not None else 0.0
+        nd = r.norm_dense if r.norm_dense is not None else 0.0
+        assert 0.0 <= ns <= 1.0 and 0.0 <= nd <= 1.0
+        want = HYBRID_ALPHA * ns + (1.0 - HYBRID_ALPHA) * nd
+        # engines round HALF_UP at 6 dp (Python's round() is banker's);
+        # accept either side of a half-ulp boundary.
+        assert abs(r.hybrid_score - want) < 5.1e-7, r
+        if r.rank_sparse is not None:
+            assert 1 <= r.rank_sparse <= HYBRID_DEPTH
+        if r.rank_dense is not None:
+            assert 1 <= r.rank_dense <= HYBRID_DEPTH
+        assert r.rank_sparse is not None or r.rank_dense is not None
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= HYBRID_TOPK
+        keys = [(-r.hybrid_score, r.doc_id) for r in rs]
+        assert keys == sorted(keys)
+    # Non-vacuous: some served rows carry both ranks (lists agree on a
+    # candidate) and some only one (the full-outer 0-contribution path).
+    assert any(
+        r.rank_sparse is not None and r.rank_dense is not None for r in rows
+    )
+    assert any(r.rank_sparse is None or r.rank_dense is None for r in rows)
