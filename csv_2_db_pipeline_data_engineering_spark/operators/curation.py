@@ -233,6 +233,60 @@ FROM t GROUP BY lang, length_band ORDER BY lang, length_band
 """
 
 
+# --- weighted sampling without replacement (Efraimidis–Spirakis) ------------
+
+#: global sample size for the weighted-sample query.
+WSAMPLE_N = 100
+#: 2^60, the hash range — an exact power-of-two double, so u = h / 2^60
+#: is an EXACT division in both engines.
+WSAMPLE_RANGE = float(1 << 60)
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N weighted sampling without replacement, proportional to
+    document length — the Efraimidis–Spirakis A-Res scheme (IPL 2006):
+    each doc draws key ``ln(u) / w`` (order-equivalent to the paper's
+    ``u^(1/w)``) from a DETERMINISTIC uniform u (its 60-bit content
+    hash over 2^60 — reproducible across engines, runs, and cluster
+    sizes, unlike rand()), and the sample is the global top-N by key.
+    The length weight stands in for any per-doc quality weight; the
+    plan is weight-agnostic.
+
+    This is the loader-side op "sample N docs with probability ∝ w,
+    exactly N, no replacement" that temperature/waterfill mixing rates
+    feed at 100 TB. Scale shape: the key is map-side column math at the
+    scan; the top-N is a shuffle-free TakeOrdered (per-partition
+    bounded heaps — the ``corpus_overlap_kmv`` build shape); nothing
+    else leaves the executors. Keys are rounded to 6 BEFORE ranking
+    with a doc_id tie-break, the repo's cross-engine rank discipline.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+        / F.lit(WSAMPLE_RANGE)
+    )
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        F.round(F.log(u) / F.col("n_chars"), 6).alias("k"),
+    )
+    top = keyed.orderBy(F.desc("k"), F.asc("doc_id")).limit(WSAMPLE_N)
+    wr = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(wr)).orderBy("rank")
+
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars AS w,
+         ROUND(ln(('0x' || substr(md5(text), 1, 15))::BIGINT
+                  / CAST({WSAMPLE_RANGE!r} AS DOUBLE)) / n_chars, 6) AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, w, k, ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rank
+FROM keyed QUALIFY rank <= {WSAMPLE_N} ORDER BY rank
+"""
+
+
 def _with_planted_salads(docs: DataFrame) -> DataFrame:
     """Union the corpus with deterministic token-salad witness docs.
 
@@ -1388,6 +1442,11 @@ QUERIES = [
     Query("corpus_sample_strata",
           "stratified deterministic sampling plan per (lang, length band)",
           corpus_sample_strata, SAMPLE_STRATA_ORACLE),
+    Query("corpus_weighted_sample",
+          "exactly-N weighted sampling without replacement "
+          "(Efraimidis-Spirakis keys over a deterministic uniform; "
+          "shuffle-free TakeOrdered top-N)",
+          corpus_weighted_sample, WEIGHTED_SAMPLE_ORACLE),
     Query("corpus_curation_decision",
           "keep/drop decision per doc: dup gates + language + repetition",
           corpus_curation_decision, CURATION_ORACLE),

@@ -523,6 +523,15 @@ class Query:
 # mm_video_fp_dedup in-window, and the spectral-fingerprint surface
 # stays registered and locally oracle-checked.
 #
+# Round-16 rotation, continued (5): corpus_weighted_sample — exactly-N
+# weighted sampling without replacement (Efraimidis-Spirakis keys over
+# a deterministic content-hash uniform; shuffle-free TakeOrdered
+# top-N) — the loader-side sampling op the mix-rate queries feed —
+# enters on arrival. Out goes text_encoding_fix (driver-green SIX
+# consecutive rounds r10-r15): the text-hygiene family keeps
+# text_boilerplate_strip and url_canonical_dedup in-window; the
+# mojibake-repair surface stays registered and locally oracle-checked.
+#
 # Round-16 rotation (no-rotation-debt invariant, VERDICT r15 #8): the
 # two r16 additions enter the window ON ARRIVAL — ann_ivfpq_neighbors
 # (VERDICT r15 #1: the composed FAISS production shape — integer
@@ -584,7 +593,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # and the boilerplate strip inside both curation pipelines).
     "corpus_overlap_kmv",  # NEW r16 window: KMV cross-corpus overlap sketch
     "text_heavy_hitters_incremental",  # NEW r10 window: persisted CMS extends
-    "text_encoding_fix",  # NEW r10 window: mojibake repair (r7 tail)
+    "corpus_weighted_sample",  # NEW r16 window: E-S weighted sampling w/o repl.
     "text_boilerplate_strip",  # NEW r10 window: boilerplate line removal
     # LLM-pipeline: boilerplate removal + classifier inference (NEW r7).
     "url_canonical_dedup",  # rotated in late r7 (new URL-hygiene family)

@@ -419,3 +419,39 @@ def test_domain_mix_temperature_matches_hand_computation(spark):
     by_tok = sorted(rows, key=lambda r: n_tok[r.source])
     shares = [r.samp_frac for r in by_tok]
     assert shares == sorted(shares)
+
+
+def test_weighted_sample_es_scheme(spark):
+    """Efraimidis–Spirakis invariants: exactly N rows, contiguous
+    ranks, non-increasing keys, per-row key reproducible in pure
+    Python, deterministic across runs, and the sample is genuinely
+    weight-biased (avg sampled length > corpus avg length)."""
+    import hashlib
+    import math
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        WSAMPLE_N,
+        WSAMPLE_RANGE,
+        corpus_weighted_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = corpus_weighted_sample(spark, sf).collect()
+    assert len(rows) == WSAMPLE_N
+    assert [r["rank"] for r in rows] == list(range(1, WSAMPLE_N + 1))
+    ks = [r["k"] for r in rows]
+    assert ks == sorted(ks, reverse=True)
+    docs = {
+        r["doc_id"]: (r["text"], r["n_chars"])
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    for r in rows:
+        text, n_chars = docs[r["doc_id"]]
+        assert r["w"] == n_chars
+        u = int(hashlib.md5(text.encode()).hexdigest()[:15], 16) / WSAMPLE_RANGE
+        assert abs(r["k"] - math.log(u) / n_chars) < 1.1e-6, r
+    again = [r["doc_id"] for r in corpus_weighted_sample(spark, sf).collect()]
+    assert again == [r["doc_id"] for r in rows], "must be deterministic"
+    avg_all = sum(v[1] for v in docs.values()) / len(docs)
+    avg_sampled = sum(r["w"] for r in rows) / len(rows)
+    assert avg_sampled > avg_all, (avg_sampled, avg_all)
