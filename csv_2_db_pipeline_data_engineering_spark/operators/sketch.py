@@ -1359,6 +1359,79 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_sketch_rows(docs: DataFrame) -> DataFrame:
+    """(h,): the KMV state for ``docs`` — the K smallest distinct
+    content hashes. Per-partition top-K via TakeOrdered after a
+    map-side-combined distinct."""
+    return (
+        docs.select(_kmv_hash(F.col("text")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+
+
+def kmv_estimate(sketch: DataFrame) -> DataFrame:
+    """1-row (est, kth_h, n_vals) distinct-cardinality estimate from a
+    KMV state: (K-1)·2^60 / h_(K), or the exact n_vals when the state
+    holds fewer than K values (the sketch IS the set then)."""
+    w = Window.orderBy("h")
+    ranked = sketch.withColumn("r", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.max(F.when(F.col("r") == KMV_K, F.col("h"))).alias("kth_h"),
+    )
+    est = F.when(
+        F.col("n_vals") < KMV_K, F.col("n_vals").cast("double")
+    ).otherwise(F.round(F.lit(KMV_NUM) / F.col("kth_h"), 4))
+    return agg.select(est.alias("est"), "kth_h", "n_vals")
+
+
+def extend_kmv_index(docs: DataFrame, path: str, tag: str) -> None:
+    """Append ``docs``' KMV state as the (overwrite-idempotent)
+    ``delta=<tag>`` partition of a persisted KMV index — O(delta) work,
+    history partitions never rewritten (the shared LSM contract)."""
+    import os
+
+    kmv_sketch_rows(docs).write.mode("overwrite").parquet(
+        os.path.join(path, f"delta={tag}")
+    )
+
+
+def read_kmv_index(spark: SparkSession, path: str) -> DataFrame | None:
+    """The k-smallest-merged KMV state across all visible delta tags
+    (None if the index does not exist yet). merge == rebuild exactly:
+    kmv(∪ tags) is the K smallest of the union of per-tag sketches."""
+    from . import lsm
+
+    raw = lsm.read_visible(spark, path)
+    if raw is None:
+        return None
+    return merge_kmv(raw.select("h"))
+
+
+def compact_kmv_index(spark: SparkSession, path: str) -> None:
+    """Fold every visible delta tag into one base version — k-smallest
+    over tags IS the merge, so the compacted index estimates
+    identically while the per-read input drops back to <= KMV_K rows."""
+    from . import lsm
+
+    w = Window.orderBy("h")
+    lsm.compact(
+        spark,
+        path,
+        {
+            "": lambda df: (
+                df.select("h")
+                .distinct()
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= KMV_K)
+                .select("h")
+            )
+        },
+    )
+
+
 OVERLAP_KMV_ORACLE = f"""
 WITH rows_ AS (
   SELECT doc_id,

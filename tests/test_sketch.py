@@ -499,3 +499,54 @@ def test_kmv_kept_flags_are_per_content(spark):
         (r["in_a"], r["in_b"]) for r in kmv_kept(docs).collect()
     }
     assert kept == {(True, True)}
+
+
+def test_kmv_index_fold_extend_refold_and_compact(spark, tmp_path):
+    """The persisted KMV index: extend two batches, and the read-back
+    k-smallest merge must equal a from-scratch sketch of both batches
+    (merge == rebuild, the defining KMV property); a crash-replayed
+    extend is idempotent; compaction preserves the state exactly and
+    the estimate falls back to the exact count below K values."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        KMV_K,
+        compact_kmv_index,
+        extend_kmv_index,
+        kmv_estimate,
+        kmv_sketch_rows,
+        read_kmv_index,
+    )
+
+    b1 = spark.createDataFrame(
+        [(i, f"doc number {i} about topic {i % 7}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(i, f"doc number {i} about topic {i % 7}") for i in range(40, 140)],
+        "doc_id long, text string",
+    )  # 20-doc text overlap with b1
+    path = str(tmp_path / "kmv_index")
+    assert read_kmv_index(spark, path) is None
+    extend_kmv_index(b1, path, "batch1")
+    extend_kmv_index(b2, path, "batch2")
+
+    def hs(df):
+        return sorted(r["h"] for r in df.collect())
+
+    folded = hs(read_kmv_index(spark, path))
+    scratch = hs(kmv_sketch_rows(b1.unionByName(b2)))
+    assert folded == scratch
+    assert len(folded) == min(KMV_K, 140)
+
+    extend_kmv_index(b2, path, "batch2")  # replay: idempotent
+    assert hs(read_kmv_index(spark, path)) == scratch
+
+    compact_kmv_index(spark, path)
+    assert hs(read_kmv_index(spark, path)) == scratch
+
+    est = kmv_estimate(read_kmv_index(spark, path)).collect()[0]
+    if len(scratch) < KMV_K:
+        assert est["est"] == float(len(scratch)) == est["n_vals"]
+        assert est["kth_h"] is None
+    else:
+        assert est["kth_h"] == scratch[KMV_K - 1]
+        assert abs(est["est"] - 140) * 100 <= 27 * 140
