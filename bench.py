@@ -160,6 +160,18 @@ HEADLINE = [
     # headline: below the ~52k-doc crossover it runs the in-headline
     # dedup_minhash_lsh plan verbatim plus connected components — the
     # --all sweep covers it.)
+    # round-16: KMV cross-corpus overlap (5th mergeable algebra;
+    # shuffle-free TakeOrdered sketch build, 3.49x at 100x)
+    "corpus_overlap_kmv",
+    # round-16: hybrid dense+sparse retrieval fusion (BM25 + cosine
+    # tiers, min-max score calibration; 4.06x at 100x)
+    "retrieval_hybrid_fusion",
+    # round-16: Efraimidis-Spirakis exactly-N weighted sampling
+    # (map-side keys + TakeOrdered; 3.37x at 100x)
+    "corpus_weighted_sample",
+    # round-16: SQ8 scalar-quantization flat ANN tier (integer-exact
+    # asymmetric decode-and-score; recall@5 0.98; 2.53x at 100x)
+    "ann_sq8_neighbors",
 ]
 
 

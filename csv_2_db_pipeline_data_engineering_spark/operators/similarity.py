@@ -1201,6 +1201,119 @@ def ann_ivf_neighbor_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_exact_cosine(scored)
 
 
+def ann_sq8_neighbor_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization ANN (FAISS ``ScalarQuantizer/QT_8bit``):
+    brute-force serving over 8-bit codes — the flat-index compression
+    tier between full-precision brute force and PQ.
+
+    Train: per-dimension (min, span) over the corpus — one dim-keyed
+    aggregate with map-side partials (64 keys regardless of corpus
+    size), folded into a single broadcast row; no driver collect.
+    Encode (map-side): ``code_d = (x_d - min_d)·255 // span_d`` — 64
+    float64 dims become 64 bytes (8x). Serve: asymmetric distance —
+    the FULL-PRECISION query against DECODED corpus codes
+    (``min_d + code_d·span_d // 255``), one corpus pass vs broadcast
+    queries, per-query exact-double rank.
+
+    Everything stays in the SEM_SCALE integer domain: codes and decodes
+    are integer floor arithmetic (the float divisions are exact-floor
+    by construction — quotient denominators are spans ≤ ~4·10³, so a
+    non-integer quotient sits ≥ 1/span from any integer, 10 orders
+    above double ulp), and cosines come from exact int64
+    (dot, |a|², |b|²) triples — bit-identical in DuckDB, so the raw
+    neighbor list value-checks. Recall vs ``ann_topk_bruteforce`` is
+    certified in tests (8-bit spans perturb a unit vector's angle by
+    < 0.1°, the ``ann_lsh_neighbors`` quantization argument).
+    """
+    from .semantic import _dot_q, _sem_quantized
+
+    # scoped_cache: the quantized frame feeds the stats aggregate, the
+    # encode pass, and the query side.
+    q = scoped_cache(_sem_quantized(load_embeddings_spread(spark, sf_dir)))
+    st = (
+        q.select(F.posexplode("xq").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), (F.max("x") - F.min("x")).alias("sp"))
+    )
+    strow = st.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mn"))), lambda s: s["mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "sp"))), lambda s: s["sp"]
+        ).alias("sps"),
+    )
+    code = F.zip_with(
+        F.zip_with("xq", "mins", lambda x, m: x - m),
+        "sps",
+        lambda t, s: F.floor((t * 255) / F.greatest(s, F.lit(1))).cast("long"),
+    )
+    encd = (
+        q.crossJoin(F.broadcast(strow))
+        .withColumn("code", code)
+        .withColumn(
+            "dv",
+            F.zip_with(
+                F.zip_with(
+                    "code", "sps", lambda c, s: F.floor((c * s) / 255).cast("long")
+                ),
+                "mins",
+                lambda d, m: d + m,
+            ),
+        )
+        .select("vec_id", "dv")
+        .withColumn("nb2", _dot_q("dv", "dv"))
+    )
+    qx = (
+        q.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("xq").alias("qx"))
+        .withColumn("na2", _dot_q("qx", "qx"))
+    )
+    scored = encd.join(
+        F.broadcast(qx), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "na2",
+        "nb2",
+        _dot_q("qx", "dv").alias("dot"),
+    )
+    return _rank_exact_cosine(scored)
+
+
+def _sq8_neighbors_sql() -> str:
+    from .semantic import SEM_SCALE
+
+    return f"""
+WITH eq AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * {SEM_SCALE} + 0.5) AS BIGINT)) AS xq
+  FROM embeddings),
+dx AS (SELECT vec_id, unnest(range(len(xq))) AS d, unnest(xq) AS x FROM eq),
+st AS (SELECT d, MIN(x) AS mn, MAX(x) - MIN(x) AS sp FROM dx GROUP BY d),
+stl AS (SELECT list(mn ORDER BY d) AS mins, list(sp ORDER BY d) AS sps
+        FROM st),
+dv AS (
+  SELECT vec_id,
+         [mins[i+1] + CAST(floor((CAST(floor(
+              ((xq[i+1] - mins[i+1]) * 255)::DOUBLE
+              / GREATEST(sps[i+1], 1)) AS BIGINT)
+              * sps[i+1])::DOUBLE / 255) AS BIGINT)
+          for i in range(len(xq))] AS dv
+  FROM eq, stl),
+nb AS (SELECT vec_id, dv,
+              CAST(list_inner_product(dv, dv) AS BIGINT) AS nb2 FROM dv),
+qx AS (SELECT vec_id AS query_id, xq AS qx,
+              CAST(list_inner_product(xq, xq) AS BIGINT) AS na2
+       FROM eq WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_inner_product(q.qx, c.dv) AS BIGINT) AS dot,
+         q.na2, c.nb2
+  FROM qx q JOIN nb c ON c.vec_id != q.query_id),
+{_neighbors_rank_sql("scored")}"""
+
+
 # --- Composed IVF-PQ (the FAISS production index shape) ---------------------
 #
 # ``ann_ivf_neighbors`` certifies the coarse quantizer (integer k-means
@@ -1789,6 +1902,7 @@ scored AS (
 
 ANN_LSH_NEIGHBORS_ORACLE = _lsh_neighbors_sql()
 ANN_IVF_NEIGHBORS_ORACLE = _ivf_neighbors_sql()
+ANN_SQ8_NEIGHBORS_ORACLE = _sq8_neighbors_sql()
 ANN_IVFPQ_ORACLE = _ivfpq_sql()
 ANN_IVFPQ_SERVE_ORACLE = _ivfpq_sql(train_max=IVFPQ_TRAIN_MAX)
 
@@ -1829,6 +1943,10 @@ QUERIES = [
           "IVF ANN raw neighbor list over the integer k-means quantizer "
           "(value-checked)",
           ann_ivf_neighbor_list, ANN_IVF_NEIGHBORS_ORACLE),
+    Query("ann_sq8_neighbors",
+          "SQ8 scalar-quantization ANN (8-bit codes, 8x compression, "
+          "asymmetric decode-and-score; integer-exact, value-checked)",
+          ann_sq8_neighbor_list, ANN_SQ8_NEIGHBORS_ORACLE),
     Query("ann_ivfpq_neighbors",
           "composed IVF-PQ (FAISS production shape): integer k-means "
           "coarse routing + residual PQ codebooks + cell-local ADC "

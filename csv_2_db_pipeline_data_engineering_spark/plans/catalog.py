@@ -532,6 +532,18 @@ class Query:
 # text_boilerplate_strip and url_canonical_dedup in-window; the
 # mojibake-repair surface stays registered and locally oracle-checked.
 #
+# Round-16 rotation, continued (6): ann_sq8_neighbors — SQ8 scalar
+# quantization (FAISS ScalarQuantizer/QT_8bit: per-dim (min, span)
+# trained as one 64-key aggregate, 8-bit integer codes, asymmetric
+# full-precision-query vs decoded-code scoring, all in the SEM_SCALE
+# integer domain so the raw neighbor list value-checks; recall@5 0.98
+# vs brute force in tests) — enters on arrival. Out goes
+# dedup_semantic_kmeans (driver-green EIGHT consecutive rounds
+# r8-r15): in-window dedup_semantic_keep RUNS the same integer k-means
+# assignment plan as its first stage, so the SemDeDup clustering
+# surface stays value-checked in-window through it. Stays registered
+# and locally oracle-checked.
+#
 # Round-16 rotation (no-rotation-debt invariant, VERDICT r15 #8): the
 # two r16 additions enter the window ON ARRIVAL — ann_ivfpq_neighbors
 # (VERDICT r15 #1: the composed FAISS production shape — integer
@@ -569,7 +581,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_ivfpq_neighbors",  # NEW r16 window: composed IVF-PQ + exact refine
     "dedup_semantic_keep",  # NEW r9 window: SemDeDup keep-frame
     "ann_ivfpq_serve_incremental",  # NEW r16 window: IVF-PQ serving tier
-    "dedup_semantic_kmeans",  # NEW r8: SemDeDup (within-cluster cosine)
+    "ann_sq8_neighbors",  # NEW r16 window: SQ8 scalar-quantization ANN
     "dedup_clusters_lsh_scaled",  # NEW r15 window: scale-regime banding
     # LLM-pipeline: similarity / embeddings.
     "embedding_linear_probe",  # NEW r10: integer-GD classifier training curve

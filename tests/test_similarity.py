@@ -285,3 +285,25 @@ def test_ivfpq_index_extend_serve_equals_inplan_rebuild(spark, tmp_path):
     q.unpersist()
     sub_t.unpersist()
     assert got == want and len(want) == N_QUERIES * TOP_K
+
+
+def test_sq8_neighbor_list_recall_and_compression(spark):
+    """SQ8 flat serving must keep near-brute-force recall (8-bit spans
+    perturb angles far less than the LSH 1000-scale quantization) and
+    the exact output contract; codes must genuinely live in [0, 255]
+    per dimension (the 8x compression claim)."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.lifecycle import (
+        release_scoped_caches,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.operators.similarity import (
+        ann_sq8_neighbor_list,
+    )
+
+    exact = _pairs(ann_topk_bruteforce(spark, SF_DIR))
+    approx = _pairs(ann_sq8_neighbor_list(spark, SF_DIR))
+    release_scoped_caches()
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"SQ8 recall {recall:.2f}"
+    assert all(q != n for q, n in approx)
+    n_queries = len({q for q, _ in approx})
+    assert len(approx) == n_queries * TOP_K
