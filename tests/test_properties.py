@@ -321,3 +321,45 @@ def test_pq_codebook_fit_is_deterministic_and_in_range(seed):
     assert a.shape == (min(PQ_CODEBOOK_K, len(samples)), 8)
     assert (a >= samples.min(axis=0) - 1e-12).all()
     assert (a <= samples.max(axis=0) + 1e-12).all()
+
+
+@given(
+    a=st.sets(st.integers(1, 1 << 59), min_size=0, max_size=300),
+    b=st.sets(st.integers(1, 1 << 59), min_size=0, max_size=300),
+)
+@settings(max_examples=60, deadline=None)
+def test_kmv_merge_law_pure_model(a, b):
+    """kmv_K(A ∪ B) == K-smallest(kmv_K(A) ∪ kmv_K(B)) for ALL set
+    shapes — empty, disjoint, nested, overlapping — the property the
+    Spark `merge_kmv` certificate relies on. Pure-Python model (no
+    Spark session): the law is set algebra, not plan behavior."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import KMV_K
+
+    def kmv(s):
+        return sorted(s)[:KMV_K]
+
+    merged = sorted(set(kmv(a)) | set(kmv(b)))[:KMV_K]
+    assert merged == kmv(a | b)
+
+
+@given(
+    ws=st.lists(st.integers(1, 10**6), min_size=1, max_size=40),
+    n=st.integers(1, 10),
+)
+@settings(max_examples=60, deadline=None)
+def test_weighted_sample_key_ordering_model(ws, n):
+    """The Efraimidis-Spirakis transform ln(u)/w is order-equivalent to
+    the paper's u^(1/w) for u in (0,1): both pick the same top-N, for
+    any weight profile (the substitution `corpus_weighted_sample`
+    makes to stay in cross-engine-stable log space)."""
+    import hashlib
+    import math
+
+    keys = []
+    for i, w in enumerate(ws):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        keys.append((i, math.log(u) / w, u ** (1.0 / w)))
+    top_log = sorted(keys, key=lambda t: (-t[1], t[0]))[:n]
+    top_pow = sorted(keys, key=lambda t: (-t[2], t[0]))[:n]
+    assert [t[0] for t in top_log] == [t[0] for t in top_pow]
