@@ -332,3 +332,54 @@ def test_decontaminate_probes_eval_index_by_broadcast(spark):
     # the non-equi interval anti-join rides the broadcast nested loop,
     # never a cartesian expansion
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_weighted_sample_is_shuffle_free_take_ordered(spark):
+    """The E-S sample must be map-side keys + TakeOrdered — no exchange
+    anywhere in the plan (the 100 TB claim: nothing shuffles)."""
+    plan = _plan(spark, "corpus_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    pre_window = plan.split("Window")[0]  # the final rank runs on <=N rows
+    assert "Exchange" not in pre_window
+
+
+def test_kmv_sketch_build_is_take_ordered(spark):
+    """The KMV budget frame must come from TakeOrdered (per-partition
+    bounded heaps), never a global sort-exchange of the corpus."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        KMV_BUDGET,
+        kmv_kept,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # plan inspected on the pre-checkpoint subtree (the registered
+    # query eagerly checkpoints the budget frame):
+    budget = (
+        docs.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(KMV_BUDGET)
+    )
+    plan = budget._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    # and the registered query's kept frame stays bounded
+    assert kmv_kept(docs).count() <= KMV_BUDGET
+
+
+def test_sq8_serving_broadcasts_queries(spark):
+    """SQ8 serving must broadcast the query side into one corpus pass
+    (BroadcastNestedLoopJoin on the != predicate), never shuffle the
+    corpus for the join."""
+    plan = _plan(spark, "ann_sq8_neighbors")
+    assert "BroadcastNestedLoopJoin" in plan
