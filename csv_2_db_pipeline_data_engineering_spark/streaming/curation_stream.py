@@ -163,6 +163,7 @@ SPAN_INDEX_DIR = "span_index"
 EMB_INDEX_DIR = "emb_index"
 EPOCH_INDEX_DIR = "epoch_index"
 POSTINGS_INDEX_DIR = "postings_index"
+KMV_INDEX_DIR = "kmv_index"
 
 
 def _span_index_committed(
@@ -429,6 +430,54 @@ def compact_postings_index_stream(spark: SparkSession, out_dir: str) -> None:
                 F.sum("n_docs").alias("n_docs"),
                 F.sum("total_dl").alias("total_dl"),
             ),
+        },
+        only_tags={f"batch{b}" for b in applied},
+    )
+
+
+def kmv_state_from_stream(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The kept-corpus KMV distinct-content state across COMMITTED
+    batches — the k-smallest merge of the per-batch sketches, which
+    equals a from-scratch sketch of all shipped kept docs EXACTLY (the
+    defining KMV merge law; pytest-certified). Feed to
+    ``operators.sketch.kmv_estimate`` for the cardinality estimate.
+    Raises if no batch has committed yet."""
+    from ..operators.sketch import merge_kmv
+
+    base = os.path.join(out_dir, KMV_INDEX_DIR)
+    tags = _committed_tags(base, out_dir, batch_id=-1)
+    if not tags:
+        raise ValueError(f"no committed KMV-index tags under {base}")
+    raw = (
+        spark.read.option("basePath", base)
+        .parquet(*[os.path.join(base, t) for t in tags])
+        .drop("delta")
+    )
+    return merge_kmv(raw.select("h"))
+
+
+def compact_kmv_index_stream(spark: SparkSession, out_dir: str) -> None:
+    """LSM-compact the stream's KMV index: the k-smallest fold over all
+    applied tags IS the merge, so the compacted base answers
+    identically from <= KMV_K rows."""
+    from ..operators import lsm
+    from ..operators.sketch import KMV_K
+
+    from pyspark.sql import Window
+
+    applied = set(_read_manifest(out_dir)["applied"])
+    w = Window.orderBy("h")
+    lsm.compact(
+        spark,
+        os.path.join(out_dir, KMV_INDEX_DIR),
+        {
+            "": lambda df: (
+                df.select("h")
+                .distinct()
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= KMV_K)
+                .select("h")
+            )
         },
         only_tags={f"batch{b}" for b in applied},
     )
@@ -884,6 +933,18 @@ def fold_curation_batch(
 
     extend_postings_index(
         shipped_kept, os.path.join(out_dir, POSTINGS_INDEX_DIR), f"batch{batch_id}"
+    )
+    # KMV distinct-content sketch: the batch's SHIPPED kept docs' K
+    # smallest content hashes extend the persisted k-smallest state
+    # O(delta) — kmv(∪ batches) == K-smallest(∪ per-batch sketches)
+    # EXACTLY, so the stream's corpus-cardinality/overlap answers equal
+    # a from-scratch rebuild after any number of folds (the pytest
+    # certificate). Same pre-commit write / committed-only read
+    # discipline as the other indexes.
+    from ..operators.sketch import extend_kmv_index
+
+    extend_kmv_index(
+        shipped_kept, os.path.join(out_dir, KMV_INDEX_DIR), f"batch{batch_id}"
     )
     # Epoch index (only when the arriving schema carries a source
     # column): the batch's SHIPPED kept docs' (doc_id, source, n_tok)

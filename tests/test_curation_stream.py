@@ -878,3 +878,48 @@ def test_prf_from_stream_equals_rebuild_over_shipped_corpus(spark, tmp_path):
     compact_postings_index_stream(spark, out)
     after = [tuple(r) for r in prf_topk_from_stream(spark, out, qterm).collect()]
     assert after == served
+
+
+def test_kmv_from_stream_equals_rebuild_over_shipped_corpus(spark, tmp_path):
+    """The stream-maintained KMV index must hold exactly the k-smallest
+    content hashes of ALL shipped kept docs after multiple folds (the
+    merge law applied across batch tags), after an idempotent replay,
+    AND after compaction; the estimate tracks the kept-corpus distinct
+    count."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.sketch import (
+        KMV_K,
+        kmv_estimate,
+        kmv_sketch_rows,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.streaming.curation_stream import (
+        compact_kmv_index_stream,
+        kmv_state_from_stream,
+        read_curated,
+    )
+
+    out = str(tmp_path / "curated")
+    fresh = (
+        "seven golden apples fell from the tall tree and it was a sign of "
+        "the good harvest to come for the people of the small village inn"
+    )
+    fold_curation_batch(spark, _docs(spark, [(1, _BASE), (2, _OTHER)]), out, 0)
+    fold_curation_batch(spark, _docs(spark, [(12, fresh)]), out, 1)
+
+    kept = read_curated(spark, out, "kept").select("doc_id", "text")
+
+    def hs(df):
+        return sorted(r["h"] for r in df.collect())
+
+    served = hs(kmv_state_from_stream(spark, out))
+    rebuild = hs(kmv_sketch_rows(kept))
+    assert served == rebuild and served
+    assert len(served) == min(KMV_K, kept.count())
+
+    # replayed fold: the overwrite-idempotent tag must not change state
+    fold_curation_batch(spark, _docs(spark, [(12, fresh)]), out, 1)
+    assert hs(kmv_state_from_stream(spark, out)) == served
+
+    compact_kmv_index_stream(spark, out)
+    assert hs(kmv_state_from_stream(spark, out)) == served
+    est = kmv_estimate(kmv_state_from_stream(spark, out)).collect()[0]
+    assert est["n_vals"] == len(served)
