@@ -172,6 +172,9 @@ HEADLINE = [
     # round-16: SQ8 scalar-quantization flat ANN tier (integer-exact
     # asymmetric decode-and-score; recall@5 0.98; 2.53x at 100x)
     "ann_sq8_neighbors",
+    # round-16: MMR diversified re-ranking (bounded greedy loop over
+    # the dense candidate pool; 1.79x at 100x)
+    "retrieval_mmr_rerank",
 ]
 
 

@@ -1201,6 +1201,220 @@ def ann_ivf_neighbor_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_exact_cosine(scored)
 
 
+MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes redundancy
+MMR_DEPTH = 10  # candidate pool per query (the upstream ANN top list)
+MMR_K = 5  # diversified picks served per query
+
+
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-ranking (Carbonell &
+    Goldstein, SIGIR 1998) — the serving-side pass that turns a
+    similarity top-list into a DIVERSE top-list: greedily pick
+    ``argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` so near-duplicate
+    candidates don't crowd the served window (for RAG, the difference
+    between k copies of one fact and k facts).
+
+    Scale shape: the corpus is touched exactly once (the candidate
+    top-``MMR_DEPTH`` scan — in production the upstream ANN tier's
+    output); every MMR iteration runs on the BOUNDED per-query
+    candidate frame (≤ NQ·DEPTH rows) and its pairwise-similarity
+    frame (≤ NQ·DEPTH² rows), both eagerly pinned, so the greedy loop
+    never rescans anything corpus-sized.
+
+    Determinism: relevance and pairwise cosines are exact doubles from
+    int64 (dot, |a|², |b|²) triples (the ``_rank_exact_cosine``
+    discipline); the λ-combination is arithmetic on identical doubles;
+    every argmax tie-breaks by doc_id. The oracle unrolls the same
+    ``MMR_K`` greedy steps as chained CTEs (the ``embedding_pca_power``
+    unrolled-iteration precedent), so each pick value-checks.
+    """
+    from .semantic import _dot_q, _sem_quantized
+
+    q = scoped_cache(
+        _sem_quantized(load_embeddings_spread(spark, sf_dir)).withColumn(
+            "n2", _dot_q("xq", "xq")
+        )
+    )
+    qx = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("xq").alias("qv"),
+        F.col("n2").alias("na2"),
+    )
+    rel = F.col("dot") / F.sqrt((F.col("na2") * F.col("nb2")).cast("double"))
+    wc = Window.partitionBy("query_id").orderBy(F.desc("rel_exact"), "doc_id")
+    cand = (
+        q.join(F.broadcast(qx), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            "na2",
+            F.col("n2").alias("nb2"),
+            _dot_q("qv", "xq").alias("dot"),
+        )
+        .withColumn("rel_exact", rel)
+        .withColumn("rnk", F.row_number().over(wc))
+        .filter(F.col("rnk") <= MMR_DEPTH)
+        .select("query_id", "doc_id", "rel_exact")
+        .localCheckpoint(eager=True)
+    )
+    cv = cand.join(
+        q.select("vec_id", "xq", "n2"), cand.doc_id == F.col("vec_id")
+    ).select("query_id", "doc_id", "xq", "n2")
+    a = cv.select(
+        "query_id",
+        F.col("doc_id").alias("d1"),
+        F.col("xq").alias("x1"),
+        F.col("n2").alias("m1"),
+    )
+    b = cv.select(
+        "query_id",
+        F.col("doc_id").alias("d2"),
+        F.col("xq").alias("x2"),
+        F.col("n2").alias("m2"),
+    )
+    sim = F.col("pdot") / F.sqrt((F.col("m1") * F.col("m2")).cast("double"))
+    pairs = (
+        a.join(b, ["query_id"])
+        .filter(F.col("d1") != F.col("d2"))
+        .select(
+            "query_id", "d1", "d2", _dot_q("x1", "x2").alias("pdot"), "m1", "m2"
+        )
+        .withColumn("sim_exact", sim)
+        .select("query_id", "d1", "d2", "sim_exact")
+        .localCheckpoint(eager=True)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel_exact"), "doc_id")
+    sel = (
+        cand.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            F.lit(1).alias("pick"),
+            "rel_exact",
+            (F.lit(MMR_LAMBDA) * F.col("rel_exact")).alias("mmr_exact"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wm = Window.partitionBy("query_id").orderBy(F.desc("mmr_exact"), "doc_id")
+    for t in range(2, MMR_K + 1):
+        avail = cand.join(
+            sel.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti"
+        )
+        pen = (
+            pairs.join(
+                sel.select("query_id", F.col("doc_id").alias("d2")),
+                ["query_id", "d2"],
+            )
+            .groupBy("query_id", "d1")
+            .agg(F.max("sim_exact").alias("maxsim"))
+            .select(
+                F.col("query_id").alias("qid"),
+                F.col("d1"),
+                F.col("maxsim"),
+            )
+        )
+        pick_t = (
+            avail.join(
+                pen,
+                (avail.query_id == pen.qid) & (avail.doc_id == pen.d1),
+            )
+            .select("query_id", "doc_id", "rel_exact", "maxsim")
+            .withColumn(
+                "mmr_exact",
+                F.lit(MMR_LAMBDA) * F.col("rel_exact")
+                - F.lit(1.0 - MMR_LAMBDA) * F.col("maxsim"),
+            )
+            .withColumn("r", F.row_number().over(wm))
+            .filter(F.col("r") == 1)
+            .select(
+                "query_id", "doc_id", F.lit(t).alias("pick"), "rel_exact",
+                "mmr_exact",
+            )
+        )
+        sel = sel.unionByName(pick_t).localCheckpoint(eager=True)
+    return sel.select(
+        "query_id",
+        "pick",
+        "doc_id",
+        F.round("rel_exact", 6).alias("rel"),
+        F.round("mmr_exact", 6).alias("mmr_score"),
+    ).orderBy("query_id", "pick")
+
+
+def _mmr_sql() -> str:
+    from .semantic import SEM_SCALE
+
+    lam, inv = repr(MMR_LAMBDA), repr(1.0 - MMR_LAMBDA)
+    ctes = [
+        f"""eq AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * {SEM_SCALE} + 0.5) AS BIGINT)) AS xq
+  FROM embeddings)""",
+        """nn AS (SELECT vec_id, xq,
+               CAST(list_inner_product(xq, xq) AS BIGINT) AS n2 FROM eq)""",
+        f"""cand AS (
+  SELECT query_id, doc_id, rel_exact FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           CAST(list_inner_product(q.xq, c.xq) AS BIGINT)
+             / sqrt((q.n2 * c.n2)::DOUBLE) AS rel_exact,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(list_inner_product(q.xq, c.xq) AS BIGINT)
+                        / sqrt((q.n2 * c.n2)::DOUBLE) DESC, c.vec_id) AS rnk
+    FROM nn q JOIN nn c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES})
+  WHERE rnk <= {MMR_DEPTH})""",
+        """pairs AS (
+  SELECT a.query_id, a.doc_id AS d1, b.doc_id AS d2,
+         CAST(list_inner_product(na.xq, nb.xq) AS BIGINT)
+           / sqrt((na.n2 * nb.n2)::DOUBLE) AS sim_exact
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.doc_id != b.doc_id
+  JOIN nn na ON na.vec_id = a.doc_id
+  JOIN nn nb ON nb.vec_id = b.doc_id)""",
+        f"""s1 AS (
+  SELECT query_id, doc_id, 1 AS pick, rel_exact,
+         {lam} * rel_exact AS mmr_exact
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rel_exact DESC, doc_id) AS r FROM cand)
+  WHERE r = 1)""",
+        "sel1 AS (SELECT query_id, doc_id FROM s1)",
+    ]
+    for t in range(2, MMR_K + 1):
+        p = t - 1
+        ctes += [
+            f"""p{t} AS (
+  SELECT pairs.query_id, d1, MAX(sim_exact) AS maxsim
+  FROM pairs JOIN sel{p}
+    ON pairs.query_id = sel{p}.query_id AND pairs.d2 = sel{p}.doc_id
+  GROUP BY 1, 2)""",
+            f"""s{t} AS (
+  SELECT query_id, doc_id, {t} AS pick, rel_exact, mmr_exact FROM (
+    SELECT c.query_id, c.doc_id, c.rel_exact,
+           {lam} * c.rel_exact - {inv} * p{t}.maxsim AS mmr_exact,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+             ORDER BY {lam} * c.rel_exact - {inv} * p{t}.maxsim DESC,
+                      c.doc_id) AS r
+    FROM cand c
+    JOIN p{t} ON p{t}.query_id = c.query_id AND p{t}.d1 = c.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel{p}
+                      WHERE sel{p}.query_id = c.query_id
+                        AND sel{p}.doc_id = c.doc_id))
+  WHERE r = 1)""",
+            f"""sel{t} AS (SELECT query_id, doc_id FROM sel{p}
+  UNION ALL SELECT query_id, doc_id FROM s{t})""",
+        ]
+    picks = " UNION ALL ".join(f"SELECT * FROM s{t}" for t in range(1, MMR_K + 1))
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+allp AS ({picks})
+SELECT query_id, pick, doc_id,
+       ROUND(rel_exact, 6) AS rel, ROUND(mmr_exact, 6) AS mmr_score
+FROM allp ORDER BY query_id, pick"""
+    )
+
+
 def ann_sq8_neighbor_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar-quantization ANN (FAISS ``ScalarQuantizer/QT_8bit``):
     brute-force serving over 8-bit codes — the flat-index compression
@@ -1903,6 +2117,7 @@ scored AS (
 ANN_LSH_NEIGHBORS_ORACLE = _lsh_neighbors_sql()
 ANN_IVF_NEIGHBORS_ORACLE = _ivf_neighbors_sql()
 ANN_SQ8_NEIGHBORS_ORACLE = _sq8_neighbors_sql()
+MMR_RERANK_ORACLE = _mmr_sql()
 ANN_IVFPQ_ORACLE = _ivfpq_sql()
 ANN_IVFPQ_SERVE_ORACLE = _ivfpq_sql(train_max=IVFPQ_TRAIN_MAX)
 
@@ -1947,6 +2162,11 @@ QUERIES = [
           "SQ8 scalar-quantization ANN (8-bit codes, 8x compression, "
           "asymmetric decode-and-score; integer-exact, value-checked)",
           ann_sq8_neighbor_list, ANN_SQ8_NEIGHBORS_ORACLE),
+    Query("retrieval_mmr_rerank",
+          "maximal-marginal-relevance diversified re-ranking of the "
+          "dense candidate list (greedy lambda*rel - (1-lambda)*maxsim "
+          "picks, integer-exact cosines, unrolled-step oracle)",
+          retrieval_mmr_rerank, MMR_RERANK_ORACLE),
     Query("ann_ivfpq_neighbors",
           "composed IVF-PQ (FAISS production shape): integer k-means "
           "coarse routing + residual PQ codebooks + cell-local ADC "

@@ -544,6 +544,17 @@ class Query:
 # surface stays value-checked in-window through it. Stays registered
 # and locally oracle-checked.
 #
+# Round-16 rotation, continued (7): retrieval_mmr_rerank — maximal-
+# marginal-relevance diversified re-ranking (Carbonell & Goldstein:
+# greedy λ·rel − (1−λ)·maxsim picks over the bounded dense candidate
+# pool; integer-exact cosines, every pick value-checked against an
+# unrolled-step SQL twin, pure-Python greedy replication in pytest) —
+# enters on arrival. Out goes corpus_epoch_schedule (driver-green FIVE
+# consecutive rounds r11-r15): the training-loader schedule family
+# keeps epoch_schedule_incremental in-window, which serves the same
+# waterfill + fractional-cumsum schedule from the persisted token
+# index. Stays registered and locally oracle-checked.
+#
 # Round-16 rotation (no-rotation-debt invariant, VERDICT r15 #8): the
 # two r16 additions enter the window ON ARRIVAL — ann_ivfpq_neighbors
 # (VERDICT r15 #1: the composed FAISS production shape — integer
@@ -625,7 +636,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_curation_decision",
     "corpus_curation_report",  # NEW r9 window: per-reason curation audit
     "corpus_decontaminate",  # NEW r11 window: surgical span excision (r10 tail)
-    "corpus_epoch_schedule",  # NEW r11 window: per-doc epoch schedule (r10 tail)
+    "retrieval_mmr_rerank",  # NEW r16 window: MMR diversified re-ranking
     # Headline analytics (joins, windows, grouping, as-of/range, pivot).
     "q1_pricing_summary",
     "text_kn_perplexity",  # NEW r16 window: Kneser-Ney trigram LM filter

@@ -307,3 +307,69 @@ def test_sq8_neighbor_list_recall_and_compression(spark):
     assert all(q != n for q, n in approx)
     n_queries = len({q for q, _ in approx})
     assert len(approx) == n_queries * TOP_K
+
+
+def test_mmr_rerank_matches_pure_python_greedy(spark):
+    """Every MMR pick (order AND doc) must equal a from-scratch pure
+    Python greedy run over the same integer-quantized vectors — the
+    operator is exact, not heuristic; and a diversity witness: for at
+    least one query the MMR order differs from the plain relevance
+    order (otherwise the penalty term is vacuous at this sf)."""
+    import math
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.lifecycle import (
+        release_scoped_caches,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.operators.similarity import (
+        MMR_DEPTH,
+        MMR_K,
+        MMR_LAMBDA,
+        N_QUERIES,
+        retrieval_mmr_rerank,
+    )
+
+    rows = retrieval_mmr_rerank(spark, SF_DIR).collect()
+    release_scoped_caches()
+    emb = {
+        r["vec_id"]: [math.floor(x * 1000 + 0.5) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        return d / math.sqrt(float(na * nb))
+
+    expected = {}
+    for qid in range(N_QUERIES):
+        rel = {
+            v: cos(emb[qid], emb[v]) for v in emb if v != qid
+        }
+        cand = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_DEPTH]
+        sel = [min(cand, key=lambda v: (-rel[v], v))]
+        while len(sel) < MMR_K:
+            avail = [v for v in cand if v not in sel]
+            scores = {
+                v: MMR_LAMBDA * rel[v]
+                - (1.0 - MMR_LAMBDA) * max(cos(emb[v], emb[s]) for s in sel)
+                for v in avail
+            }
+            sel.append(min(avail, key=lambda v: (-scores[v], v)))
+        expected[qid] = sel
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], {})[r["pick"]] = r["doc_id"]
+    for qid in range(N_QUERIES):
+        picks = [got[qid][p] for p in sorted(got[qid])]
+        assert picks == expected[qid], (qid, picks, expected[qid])
+    # diversity witness: the MMR order must differ somewhere from the
+    # pure-relevance order
+    assert any(
+        expected[qid]
+        != sorted(
+            expected[qid],
+            key=lambda v: (-cos(emb[qid], emb[v]), v),
+        )
+        for qid in range(N_QUERIES)
+    )
