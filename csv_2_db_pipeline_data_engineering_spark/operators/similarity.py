@@ -1346,14 +1346,18 @@ def _mmr_sql() -> str:
     from .semantic import SEM_SCALE
 
     lam, inv = repr(MMR_LAMBDA), repr(1.0 - MMR_LAMBDA)
+    # cand/pairs are MATERIALIZED: DuckDB inlines plain CTEs, and the
+    # unrolled greedy steps reference them ~2 times per step — without
+    # materialization the N×N candidate scan re-executes per mention
+    # (measured 57.6 s -> sub-second at sf0.01).
     ctes = [
-        f"""eq AS (
+        f"""eq AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding::DOUBLE[],
            x -> CAST(floor(x * {SEM_SCALE} + 0.5) AS BIGINT)) AS xq
   FROM embeddings)""",
-        """nn AS (SELECT vec_id, xq,
+        """nn AS MATERIALIZED (SELECT vec_id, xq,
                CAST(list_inner_product(xq, xq) AS BIGINT) AS n2 FROM eq)""",
-        f"""cand AS (
+        f"""cand AS MATERIALIZED (
   SELECT query_id, doc_id, rel_exact FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
            CAST(list_inner_product(q.xq, c.xq) AS BIGINT)
@@ -1365,7 +1369,7 @@ def _mmr_sql() -> str:
     FROM nn q JOIN nn c ON c.vec_id != q.vec_id
     WHERE q.vec_id < {N_QUERIES})
   WHERE rnk <= {MMR_DEPTH})""",
-        """pairs AS (
+        """pairs AS MATERIALIZED (
   SELECT a.query_id, a.doc_id AS d1, b.doc_id AS d2,
          CAST(list_inner_product(na.xq, nb.xq) AS BIGINT)
            / sqrt((na.n2 * nb.n2)::DOUBLE) AS sim_exact
