@@ -260,19 +260,83 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     else leaves the executors. Keys are rounded to 6 BEFORE ranking
     with a doc_id tie-break, the repo's cross-engine rank discipline.
     """
-    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    top = wsample_keyed_rows(load_table(spark, sf_dir, "documents"))
+    wr = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(wr)).orderBy("rank")
+
+
+def wsample_keyed_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, w, k): the Efraimidis–Spirakis keyed frame for ``docs``,
+    trimmed to the top-``WSAMPLE_N`` — a weighted-reservoir PARTIAL.
+    A-Res's celebrated property is that these partials merge: the
+    global top-N of per-batch top-Ns IS the top-N of the union (the
+    same k-smallest order-statistic law the KMV sketch certifies,
+    mirrored to k-largest), so a persisted reservoir maintains itself
+    O(delta) per batch with history never rescanned."""
     u = (
         F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
         / F.lit(WSAMPLE_RANGE)
     )
-    keyed = d.select(
-        "doc_id",
-        F.col("n_chars").alias("w"),
-        F.round(F.log(u) / F.col("n_chars"), 6).alias("k"),
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("w"),
+            F.round(F.log(u) / F.col("n_chars"), 6).alias("k"),
+        )
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(WSAMPLE_N)
     )
-    top = keyed.orderBy(F.desc("k"), F.asc("doc_id")).limit(WSAMPLE_N)
-    wr = Window.orderBy(F.desc("k"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(wr)).orderBy("rank")
+
+
+def merge_wsample(*reservoirs: DataFrame) -> DataFrame:
+    """Top-N of the union of per-batch reservoirs — exactly the
+    reservoir of the combined corpus (rows are doc-keyed and each doc
+    lives in one batch, so the union is duplicate-free by contract)."""
+    out = reservoirs[0]
+    for r in reservoirs[1:]:
+        out = out.unionByName(r)
+    w = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        out.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= WSAMPLE_N)
+        .drop("_r")
+    )
+
+
+def extend_wsample_index(docs: DataFrame, path: str, tag: str) -> None:
+    """Append ``docs``' reservoir partial as the (overwrite-idempotent)
+    ``delta=<tag>`` partition of a persisted weighted reservoir —
+    O(delta) work, history partitions never rewritten."""
+    import os
+
+    wsample_keyed_rows(docs).write.mode("overwrite").parquet(
+        os.path.join(path, f"delta={tag}")
+    )
+
+
+def read_wsample_index(spark: SparkSession, path: str) -> DataFrame | None:
+    """The merged reservoir across all visible delta tags (None if the
+    index does not exist yet). merge == rebuild exactly."""
+    from . import lsm
+
+    raw = lsm.read_visible(spark, path)
+    if raw is None:
+        return None
+    return merge_wsample(raw.select("doc_id", "w", "k"))
+
+
+def compact_wsample_index(spark: SparkSession, path: str) -> None:
+    """Fold every visible delta tag into one base version — the top-N
+    fold IS the merge, so the compacted reservoir answers identically
+    from <= WSAMPLE_N rows."""
+    from . import lsm
+
+    lsm.compact(
+        spark,
+        path,
+        {"": lambda df: merge_wsample(df.select("doc_id", "w", "k"))},
+    )
 
 
 WEIGHTED_SAMPLE_ORACLE = f"""

@@ -455,3 +455,46 @@ def test_weighted_sample_es_scheme(spark):
     avg_all = sum(v[1] for v in docs.values()) / len(docs)
     avg_sampled = sum(r["w"] for r in rows) / len(rows)
     assert avg_sampled > avg_all, (avg_sampled, avg_all)
+
+
+def test_wsample_reservoir_fold_extend_refold_and_compact(spark, tmp_path):
+    """The persisted weighted reservoir: extend two batches and the
+    read-back top-N merge must equal a from-scratch reservoir over
+    both batches (the A-Res mergeability property); replay is
+    idempotent; compaction preserves the reservoir exactly."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.curation import (
+        WSAMPLE_N,
+        compact_wsample_index,
+        extend_wsample_index,
+        read_wsample_index,
+        wsample_keyed_rows,
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [
+                (i, f"text body number {i} padded for weight", 20 + (i * 7) % 300)
+                for i in range(lo, hi)
+            ],
+            "doc_id long, text string, n_chars int",
+        )
+
+    b1, b2 = mk(0, 90), mk(90, 260)
+    path = str(tmp_path / "wsample_index")
+    assert read_wsample_index(spark, path) is None
+    extend_wsample_index(b1, path, "batch1")
+    extend_wsample_index(b2, path, "batch2")
+
+    def ids(df):
+        return sorted((r["doc_id"], r["k"]) for r in df.collect())
+
+    folded = ids(read_wsample_index(spark, path))
+    scratch = ids(wsample_keyed_rows(b1.unionByName(b2)))
+    assert folded == scratch
+    assert len(folded) == min(WSAMPLE_N, 260)
+
+    extend_wsample_index(b2, path, "batch2")  # replay
+    assert ids(read_wsample_index(spark, path)) == scratch
+
+    compact_wsample_index(spark, path)
+    assert ids(read_wsample_index(spark, path)) == scratch
