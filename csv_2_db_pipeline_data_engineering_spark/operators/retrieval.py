@@ -543,6 +543,144 @@ ORDER BY query_id, rnk
 """
 
 
+# --- Dirichlet query-likelihood ranking ---------------------------------------
+
+#: Dirichlet smoothing pseudo-count (Zhai & Lafferty 2001). Tuned to
+#: the corpus's ~40-token documents (the canonical 2000-2500 news
+#: setting would swamp dl at this length scale); any positive value is
+#: the same algebra.
+QL_MU = 300.0
+
+
+def text_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty,
+    SIGIR 2001) — the third classical lexical ranker beside BM25 and
+    TF-IDF: ``score(q,d) = Σ_{t∈q} qtf·ln((tf_td + μ·P(t|C)) /
+    (dl_d + μ))`` INCLUDING the missing-term smoothing mass (a doc is
+    penalized for query terms it lacks — scoring only matching terms
+    mis-ranks).
+
+    Candidates are docs matching ≥1 query term (the Indri/production
+    restriction); the full smoothed score decomposes so nothing
+    corpus-sized is needed beyond the pruned postings:
+    ``score = A_q + Σ_match qtf·(ln(tf + μP_t) − ln(μP_t))
+    − Qlen_q·ln(dl + μ)`` where ``A_q = Σ_{t∈q} qtf·ln(μP_t)`` and
+    ``Qlen_q = Σ qtf`` are per-query constants over the ≤ NQ·QTERMS
+    broadcast frame, and collection statistics (``cf_t``, total
+    collection length) ride the same bounded frontier pushdown as
+    BM25's df. Scale shape: identical to the probed BM25 plan — one
+    spread corpus scan with the IN-literal filter, one (doc, term) tf
+    aggregate, salted two-stage top-k.
+    """
+    qvocab, qterm = _query_frontier(spark, sf_dir)
+    dr = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        table_bytes(sf_dir, "documents"),
+    )
+    toks = F.split(F.col("text"), " ")
+    tf = scoped_cache(
+        dr.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        )
+        .filter(F.col("term").isin(qvocab))
+        .groupBy("doc_id", "term")
+        .agg(F.min("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+    )
+    stats = dr.agg(F.sum(F.size(toks)).alias("total_dl"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    # μ·P(t|C) per query term, and the per-query constants A_q, Qlen_q
+    # — all on ≤ NQ·QTERMS-row broadcast frames.
+    qt = (
+        qterm.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "mu_p", F.lit(QL_MU) * F.col("cf") / F.col("total_dl")
+        )
+    )
+    qconst = qt.groupBy("query_id").agg(
+        F.sum(F.col("qtf") * F.log(F.col("mu_p"))).alias("a_q"),
+        F.sum("qtf").alias("qlen"),
+    )
+    inc = F.col("qtf") * (
+        F.log(F.col("tf") + F.col("mu_p")) - F.log(F.col("mu_p"))
+    )
+    scored = (
+        tf.join(F.broadcast(qt.select("query_id", "term", "qtf", "mu_p")), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(inc).alias("inc_sum"), F.min("dl").alias("dl"))
+        .join(F.broadcast(qconst), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("a_q")
+                + F.col("inc_sum")
+                - F.col("qlen") * F.log(F.col("dl") + F.lit(QL_MU)),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        _topk_per_query(scored)
+        .select("query_id", "rnk", "doc_id", "score")
+        .orderBy("query_id", "rnk")
+    )
+
+
+QL_DIRICHLET_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+q AS (
+  SELECT doc_id AS query_id, string_split(text, ' ')[1:{BM25_QTERMS}] AS qt
+  FROM documents ORDER BY doc_id LIMIT {BM25_NQ}
+),
+qterm AS (
+  SELECT query_id, term, COUNT(*) AS qtf
+  FROM (SELECT query_id, UNNEST(qt) AS term FROM q)
+  GROUP BY query_id, term
+),
+tf AS (
+  SELECT doc_id, term, MIN(dl) AS dl, COUNT(*) AS tf
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM qterm)
+  GROUP BY doc_id, term
+),
+stats AS (
+  SELECT SUM(len(string_split(text, ' ')))::DOUBLE AS total_dl
+  FROM documents
+),
+cf AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY term),
+qt AS (
+  SELECT qterm.query_id, qterm.term, qterm.qtf,
+         {QL_MU!r} * cf.cf / s.total_dl AS mu_p
+  FROM qterm JOIN cf USING (term) CROSS JOIN stats s
+),
+qconst AS (
+  SELECT query_id, SUM(qtf * ln(mu_p)) AS a_q, SUM(qtf) AS qlen
+  FROM qt GROUP BY query_id
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         ROUND(c.a_q + m.inc_sum - c.qlen * ln(m.dl + {QL_MU!r}), 6) AS score
+  FROM (
+    SELECT qt.query_id, tf.doc_id,
+           SUM(qt.qtf * (ln(tf.tf + qt.mu_p) - ln(qt.mu_p))) AS inc_sum,
+           MIN(tf.dl) AS dl
+    FROM tf JOIN qt USING (term)
+    GROUP BY qt.query_id, tf.doc_id
+  ) m JOIN qconst c USING (query_id)
+)
+SELECT query_id, rnk, doc_id, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rnk
+      FROM scored)
+WHERE rnk <= {BM25_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
 # --- hybrid dense + sparse retrieval fusion ----------------------------------
 
 HYBRID_ALPHA = 0.5  # convex weight on the sparse (BM25) side
@@ -1575,6 +1713,14 @@ QUERIES = [
         "rank-only combination, the multi-tier retrieval shape)",
         retrieval_rrf_fusion,
         RRF_FUSION_ORACLE,
+    ),
+    Query(
+        "text_ql_dirichlet",
+        "Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty) "
+        "with the full missing-term smoothing mass, over the same "
+        "bounded-frontier pushdown plan as BM25",
+        text_ql_dirichlet,
+        QL_DIRICHLET_ORACLE,
     ),
     Query(
         "retrieval_hybrid_fusion",

@@ -555,6 +555,17 @@ class Query:
 # waterfill + fractional-cumsum schedule from the persisted token
 # index. Stays registered and locally oracle-checked.
 #
+# Round-16 rotation, continued (8): text_ql_dirichlet — Dirichlet-
+# smoothed query-likelihood ranking (Zhai & Lafferty 2001), the third
+# classical lexical ranker beside BM25 and TF-IDF, scored WITH the
+# missing-term smoothing mass over the same bounded-frontier pushdown
+# plan as BM25 (pure-Python formula replication in pytest) — enters
+# on arrival. Out goes url_canonical_dedup (driver-green NINE
+# consecutive rounds r7-r15, the window's longest streak): the URL
+# canonicalization surface keeps its hypothesis idempotence property
+# test and stays registered and locally oracle-checked; the hygiene
+# family keeps text_boilerplate_strip in-window.
+#
 # Round-16 rotation (no-rotation-debt invariant, VERDICT r15 #8): the
 # two r16 additions enter the window ON ARRIVAL — ann_ivfpq_neighbors
 # (VERDICT r15 #1: the composed FAISS production shape — integer
@@ -619,7 +630,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_weighted_sample",  # NEW r16 window: E-S weighted sampling w/o repl.
     "text_boilerplate_strip",  # NEW r10 window: boilerplate line removal
     # LLM-pipeline: boilerplate removal + classifier inference (NEW r7).
-    "url_canonical_dedup",  # rotated in late r7 (new URL-hygiene family)
+    "text_ql_dirichlet",  # NEW r16 window: Dirichlet query-likelihood ranker
     "epoch_schedule_incremental",  # NEW r11: incremental training-loader schedule
     "ann_ivf_neighbors",  # NEW r13 window: integer-exact IVF neighbor list
     # LLM-pipeline: multimodal + continuous aggregate.

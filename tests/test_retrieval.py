@@ -470,3 +470,49 @@ def test_hybrid_fusion_invariants(spark):
         r.rank_sparse is not None and r.rank_dense is not None for r in rows
     )
     assert any(r.rank_sparse is None or r.rank_dense is None for r in rows)
+
+
+def test_ql_dirichlet_matches_pure_python(spark, tmp_path):
+    """Every served QL score must equal the reference formula computed
+    independently in Python — INCLUDING the missing-term smoothing mass
+    (a candidate matching only some query terms still pays
+    qtf·ln(μP/(dl+μ)) for the ones it lacks)."""
+    from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+        BM25_NQ,
+        BM25_QTERMS,
+        QL_MU,
+        text_ql_dirichlet,
+    )
+
+    sf = _write(spark, tmp_path, DOCS)
+    split = {i: t.split(" ") for i, t in DOCS}
+    total = float(sum(len(w) for w in split.values()))
+    cf = {}
+    for w in split.values():
+        for t in w:
+            cf[t] = cf.get(t, 0) + 1
+    queries = sorted(split)[:BM25_NQ]
+    expected = {}
+    for q in queries:
+        qterms = split[q][:BM25_QTERMS]
+        qtf = {t: qterms.count(t) for t in set(qterms)}
+        for d, w in split.items():
+            if not any(t in w for t in qtf):
+                continue  # candidate restriction: >=1 matching term
+            s = 0.0
+            for t, n in qtf.items():
+                mu_p = QL_MU * cf[t] / total
+                s += n * math.log((w.count(t) + mu_p) / (len(w) + QL_MU))
+            expected[(q, d)] = round(s, 6)
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in text_ql_dirichlet(spark, sf).collect()
+    }
+    assert got, "served list must be non-empty"
+    for key, score in got.items():
+        assert math.isclose(score, expected[key], rel_tol=0, abs_tol=1e-6), (
+            key, score, expected[key],
+        )
+    # witness: the doc lacking a query term ranks below one holding it
+    # (the missing-term mass is genuinely negative)
+    assert all(v < 0 for v in got.values())
