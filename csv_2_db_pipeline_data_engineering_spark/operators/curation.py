@@ -476,9 +476,17 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fluency: per-doc KN score over the SAME augmented corpus (the
     # reference slice is doc_id-bounded, so planted witnesses can never
     # train the model), median as a 1-row broadcast (never a driver
-    # action).
-    scores = kn_logprob_frame(d).select(
-        "doc_id", F.col("kn_logprob").alias("avg_logprob")
+    # action). The per-doc score frame has TWO consumers (the median
+    # aggregate and the decision join) — scoped-cached so the whole KN
+    # scoring pipeline (five broadcast joins over the corpus trigram
+    # stream + the doc-keyed fold) executes ONCE, not once per consumer
+    # (the r16 CC-double-execution lesson applied to the fluency gate;
+    # the cache is two columns x n_docs, far smaller than the trigram
+    # stream it would otherwise recompute).
+    scores = scoped_cache(
+        kn_logprob_frame(d).select(
+            "doc_id", F.col("kn_logprob").alias("avg_logprob")
+        )
     )
     med = scores.agg(F.median("avg_logprob").alias("fluency_med"))
     reason = (

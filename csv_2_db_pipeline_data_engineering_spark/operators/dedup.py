@@ -316,30 +316,30 @@ FROM documents GROUP BY content_hash ORDER BY keep_doc_id
 def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle): DISTINCT word n-grams per doc, as rows.
 
-    posexplode + window-lead + distinct — the codegen'd row shape every
-    shingle consumer (inverted-index joins, df caps, contamination)
-    actually wants. Measured ~2x faster at sf0.1 than the previous
-    per-row lambda-built shingle arrays: ``transform`` + ``element_at``
-    + ``concat_ws`` per element run on the interpreted higher-order
-    path, while lead/concat here stay inside whole-stage codegen. One
-    token shuffle (doc_id-keyed window) + one distinct (map-side
-    combined, doc_id-prefixed key).
+    ZERO-shuffle gram derivation (the ``sketch._gram_stream`` idiom):
+    explode an ``arrays_zip`` of n shifted ``slice`` views of the token
+    array, then ``concat_ws`` per row — adjacency never leaves the
+    row's own array, so the only shuffle left is the ``distinct``
+    (map-side combined, doc_id-prefixed key). ``arrays_zip``/``slice``/
+    ``concat_ws`` are ordinary codegen expressions, NOT interpreted
+    higher-order lambdas — this is unrelated to the round-5
+    ``transform``+``element_at`` rewrite that measured 2x SLOWER; the
+    r16 A/B against the previous posexplode + window-lead shape (which
+    paid a corpus-wide token exchange + per-doc sort before the first
+    useful operator) is in OPTIMIZATION_r16.md.
     """
-    from pyspark.sql import Window as W
-
-    words = docs.filter(F.size(F.split("text", " ")) >= n).select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", i).over(win) for i in range(1, n)]
+    w = F.split("text", " ")
+    m = F.size(w) - F.lit(n - 1)
+    z = F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(n)])
     return (
-        words.select(
+        docs.filter(F.size(w) >= n)
+        .select("doc_id", F.explode(z).alias("z"))
+        .select(
             "doc_id",
-            leads[-1].isNotNull().alias("full"),
-            F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+            F.concat_ws(" ", *[F.col(f"z.{i}") for i in range(n)]).alias(
+                "shingle"
+            ),
         )
-        .filter("full")
-        .select("doc_id", "shingle")
         .distinct()
     )
 
@@ -560,43 +560,52 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hash-first pipeline, every operator whole-stage-codegen-able (the session
 # raises spark.sql.codegen.maxFields so the 128-column stages stay compiled):
 #
-#   words --posexplode--> (doc_id, pos, tok)          map-side
-#   gram hash = xxhash64(h, lead(h,1), lead(h,2))     ONE shuffle (by doc_id)
-#   signature = 128 x min(xxhash64(seed_i, gh))       no shuffle (co-partitioned)
-#   shingle set = collect_set(gh)                     no shuffle (co-partitioned)
+#   gram hash = xxhash64(h(w[i]), h(w[i+1]), h(w[i+2]))   map-side (zip of
+#                 shifted slice views — adjacency never leaves the row)
+#   signature = 128 x min(xxhash64(seed_i, gh))       ONE shuffle (doc-keyed
+#                 agg with map-side partial mins — carries one partial
+#                 signature row per doc per map partition, never the tokens)
+#   shingle set = collect_set(gh)                     same doc-keyed shuffle
 #   band explode + self-join on (band, band_hash)     broadcast (small sig table)
 #   verify: exact Jaccard on hash sets, dedupe last   broadcast
 #
 # Interpreted higher-order functions (F.transform lambdas) are deliberately
-# absent: they run per-element outside codegen and measured ~4x slower than
-# the window+agg shape at sf0.1. Hashed shingles give identical Jaccard to
-# string shingles with collision probability ~(n_shingles)^2 / 2^64 ≈ 0.
+# absent: they run per-element outside codegen and measured ~4x slower at
+# sf0.1. The gram stream itself is the ``sketch._gram_stream`` zip-of-slices
+# shape (codegen builtins only) — until r16 it was posexplode + window-lead,
+# which shuffled and sorted the whole token stream by doc_id BEFORE the
+# first aggregate; the zip shape derives grams in-row, so the doc-keyed
+# signature aggregate's partial combine is the first (and only) exchange.
+# Hashed shingles give identical Jaccard to string shingles with collision
+# probability ~(n_shingles)^2 / 2^64 ≈ 0.
 
 
 def gram_hash_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, pos, gh): 64-bit hash per word n-gram (with duplicates).
 
-    Words are hashed once; the n-gram hash combines n consecutive word
-    hashes via ``lead`` over a per-document window — the only shuffle in
-    the shingling phase, and it's keyed on doc_id so the downstream
-    per-document aggregations are co-partitioned (no further shuffles).
+    Zero-shuffle derivation: posexplode an ``arrays_zip`` of n shifted
+    ``slice`` views of the token array and hash the n member words per
+    row — the window-lead shape this replaces paid a corpus-wide token
+    exchange + per-doc sort here (r16 A/B in OPTIMIZATION_r16.md). Each
+    word is hashed n times instead of once; that is pure codegen
+    arithmetic and strictly cheaper than shuffling the token stream.
+    The gram hash values are UNCHANGED (xxhash64 over the same n word
+    hashes), so every persisted signature/shingle index remains valid.
     ``pos`` (the gram's start offset) is carried for order-sensitive
     consumers (winnowing); Catalyst prunes it when unused.
     """
-    from pyspark.sql import Window
-
-    words = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    h = F.xxhash64("tok")
-    leads = [F.lead("h", i).over(win).alias(f"h{i}") for i in range(1, n)]
+    w = F.split("text", " ")
+    m = F.size(w) - F.lit(n - 1)
+    z = F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(n)])
     return (
-        words.withColumn("h", h)
-        .select("doc_id", "pos", "h", *leads)
-        .filter(F.col(f"h{n-1}").isNotNull())
+        docs.filter(F.size(w) >= n)
+        .select("doc_id", F.posexplode(z).alias("pos", "z"))
         .select(
             "doc_id",
             "pos",
-            F.xxhash64("h", *[f"h{i}" for i in range(1, n)]).alias("gh"),
+            F.xxhash64(
+                *[F.xxhash64(F.col(f"z.{i}")) for i in range(n)]
+            ).alias("gh"),
         )
     )
 

@@ -1040,6 +1040,11 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``serve_bm25_from_index``) runs both rounds as index reads
     instead of corpus scans — registered as ``prf_serve_incremental``.
 
+    Body lives in :func:`_prf_expansion_parts` so the A/B report
+    (``retrieval_prf_uplift``) can reuse the round-1 feedback collect
+    as its BM25 arm instead of executing the whole round-1 ranking a
+    second time (r16).
+
     The five corpus passes this two-round plan needs (round-1 tf,
     corpus stats, feedback-doc tf, candidate df, round-2 tf) all read
     ONE scoped-cached spread frame (the ``bm25_serve_incremental``
@@ -1051,6 +1056,15 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench scale. At 100 TB the cache is the serving tier's postings
     index — this in-plan twin models that reuse at bench scale.
     """
+    return _prf_expansion_parts(spark, sf_dir)[2]
+
+
+def _prf_expansion_parts(spark: SparkSession, sf_dir: str):
+    """(round-1 top-k rows [collected], qterm frame, round-2 DataFrame) —
+    the PRF two-round body. The round-1 feedback collect carries ``rnk``
+    so ``retrieval_prf_uplift`` can rebuild the full BM25 serving list
+    as a ≤ NQ·k-row local relation (PRF_FB_DEPTH == BM25_TOPK) instead
+    of executing the whole certified round-1 plan a second time."""
     qvocab, qterm = _query_frontier(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     dr = scoped_cache(
@@ -1076,7 +1090,7 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fb_rows = (
         _bm25_topk_frame(tf1, qterm, partials)
-        .select("query_id", "doc_id")
+        .select("query_id", "rnk", "doc_id")
         .collect()
     )  # bounded: <= NQ * k rows (PRF_FB_DEPTH == BM25_TOPK)
     fb_doc_ids = sorted({r.doc_id for r in fb_rows})
@@ -1145,13 +1159,14 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.min("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
     )
-    return (
+    round2 = (
         _bm25_topk_frame(tf2, qterm2, partials)
         .select(
             "query_id", "rnk", "doc_id", F.col("score").alias("score_prf")
         )
         .orderBy("query_id", "rnk")
     )
+    return fb_rows, qterm, round2
 
 
 # The PRF CTE chain (round-1 feedback set through round-2 scores),
@@ -1534,8 +1549,13 @@ def retrieval_prf_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipping a query-expansion change (the eval-harness twin of
     ``retrieval_eval_metrics``, applied across the two rankers).
 
-    Scale design: both rankings are the certified serving plans
-    (bounded frontiers, pushed-down postings, salted top-k); the
+    Scale design: the two-round PRF body runs ONCE
+    (:func:`_prf_expansion_parts`); its round-1 feedback collect IS the
+    full BM25 serving list (PRF_FB_DEPTH == BM25_TOPK), so the BM25 arm
+    is rebuilt as a ≤ NQ·k-row local relation instead of executing the
+    certified round-1 plan a second time through ``text_bm25_topk``
+    (r16 — the first draft ran the whole ranking subtree, its corpus
+    spread-cache, and a third frontier collect once more each). The
     metric layer aggregates two ≤ NQ·k serving lists plus ONE corpus
     pass for the per-query relevant totals (the ideal-DCG needs only
     per-level relevance COUNTS, never a corpus sort). Uplift is
@@ -1555,13 +1575,17 @@ def retrieval_prf_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    base = _dcg(text_bm25_topk(spark, sf_dir), "bm25")
-    prf = _dcg(retrieval_prf_expansion(spark, sf_dir), "prf")
-    # Enumerate the query ids from the bounded frontier (one tiny
-    # collect over BM25_NQ docs), NOT from ``base`` — deriving them
-    # from the serving list would execute the whole BM25 ranking
+    fb_rows, qterm, round2 = _prf_expansion_parts(spark, sf_dir)
+    base_ranked = spark.createDataFrame(
+        [(r.query_id, r.rnk, r.doc_id) for r in fb_rows],
+        "query_id long, rnk int, doc_id long",
+    )
+    base = _dcg(base_ranked, "bm25")
+    prf = _dcg(round2, "prf")
+    # Enumerate the query ids from the bounded frontier (already
+    # collected once inside the PRF body), NOT from ``base`` — deriving
+    # them from the serving list would execute the whole BM25 ranking
     # subtree an extra time just to list <=16 already-bounded ids.
-    _, qterm = _query_frontier(spark, sf_dir)
     queries = qterm.select("query_id").distinct()
     rel_all = (
         load_table(spark, sf_dir, "documents")

@@ -185,37 +185,34 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Docs shorter than 5 tokens are excluded (no 5-gram exists).
 
-    Plan shape: each gram size is a posexplode + window-lead branch (the
-    ``gram_hash_rows`` trick, kept as strings so the oracle can mirror
-    them) — measured ~3x faster than building gram arrays per row with
-    ``transform(sequence, slice)``, whose per-element array slicing is
-    O(n · gram_len) string work inside one task. The two branches each
-    scan the (narrow, pruned) doc_id+text columns and shuffle the token
-    stream once; every aggregate above is keyed by doc_id, so it stays
-    co-partitioned. A forced single-scan variant (all leads in one
-    shared window frame) was measured SLOWER: the bigram branch then
-    pays the 5-gram's four lead columns, and Catalyst does not reuse
-    the window exchange across the differing branches either way.
+    Plan shape: each gram size is a zip-of-shifted-slices branch (the
+    ``sketch._gram_stream`` idiom, r16 — ``arrays_zip``/``slice``/
+    ``concat_ws`` are codegen builtins, so this is NOT the interpreted
+    ``transform(sequence, slice)`` lambda that measured ~3x slower in
+    round 5): grams derive in-row with ZERO pre-shuffle, where the
+    posexplode + window-lead shape this replaces shuffled and sorted
+    the token stream by doc_id per branch. Every aggregate above is
+    keyed by doc_id with map-side partial combine. The branches stay
+    separate: a forced single-scan variant (all leads in one shared
+    window frame) was measured SLOWER in r13, and with the window gone
+    each branch is a cheap scan-fused explode anyway.
     """
-    from pyspark.sql import Window as W
-
     d = load_table(spark, sf_dir, "documents").filter(
         F.size(F.split("text", " ")) >= REP_MIN_TOKENS
     )
-    words = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    win = W.partitionBy("doc_id").orderBy("pos")
+    w = F.split("text", " ")
 
     def gram_branch(n_gram: int) -> DataFrame:
-        leads = [F.lead("tok", i).over(win) for i in range(1, n_gram)]
+        m = F.size(w) - F.lit(n_gram - 1)
+        z = F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(n_gram)])
         return (
-            words.select(
+            d.select("doc_id", F.explode(z).alias("z"))
+            .select(
                 "doc_id",
-                leads[-1].isNotNull().alias("full"),
-                F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
+                F.concat_ws(
+                    " ", *[F.col(f"z.{i}") for i in range(n_gram)]
+                ).alias("g"),
             )
-            .filter("full")
             .groupBy("doc_id", "g")
             .agg(F.count(F.lit(1)).alias("n"))
         )

@@ -80,19 +80,27 @@ def plant_boilerplate(docs: DataFrame) -> DataFrame:
 def _raw_shingles(docs: DataFrame, L: int = SPAN_SHINGLE) -> DataFrame:
     """(doc_id, pos, sh): md5 key per L-token window, UNCAPPED — the
     persistable form (``write_span_index``); the df cap is a read-time
-    decision because document frequency is a corpus-global statistic."""
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", i).over(win).alias(f"t{i}") for i in range(1, L)]
+    decision because document frequency is a corpus-global statistic.
+
+    Zero-shuffle derivation (the ``sketch._gram_stream`` idiom, r16):
+    posexplode an ``arrays_zip`` of L shifted ``slice`` views of the
+    token array — pure codegen builtins, adjacency never leaves the
+    row — instead of posexplode + window-lead, whose per-doc window
+    shuffled and sorted the whole token stream before the first real
+    operator. Same (doc_id, pos, sh) rows (pos is the zip index ==
+    the gram's start offset)."""
+    w = F.split("text", " ")
+    m = F.size(w) - F.lit(L - 1)
+    z = F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(L)])
     return (
-        words.select("doc_id", "pos", F.col("tok").alias("t0"), *leads)
-        .filter(F.col(f"t{L-1}").isNotNull())
+        docs.filter(F.size(w) >= L)
+        .select("doc_id", F.posexplode(z).alias("pos", "z"))
         .select(
             "doc_id",
             F.col("pos").cast("long").alias("pos"),
-            F.md5(F.concat_ws(" ", *[f"t{i}" for i in range(L)])).alias("sh"),
+            F.md5(
+                F.concat_ws(" ", *[F.col(f"z.{i}") for i in range(L)])
+            ).alias("sh"),
         )
     )
 

@@ -322,29 +322,34 @@ def bigram_logprob_frame(docs: DataFrame) -> DataFrame:
     smoothing pulls singleton bigrams toward 1/V and restores the
     intended ordering (repeated fluent patterns high, salad low).
 
-    Plan shape (100 TB): the bigram stream is posexplode + one window
-    lead (codegen'd gram rows, the ``text_repetition_stats`` trick),
+    Plan shape (100 TB): the bigram stream derives in-row from an
+    ``arrays_zip`` of two shifted ``slice`` views of the token array
+    (the ``sketch._gram_stream`` idiom, r16 — codegen builtins with
+    ZERO pre-shuffle, replacing the posexplode + window-lead shape
+    that exchanged and sorted the whole token stream by doc_id first),
     cached once (scoped — released by the catalog/pipeline consumers),
     then aggregated twice (pair counts, prefix counts) and joined back
     on token keys — the inverted-index family TF-IDF uses; every join
-    is a keyed shuffle, never all-pairs, and the per-doc aggregate is
-    co-partitioned on doc_id.
+    is a keyed shuffle, never all-pairs.
     """
-    from pyspark.sql import Window as W
-
-    d = docs.filter(F.size(F.split("text", " ")) >= 2)
-    words = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1"))
-    win = W.partitionBy("doc_id").orderBy("pos")
+    w = F.split("text", " ")
+    d = docs.filter(F.size(w) >= 2)
+    n1 = F.size(w) - F.lit(1)
     bi = scoped_cache(
-        words.withColumn("w2", F.lead("w1").over(win))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "w1", "w2")
+        d.select(
+            "doc_id",
+            F.explode(F.arrays_zip(F.slice(w, 1, n1), F.slice(w, 2, n1))).alias(
+                "z"
+            ),
+        ).select("doc_id", F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
     )
     c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
     # Vocabulary size as a 1-row broadcast frame (NOT a driver action):
     # counted over ALL token occurrences, including doc-final ones.
-    vsize = words.agg(F.countDistinct("w1").alias("v"))
+    vsize = d.select(F.explode(w).alias("w1")).agg(
+        F.countDistinct("w1").alias("v")
+    )
     lp = F.log(
         (F.col("n12") + 1).cast("double") / (F.col("n1") + F.col("v"))
     )
@@ -529,24 +534,35 @@ def kn_logprob_frame(docs: DataFrame) -> DataFrame:
     + one OOV bucket sum to 1) and puts out-of-model salad at
     ~ln(1/(T+U+1)) — far below any fluent document.
 
-    Plan shape (100 TB): the trigram stream is posexplode + two
-    window leads, cached once (scoped); the MODEL aggregates only the
+    Plan shape (100 TB): the trigram stream derives in-row from an
+    ``arrays_zip`` of three shifted ``slice`` views of the token array
+    (the ``sketch._gram_stream`` idiom, r16 — codegen builtins with
+    ZERO pre-shuffle, replacing the posexplode + two-window-leads
+    shape that exchanged and sorted the whole token stream by doc_id
+    first), cached once (scoped); the MODEL aggregates only the
     reference slice's trigrams (bounded frames), and scoring is five
     BROADCAST left-joins over the occurrence stream — entirely
     map-side — followed by the per-doc aggregate. No corpus-sized
     shuffle except that final doc_id-keyed agg.
     """
-    from pyspark.sql import Window as W
-
     D = F.lit(KN_DISCOUNT)
-    d = docs.filter(F.size(F.split("text", " ")) >= 3)
-    words = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1"))
-    win = W.partitionBy("doc_id").orderBy("pos")
+    w = F.split("text", " ")
+    d = docs.filter(F.size(w) >= 3)
+    n3 = F.size(w) - F.lit(2)
     tri = scoped_cache(
-        words.withColumn("w2", F.lead("w1").over(win))
-        .withColumn("w3", F.lead("w1", 2).over(win))
-        .filter(F.col("w3").isNotNull())
-        .select("doc_id", "w1", "w2", "w3")
+        d.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(w, 1, n3), F.slice(w, 2, n3), F.slice(w, 3, n3)
+                )
+            ).alias("z"),
+        ).select(
+            "doc_id",
+            F.col("z.0").alias("w1"),
+            F.col("z.1").alias("w2"),
+            F.col("z.2").alias("w3"),
+        )
     )
     # scoped_cache: the reference type table feeds four statistic
     # aggregates plus the scoring join — bounded by the reference slice

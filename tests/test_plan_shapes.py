@@ -184,13 +184,18 @@ def test_approx_aggregates_avoids_distinct_expand(spark):
 
 
 def test_repetition_and_shingles_use_codegen_gram_derivation(spark):
-    # Gram construction must stay on the posexplode + window-lead path;
-    # per-row transform(sequence, slice/element_at) lambdas run
-    # interpreted and measured 2-4x slower (round-5 rewrites).
+    # Gram construction derives in-row from arrays_zip of shifted slice
+    # views (codegen builtins, ZERO pre-shuffle — the sketch._gram_stream
+    # idiom, applied repo-wide in r16): never the interpreted
+    # transform(sequence, slice/element_at) lambda (2-4x slower, round-5
+    # lesson) and never the posexplode + window-lead shape, whose per-doc
+    # window exchanged and sorted the whole token stream before the
+    # first useful operator (r16 rewrite, OPTIMIZATION_r16.md).
     for name in ("text_repetition_stats", "dedup_ngram_jaccard"):
         plan = _plan(spark, name)
-        assert "posexplode" in plan, name
+        assert "arrays_zip" in plan, name
         assert "transform(sequence" not in plan, name
+        assert "lead(" not in plan, name
 
 
 def test_bigram_logprob_shape(spark):
