@@ -164,13 +164,14 @@ def _tf_norm(tf, dl, avgdl):
     )
 
 
-def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_scores(spark: SparkSession, sf_dir: str, frontier=None) -> DataFrame:
     """Exact BM25 score per (query, candidate doc), rounded to 6.
 
     Rounding happens BEFORE ranking in both engines so ties resolve
-    identically (score desc, doc_id asc).
+    identically (score desc, doc_id asc). ``frontier`` forwards an
+    already-collected query frontier (``_corpus_index``'s reuse hook).
     """
-    tf, qdf, stats = _corpus_index(spark, sf_dir)
+    tf, qdf, stats = _corpus_index(spark, sf_dir, frontier=frontier)
     contrib = F.col("qtf") * _idf(F.col("n_docs"), F.col("df")) * _tf_norm(
         F.col("tf"), F.col("dl"), F.col("avgdl")
     )
@@ -250,10 +251,10 @@ def _bm25_topk_frame(tf: DataFrame, qterm: DataFrame, stats: DataFrame) -> DataF
     return _topk_per_query(scored)
 
 
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_bm25_topk(spark: SparkSession, sf_dir: str, frontier=None) -> DataFrame:
     """Top-k BM25 serving: k best candidate docs per query."""
     return (
-        _topk_per_query(bm25_scores(spark, sf_dir))
+        _topk_per_query(bm25_scores(spark, sf_dir, frontier=frontier))
         .select("query_id", "rnk", "doc_id", "score")
         .orderBy("query_id", "rnk")
     )
@@ -460,9 +461,16 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf = F.col("qtf") * F.col("tf") * F.log(
         F.col("n_docs") / F.col("df")
     )
-    scored = base.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum(bm25), 6).alias("bm25_score"),
-        F.round(F.sum(tfidf), 6).alias("tfidf_score"),
+    # Candidate-set-sized (≤ the frontier's posting lists, post-agg) and
+    # consumed by BOTH rankers' top-k passes — scoped-cached so the
+    # join+agg chain above the postings cache executes once, not twice
+    # (r16; unlike the pruned-postings cache _bm25_topk_frame rejected,
+    # this caches POST-aggregation rows, a fraction of the postings).
+    scored = scoped_cache(
+        base.groupBy("query_id", "doc_id").agg(
+            F.round(F.sum(bm25), 6).alias("bm25_score"),
+            F.round(F.sum(tfidf), 6).alias("tfidf_score"),
+        )
     )
     r1 = _topk_per_query(
         scored.select("query_id", "doc_id", F.col("bm25_score").alias("score")),
@@ -1411,7 +1419,15 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-level relevance COUNTS, never a corpus-wide sort: rank i
     of the ideal list has rel 2 iff i ≤ n2, rel 1 iff i ≤ n2+n1.
     """
-    topk = text_bm25_topk(spark, sf_dir)
+    # Collect the bounded frontier ONCE and share it: the serving arm
+    # consumes it via _corpus_index, and the query enumeration below is
+    # a local relation over the same collected rows. The first draft
+    # derived ``queries`` from ``topk`` itself, which re-executed the
+    # whole (uncached above its postings) ranking subtree a second time
+    # just to list <=16 already-bounded ids — the same defect the r16
+    # ADVICE found in retrieval_prf_uplift.
+    frontier = _query_frontier(spark, sf_dir)
+    topk = text_bm25_topk(spark, sf_dir, frontier=frontier)
     hits = topk.withColumn(
         "rel", _rel_expr(F.col("query_id"), F.col("doc_id"))
     )
@@ -1432,8 +1448,10 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("rel") > 0).alias("n_rel_at_k"),
     )
     # Per-query corpus-wide relevant counts: tiny query frame broadcast
-    # into one documents pass.
-    queries = topk.select("query_id").distinct()
+    # into one documents pass. Queries enumerated from the frontier's
+    # local relation; the final inner join on ``agg`` drops any query
+    # without serving rows in both variants, so the output is identical.
+    queries = frontier[1].select("query_id").distinct()
     rel_all = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
