@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
-from ..sources.tables import load_embeddings_spread, load_table
+from ..sources.tables import load_embeddings_spread, load_table, load_table_spread
 from .boilerplate import (
     quality_nscaled,
     quality_nscaled_sql,
@@ -122,7 +122,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and broadcast; corpus grams stream past it map-side, so the only
     shuffle is the final per-doc count aggregate.
     """
-    sh = shingle_rows(load_table(spark, sf_dir, "documents"), n=CONTAM_NGRAM)
+    sh = shingle_rows(load_table_spread(spark, sf_dir, "documents"), n=CONTAM_NGRAM)
     ev_sh = sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
     # number of eval DOCS (shingle_rows is per-gram rows, so count
     # distinct docs — same value the per-doc-array frame counted rows of)
@@ -435,7 +435,7 @@ def corpus_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     and planted semantic-twin witnesses (semantic_dup), so both gate
     families are value-checked, not vacuously absent.
     """
-    base_docs = load_table(spark, sf_dir, "documents")
+    base_docs = load_table_spread(spark, sf_dir, "documents")
     d = _with_planted_salads(base_docs).unionByName(_semantic_twin_docs(base_docs))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     toks = F.split(F.col("text"), " ")
@@ -1274,7 +1274,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .spans import _raw_shingles, _strip_summary, _union_intervals
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     sh = scoped_cache(_raw_shingles(docs, L=CONTAM_NGRAM))
     ev = sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
     n_eval = ev.agg(F.countDistinct("doc_id").alias("n_eval"))

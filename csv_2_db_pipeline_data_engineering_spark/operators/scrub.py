@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
-from ..sources.tables import load_table
+from ..sources.tables import load_table, load_table_spread
 
 # Patterns valid and equivalent in BOTH Java regex and RE2: no
 # backreferences, no lookaround, ASCII classes and \b only.
@@ -197,7 +197,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     window frame) was measured SLOWER in r13, and with the window gone
     each branch is a cheap scan-fused explode anyway.
     """
-    d = load_table(spark, sf_dir, "documents").filter(
+    d = load_table_spread(spark, sf_dir, "documents").filter(
         F.size(F.split("text", " ")) >= REP_MIN_TOKENS
     )
     w = F.split("text", " ")

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
 from ..sources.tables import load_table, load_table_spread
+from .lifecycle import scoped_cache
 
 #: shingle width (tokens); an island of c matches = span of c + L - 1
 SPAN_SHINGLE = 8
@@ -106,8 +107,18 @@ def _raw_shingles(docs: DataFrame, L: int = SPAN_SHINGLE) -> DataFrame:
 
 
 def _shingles(docs: DataFrame, L: int = SPAN_SHINGLE) -> DataFrame:
-    """(doc_id, pos, sh): md5 key per L-token window, df-capped."""
-    sh = _raw_shingles(docs, L)
+    """(doc_id, pos, sh): md5 key per L-token window, df-capped.
+
+    EVERY consumer of the stream here is sh-keyed (the hot-shingle df
+    aggregate, the anti-join, and the islands self-join above), so the
+    chain ends in ONE explicit hash(sh) exchange: ReuseExchange then
+    serves all of them from a single scan+md5 execution, and no
+    downstream operator adds an exchange of its own. (r16: the zip
+    derivation is map-side, so without this the plan re-executed the
+    md5 chain once per consumer — caching the gram rows instead was
+    measured to starve broadcast builds of execution memory at the
+    100x corpus, guide §5.)"""
+    sh = _raw_shingles(docs, L).repartition("sh")
     hot = (
         sh.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -132,6 +143,8 @@ def verbatim_span_islands(
     yields a constant per maximal run — the classic gaps-and-islands
     key, exact in integers on both engines.
     """
+    # both self-join sides shuffle by sh over identical subtrees, so
+    # ReuseExchange dedups them at the join exchange — no cache needed
     sh = _shingles(docs, L)
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "sh"
@@ -274,7 +287,11 @@ def strip_verbatim_span_text(docs: DataFrame) -> DataFrame:
 
 def _rebuild_text(docs: DataFrame, merged: DataFrame) -> DataFrame:
     """(doc_id, text) with merged victim intervals deleted — victim-only
-    rebuild, shared by the batch and incremental strip-text paths."""
+    rebuild, shared by the batch and incremental strip-text paths.
+    ``merged`` (tiny: merged victim intervals) feeds the victim set AND
+    the range anti-join — cached so the islands pipeline below it
+    executes once."""
+    merged = scoped_cache(merged)
     victims = merged.select("doc_id").distinct()
     toks = (
         docs.join(victims, "doc_id", "left_semi")
@@ -333,7 +350,10 @@ def strip_verbatim_spans(docs: DataFrame) -> DataFrame:
 def _strip_summary(docs: DataFrame, merged: DataFrame) -> DataFrame:
     """Per-doc removal summary for merged victim intervals: (doc_id,
     n_tokens, n_removed, n_intervals, clean_md5) — the shared tail of
-    the batch and incremental strip paths."""
+    the batch and incremental strip paths. ``merged`` feeds the range
+    anti-join AND the per-doc interval count — cached so the islands
+    pipeline below it executes once."""
+    merged = scoped_cache(merged)
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
     ).select("doc_id", F.col("p").cast("long").alias("p"), "tok")
@@ -379,7 +399,7 @@ def text_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every planted copy beyond the lowest doc_id loses its phrase)."""
     return strip_verbatim_spans(
         plant_boilerplate(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            load_table_spread(spark, sf_dir, "documents").select("doc_id", "text")
         )
     )
 
@@ -550,7 +570,12 @@ def _incremental_victim_intervals(
     min_span: int = MIN_SPAN_TOKENS,
     exclude_src_ids: DataFrame | None = None,
 ) -> DataFrame:
-    sd = _raw_shingles(delta_docs, L)
+    # every consumer of both shingle streams is sh-keyed (stats aggs,
+    # the cap anti-joins, the history probe join, both delta self-join
+    # sides): one explicit hash(sh) exchange per stream lets
+    # ReuseExchange serve them all from a single scan+md5 execution
+    # (the _shingles r16 rule)
+    sd = _raw_shingles(delta_docs, L).repartition("sh")
     d_stats = sd.groupBy("sh").agg(F.countDistinct("doc_id").alias("n_docs"))
     hot = (
         index_stats.unionByName(d_stats)
@@ -631,7 +656,7 @@ def span_strip_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
-    ish = _raw_shingles(base)
+    ish = _raw_shingles(base).repartition("sh")
     istats = ish.groupBy("sh").agg(F.countDistinct("doc_id").alias("n_docs"))
     return incremental_span_strip_frame(delta, ish, istats)
 

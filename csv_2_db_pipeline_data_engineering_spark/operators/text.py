@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import Query
-from ..sources.tables import load_table
+from ..sources.tables import load_table, load_table_spread
 from .lifecycle import scoped_cache
 
 # Tiny English function-word list for the heuristics (deterministic,
@@ -379,7 +379,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     over :func:`bigram_logprob_frame`, which the curation fluency gate
     consumes unrounded."""
     return (
-        bigram_logprob_frame(load_table(spark, sf_dir, "documents"))
+        bigram_logprob_frame(load_table_spread(spark, sf_dir, "documents"))
         .select("doc_id", "n_bigrams", F.round("avg_logprob", 4).alias("avg_logprob"))
         .orderBy("doc_id")
     )
@@ -428,7 +428,7 @@ def text_fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, no total order.  The exact form is what the oracle gate
     can value-check.
     """
-    scored = bigram_logprob_frame(load_table(spark, sf_dir, "documents"))
+    scored = bigram_logprob_frame(load_table_spread(spark, sf_dir, "documents"))
     w = Window.orderBy(F.col("avg_logprob").desc(), "doc_id")
     bucket = F.ntile(3).over(w)
     label = (
@@ -620,7 +620,7 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     over :func:`kn_logprob_frame`, which the curation fluency gate
     consumes unrounded): per-doc trigram count, average KN
     log-probability, and perplexity exp(-avg)."""
-    scored = kn_logprob_frame(load_table(spark, sf_dir, "documents"))
+    scored = kn_logprob_frame(load_table_spread(spark, sf_dir, "documents"))
     return scored.select(
         "doc_id",
         "n_trigrams",
