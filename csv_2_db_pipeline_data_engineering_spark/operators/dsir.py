@@ -14,8 +14,9 @@ as a catalog query — the distribution fit, the per-doc weights, and
 the exact top-K selection frontier — with every number value-checked.
 
 Spark-first shape (100 TB):
-- The gram stream (posexplode + one window lead, the repetition-stats
-  trick) is cached once and feeds three aggregates.
+- The gram stream (explode of an ``arrays_zip`` of shifted slice views —
+  zero-shuffle, in-row adjacency) is cached once and feeds three
+  aggregates.
 - Both distributions land in ONE fixed-size bucket table (``N_BUCKETS``
   rows) that joins back to the stream as a BROADCAST — the model is
   O(buckets) no matter the corpus size, which is the whole point of

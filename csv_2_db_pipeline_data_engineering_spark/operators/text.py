@@ -148,13 +148,14 @@ WINNOW_WINDOW = 4  # consecutive gram hashes per winnowing window
 def winnow_fingerprints(docs: DataFrame, n: int = 3, w: int = WINNOW_WINDOW) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints: (doc_id, fp) rows.
 
-    The MOSS scheme: hash every word n-gram (a rolling hash over the
-    token stream — computed via the shared window-lead gram hasher),
-    then keep the MINIMUM hash of every w-consecutive-gram window and
+    The MOSS scheme: hash every word n-gram (the shared zero-shuffle
+    gram hasher — ``gram_hash_rows``' zip-of-slices derivation), then
+    keep the MINIMUM hash of every w-consecutive-gram window and
     dedupe. Guarantee: any shared run of w+n-1 tokens between two
     documents yields at least one shared fingerprint, while storage is
     ~2/(w+1) of all gram hashes. All window math rides ONE doc_id
-    shuffle; min-per-sliding-window is a frame-bounded window agg.
+    shuffle (the first and only exchange — the gram derivation itself
+    is map-side); min-per-sliding-window is a frame-bounded window agg.
     """
     from pyspark.sql import Window as W
 

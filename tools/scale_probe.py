@@ -447,11 +447,6 @@ PROBE_WAIVERS: dict[str, str] = {
     "dedup_exact_hash": (
         "scan-shaped — content-digest groupBy, map-side combinable"
     ),
-    "dedup_minhash_lsh": (
-        "10x:dedup_minhash_lsh — banded signature join measured at 10x;"
-        " the 100x gram-hash scan + banded join is additionally"
-        " measured via dedup_ngram_jaccard/dedup_clusters_lsh"
-    ),
     "dedup_simhash": (
         "100x:dedup_simhash_decollided — the same pigeonhole-banded"
         " fingerprint join, probed at 100x on the decollided generator"
@@ -507,10 +502,6 @@ PROBE_WAIVERS: dict[str, str] = {
         "10x:text_bpe_train — iterative pair-count vocab aggregation"
         " measured at 10x"
     ),
-    "text_bigram_logprob": (
-        "10x:text_bigram_logprob — bigram explode + model agg measured"
-        " at 10x"
-    ),
     "text_tfidf": (
         "100x:text_bm25_topk — same tf explode/df shuffle shape the"
         " BM25 probe measures (tf-idf is the unsaturated weighting of"
@@ -535,10 +526,6 @@ PROBE_WAIVERS: dict[str, str] = {
     ),
     "text_pii_scrub": (
         "scan-shaped — regex detect/redact projection chain"
-    ),
-    "text_repetition_stats": (
-        "shuffle-linear — within-doc n-gram explode + doc-keyed ratio"
-        " agg"
     ),
     "doc_chunk_plan": (
         "scan-shaped — per-doc chunk arithmetic projection"
@@ -651,6 +638,10 @@ PROBE_WAIVERS: dict[str, str] = {
         " (the documented dedup_simhash_decollided rationale)"
     ),
     # (the r14 retrieval additions retrieval_prf_expansion /
+    # r16-opt: dedup_minhash_lsh, text_bigram_logprob and
+    # text_repetition_stats were probed DIRECTLY at 100x while A/B-ing
+    # the zip-of-slices gram derivation (OPTIMIZATION_r16.md change 1),
+    # so their waivers retired the same way as the entries below.
     # retrieval_eval_metrics were first waived via 100x:text_bm25_topk,
     # then probed directly at 100x — 6.2x / 4.29x — so their waivers
     # retired. domain_mix_temperature's scan-shaped waiver was likewise
