@@ -56,7 +56,9 @@ def _query_frontier(spark: SparkSession, sf_dir: str):
     ``BM25_NQ × BM25_QTERMS`` ≤ 64 terms — the same bounded-collect
     precedent as ``ann_incremental_serve``'s 50-query batch. Returns
     (sorted vocabulary list for the IN-pushdown, (query_id, term, qtf)
-    frame for the broadcast side).
+    frame for the broadcast side, sorted query-id list for consumers
+    that push the ids into a scan as an IN-literal — the dense arm of
+    ``retrieval_hybrid_fusion`` — or enumerate queries locally).
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -76,7 +78,8 @@ def _query_frontier(spark: SparkSession, sf_dir: str):
         [(r.query_id, r.term, r.qtf) for r in qrows],
         "query_id long, term string, qtf long",
     )
-    return qvocab, qterm
+    qids = sorted({r.query_id for r in qrows})
+    return qvocab, qterm, qids
 
 
 def _corpus_index(spark: SparkSession, sf_dir: str, frontier=None):
@@ -103,9 +106,9 @@ def _corpus_index(spark: SparkSession, sf_dir: str, frontier=None):
     # ``frontier`` lets two-round callers (PRF expansion) reuse an
     # already-collected frontier instead of re-running the bounded
     # collect.
-    qvocab, qterm = frontier if frontier is not None else _query_frontier(
-        spark, sf_dir
-    )
+    if frontier is None:
+        frontier = _query_frontier(spark, sf_dir)
+    qvocab, qterm = frontier[0], frontier[1]
     # A single-file corpus scans as ONE input partition (the _spread
     # lesson, operators/multimodal.py:142): without spreading, the
     # explode + map-side partial agg below runs on one core — the
@@ -580,7 +583,7 @@ def text_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread corpus scan with the IN-literal filter, one (doc, term) tf
     aggregate, salted two-stage top-k.
     """
-    qvocab, qterm = _query_frontier(spark, sf_dir)
+    qvocab, qterm, _ = _query_frontier(spark, sf_dir)
     dr = spread_scan(
         load_table(spark, sf_dir, "documents"),
         table_bytes(sf_dir, "documents"),
@@ -703,7 +706,16 @@ def _minmax_norm(top: DataFrame, out: str) -> DataFrame:
     margin information RRF ignores). The min/max run over the ranker's
     own top-``HYBRID_DEPTH`` list, so the frame is ≤ NQ·DEPTH rows and
     the stats join is a broadcast. A degenerate list (max == min) maps
-    to 1.0 in both engines."""
+    to 1.0 in both engines.
+
+    ``top`` has TWO consumers here (the min/max aggregate and the join
+    left side) — scoped-cached so the ranker's whole scoring + salted
+    top-k subtree executes ONCE per arm, not once per consumer (r17;
+    the stage profile measured the dense arm's broadcast-nested-loop
+    cosine pass and the sparse arm's postings aggregation each running
+    twice through this helper — the same defect class as the r16
+    rrf_fusion dual-score fix; the cache is ≤ NQ·DEPTH rows)."""
+    top = scoped_cache(top)
     mm = top.groupBy("query_id").agg(
         F.min("score").alias("smin"), F.max("score").alias("smax")
     )
@@ -743,7 +755,8 @@ def retrieval_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_embeddings_spread
     from .similarity import _dot
 
-    tf, qdf, stats = _corpus_index(spark, sf_dir)
+    frontier = _query_frontier(spark, sf_dir)
+    tf, qdf, stats = _corpus_index(spark, sf_dir, frontier=frontier)
     contrib = F.col("qtf") * _idf(F.col("n_docs"), F.col("df")) * _tf_norm(
         F.col("tf"), F.col("dl"), F.col("avgdl")
     )
@@ -760,10 +773,28 @@ def retrieval_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_embeddings_spread(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    qids = qdf.select("query_id").distinct()
-    qvecs = e.join(
-        F.broadcast(qids), e.vec_id == F.col("query_id")
-    ).select("query_id", F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
+    # The ≤ NQ query vectors: the frontier's already-collected ids push
+    # into a dedicated embeddings scan as an IN-literal (PushedFilters
+    # reaches the parquet footer — row-group pruning instead of a full
+    # second pass), and the norm is computed on the ≤ NQ matching rows
+    # only. The first draft re-derived the ids from the postings df
+    # aggregate (a whole tf-cache pass + distinct exchange to list 16
+    # already-known ids — the eval_metrics defect class, r16) and
+    # extracted the vectors with a broadcast join against the full
+    # spread scan. Equivalence: every term of query q occurs in doc q
+    # itself, so q always survives the postings join the old derivation
+    # ran — both enumerate exactly the frontier's query ids (the oracle
+    # enumerates FROM qterm too).
+    qids = frontier[2]
+    qvecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(qids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .withColumn("qnorm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    )
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
     dense_scored = e.join(
         F.broadcast(qvecs), F.col("vec_id") != F.col("query_id")
@@ -986,7 +1017,7 @@ def bm25_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded partials and a from-scratch build (df splits, avgdl
     rounding, tie-break order) fails the gate.
     """
-    qvocab, qterm = _query_frontier(spark, sf_dir)
+    qvocab, qterm, _ = _query_frontier(spark, sf_dir)
     # One spread corpus scan, scoped-cached: the two postings builds and
     # the two stats partials below are four consumers of the same frame
     # (this in-plan DEMO re-derives both sides; the production path
@@ -1073,7 +1104,7 @@ def _prf_expansion_parts(spark: SparkSession, sf_dir: str):
     so ``retrieval_prf_uplift`` can rebuild the full BM25 serving list
     as a ≤ NQ·k-row local relation (PRF_FB_DEPTH == BM25_TOPK) instead
     of executing the whole certified round-1 plan a second time."""
-    qvocab, qterm = _query_frontier(spark, sf_dir)
+    qvocab, qterm, _ = _query_frontier(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     dr = scoped_cache(
         spread_scan(
@@ -1274,7 +1305,7 @@ def prf_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_retrieval.py``; this in-plan twin re-derives the two
     segments so the registered query is self-contained (no tmp dirs).
     """
-    qvocab, qterm = _query_frontier(spark, sf_dir)
+    qvocab, qterm, _ = _query_frontier(spark, sf_dir)
     dr = scoped_cache(
         spread_scan(
             load_table(spark, sf_dir, "documents").select("doc_id", "text"),
