@@ -862,6 +862,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
             .groupBy("a")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # LAZY checkpoint + count: the convergence count is the round's
+        # materializing action, so each round is ONE job (the r16 shape
+        # ran an eager checkpoint and then a second count job over it —
+        # two driver barriers per round for the same fixpoint; the RDD
+        # is persisted whole when the count's first task touches it, so
+        # lineage truncation is unchanged).
         updated = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.a, "left")
             .select(
@@ -871,7 +877,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
                 ),
                 "cluster_id",
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
         labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
         if changed == 0:
