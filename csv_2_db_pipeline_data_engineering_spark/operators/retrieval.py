@@ -125,26 +125,48 @@ def _corpus_index(spark: SparkSession, sf_dir: str, frontier=None):
     )
     # Postings of the query vocabulary only: the IN-literal filter runs
     # map-side inside the explode, so the tf shuffle carries just the
-    # matching (doc, term) rows, never the whole corpus. The result is
-    # bounded by the frontier's posting lists — tiny — so it is
-    # scoped-cached: every downstream consumer (scoring, df counts, the
-    # MaxScore per-term frame) reuses it instead of re-exploding the
-    # corpus.
-    tf = scoped_cache(
+    # matching (doc, term) rows, never the whole corpus. ONE corpus
+    # pass serves postings AND the normalization stats (r17): the
+    # filter additionally keeps each document's position-0 token as a
+    # sentinel (split() never returns an empty array, so every doc
+    # contributes ≥1 row), carrying (doc_id, dl) for docs with no
+    # matching term; a sentinel-only row aggregates to tf = 0 and is
+    # dropped from the postings but still prices the doc in the
+    # (n_docs, total_dl) aggregate — the r16 shape re-scanned and
+    # re-tokenized the whole corpus a second time just for those two
+    # numbers. The cached frame is the pruned postings plus one ≤
+    # 16-byte row per doc — tiny; every downstream consumer (scoring,
+    # df counts, the MaxScore per-term frame, the stats aggregate)
+    # reuses it instead of re-exploding the corpus.
+    g = scoped_cache(
         dr.select(
-            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.posexplode(toks).alias("pos", "term"),
         )
-        .filter(F.col("term").isin(qvocab))
+        .filter(F.col("term").isin(qvocab) | (F.col("pos") == 0))
         .groupBy("doc_id", "term")
-        .agg(F.min("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.min("dl").alias("dl"),
+            F.sum(
+                F.when(F.col("term").isin(qvocab), 1).otherwise(0)
+            ).alias("tf"),
+            # exactly ONE group per doc holds its position-0 token, so
+            # this flag marks one row per doc — the stats aggregate
+            # below is then a plain filter over the cache, no doc-keyed
+            # exchange.
+            F.max(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("s0"),
+        )
     )
+    tf = g.filter(F.col("tf") > 0).drop("s0")
     # df per query term == posting-list length (tf is one row per
     # (doc, term)): a ≤64-key aggregate over the pruned postings.
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = (
-        dr.agg(
+        g.filter(F.col("s0") == 1)
+        .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(toks)).alias("total_dl"),
+            F.sum("dl").alias("total_dl"),
         )
         .select(
             "n_docs",
@@ -589,15 +611,27 @@ def text_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_bytes(sf_dir, "documents"),
     )
     toks = F.split(F.col("text"), " ")
-    tf = scoped_cache(
+    # One corpus pass for postings AND the collection-length stat: the
+    # position-0 sentinel row prices every doc's dl without a second
+    # scan+tokenize (the _corpus_index r17 shape).
+    g = scoped_cache(
         dr.select(
-            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.posexplode(toks).alias("pos", "term"),
         )
-        .filter(F.col("term").isin(qvocab))
+        .filter(F.col("term").isin(qvocab) | (F.col("pos") == 0))
         .groupBy("doc_id", "term")
-        .agg(F.min("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.min("dl").alias("dl"),
+            F.sum(
+                F.when(F.col("term").isin(qvocab), 1).otherwise(0)
+            ).alias("tf"),
+            F.max(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("s0"),
+        )
     )
-    stats = dr.agg(F.sum(F.size(toks)).alias("total_dl"))
+    tf = g.filter(F.col("tf") > 0).drop("s0")
+    stats = g.filter(F.col("s0") == 1).agg(F.sum("dl").alias("total_dl"))
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     # μ·P(t|C) per query term, and the per-query constants A_q, Qlen_q
     # — all on ≤ NQ·QTERMS-row broadcast frames.
@@ -1144,6 +1178,15 @@ def _prf_expansion_parts(spark: SparkSession, sf_dir: str):
     so ``retrieval_prf_uplift`` can rebuild the full BM25 serving list
     as a ≤ NQ·k-row local relation (PRF_FB_DEPTH == BM25_TOPK) instead
     of executing the whole certified round-1 plan a second time."""
+    # retrieval_prf_uplift's BM25 arm IS this feedback collect; if the
+    # feedback depth ever decouples from the serving k, the rebuilt arm
+    # silently becomes a truncated/extended list (r16 ADVICE) — fail
+    # loudly instead.
+    assert PRF_FB_DEPTH == BM25_TOPK, (
+        "retrieval_prf_uplift rebuilds its BM25 arm from this round-1 "
+        "feedback collect; decoupling PRF_FB_DEPTH from BM25_TOPK "
+        "requires filtering fb_rows to rnk <= BM25_TOPK there first"
+    )
     qvocab, qterm, _ = _query_frontier(spark, sf_dir)
     # Tokenized once into the scoped cache (r17): the five passes below
     # used to re-split every cached text per pass.

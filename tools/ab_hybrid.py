@@ -34,6 +34,9 @@ from csv_2_db_pipeline_data_engineering_spark.sources.tables import (
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# warm-up + q1 control always run from the full-table source dir (a
+# scale-probe corpus holds only documents/embeddings)
+CTRL_DIR = "/root/testdata/sf0.1"
 
 
 def _minmax_norm_old(top, out):
@@ -117,8 +120,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     catalog = get_catalog()
     # warm-up
-    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
-    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    nation = spark.read.parquet(os.path.join(CTRL_DIR, "nation.parquet"))
+    region = spark.read.parquet(os.path.join(CTRL_DIR, "region.parquet"))
     w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
     (
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -131,7 +134,7 @@ def main() -> None:
     )
 
     arms = {
-        "q1": lambda: catalog["q1_pricing_summary"].builder(spark, SF_DIR),
+        "q1": lambda: catalog["q1_pricing_summary"].builder(spark, CTRL_DIR),
         "old": lambda: hybrid_old(spark, SF_DIR),
         "new": lambda: catalog["retrieval_hybrid_fusion"].builder(spark, SF_DIR),
     }

@@ -30,6 +30,9 @@ from csv_2_db_pipeline_data_engineering_spark.sources.tables import (
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# warm-up + q1 control always run from the full-table source dir (a
+# scale-probe corpus holds only documents/embeddings)
+CTRL_DIR = "/root/testdata/sf0.1"
 
 
 def prf_expansion_old(spark, sf_dir):
@@ -163,8 +166,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     catalog = get_catalog()
-    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
-    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    nation = spark.read.parquet(os.path.join(CTRL_DIR, "nation.parquet"))
+    region = spark.read.parquet(os.path.join(CTRL_DIR, "region.parquet"))
     w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
     (
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -177,7 +180,7 @@ def main() -> None:
     )
 
     arms = {
-        "q1": lambda: catalog["q1_pricing_summary"].builder(spark, SF_DIR),
+        "q1": lambda: catalog["q1_pricing_summary"].builder(spark, CTRL_DIR),
         "prf_old": lambda: prf_expansion_old(spark, SF_DIR),
         "prf_new": lambda: catalog["retrieval_prf_expansion"].builder(spark, SF_DIR),
         "serve_old": lambda: bm25_serve_old(spark, SF_DIR),
