@@ -290,7 +290,11 @@ def _rebuild_text(docs: DataFrame, merged: DataFrame) -> DataFrame:
     rebuild, shared by the batch and incremental strip-text paths.
     ``merged`` (tiny: merged victim intervals) feeds the victim set AND
     the range anti-join — cached so the islands pipeline below it
-    executes once."""
+    executes once. No current caller passes the same ``merged`` frame
+    to both this and :func:`_strip_summary`; if one ever does, the
+    second ``scoped_cache`` is an idempotent no-op on the
+    already-cached plan plus a harmless double unpersist at release
+    (r16 ADVICE note)."""
     merged = scoped_cache(merged)
     victims = merged.select("doc_id").distinct()
     toks = (

@@ -388,3 +388,28 @@ def test_sq8_serving_broadcasts_queries(spark):
     corpus for the join."""
     plan = _plan(spark, "ann_sq8_neighbors")
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_span_family_single_sh_exchange_per_stream(spark):
+    """The span family's shingle chains end in ONE explicit hash(sh)
+    repartition per stream (r16 change 6): every consumer (df aggregate,
+    cap anti-joins, self-join sides, history-probe join) rides that
+    exchange via ReuseExchange. ReuseExchange only fires on
+    byte-identical subtrees, so a consumer-side projection drift would
+    silently duplicate the exchange AND the scan+md5 chain below it
+    (r16 ADVICE) — pin the node counts (formatted plans mention each
+    node twice: tree + detail).
+
+    batch/exact_substring: 2 repartition nodes (both self-join sides —
+    dedup'd to one exchange at runtime); incremental: 6 (delta + index
+    streams x the stats/probe/self-join consumers)."""
+    for name, max_nodes in (
+        ("text_span_strip", 4),
+        ("dedup_exact_substring", 4),
+        ("span_strip_incremental", 12),
+    ):
+        plan = _plan(spark, name)
+        n = plan.count("REPARTITION_BY_COL")
+        assert 0 < n <= max_nodes, f"{name}: {n} REPARTITION_BY_COL mentions"
+        # the repartitions must be the sh-keyed ones, not something new
+        assert "lead(" not in plan, name
