@@ -516,3 +516,66 @@ def test_ql_dirichlet_matches_pure_python(spark, tmp_path):
     # witness: the doc lacking a query term ranks below one holding it
     # (the missing-term mass is genuinely negative)
     assert all(v < 0 for v in got.values())
+
+
+def test_one_pass_corpus_index_matches_two_pass_derivation(spark):
+    """r17: _corpus_index derives postings AND (n_docs, total_dl) from
+    ONE sentinel-flagged corpus pass. Pin equivalence against the
+    straightforward two-pass derivation on real testdata: identical tf
+    rows (sentinel-only groups dropped), identical stats (every doc
+    priced exactly once via its pos-0 flag)."""
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+        _corpus_index,
+        _query_frontier,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    frontier = _query_frontier(spark, SF_DIR)
+    qvocab = frontier[0]
+    tf, _qdf, stats = _corpus_index(spark, SF_DIR, frontier=frontier)
+
+    d = load_table(spark, SF_DIR, "documents")
+    toks = F.split(F.col("text"), " ")
+    ref_tf = (
+        d.select("doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(qvocab))
+        .groupBy("doc_id", "term")
+        .agg(F.min("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+    )
+    got = {tuple(r) for r in tf.select("doc_id", "term", "dl", "tf").collect()}
+    want = {tuple(r) for r in ref_tf.collect()}
+    assert got == want
+
+    ref_stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_dl"),
+    ).collect()[0]
+    ref_avgdl = (1000 * ref_stats.total_dl // ref_stats.n_docs) / 1000.0
+    s = stats.collect()[0]
+    assert (s.n_docs, s.avgdl) == (ref_stats.n_docs, ref_avgdl)
+
+
+def test_tokenized_corpus_builders_match_text_builders(spark):
+    """r17: the cached multi-pass retrieval paths build postings/stats
+    from a pre-tokenized (doc_id, toks) frame; pin row-identity with
+    the text-based builders they mirror."""
+    from pyspark.sql import functions as F
+
+    from csv_2_db_pipeline_data_engineering_spark.operators.retrieval import (
+        _postings_from_toks,
+        _stats_from_toks,
+        bm25_postings,
+        corpus_stats_partial,
+    )
+    from csv_2_db_pipeline_data_engineering_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    td = d.select("doc_id", F.split("text", " ").alias("toks"))
+    got = {tuple(r) for r in _postings_from_toks(td).collect()}
+    want = {tuple(r) for r in bm25_postings(d, spread=False).collect()}
+    assert got == want
+    assert _stats_from_toks(td).collect() == corpus_stats_partial(d).collect()
