@@ -85,7 +85,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
     n_count = nodes.count()  # node-set cardinality: O(#nations), driver scalar
     base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // (PR_DAMP_DEN * n_count)
     p = nodes.select("node", F.lit(PR_SCALE // n_count).cast("long").alias("pr_q"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e.join(p, e.src == p.node)
             .select(
@@ -95,21 +95,24 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
             .groupBy("node")
             .agg(F.sum("c").alias("inmass"))
         )
-        p = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + _int_div(
-                        F.lit(PR_DAMP_NUM) * F.coalesce("inmass", F.lit(0)),
-                        F.lit(PR_DAMP_DEN),
-                    )
-                ).cast("long").alias("pr_q"),
-            )
-            # N-row iterate: cut the per-round lineage replan
-            .localCheckpoint(eager=True)
+        p = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + _int_div(
+                    F.lit(PR_DAMP_NUM) * F.coalesce("inmass", F.lit(0)),
+                    F.lit(PR_DAMP_DEN),
+                )
+            ).cast("long").alias("pr_q"),
         )
+        # The iterate is consumed ONCE per round, so lineage grows
+        # LINEARLY in the round count — a per-round eager checkpoint was
+        # one extra job per round for nothing at the registered
+        # PR_ITERS=3 (r17 A/B: 2.86 -> 2.06 s, rows identical). Cut the
+        # lineage only every 8 rounds so a long-iteration caller still
+        # never replans an unbounded chain.
+        if (i + 1) % 8 == 0 and i + 1 < iters:
+            p = p.localCheckpoint(eager=True)
     return p
 
 
